@@ -1,0 +1,92 @@
+"""Fixture IO: load the driver-generated parquet tables (TESTDATA.md).
+
+Sources beyond parquet (csv/json/text, in-memory, binary-file for
+multimodal) live here too — SURVEY.md §2.A.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet is self-describing; no inferSchema.
+
+    ``events.ts`` is nanosecond parquet, which Spark 4.x cannot map to
+    TimestampType directly (PARQUET_TYPE_ILLEGAL). We read it as raw
+    int64 ns (`nanosAsLong`) and truncate to microseconds with integer
+    division — matching DuckDB's ns→µs truncating cast, so oracle
+    comparisons agree. Integer `div`, not `/`: float division of an
+    ~1.7e18 ns value loses sub-µs bits (double ulp there is ~256 ns).
+    """
+    apply_session_confs(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture as a temp view for spark.sql() use."""
+    for n, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(n)
+
+
+def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """CSV source with an explicit schema (never inferSchema in production:
+    inference is a full extra pass over 100 TB)."""
+    return spark.read.csv(path, schema=schema, **options)
+
+
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    return spark.read.json(path, schema=schema, **options)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Stream-of-lines source (java.util.stream Files.lines analog)."""
+    return spark.read.text(path)
+
+
+def from_iterable(spark: SparkSession, data, schema=None) -> DataFrame:
+    """Stream(iterable) analog: wrap driver-side data. Only for small
+    inputs — anything big must come from a distributed source."""
+    return spark.createDataFrame(data, schema=schema)
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink. At scale, pair with repartition on the
+    partition columns so each task writes few files."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,0 +1,816 @@
+"""Query registry: every operator from SURVEY.md §2 gets a (Spark
+callable, DuckDB oracle SQL) pair here. ``__spark_entry__.py`` re-exports
+the two dicts.
+
+Determinism rules (SURVEY.md §7 risks), applied to BOTH sides:
+- Every float aggregate is rounded (ROUND(x, N)) — partial-aggregation
+  order differs between engines, so raw double sums are not bit-stable.
+  Money-scale sums round to 2, small-magnitude stats to 6.
+- DuckDB SUM(BIGINT) returns HUGEINT/DECIMAL; always CAST(... AS BIGINT)
+  in the SQL when Spark returns LongType.
+- Window orderings always carry a unique tie-break key.
+- ``events.ts`` is ns-parquet: Spark loads it truncated to µs (io.py) and
+  the DuckDB views truncate on read, so both sides see identical µs values.
+
+Each callable takes (spark, sf_dir) and returns an un-collected DataFrame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query; ``oracle=None`` marks a non-SQL-expressible op
+    (driver falls back to a rows-only check)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.B/D/F filter + groupBy + multi-agg + sort — TPC-H Q1 shape (flagship)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → filter → hash-agg (partial+final) → sort.
+
+    Scale notes: the filter and the 7-column projection are pushed into
+    the parquet scan; the aggregate keys are tiny (6 groups) so the
+    shuffle after partial aggregation moves only N_partitions × 6 rows.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name, ANY_VALUE(n.n_name) AS n_name,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spent,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY c.c_custkey
+    ORDER BY total_spent DESC, c_custkey
+    LIMIT 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + global top-k.
+
+    Scale notes: customer and nation are dimension-sized relative to
+    orders → explicit broadcast keeps orders un-shuffled until the
+    groupBy; the final ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (no full sort).
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.any_value("n_name").alias("n_name"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (existence filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join (absence filter)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "left_join_order_counts",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_orders
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving unmatched rows (COUNT of a nullable col
+    counts only matches — the 0-order customers survive)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_orders")
+    )
+
+
+@query(
+    "region_nation_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    ORDER BY r_name, n_name
+    """,
+)
+def region_nation_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (gated to dimension tables)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "brand_revenue_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p_brand
+    """,
+)
+def brand_revenue_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: fact stays in place, dim replicated.
+    At 100 TB the alternative (sort-merge) would shuffle the full fact
+    table on l_partkey — broadcast avoids that entirely."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "range_join_premium_items",
+    oracle="""
+    SELECT l.l_returnflag, COUNT(*) AS n_items,
+           ROUND(AVG(l.l_extendedprice - p.p_retailprice), 4) AS avg_premium
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_extendedprice > p.p_retailprice * 5
+    GROUP BY l.l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def range_join_premium_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join = equi-prefix + non-equi residual. Keeping the equi key
+    first means Catalyst still plans a hash join with the range predicate
+    as a post-filter — never a nested-loop."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(
+            F.broadcast(p),
+            (li.l_partkey == p.p_partkey) & (li.l_extendedprice > p.p_retailprice * 5),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.avg(F.col("l_extendedprice") - F.col("p_retailprice")), 4).alias(
+                "avg_premium"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.D aggregation surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "segment_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           ROUND(MIN(c_acctbal), 2) AS min_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy + count/count-distinct/sum/avg/min/max matrix."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "rollup_returns",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp_id,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY grp_id, returnflag, linestatus
+    """,
+)
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregate via ROLLUP; grouping id distinguishes the
+    subtotal levels, COALESCE makes the NULL subtotal rows hashable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "grp_id",
+            "sum_qty",
+            "n_rows",
+        )
+        .orderBy("grp_id", "returnflag", "linestatus")
+    )
+
+
+@query(
+    "distinct_order_priorities",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def distinct_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.G set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_orderkeys",
+    oracle="""
+    WITH f_orders AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+         r_items  AS (SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+                      WHERE l_returnflag = 'R')
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT * FROM f_orders INTERSECT SELECT * FROM r_items)
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT * FROM f_orders EXCEPT SELECT * FROM r_items)
+    ORDER BY op
+    """,
+)
+def set_ops_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except (set semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    r_items = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+    )
+    inter = (
+        f_orders.intersect(r_items)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("op"), "n")
+    )
+    exc = (
+        f_orders.subtract(r_items)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except").alias("op"), "n")
+    )
+    return inter.unionByName(exc).orderBy("op")
+
+
+@query(
+    "union_order_slices",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM (
+        SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+        UNION ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def union_order_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with bag semantics (RDD union analog)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select("o_orderpriority")
+    b = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return (
+        a.unionByName(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_balance_rank",
+    oracle="""
+    SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+        SELECT n.n_name, c.c_custkey, c.c_acctbal,
+               CAST(RANK() OVER (PARTITION BY n.n_name
+                                 ORDER BY c.c_acctbal DESC, c.c_custkey) AS INT) AS rnk
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rnk <= 3
+    ORDER BY n_name, rnk, c_custkey
+    """,
+)
+def nation_balance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window + per-group top-k filter."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "c_custkey", "c_acctbal", F.rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+        .orderBy("n_name", "rnk", "c_custkey")
+    )
+
+
+@query(
+    "customer_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate over an ordered frame."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "order_gaps_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INT) AS days_since_prev
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic window + date arithmetic; first row per key is NULL."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+                "days_since_prev"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "acctbal_quartiles",
+    oracle="""
+    SELECT c_mktsegment, quartile, COUNT(*) AS n,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM (
+        SELECT c_mktsegment, c_acctbal,
+               CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+        FROM customer
+    )
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing with a unique tie-break to keep both engines on the
+    same total order."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+@query(
+    "price_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS moving_avg
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def price_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame aggregate."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "top_parts_per_brand",
+    oracle="""
+    SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS retailprice
+    FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               ROW_NUMBER() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    )
+    WHERE rn <= 3
+    ORDER BY p_brand, retailprice DESC, p_partkey
+    """,
+)
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number — the scalable pattern (no global
+    sort; each group sorts locally after one shuffle on the group key)."""
+    from .operators.topk import top_k_per_group
+
+    p = _t(spark, sf_dir, "part")
+    ranked = top_k_per_group(
+        p, ["p_brand"], [F.desc("p_retailprice"), F.asc("p_partkey")], k=3
+    )
+    return (
+        ranked.select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("retailprice"))
+        .orderBy("p_brand", F.desc("retailprice"), "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.F enumerate / offset
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "enumerate_top_orders",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS BIGINT) AS idx,
+           o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY idx
+    LIMIT 100
+    """,
+)
+def enumerate_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """enumerate()/zipWithIndex analog: deterministic ordinal attach.
+    A global row_number is a single-partition window — fine for a top-100
+    slice (after TakeOrderedAndProject), never for a full 100 TB table;
+    for full-table ordinals use zipWithIndex on partition offsets."""
+    o = _t(spark, sf_dir, "orders")
+    top = o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100)
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        top.select(
+            (F.row_number().over(w) - 1).cast("long").alias("idx"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .orderBy("idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.H scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs_parts",
+    oracle="""
+    SELECT UPPER(SUBSTRING(p_name, 1, 1)) AS first_letter,
+           COUNT(*) AS n_parts,
+           CAST(MAX(LENGTH(p_name)) AS BIGINT) AS max_name_len,
+           MIN(TRIM(p_name)) AS min_name
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY first_letter
+    ORDER BY first_letter
+    """,
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/substring/length/trim/like string family."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(F.upper(F.substring("p_name", 1, 1)).alias("first_letter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.max(F.length("p_name")).cast("long").alias("max_name_len"),
+            F.min(F.trim(F.col("p_name"))).alias("min_name"),
+        )
+        .orderBy("first_letter")
+    )
+
+
+@query(
+    "orders_by_year_month",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY yr, mo
+    ORDER BY yr, mo
+    """,
+)
+def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date/time extraction family."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+@query(
+    "math_funcs_lineitem",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(AVG(SQRT(l_quantity)), 6) AS avg_sqrt_qty,
+           ROUND(SUM(FLOOR(l_extendedprice)), 2) AS sum_floor_price,
+           ROUND(SUM(CEIL(l_discount * 100)), 2) AS sum_ceil_disc,
+           ROUND(SUM(ABS(l_tax - 0.04)), 6) AS sum_abs_tax_dev,
+           ROUND(SUM(POW(l_discount, 2)), 6) AS sum_disc_sq
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/floor/ceil/abs/pow math family."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+            # floor/ceil return LONG in Spark but DOUBLE in DuckDB — cast
+            # before summing so the output schemas agree
+            F.round(F.sum(F.floor("l_extendedprice").cast("double")), 2).alias(
+                "sum_floor_price"
+            ),
+            F.round(F.sum(F.ceil(F.col("l_discount") * 100).cast("double")), 2).alias(
+                "sum_ceil_disc"
+            ),
+            F.round(F.sum(F.abs(F.col("l_tax") - 0.04)), 6).alias("sum_abs_tax_dev"),
+            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_disc_sq"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "price_buckets_case",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                WHEN o_totalprice < 300000 THEN 'high'
+                ELSE 'very_high' END AS bucket,
+           COUNT(*) AS n,
+           ROUND(AVG(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def price_buckets_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """when/otherwise conditional family."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .when(F.col("o_totalprice") < 300000, "high")
+        .otherwise("very_high")
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "json_props_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props = {"k": int})."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )

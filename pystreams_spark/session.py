@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the pystreams-spark engine.
+
+Design notes (SURVEY.md §4.4, 100 TB posture):
+- AQE on: runtime partition coalescing + skew-join splitting replace any
+  hand-tuned static plan; at 1000-executor scale AQE is what keeps the
+  shuffle graph healthy when the optimizer's size estimates are wrong.
+- ``spark.sql.shuffle.partitions`` is a *starting* width; AQE coalesces
+  down. On a real cluster set it to ~2-3x total cores.
+- Session timezone pinned to UTC so date/time functions are deterministic
+  and match the DuckDB oracle (naive timestamps).
+- Arrow enabled: every pandas-UDF boundary is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def get_spark(
+    app_name: str = "pystreams-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | str | None = None,
+) -> SparkSession:
+    """Create (or fetch) the local SparkSession used by tests and bench.
+
+    The driver's verify harness passes in its own session; production use
+    on a cluster would configure master/executors externally. This factory
+    only controls local runs.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_partitions = shuffle_partitions or str(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def apply_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable determinism confs to an externally-owned
+    session (e.g. the driver's). Only touches confs that are safe to set
+    after startup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,258 @@
+"""``Stream``: the pystreams-flavored fluent facade (SURVEY.md §3.3).
+
+The reference's programming model is a lazily-evaluated pipeline of
+per-element transformations terminated by a reduction. Here every
+intermediate method lowers IMMEDIATELY to DataFrame/Column operations, so
+Catalyst sees the whole plan (pushdown, pruning, fusion via
+WholeStageCodegen) — no custom execution anywhere.
+
+Column-first contract (SURVEY.md §4.3): methods accept Column
+expressions / SQL strings as the fast path. Raw Python callables are the
+explicit slow path, routed through Arrow-batched pandas execution
+(``map_batches`` / ``filter_udf``), never per-row pickled UDFs.
+
+Laziness matches the reference: intermediate ops build the plan; terminal
+ops (``sum/count/collect/reduce/foreach/...``) trigger execution.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = "Column | str"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _expr(e: Column | str) -> Column:
+    """SQL-string or Column → Column. Strings are parsed as expressions
+    ('x * 2'), not column names, for map()-style call sites."""
+    return F.expr(e) if isinstance(e, str) else e
+
+
+class Stream:
+    """Fluent pipeline over a DataFrame. ``Stream(df)`` or
+    ``Stream.of(spark, iterable, schema)``."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- sources -----------------------------------------------------------
+    @staticmethod
+    def of(spark, data: Iterable[Any], schema=None) -> "Stream":
+        """Stream(iterable) analog (small, driver-side data only)."""
+        return Stream(spark.createDataFrame(data, schema=schema))
+
+    @staticmethod
+    def range(spark, n: int, partitions: int | None = None) -> "Stream":
+        """Stream over 0..n-1 (column ``id``), distributed from the start."""
+        return Stream(spark.range(0, n, numPartitions=partitions))
+
+    # -- intermediate: element-wise (§2.B) ----------------------------------
+    def map(self, *exprs: Column | str, **named: Column | str) -> "Stream":
+        """1→1 transform via Column algebra. Positional exprs replace the
+        projection; keyword args add/replace named columns."""
+        if exprs and named:
+            raise ValueError("use either positional exprs or named columns")
+        if exprs:
+            return Stream(self.df.select(*[_expr(e) for e in exprs]))
+        out = self.df
+        for name, e in named.items():
+            out = out.withColumn(name, _expr(e))
+        return Stream(out)
+
+    def select(self, *cols: Column | str) -> "Stream":
+        return Stream(self.df.select(*cols))
+
+    def filter(self, predicate: Column | str) -> "Stream":
+        """Keep rows where the Column/SQL predicate holds — stays in
+        Catalyst, so it pushes down into the scan."""
+        return Stream(self.df.filter(predicate))
+
+    where = filter
+
+    def flatmap(self, array_expr: Column | str, alias: str = "value") -> "Stream":
+        """1→N: evaluate an array-typed expression and explode it."""
+        return Stream(self.df.select(F.explode(_expr(array_expr)).alias(alias)))
+
+    def flatmap_with(self, array_expr: Column | str, alias: str, keep: Sequence[str]) -> "Stream":
+        """Explode while keeping carry-along columns."""
+        return Stream(
+            self.df.select(*keep, F.explode(_expr(array_expr)).alias(alias))
+        )
+
+    def peek(self, name: str, *aggs: Column) -> "Stream":
+        """Side-effect-free observation point (java Stream.peek analog):
+        registers named metrics collected during the next action."""
+        return Stream(self.df.observe(name, *aggs))
+
+    def map_batches(self, fn: Callable, schema) -> "Stream":
+        """Raw-callable slow path: fn(iter[pd.DataFrame]) -> iter[pd.DataFrame]
+        over Arrow batches (mapInPandas). Use only when Column algebra
+        can't express the transform."""
+        return Stream(self.df.mapInPandas(fn, schema))
+
+    def map_rows(self, fn: Callable, schema) -> "Stream":
+        """Per-row Python callable adapted onto Arrow batches: fn(row dict)
+        -> row dict. Still batch-transferred; the per-row Python loop is
+        the price of an opaque lambda (SURVEY §4.3)."""
+
+        def runner(batches):
+            for pdf in batches:
+                rows = [fn(r) for r in pdf.to_dict("records")]
+                import pandas as pd
+
+                yield pd.DataFrame(rows)
+
+        return Stream(self.df.mapInPandas(runner, schema))
+
+    def enumerate(self, order: Sequence[Column | str], name: str = "idx") -> "Stream":
+        """Deterministic ordinal attach (zipWithIndex analog). Global
+        window — use only on bounded/sliced data; see operators.topk for
+        the scalable slice-first pattern."""
+        w = Window.orderBy(*[_col(c) for c in order])
+        return Stream(self.df.withColumn(name, F.row_number().over(w) - 1))
+
+    # -- intermediate: order/slice (§2.F) ------------------------------------
+    def sorted(self, *order: Column | str) -> "Stream":
+        return Stream(self.df.orderBy(*[_col(c) for c in order]))
+
+    def limit(self, n: int) -> "Stream":
+        return Stream(self.df.limit(n))
+
+    def skip(self, n: int) -> "Stream":
+        return Stream(self.df.offset(n))
+
+    def distinct(self, subset: Sequence[str] | None = None) -> "Stream":
+        return Stream(self.df.dropDuplicates(subset) if subset else self.df.distinct())
+
+    # -- intermediate: multi-stream (§2.C / §2.G) ----------------------------
+    def union(self, other: "Stream") -> "Stream":
+        """Bag-semantics concatenation (RDD union)."""
+        return Stream(self.df.unionByName(other.df))
+
+    concat = union
+
+    def intersection(self, other: "Stream") -> "Stream":
+        return Stream(self.df.intersect(other.df))
+
+    def subtract(self, other: "Stream") -> "Stream":
+        return Stream(self.df.subtract(other.df))
+
+    def join(
+        self, other: "Stream", on, how: str = "inner", broadcast_other: bool = False
+    ) -> "Stream":
+        right = F.broadcast(other.df) if broadcast_other else other.df
+        return Stream(self.df.join(right, on, how))
+
+    def cross(self, other: "Stream") -> "Stream":
+        return Stream(self.df.crossJoin(other.df))
+
+    def zip(self, other: "Stream", name_left="left", name_right="right") -> "Stream":
+        """Pairwise align two streams (java Streams zip / RDD zip). No
+        DataFrame primitive — implemented via RDD zip, which requires
+        equal partitioning & lengths (same contract as RDD.zip)."""
+        left_df, right_df = self.df, other.df
+        zipped = left_df.rdd.zip(right_df.rdd).map(
+            lambda lr: tuple(lr[0]) + tuple(lr[1])
+        )
+        cols = [f"{name_left}_{c}" for c in left_df.columns] + [
+            f"{name_right}_{c}" for c in right_df.columns
+        ]
+        return Stream(zipped.toDF(cols))
+
+    # -- keyed ops (§2.D) ----------------------------------------------------
+    def group_by(self, *keys: Column | str):
+        return self.df.groupBy(*keys)
+
+    def reduce_by_key(self, keys: Sequence[str], **aggs: Column) -> "Stream":
+        """foldby/reduceByKey analog: named aggregate Columns per key.
+        Spark performs partial (map-side) aggregation before the shuffle,
+        matching the reference's worker-partial/driver-final design."""
+        return Stream(
+            self.df.groupBy(*keys).agg(*[a.alias(n) for n, a in aggs.items()])
+        )
+
+    def count_by_key(self, *keys: str) -> "Stream":
+        return Stream(self.df.groupBy(*keys).count())
+
+    def group_values(self, keys: Sequence[str], value: Column | str, alias="values") -> "Stream":
+        """groupByKey→list analog. collect_list materializes whole groups —
+        for giant groups prefer applyInPandas on the grouped data."""
+        return Stream(
+            self.df.groupBy(*keys).agg(
+                F.array_sort(F.collect_list(_col(value))).alias(alias)
+            )
+        )
+
+    # -- terminals (§2.D / §2.A) ---------------------------------------------
+    def _agg1(self, c: Column):
+        return self.df.agg(c.alias("v")).collect()[0]["v"]
+
+    def sum(self, col: Column | str):
+        return self._agg1(F.sum(_col(col)))
+
+    def count(self) -> int:
+        return self.df.count()
+
+    def min(self, col: Column | str):
+        return self._agg1(F.min(_col(col)))
+
+    def max(self, col: Column | str):
+        return self._agg1(F.max(_col(col)))
+
+    def mean(self, col: Column | str):
+        return self._agg1(F.avg(_col(col)))
+
+    def reduce(self, col: Column | str, op: Callable[[Any, Any], Any]):
+        """Generic associative fold. Known aggregates should use
+        sum/min/max/...; this is the escape hatch, executed distributed
+        via RDD treeReduce (partial per partition, tree-combined)."""
+        rdd = self.df.select(_col(col).alias("v")).rdd.map(lambda r: r["v"])
+        return rdd.treeReduce(op)
+
+    def any(self, predicate: Column | str) -> bool:
+        """Early-out existence check: LIMIT 1 stops the scan at the first
+        match instead of counting everything."""
+        return len(self.df.filter(predicate).limit(1).take(1)) > 0
+
+    def all(self, predicate: Column | str) -> bool:
+        neg = ~_expr(predicate) if not isinstance(predicate, str) else f"NOT ({predicate})"
+        return not self.any(neg)
+
+    def none(self, predicate: Column | str) -> bool:
+        return not self.any(predicate)
+
+    def first(self):
+        return self.df.first()
+
+    def take(self, n: int):
+        return self.df.take(n)
+
+    def collect(self):
+        return self.df.collect()
+
+    def to_local_iterator(self):
+        """Large-result materialization without driver OOM."""
+        return self.df.toLocalIterator()
+
+    def foreach(self, fn: Callable) -> None:
+        self.df.foreach(fn)
+
+    def write_parquet(self, path: str, partition_by: Sequence[str] | None = None):
+        from .io import write_parquet
+
+        write_parquet(self.df, path, list(partition_by) if partition_by else None)
+
+    # -- introspection -------------------------------------------------------
+    def explain(self, mode: str = "formatted"):
+        return self.df.explain(mode=mode)
+
+    def __repr__(self):
+        return f"Stream({self.df})"
