@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the registered queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "total_query_wall_clock", "value": N, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect of big results). Set BENCH_QUERIES=a,b,c to
+subset; BENCH_WARMUP=1 to add an untimed warmup pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pystreams_spark.queries import QUERIES
+    from pystreams_spark.session import get_spark
+
+    spark = get_spark(app_name="pystreams-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = list(QUERIES)
+    subset = os.environ.get("BENCH_QUERIES")
+    if subset:
+        names = [n for n in subset.split(",") if n in QUERIES]
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Warm the JVM/IO path once so per-query numbers measure the plan,
+    # not first-touch class loading.
+    if os.environ.get("BENCH_WARMUP", "1") != "0":
+        QUERIES["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "total_query_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
