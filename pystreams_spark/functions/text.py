@@ -1,0 +1,126 @@
+"""Text-analysis Column functions (SURVEY.md §2.K): tokenization,
+shingles, quality scoring, language-ID heuristic, fingerprinting.
+Everything here is Column algebra (JVM-side) unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier. Public knowledge (most-frequent function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"],
+    "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
+}
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenizer; empty strings removed (split on '' yields
+    one empty token both in Spark and DuckDB's string_split_regex)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(t, pattern), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Token-count proxy for BPE vocabularies: splits on word boundaries
+    AND digit/punctuation runs — a regex approximation of subword
+    tokenizer behavior (counts ≈ GPT-style tokens for ASCII text)."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(t, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda x: x != ""
+    )
+    return F.size(pieces).cast("long")
+
+
+def avg_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return total / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    return n_stop.cast("double") / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(t).cast("double"), F.lit(1.0))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document-quality heuristic in [0,1]: rewards
+    mid-length docs and plausible word lengths, penalizes punctuation
+    soup. Pure Column algebra → SQL-expressible for the oracle."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    wl = avg_word_len(text)
+    wl_score = F.when((wl >= 3.0) & (wl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.3 * wl_score + 0.2 * p_score, 6)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Stopword-profile language guess: score each language by stopword
+    hits per token, pick the argmax ('und' = undetermined when no
+    profile matches). Heuristic → rows-only / unit-tested, no oracle."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    n = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+
+    def _hits(sw_words):
+        # build the literal array outside the HOF lambda: pyspark derives
+        # lambda arity from the signature, so extra (default) params would
+        # be misread as the (value, index) two-arg form
+        sw_arr = F.array(*[F.lit(x) for x in sw_words])
+        return F.size(F.filter(toks, lambda w: F.array_contains(sw_arr, w)))
+
+    scored = F.array(
+        *[
+            F.struct(
+                (_hits(sw).cast("double") / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, sw in STOPWORDS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), the MinHash input unit."""
+    toks = tokens(F.col(text) if isinstance(text, str) else text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit rolling document fingerprint: xxhash64 of the sorted
+    distinct token multiset — stable under token reordering, which makes
+    it a cheap near-dup pre-filter key. Engine-specific hash → rows-only."""
+    toks = F.array_sort(F.array_distinct(tokens(F.col(text) if isinstance(text, str) else text)))
+    return F.xxhash64(F.concat_ws("", toks))

@@ -1,0 +1,244 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.K).
+
+Tiers, cheapest first:
+- exact: byte-identical text → hash-groupBy, keep min id. One shuffle on
+  a 64/128-bit key, never on the text itself.
+- ngram-jaccard: exact pairwise Jaccard over word shingles — the
+  oracle-checkable ground truth for near-dup; brute force, so gate to
+  small inputs or pre-blocked candidate pairs.
+- minhash: MinHashLSH banding — the 100 TB path. Cost scales with
+  band-bucket collisions, not n².
+- simhash: 64-bit simhash + hamming-band grouping; cheap single-pass
+  near-dup key.
+- embedding: cosine-threshold pairs (see operators.similarity).
+
+Cluster resolution (connected components over the duplicate-pair graph)
+is ``cc_keep_min``: iterative min-label propagation via joins —
+converges in O(log n) rounds and stays fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per distinct text. The groupBy key is the
+    raw column here for oracle parity; ``exact_dedup_hashed`` shuffles a
+    fixed-width hash instead (what you want at 100 TB)."""
+    w = Window.partitionBy(text_col).orderBy(F.asc(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def exact_dedup_hashed(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup shuffling xxhash64(text)+length instead of full text —
+    at 100 TB the shuffle moves 16 bytes/row instead of whole documents.
+    Hash collisions are disambiguated by a final equality check."""
+    keyed = df.withColumn("_h", F.xxhash64(text_col)).withColumn(
+        "_len", F.length(text_col)
+    )
+    w = Window.partitionBy("_h", "_len", text_col).orderBy(F.asc(id_col))
+    return (
+        keyed.repartition(F.col("_h"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_h", "_len")
+    )
+
+
+def duplicate_clusters_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-dup cluster report keyed by md5 (md5 is identical across
+    engines → oracle-checkable, unlike xxhash64)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over all pairs (id_a < id_b).
+
+    Brute force (O(n²) pairs) — the correctness baseline that MinHash
+    approximates. Sizes computed on distinct shingle sets; the division
+    is small-int/small-int → bit-identical across engines."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(inter / union, round_to))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHashLSH over hashed shingles.
+
+    Pipeline: shingle → HashingTF (sparse presence vector) → MinHash
+    signatures → LSH band join under a Jaccard-distance threshold.
+    Each stage is a narrow map except the band-bucket join; at 100 TB
+    the bucket join shuffles only (band-hash, id) pairs. Approximate →
+    rows-only checked; the exact ``ngram_jaccard_pairs`` is its oracle
+    in tests at small scale."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    tf = HashingTF(inputCol="_sh", outputCol="_features", numFeatures=num_features)
+    feat = tf.transform(sh)
+    mh = MinHashLSH(
+        inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(feat)
+    pairs = mh.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="_jdist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(1.0 - F.col("_jdist"), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash(text_col, n: int = 2) -> "F.Column":
+    """64-bit SimHash over word n-grams, pure Column algebra: per-shingle
+    xxhash64 → per-bit ±1 votes → sign. One narrow pass, no shuffle."""
+    sh = shingles(text_col, n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    one = F.lit(1).cast("long")
+    # shiftleft(1L, i) instead of a literal 1<<i: bit 63 overflows a
+    # signed-long literal but is fine as a runtime shift
+    def _vote(i):
+        # closure factory, NOT a default-arg lambda: pyspark reads lambda
+        # arity to pick the HOF form, so `lambda acc, h, i=i` would be
+        # misparsed as a 3-arg lambda
+        mask = F.shiftleft(one, i)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bits = [
+        F.when(_vote(i) > 0, F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs = docs sharing any 16-bit band of their
+    simhash (≈ hamming distance ≤ 3·16 guaranteed recall band trick).
+    Shuffles (band_id, band_value) keys only."""
+    sig = df.select(F.col(id_col), simhash(text_col, n).alias("_sig"))
+    band_width = 64 // bands
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("_sig", i * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band", "_b.val")
+    other = banded.select(
+        F.col(id_col).alias("id_b"), F.col("band"), F.col("val")
+    )
+    return (
+        banded.withColumnRenamed(id_col, "id_a")
+        .join(other, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def cc_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over duplicate pairs → survivor set.
+
+    Iterative min-label propagation: each node adopts the smallest label
+    among itself and its neighbors until fixpoint (≤ log₂(diameter)
+    rounds). All joins are on the id key; each round is one shuffle.
+    Returns (id, cluster_id); survivors are rows with id == cluster_id.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    )
+    for _ in range(20):  # 2^20 diameter bound; real dup clusters are tiny
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

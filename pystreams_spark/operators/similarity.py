@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (SURVEY.md §2.K).
+
+Two tiers:
+- ``knn_exact``: brute-force cosine top-k — the oracle-checkable
+  baseline. Queries are broadcast against the (large) corpus, so the
+  corpus is scanned once with no shuffle of the big side; per-query
+  top-k is a window over the joined result.
+- ``knn_lsh`` / ``similarity_join_lsh``: BucketedRandomProjectionLSH —
+  the 100 TB path. Hash once, bucket-join, refine within buckets; cost
+  scales with bucket collisions instead of |corpus| × |queries|.
+- ``knn_ivf``: coarse-quantizer variant (IVF): assign every vector to
+  its nearest of k sampled centroids, probe only matching cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot, normalize
+from .topk import top_k_per_group
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    score_col: str = "score",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force cosine top-k per query.
+
+    ``queries`` must be small (it is broadcast); ``corpus`` may be
+    arbitrarily large — it is scanned once, never shuffled. Determinism:
+    ties broken by corpus id on the rounded score.
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_qvec")
+    )
+    score = cosine(F.col("_qvec"), F.col(corpus_vec))
+    if round_to is not None:
+        score = F.round(score, round_to)
+    joined = corpus.crossJoin(F.broadcast(q)).select(
+        F.col("_qid").alias(query_id),
+        F.col(corpus_id),
+        score.alias(score_col),
+    )
+    return top_k_per_group(
+        joined, [query_id], [F.desc(score_col), F.asc(corpus_id)], k=k
+    )
+
+
+def _with_ml_vector(df: DataFrame, array_col: str, out_col: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    return df.withColumn(out_col, array_to_vector(F.col(array_col).cast("array<double>")))
+
+
+def knn_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate kNN via BucketedRandomProjectionLSH (Euclidean).
+
+    Scale path: the corpus is hashed once (one narrow pass); candidate
+    generation is a bucket equi-join, so work grows with collision
+    counts, not |corpus|×|queries|. Returns (query_id, corpus_id,
+    dist) — approximate, hence rows-only checked (no SQL oracle).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+
+    c = _with_ml_vector(corpus, vec_col, "_features")
+    q = _with_ml_vector(queries, vec_col, "_features")
+    model = BucketedRandomProjectionLSH(
+        inputCol="_features",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(c)
+    joined = model.approxSimilarityJoin(q, c, float("inf"), distCol="dist")
+    out = joined.select(
+        F.col(f"datasetA.{query_id}").alias(query_id),
+        F.col(f"datasetB.{corpus_id}").alias(corpus_id),
+        F.round("dist", 6).alias("dist"),
+    )
+    return top_k_per_group(out, [query_id], [F.asc("dist"), F.asc(corpus_id)], k=k)
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: sample ``n_cells`` corpus vectors as centroids,
+    assign each corpus vector to its nearest centroid (one broadcast
+    pass), then for each query probe the ``n_probe`` nearest cells only.
+
+    At 100 TB the corpus-side assignment is a single narrow map with a
+    broadcast centroid table; the probe join touches ~n_probe/n_cells of
+    the data. Approximate → rows-only checked.
+    """
+    cents = (
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .orderBy(F.xxhash64(F.col("_cid") + F.lit(seed)))
+        .limit(n_cells)
+        .withColumn("_cell", F.monotonically_increasing_id())
+    )
+    cell_w = Window.partitionBy(corpus_id).orderBy(
+        F.desc("_cell_score"), F.asc("_cell")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("_cell_score", dot(vec_col, "_cvec"))
+        .withColumn("_rn", F.row_number().over(cell_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cell_score", "_cid", "_cvec")
+    )
+    probe_w = Window.partitionBy(query_id).orderBy(F.desc("_cell_score"), F.asc("_cell"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("_cell_score", dot(vec_col, "_cvec"))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .filter(F.col("_rn") <= n_probe)
+        .select(F.col(query_id), F.col(vec_col).alias("_qvec"), "_cell")
+    )
+    cand = assigned.join(probes, "_cell").select(
+        query_id,
+        corpus_id,
+        F.round(cosine("_qvec", vec_col), 6).alias("score"),
+    )
+    return top_k_per_group(cand, [query_id], [F.desc("score"), F.asc(corpus_id)], k=k)
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (id_a < id_b). Brute force — use the
+    LSH variant beyond ~10^5 rows; kept exact here as the oracle-checkable
+    near-duplicate detector for embeddings."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(cosine("_va", "_vb"), round_to))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )

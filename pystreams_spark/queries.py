@@ -814,3 +814,348 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K LLM-data-pipeline extensions: dedup, text analysis, similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_docs_exact",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min-doc_id per distinct text."""
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@query(
+    "dup_clusters_md5",
+    oracle="""
+    SELECT md5(text) AS text_md5, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_id
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY text_md5
+    """,
+)
+def dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters keyed by md5 (cross-engine-stable hash).
+    Zero rows when the corpus has no byte-identical dups — still a valid
+    differential check."""
+    from .operators.dedup import duplicate_clusters_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_clusters_md5(d).orderBy("text_md5")
+
+
+@query(
+    "token_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE)), 6) AS avg_tokens,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + per-language stats."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(token_count("text").cast("double")), 6).alias("avg_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_quality_by_lang",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               ROUND(
+                 0.5 * LEAST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE) / 50.0, 1.0)
+               + 0.3 * (CASE WHEN
+                    list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), x -> CAST(length(x) AS DOUBLE)))
+                      / GREATEST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE), 1.0)
+                    BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (1.0 - LEAST(
+                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)), 6) AS q
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality,
+           ROUND(MIN(q), 6) AS min_quality, ROUND(MAX(q), 6) AS max_quality
+    FROM scored
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/word-shape/punctuation heuristic),
+    aggregated per language."""
+    from .functions.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", quality_score("text").alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.min("q"), 6).alias("min_quality"),
+            F.round(F.max("q"), 6).alias("max_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "word_freq_top20",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatmap (explode) + count + global top-k — word frequency."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "ngram_jaccard_neardup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.0999995
+    ORDER BY id_a, id_b
+    """,
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard, blocked by
+    language (the blocking key is what keeps the pair space sane at
+    scale; MinHashLSH replaces the exact join beyond that)."""
+    from .functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", shingles("text", 3).alias("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("sh").alias("_sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"), F.col("sh").alias("_sb")
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (F.size("_sa") + F.size("_sb")).cast("double") - F.size(
+        F.array_intersect("_sa", "_sb")
+    ).cast("double")
+    jac = inter / union
+    return (
+        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.0999995)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "knn_exact_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+            SELECT q.query_id, c.vec_id,
+                   ROUND(
+                     list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                        * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                   6) AS score
+            FROM q CROSS JOIN c
+         )
+    SELECT query_id, vec_id, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    ORDER BY query_id, score DESC, vec_id
+    """,
+)
+def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline (queries broadcast; corpus scanned once, never shuffled)."""
+    from .operators.similarity import knn_exact
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return knn_exact(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               6) AS score
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score FROM p WHERE score >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4) — exact
+    all-pairs; the LSH operator is the scale path."""
+    from .operators.similarity import cosine_pairs_above
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(e, 0.4).orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_norms_top20",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    ORDER BY l2_norm DESC, vec_id
+    LIMIT 20
+    """,
+)
+def embedding_norms_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math as Column algebra (higher-order fns, no UDF)."""
+    from .functions.vector import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", "label", F.round(l2_norm("embedding"), 6).alias("l2_norm"))
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(20)
+    )
+
+
+# -- rows-only (approximate / engine-specific hash) §2.K ---------------------
+
+
+@query("minhash_neardup_candidates")
+def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup candidates (seeded, approximate → rows-only;
+    unit tests compare its recall against exact Jaccard)."""
+    from .operators.dedup import minhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_candidates(d, threshold=0.1).orderBy("id_a", "id_b")
+
+
+@query("simhash_neardup_candidates")
+def simhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash band-collision candidates (engine-specific xxhash64 →
+    rows-only)."""
+    from .operators.dedup import simhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_candidates(d).orderBy("id_a", "id_b")
+
+
+@query("knn_lsh_approx")
+def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN via BucketedRandomProjectionLSH (seeded)."""
+    from .operators.similarity import knn_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return knn_lsh(q, c, k=10).orderBy("query_id", "dist", "vec_id")
+
+
+@query("knn_ivf_approx")
+def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate kNN (sampled centroids, n_probe cells)."""
+    from .operators.similarity import knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return knn_ivf(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
+
+
+@query("doc_fingerprints")
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant 64-bit document fingerprints (xxhash64 → rows-only)."""
+    from .functions.text import fingerprint, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", fingerprint("text").alias("fp"), token_count("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@query("lang_id_heuristic")
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID over documents (heuristic → rows-only)."""
+    from .functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("guessed_lang"))
+        .groupBy("guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("guessed_lang")
+    )
