@@ -1,0 +1,120 @@
+"""Join operators Spark lacks natively (SURVEY.md §2.C): as-of join and
+interval/range join helpers.
+
+As-of join strategy — the union + last-value window trick:
+instead of a per-left-row subquery (quadratic) or a BroadcastNestedLoop
+range join (no pushdown), interleave both sides into ONE dataset sorted
+by (key, time, side) and carry the most recent right payload forward
+with ``last(..., ignorenulls=True)``. Cost: one shuffle on the key + one
+per-key sort — the same price as a regular sort-merge join, independent
+of time-domain size. This is the only as-of shape that holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    right_cols: Sequence[str] | None = None,
+    right_tiebreak: Sequence[str] = (),
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward-inclusive as-of join: for each left row, attach the right
+    row with the greatest ``right_time`` <= ``left_time`` within the same
+    ``on`` key group (LEFT semantics: unmatched left rows keep NULLs).
+
+    ``right_tiebreak`` orders equal-time right rows so the match is
+    deterministic (last one wins). Matches DuckDB ``ASOF LEFT JOIN``
+    with ``l.t >= r.t``.
+    """
+    on = list(on)
+    right_cols = list(right_cols or [c for c in right.columns if c not in on])
+
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        *on,
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_tb_{i}") for i, c in enumerate(right_tiebreak)],
+        payload.alias("_rp"),
+    )
+    l = left.select(
+        "*",
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).alias(f"_tb_{i}") for i in range(len(right_tiebreak))],
+        F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"),
+    )
+    r = r.select(
+        *on,
+        "_t",
+        "_side",
+        *[f"_tb_{i}" for i in range(len(right_tiebreak))],
+        "_rp",
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in on],
+    ).select(*l.columns)
+
+    # right rows sort BEFORE left rows at equal time (_side 0 < 1) →
+    # inclusive >= match; equal-time right rows ordered by the tiebreak
+    order = (
+        [F.asc("_t"), F.asc("_side")]
+        + [F.asc_nulls_first(f"_tb_{i}") for i in range(len(right_tiebreak))]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l.unionByName(r).withColumn(
+        "_match", F.last("_rp", ignorenulls=True).over(w)
+    )
+    out_cols = [c for c in left.columns]
+    return (
+        matched.filter(F.col("_side") == 1)
+        .select(
+            *out_cols,
+            *[F.col("_match")[c].alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_start: str,
+    right_end: str,
+    on: Sequence[str] = (),
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Point-in-interval join with coarse time-bucket pre-blocking.
+
+    A naive `l.t BETWEEN r.start AND r.end` join is a nested loop; here
+    both sides are exploded onto coarse buckets and equi-joined on
+    (keys…, bucket) first, so the range predicate only filters within a
+    bucket. Intervals spanning many buckets replicate the right row per
+    bucket — choose ``bucket`` ≳ typical interval length.
+    """
+    on = list(on)
+    lb = left.withColumn("_bucket", F.window(F.col(left_time), bucket)["start"])
+    rb = right.withColumn(
+        "_buckets",
+        F.sequence(
+            F.window(F.col(right_start), bucket)["start"],
+            F.window(F.col(right_end), bucket)["start"],
+            F.expr(f"INTERVAL {bucket}"),
+        ),
+    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+    cond = (F.col(left_time) >= F.col(right_start)) & (
+        F.col(left_time) <= F.col(right_end)
+    )
+    return lb.join(rb, on + ["_bucket"]).filter(cond).drop("_bucket")

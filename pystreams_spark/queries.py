@@ -1159,3 +1159,297 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("guessed_lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.I event-time analytics (batch expressions; streaming wraps the same)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_tumbling_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS bucket_start, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY bucket_start, event_type
+    ORDER BY bucket_start, event_type
+    """,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window (1 day) per event_type. The F.window
+    expression is identical under Structured Streaming + watermark."""
+    from .streaming.event_time import tumbling_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return tumbling_counts(ev, "1 day").orderBy("bucket_start", "event_type")
+
+
+@query(
+    "events_sliding_2h",
+    oracle="""
+    SELECT bucket_start, event_type, COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS bucket_start,
+               event_type, value
+        FROM events
+    )
+    GROUP BY bucket_start, event_type
+    ORDER BY bucket_start, event_type
+    """,
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h window, 1h slide): every event contributes to
+    two overlapping windows."""
+    from .streaming.event_time import sliding_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_counts(ev, "2 hours", "1 hour").orderBy("bucket_start", "event_type")
+
+
+@query(
+    "events_sessionized",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_last,
+           COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user. Oracle checks
+    gaps-and-islands equivalence: Spark's session_window merges events
+    whose gap is STRICTLY below the duration."""
+    from .streaming.event_time import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "30 minutes").orderBy("user_id", "session_start")
+
+
+@query(
+    "asof_join_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS orderdate_matched
+    FROM events e ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order at-or-before each event per user. Spark
+    has no native op — implemented via the union + last-value window
+    trick (operators/joins.py), one shuffle on the key."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out = asof_join(
+        ev, o, on=["user_id"], left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderdate"], suffix="_x",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("o_orderdate_x").alias("orderdate_matched")
+    ).orderBy("event_id")
+
+
+@query(
+    "interval_join_events_in_order_week",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate + INTERVAL 8401 DAY
+     AND e.ts <  o.o_orderdate + INTERVAL 8408 DAY
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def interval_join_events_in_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (point-in-range) join: events within a 7-day window
+    derived from each order date, equi-blocked on the user key so the
+    range predicate never degenerates into a nested loop. (The 8401-day
+    offset bridges the fixture's 1995-2001 order dates to 2024 events.)"""
+    o = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    start = F.col("o_orderdate") + F.expr("INTERVAL 8401 DAYS")
+    end = F.col("o_orderdate") + F.expr("INTERVAL 8408 DAYS")
+    return (
+        o.join(
+            ev,
+            (ev.user_id == o.o_custkey) & (ev.ts >= start) & (ev.ts < end),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.J UDF compatibility layer (Arrow-batched pandas, the explicit slow path)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_centered_prices",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) * COUNT(*) OVER w
+                - SUM(ROUND(o_totalprice * 100)) OVER w AS BIGINT) AS dev_scaled
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def udf_centered_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map UDF): per-customer mean-centering —
+    the raw-lambda escape hatch, checked against the pure-SQL window
+    equivalent.
+
+    The deviation is reported as (price − group mean) · 100 · N — an
+    exact integer on both engines. Anything less (rounded doubles)
+    is flaky: prices are 2-decimal, so deviations land exactly ON
+    rounding-tie boundaries where Spark (exact decimal expansion,
+    HALF_UP) and DuckDB (multiply-then-round) legitimately disagree.
+    """
+    from .operators.udf_compat import grouped_apply
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+
+    def center(pdf):
+        pdf = pdf.copy()
+        cents = (pdf["o_totalprice"] * 100).round()
+        pdf["dev_scaled"] = (cents * len(cents) - cents.sum()).astype("int64")
+        return pdf[["o_custkey", "o_orderkey", "dev_scaled"]]
+
+    out = grouped_apply(
+        o, ["o_custkey"], center, "o_custkey long, o_orderkey long, dev_scaled long"
+    )
+    return out.orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "udf_weighted_avg_discount",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def udf_weighted_avg_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (custom UDAF): quantity-weighted mean
+    discount."""
+    from .operators.udf_compat import grouped_agg_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+    wavg = grouped_agg_udf(
+        lambda v, w: float((v * w).sum() / w.sum()), "double"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg(F.col("l_discount"), F.col("l_quantity")), 6).alias("wavg_discount"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "udf_map_batches_tokens",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+               ) AS BIGINT) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udf_map_batches_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (batch lambda): Python-side token counting, then a
+    JVM-side aggregate. Checked against the Column-algebra equivalent."""
+    from .operators.udf_compat import map_batches
+
+    d = _t(spark, sf_dir, "documents")
+
+    def count_tokens(batches):
+        for pdf in batches:
+            out = pdf[["lang"]].copy()
+            out["n_tokens"] = pdf["text"].str.split().map(len)
+            yield out
+
+    out = map_batches(d, count_tokens, "lang string, n_tokens long")
+    return (
+        out.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("total_tokens"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "cogroup_order_reconciliation",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_items,
+           ROUND(COALESCE(SUM(l.l_extendedprice), 0.0), 2) AS items_total
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey <= 1000
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup + applyInPandas: pair each order with its lineitems and
+    reconcile in Python — the RDD cogroup analog."""
+    import pandas as pd
+
+    from .operators.udf_compat import cogroup_apply
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+
+    def reconcile(left_pdf, right_pdf):
+        if left_pdf.empty:
+            return pd.DataFrame(
+                {"o_orderkey": [], "n_items": [], "items_total": []}
+            ).astype({"o_orderkey": "int64", "n_items": "int64", "items_total": "float64"})
+        key = int(left_pdf["o_orderkey"].iloc[0])
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key],
+                "n_items": [len(right_pdf)],
+                "items_total": [float(right_pdf["l_extendedprice"].sum()) if len(right_pdf) else 0.0],
+            }
+        )
+
+    out = cogroup_apply(
+        o, li, ["o_orderkey"], ["l_orderkey"], reconcile,
+        "o_orderkey long, n_items long, items_total double",
+    )
+    return out.select(
+        "o_orderkey", "n_items", F.round("items_total", 2).alias("items_total")
+    ).orderBy("o_orderkey")

@@ -1,0 +1,117 @@
+"""Event-time analytics (SURVEY.md §2.I): tumbling / sliding / session
+windows, expressed once and usable identically in batch and Structured
+Streaming (the F.window/session_window expressions are the same; only
+the source/sink differ).
+
+Batch-first (oracle-checkable); the streaming entry points wrap the same
+functions around a file stream + watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window aggregate; window start surfaces as bucket_start."""
+    return (
+        events.groupBy(F.window(ts_col, duration).alias("_w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("_w")["start"].alias("bucket_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    duration: str,
+    slide: str,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Sliding-window aggregate: each event lands in duration/slide
+    overlapping windows."""
+    return (
+        events.groupBy(F.window(ts_col, duration, slide).alias("_w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("_w")["start"].alias("bucket_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str,
+    ts_col: str = "ts",
+    key: str = "user_id",
+) -> DataFrame:
+    """Session windows: events of one key belong to the same session while
+    consecutive gaps stay strictly under ``gap``."""
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"), key)
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end_last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(key, "session_start", "session_end_last", "n_events", "sum_value")
+    )
+
+
+# -- Structured Streaming wrappers ------------------------------------------
+
+
+def events_file_stream(
+    spark: SparkSession, src_dir: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Replay a parquet directory as a stream (fixture replay source)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def streaming_tumbling_counts(
+    stream: DataFrame,
+    duration: str,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Same tumbling aggregate under a watermark: late events beyond
+    ``watermark`` are dropped and window state is evictable — the knob
+    that bounds state size on an unbounded 100 TB/day stream."""
+    return tumbling_counts(
+        stream.withWatermark(ts_col, watermark), duration, ts_col, keys
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, keys: list[str], watermark: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
+    """Drain an availableNow stream into an in-memory table (tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
