@@ -1,0 +1,121 @@
+"""Property-style identities for the Stream facade — the reference's own
+testing idea (SURVEY.md §5.1): Stream(xs).map(f).sum() == sum(map(f, xs))
+against Python builtins, on seeded random inputs."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from pystreams_spark import Stream
+
+random.seed(42)
+XS = [random.randint(-100, 100) for _ in range(500)]
+
+
+@pytest.fixture(scope="module")
+def s(spark):
+    return Stream.of(spark, [(x,) for x in XS], "x long")
+
+
+def test_map_sum_identity(s):
+    assert s.map(y=F.col("x") * 2 + 1).sum("y") == sum(2 * x + 1 for x in XS)
+
+
+def test_filter_count_identity(s):
+    assert s.filter("x % 3 = 0").count() == len([x for x in XS if x % 3 == 0])
+
+
+def test_min_max_mean(s):
+    assert s.min("x") == min(XS)
+    assert s.max("x") == max(XS)
+    assert abs(s.mean("x") - sum(XS) / len(XS)) < 1e-12
+
+
+def test_flatmap_identity(s):
+    got = s.flatmap(F.array("x", F.col("x") * -1), alias="v").sum("v")
+    assert got == sum(x + -x for x in XS) == 0
+
+
+def test_distinct_sorted_limit(s):
+    got = [r.x for r in s.distinct().sorted("x").limit(5).collect()]
+    assert got == sorted(set(XS))[:5]
+
+
+def test_skip_offset(s):
+    got = [r.x for r in s.sorted("x").skip(10).limit(3).collect()]
+    assert got == sorted(XS)[10:13]
+
+
+def test_reduce_treereduce(s):
+    assert s.reduce("x", lambda a, b: a + b) == sum(XS)
+
+
+def test_any_all_none(s):
+    assert s.any("x > 99") == any(x > 99 for x in XS)
+    assert s.all("x >= -100") == all(x >= -100 for x in XS)
+    assert s.none("x > 100") == (not any(x > 100 for x in XS))
+
+
+def test_union_intersection_subtract(spark):
+    a = Stream.of(spark, [(i,) for i in range(10)], "x long")
+    b = Stream.of(spark, [(i,) for i in range(5, 15)], "x long")
+    assert a.union(b).count() == 20
+    assert sorted(r.x for r in a.intersection(b).collect()) == list(range(5, 10))
+    assert sorted(r.x for r in a.subtract(b).collect()) == list(range(5))
+
+
+def test_reduce_by_key_vs_python(spark):
+    data = [(x % 7, x) for x in XS]
+    s = Stream.of(spark, data, "k long, v long")
+    got = {
+        r.k: r.total
+        for r in s.reduce_by_key(["k"], total=F.sum("v")).collect()
+    }
+    expected = {}
+    for k, v in data:
+        expected[k] = expected.get(k, 0) + v
+    assert got == expected
+
+
+def test_count_by_key(spark):
+    data = [(x % 5,) for x in XS]
+    s = Stream.of(spark, data, "k long")
+    got = {r.k: r["count"] for r in s.count_by_key("k").collect()}
+    expected = {}
+    for (k,) in data:
+        expected[k] = expected.get(k, 0) + 1
+    assert got == expected
+
+
+def test_group_values_sorted(spark):
+    s = Stream.of(spark, [(1, 3), (1, 1), (2, 5)], "k long, v long")
+    got = {r.k: r.values for r in s.group_values(["k"], "v").collect()}
+    assert got == {1: [1, 3], 2: [5]}
+
+
+def test_enumerate(s):
+    rows = s.distinct().enumerate(order=["x"]).sorted("idx").limit(3).collect()
+    expected = sorted(set(XS))[:3]
+    assert [(r.idx, r.x) for r in rows] == [(i, x) for i, x in enumerate(expected)]
+
+
+def test_map_rows_slow_path(spark):
+    s = Stream.of(spark, [(i,) for i in range(20)], "x long")
+    out = s.map_rows(lambda r: {"y": r["x"] ** 2}, "y long")
+    assert sorted(r.y for r in out.collect()) == [i**2 for i in range(20)]
+
+
+def test_zip_equal_partitions(spark):
+    a = Stream(spark.range(0, 10, numPartitions=2))
+    b = Stream(spark.range(100, 110, numPartitions=2))
+    rows = a.zip(b).collect()
+    assert sorted((r[0], r[1]) for r in rows) == [(i, i + 100) for i in range(10)]
+
+
+def test_peek_observe(spark):
+    s = Stream.of(spark, [(i,) for i in range(10)], "x long")
+    observed = s.peek("m", F.sum("x").alias("sx"))
+    observed.collect()
+    # observation metrics are attached to the executed plan
+    assert observed.df.schema == s.df.schema

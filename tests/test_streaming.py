@@ -1,0 +1,76 @@
+"""Structured Streaming: the same event-time expressions must produce
+identical results when fed through a file stream with availableNow, and
+streaming dedup must drop within-watermark duplicates."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pystreams_spark.io import load_table
+from pystreams_spark.streaming.event_time import (
+    events_file_stream,
+    run_to_memory,
+    sessionize,
+    streaming_dedup,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    """Materialize events (ts already µs) as a parquet dir to replay."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(path)
+    return path, ev
+
+
+def _collect_sorted(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, stream_src):
+    path, ev = stream_src
+    batch = tumbling_counts(ev, "1 day")
+
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=2)
+    agg = streaming_tumbling_counts(stream, "1 day", watermark="1 hour")
+    run_to_memory(agg, "t_tumbling", spark)
+    streamed = spark.table("t_tumbling")
+
+    cols = ["bucket_start", "event_type", "n_events", "sum_value"]
+    assert _collect_sorted(batch, cols) == _collect_sorted(streamed, cols)
+
+
+def test_streaming_session_equals_batch(spark, stream_src):
+    path, ev = stream_src
+    batch = sessionize(ev, "30 minutes")
+
+    stream = events_file_stream(spark, path, ev.schema)
+    agg = sessionize(stream.withWatermark("ts", "1 hour"), "30 minutes")
+    run_to_memory(agg, "t_session", spark)
+    streamed = spark.table("t_session")
+
+    cols = ["user_id", "session_start", "n_events", "sum_value"]
+    assert _collect_sorted(batch, cols) == _collect_sorted(streamed, cols)
+
+
+def test_streaming_dedup_drops_duplicates(spark, stream_src, tmp_path):
+    path, ev = stream_src
+    doubled = ev.unionByName(ev)
+    dup_path = str(tmp_path / "dup_events")
+    doubled.repartition(2).write.mode("overwrite").parquet(dup_path)
+
+    stream = events_file_stream(spark, dup_path, ev.schema)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("t_dedup").count() == ev.count()
