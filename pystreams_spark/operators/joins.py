@@ -94,26 +94,28 @@ def interval_join(
     right_start: str,
     right_end: str,
     on: Sequence[str] = (),
-    bucket: str = "1 day",
+    bucket_seconds: int = 86400,
 ) -> DataFrame:
     """Point-in-interval join with coarse time-bucket pre-blocking.
 
     A naive `l.t BETWEEN r.start AND r.end` join is a nested loop; here
-    both sides are exploded onto coarse buckets and equi-joined on
-    (keys…, bucket) first, so the range predicate only filters within a
-    bucket. Intervals spanning many buckets replicate the right row per
-    bucket — choose ``bucket`` ≳ typical interval length.
+    both sides are bucketed onto coarse epoch-second buckets and
+    equi-joined on (keys…, bucket) first, so the range predicate only
+    filters within a bucket. Intervals spanning many buckets replicate
+    the right row per bucket — choose ``bucket_seconds`` ≳ typical
+    interval length. (Plain epoch arithmetic, not F.window: Spark
+    forbids two window expressions in one plan.)
     """
     on = list(on)
-    lb = left.withColumn("_bucket", F.window(F.col(left_time), bucket)["start"])
+
+    def bucket_of(c):
+        return (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("long")
+
+    lb = left.withColumn("_bucket", bucket_of(left_time))
     rb = right.withColumn(
-        "_buckets",
-        F.sequence(
-            F.window(F.col(right_start), bucket)["start"],
-            F.window(F.col(right_end), bucket)["start"],
-            F.expr(f"INTERVAL {bucket}"),
-        ),
-    ).withColumn("_bucket", F.explode("_buckets")).drop("_buckets")
+        "_bucket",
+        F.explode(F.sequence(bucket_of(right_start), bucket_of(right_end))),
+    )
     cond = (F.col(left_time) >= F.col(right_start)) & (
         F.col(left_time) <= F.col(right_end)
     )

@@ -1453,3 +1453,366 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "o_orderkey", "n_items", F.round("items_total", 2).alias("items_total")
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.D/E/F/H widening: cube, percentiles, stats, pivot, collectors, sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp_id,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grp_id, status, priority
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("grp_id"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "grp_id",
+            "n",
+            "revenue",
+        )
+        .orderBy("grp_id", "status", "priority")
+    )
+
+
+@query(
+    "quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the approx variant is the
+    rows-only query 'approx_sketches')."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "dispersion_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_samp(l_quantity), 6) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (sample stddev/variance/corr/covar)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "status_pivot_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def status_pivot_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): fixed pivot values keep it a single pass — at
+    scale always enumerate pivot values explicitly so Spark skips the
+    extra distinct-values job."""
+    o = _t(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return (
+        pivoted.select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "nations_concat_per_region",
+    oracle="""
+    SELECT r.r_name, string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def nations_concat_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joining collector (java Collectors.joining): deterministic via
+    array_sort before concat_ws."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "order_date_series",
+    oracle="""
+    SELECT o_orderkey, unnest(generate_series(o_orderdate, o_orderdate + INTERVAL 2 DAY,
+                                              INTERVAL 1 DAY)) AS d
+    FROM orders
+    WHERE o_orderkey <= 100
+    ORDER BY o_orderkey, d
+    """,
+)
+def order_date_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence + explode (1→N generator, flatmap over generated data)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 100)
+    series = F.sequence(
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 2 DAYS"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    return (
+        o.select("o_orderkey", F.explode(series).alias("d"))
+        .orderBy("o_orderkey", "d")
+    )
+
+
+@query(
+    "supplier_page_2",
+    oracle="""
+    SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+    FROM supplier
+    ORDER BY s_acctbal DESC, s_suppkey
+    LIMIT 10 OFFSET 10
+    """,
+)
+def supplier_page_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skip/offset + limit pagination (java Stream.skip analog)."""
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.desc("s_acctbal"), "s_suppkey")
+        .offset(10)
+        .limit(10)
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@query(
+    "first_last_order_window",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey)  OVER w AS last_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_orderkey
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+)
+def first_last_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value analytic windows over the full partition
+    frame."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+            F.nth_value("o_orderkey", 2).over(w).alias("second_orderkey"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "intersect_all_bag",
+    oracle="""
+    SELECT qty, COUNT(*) AS n FROM (
+        SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'A'
+        INTERSECT ALL
+        SELECT l_quantity AS qty FROM lineitem WHERE l_returnflag = 'R'
+    )
+    GROUP BY qty ORDER BY qty
+    """,
+)
+def intersect_all_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersection (intersectAll — multiplicity =
+    min(count_left, count_right))."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_quantity").alias("qty"))
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_quantity").alias("qty"))
+    return (
+        a.intersectAll(r)
+        .groupBy("qty")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("qty")
+    )
+
+
+@query(
+    "nation_name_distances",
+    oracle="""
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS INT) AS dist
+    FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+    WHERE levenshtein(a.n_name, b.n_name) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def nation_name_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """levenshtein edit distance (fuzzy string matching family)."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_nationkey").alias("_ka"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_nationkey").alias("_kb"))
+    return (
+        a.join(b, F.col("_ka") < F.col("_kb"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "null_handling_funcs",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(COUNT(NULLIF(o_orderpriority, '5-LOW')) AS BIGINT) AS n_not_low,
+           ROUND(SUM(COALESCE(NULLIF(o_totalprice, 0.0), 0.0)), 2) AS total,
+           ROUND(MAX(GREATEST(o_totalprice, 100000.0)), 2) AS max_floored,
+           ROUND(MIN(LEAST(o_totalprice, 100000.0)), 2) AS min_capped
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def null_handling_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce/nullif/greatest/least conditional family."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))).alias(
+                "n_not_low"
+            ),
+            F.round(
+                F.sum(F.coalesce(F.nullif(F.col("o_totalprice"), F.lit(0.0)), F.lit(0.0))),
+                2,
+            ).alias("total"),
+            F.round(F.max(F.greatest(F.col("o_totalprice"), F.lit(100000.0))), 2).alias(
+                "max_floored"
+            ),
+            F.round(F.min(F.least(F.col("o_totalprice"), F.lit(100000.0))), 2).alias(
+                "min_capped"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "regexp_part_types",
+    oracle="""
+    SELECT regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN regexp_matches(p_name, '[aeiou]{2}') THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_double_vowel
+    FROM part
+    GROUP BY type_head
+    ORDER BY type_head
+    """,
+)
+def regexp_part_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / rlike family."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.regexp_extract("p_type", r"^([A-Z]+)", 1).alias("type_head"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("p_name").rlike("[aeiou]{2}"), 1).otherwise(0)
+            ).alias("n_double_vowel"),
+        )
+        .orderBy("type_head")
+    )
+
+
+@query("approx_sketches")
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100 TB posture: HLL count-distinct and
+    t-digest-style quantiles (approximate → rows-only; unit tests bound
+    the error vs exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")

@@ -1,0 +1,169 @@
+"""Unit/property tests for composite operators: as-of join vs pandas
+merge_asof, sketch error bounds, MinHash recall vs exact Jaccard,
+connected-components dedup survivors."""
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pystreams_spark.io import load_table
+from pystreams_spark.operators.dedup import (
+    cc_keep_min,
+    duplicate_clusters_md5,
+    exact_dedup_hashed,
+    minhash_candidates,
+    ngram_jaccard_pairs,
+)
+from pystreams_spark.operators.joins import asof_join, interval_join
+from pystreams_spark.operators.similarity import knn_exact, knn_lsh
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = random.Random(7)
+    left = [(i, rng.choice([1, 2, 3]), rng.randint(0, 1000)) for i in range(300)]
+    right = [(j, rng.choice([1, 2, 3]), rng.randint(0, 1000)) for j in range(150)]
+    ldf = spark.createDataFrame(left, "lid long, k long, t long")
+    rdf = spark.createDataFrame(right, "rid long, k long, t long")
+
+    got = asof_join(
+        ldf,
+        rdf.select("k", F.col("t").alias("rt"), "rid"),
+        on=["k"],
+        left_time="t",
+        right_time="rt",
+        right_cols=["rt"],
+    )
+    got_map = {r.lid: r.rt_matched for r in got.collect()}
+
+    lp = pd.DataFrame(left, columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = pd.DataFrame(right, columns=["rid", "k", "rt"]).rename(
+        columns={"rt": "t"}
+    ).sort_values("t", kind="stable")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="backward", suffixes=("", "_r"))
+    exp_map = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.t if pd.isna(r.rid) else r.t))
+        for _, r in exp.iterrows()
+    }
+    # merge_asof keeps the matched right time implicitly == its own 't'
+    # column only when matched; reconstruct matched right-time per lid
+    rp2 = rp.rename(columns={"t": "rt"})
+    exp2 = pd.merge_asof(
+        lp, rp2, left_on="t", right_on="rt", by="k", direction="backward"
+    )
+    exp_map = {
+        int(r.lid): (None if pd.isna(r.rt) else int(r.rt)) for _, r in exp2.iterrows()
+    }
+    assert got_map == exp_map
+
+
+def test_interval_join_matches_naive(spark):
+    rng = random.Random(11)
+    pts = [(i, rng.randint(0, 3), f"2024-01-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00") for i in range(200)]
+    ivs = [
+        (j, rng.randint(0, 3), f"2024-01-{rng.randint(1, 25):02d} 00:00:00", rng.randint(1, 72))
+        for j in range(40)
+    ]
+    pdf = spark.createDataFrame(pts, "pid long, k long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    idf = (
+        spark.createDataFrame(ivs, "iid long, k long, start string, hours long")
+        .withColumn("start", F.to_timestamp("start"))
+        .withColumn("end", F.col("start") + F.col("hours") * F.expr("INTERVAL 1 HOUR"))
+        .drop("hours")
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(pdf, idf, "ts", "start", "end", on=["k"], bucket_seconds=86400).select("pid", "iid").collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in pdf.join(
+            idf, (pdf.k == idf.k) & (pdf.ts >= idf.start) & (pdf.ts <= idf.end)
+        ).select("pid", "iid").collect()
+    )
+    assert got == naive
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_orderkey", 0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.1
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(F.percentile("l_extendedprice", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+    ).collect()[0]["m"]
+    assert abs(approx - exact) / exact < 0.02
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.4, n=3).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(docs, threshold=0.3, n=3).collect()
+    }
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"minhash recall too low: {recall}"
+
+
+def test_knn_lsh_recall_vs_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = e.filter(F.col("vec_id") >= 10)
+    # exact top-10 by euclidean (same metric LSH uses)
+    from pystreams_spark.functions.vector import l2_distance
+    from pystreams_spark.operators.topk import top_k_per_group
+
+    joined = c.crossJoin(F.broadcast(q.withColumnRenamed("embedding", "_qv"))).select(
+        "query_id", "vec_id", F.round(l2_distance("embedding", "_qv"), 6).alias("d")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in top_k_per_group(joined, ["query_id"], [F.asc("d"), F.asc("vec_id")], 10).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in knn_lsh(q, c, k=10, num_hash_tables=5, bucket_length=4.0).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_cc_keep_min_survivors(spark):
+    # chain 1-2-3, pair 10-11, singleton 20
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "doc_id long")
+    got = {r.doc_id: r.cluster_id for r in cc_keep_min(pairs, ids).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_exact_dedup_hashed_equals_plain(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    kept = exact_dedup_hashed(doubled)
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1_000_000
+
+
+def test_duplicate_clusters_on_synthetic_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")], "doc_id long, text string"
+    )
+    rows = duplicate_clusters_md5(df).collect()
+    assert len(rows) == 1 and rows[0].n_copies == 3 and rows[0].keep_id == 1
