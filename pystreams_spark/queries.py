@@ -978,30 +978,15 @@ def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram-shingle Jaccard, blocked by
-    language (the blocking key is what keeps the pair space sane at
-    scale; MinHashLSH replaces the exact join beyond that)."""
-    from .functions.text import shingles
+    language. Executed via the inverted-index plan (cost Σ df², not
+    |docs|²); the oracle SQL states the naive all-pairs semantics and
+    both agree exactly for any threshold > 0."""
+    from .operators.dedup import ngram_jaccard_pairs_inverted
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", "lang", shingles("text", 3).alias("sh"))
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("lang").alias("_la"), F.col("sh").alias("_sa")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("lang").alias("_lb"), F.col("sh").alias("_sb")
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = (F.size("_sa") + F.size("_sb")).cast("double") - F.size(
-        F.array_intersect("_sa", "_sb")
-    ).cast("double")
-    jac = inter / union
-    return (
-        a.join(b, (F.col("_la") == F.col("_lb")) & (F.col("id_a") < F.col("id_b")))
-        .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= 0.0999995)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    )
+    return ngram_jaccard_pairs_inverted(
+        d, threshold=0.0999995, n=3, block_cols=("lang",)
+    ).orderBy("id_a", "id_b")
 
 
 @query(

@@ -167,3 +167,38 @@ def test_duplicate_clusters_on_synthetic_dups(spark):
     )
     rows = duplicate_clusters_md5(df).collect()
     assert len(rows) == 1 and rows[0].n_copies == 3 and rows[0].keep_id == 1
+
+
+def test_inverted_jaccard_equals_bruteforce(spark, sf_dir):
+    from pystreams_spark.operators.dedup import ngram_jaccard_pairs_inverted
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    brute = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, n=3).collect()
+    )
+    inv = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_inverted(docs, threshold=0.05, n=3).collect()
+    )
+    assert inv == brute
+
+
+def test_simhash_similar_docs_close_hamming(spark):
+    from pystreams_spark.operators.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words about database query optimization engines"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash("text").alias("sig")).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+    # determinism
+    sigs2 = {r.doc_id: r.sig for r in df.select("doc_id", simhash("text").alias("sig")).collect()}
+    assert sigs == sigs2
