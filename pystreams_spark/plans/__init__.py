@@ -1,0 +1,23 @@
+from .introspect import (
+    executed_plan,
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+
+__all__ = [
+    "executed_plan",
+    "formatted_plan",
+    "has_broadcast_join",
+    "has_partial_aggregate",
+    "has_take_ordered",
+    "pushed_filters",
+    "read_schema_columns",
+    "shuffle_count",
+    "wholestage_codegen_count",
+]

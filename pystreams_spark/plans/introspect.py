@@ -1,0 +1,85 @@
+"""Physical-plan introspection (SURVEY.md §4.4): the 100 TB posture is
+only real if the plans prove it. These helpers parse the executed plan
+so tests can assert the properties that matter at scale:
+
+- filters/projections reach the parquet scan (PushedFilters/ReadSchema),
+- dimension joins broadcast instead of shuffling the fact side,
+- aggregates are partial (map-side combine) before the exchange,
+- ORDER BY + LIMIT plans as TakeOrderedAndProject, not a full sort,
+- narrow chains fuse into WholeStageCodegen spans,
+- shuffle (Exchange) count matches the operator's design budget.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter predicates the parquet source accepted for pushdown."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(p.strip() for p in inner.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each file scan (pruning check)."""
+    plan = formatted_plan(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange operators (each is a full shuffle of its
+    input). AQE reuse means the printed count is an upper bound."""
+    return executed_plan(df).count("Exchange")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df) or "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when the plan contains a map-side partial HashAggregate
+    (keys present before the exchange)."""
+    return bool(re.search(r"HashAggregate\(keys=.*functions=\[partial_", executed_plan(df)))
+
+
+def wholestage_codegen_count(df: DataFrame, force: bool = True) -> int:
+    """Distinct WholeStageCodegen spans. Under AQE the plan only shows
+    codegen stars once final, so (with ``force``) run the plan through
+    the noop sink first and read the final adaptive plan."""
+    plan = executed_plan(df)
+    if "isFinalPlan=false" in plan and force:
+        # an action on THIS DataFrame finalizes its own query execution
+        # (df.write/df.count would spawn a fresh one and leave this plan
+        # unfinalized)
+        df.collect()
+        plan = executed_plan(df)
+    ids = set(re.findall(r"\*\((\d+)\)", plan))
+    if not ids:
+        ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
+    return len(ids)

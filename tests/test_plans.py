@@ -1,0 +1,88 @@
+"""Scale-posture assertions: the physical plans must show pushdown,
+pruning, broadcast, partial aggregation, and top-k short-circuits —
+the properties that decide whether a query survives 100 TB."""
+
+from pyspark.sql import functions as F
+
+from pystreams_spark.io import load_table
+from pystreams_spark.plans import (
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+    wholestage_codegen_count,
+)
+from pystreams_spark.queries import QUERIES
+
+
+def test_pricing_summary_scan_hygiene(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    # the shipdate filter must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
+    # only the 7 needed columns are read, not all 11
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }
+    assert has_partial_aggregate(df)
+    assert wholestage_codegen_count(df) >= 1
+
+
+def test_top_customers_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    df = QUERIES["top_customers"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_filter_pushdown_through_facade(spark, sf_dir):
+    from pystreams_spark import Stream
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = Stream(li).filter("l_quantity > 45").map(F.col("l_quantity").alias("qty"))
+    assert any("l_quantity" in f for f in pushed_filters(s.df))
+    (cols,) = read_schema_columns(s.df)
+    assert cols == ["l_quantity"]
+
+
+def test_broadcast_join_no_fact_shuffle(spark, sf_dir):
+    df = QUERIES["brand_revenue_broadcast"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # broadcast join + partial agg: only the post-agg exchange (+AQE
+    # final sort exchange) remain; the fact table itself never shuffles
+    assert shuffle_count(df) <= 3
+
+
+def test_exact_dedup_hashed_shuffles_once(spark, sf_dir):
+    from pystreams_spark.operators.dedup import exact_dedup_hashed
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = exact_dedup_hashed(docs)
+    assert shuffle_count(df) <= 2
+
+
+def test_knn_exact_corpus_not_shuffled(spark, sf_dir):
+    from pystreams_spark.operators.similarity import knn_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+    df = knn_exact(q, e.filter(F.col("vec_id") >= 5), k=10)
+    # corpus side: scan → broadcast-join with queries → window top-k;
+    # the only exchanges partition the scored rows by query_id
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) <= 2, shuffle_count(df)
+
+
+def test_global_topk_never_full_sorts(spark, sf_dir):
+    from pystreams_spark.operators.topk import top_k
+
+    o = load_table(spark, sf_dir, "orders")
+    df = top_k(o, [F.desc("o_totalprice")], 5)
+    assert has_take_ordered(df)
