@@ -1801,3 +1801,175 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# §2 remaining surfaces: SQL entry, UDTF, skew-safe agg, MapType, sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_interface_revenue",
+    oracle="""
+    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry point: identical SQL text as the oracle runs
+    on temp views — demonstrating the engine's second (declarative SQL)
+    API surface with the same Catalyst plan underneath."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o    ON c.c_custkey = o.o_custkey
+        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+        JOIN nation n    ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+@query(
+    "udtf_token_positions",
+    oracle="""
+    SELECT doc_id, CAST(pos AS INT) AS pos, word
+    FROM (
+        SELECT doc_id,
+               generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), 1) - 1 AS pos,
+               unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+        FROM documents
+        WHERE doc_id < 20
+    )
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1→N rows): tokenize with positions. Deterministic, so
+    oracle-checkable against unnest WITH ORDINALITY semantics. posexplode
+    is the built-in fast path; the UDTF exists as the user-extensible
+    surface (SURVEY §2.J)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id long, pos int, word string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text:
+                for i, w in enumerate(text.split()):
+                    yield doc_id, i, w
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.pos, t.word FROM _udtf_docs d, "
+        "LATERAL tokenize_udtf(d.doc_id, d.text) t ORDER BY t.doc_id, t.pos"
+    )
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value,
+           ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: event_type has only 5 values
+    (maximally hot keys). Salting fans each key over 16 reducers before
+    the final merge; results are exactly the direct groupBy's."""
+    from .operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", F.lit(1)),
+            "total_value": ("sum", F.col("value")),
+            "min_value": ("min", F.col("value")),
+            "max_value": ("max", F.col("value")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+@query(
+    "map_type_metrics",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS o_total
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def map_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-row map construction (create_map), lookup
+    (element_at/coalesce), aggregated back to plain columns so the
+    oracle can check values."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(F.col("o_orderstatus"), F.col("o_totalprice"))
+    return (
+        o.select("o_orderpriority", m.alias("_m"))
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.element_at("_m", F.lit("F")), F.lit(0.0)).alias("_f"),
+            F.coalesce(F.element_at("_m", F.lit("O")), F.lit(0.0)).alias("_o"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("_f"), 2).alias("f_total"),
+            F.round(F.sum("_o"), 2).alias("o_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("seeded_sample_stats")
+def seeded_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (reproducible within Spark, but the RNG
+    is engine-specific → rows-only). Used for sketch calibration and
+    dev-loop subsetting at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query("stratified_sample_stats")
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): per-stratum fractions — the tool
+    for class-balanced training subsets."""
+    li = _t(spark, sf_dir, "lineitem")
+    sampled = li.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
+    return (
+        sampled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("l_returnflag")
+    )
