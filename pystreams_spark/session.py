@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # static conf: keep managed tables (bucketing tests) out of cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/pystreams-spark-warehouse"),
+        )
+        .config("spark.sql.catalogImplementation", "in-memory")
     )
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)

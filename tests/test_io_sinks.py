@@ -1,0 +1,80 @@
+"""Sinks & layout (SURVEY.md §2.A + §4.4): partitioned parquet writes,
+csv/json round-trips, bucketed tables with shuffle-free joins, and
+range-partitioned sorted writes."""
+
+from pyspark.sql import functions as F
+
+from pystreams_spark.io import load_table, read_csv, read_json, write_parquet
+from pystreams_spark.plans import executed_plan, shuffle_count
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_status")
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(path)
+    assert back.count() == o.count()
+    # partition pruning: filtering on the partition column must scan a
+    # subset of files, visible as PartitionFilters in the plan
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    plan = executed_plan(pruned)
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan.replace("#", "").replace(
+        "o_orderstatus1", "o_orderstatus"
+    ) or "PartitionFilters" in plan
+    assert pruned.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_csv_json_roundtrip(spark, sf_dir, tmp_path):
+    n = load_table(spark, sf_dir, "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    n.write.option("header", True).csv(csv_path)
+    n.write.json(json_path)
+
+    csv_back = read_csv(spark, csv_path, n.schema, header=True)
+    json_back = read_json(spark, json_path, n.schema)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(csv_back) == key(n)
+    assert key(json_back) == key(n)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both sides on the join key pre-materializes the
+    exchange: the join plans with zero Exchange operators."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "orders_bkt"
+    )
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "lineitem_bkt"
+    )
+    ob, lb = spark.table("orders_bkt"), spark.table("lineitem_bkt")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderstatus").count()
+        # the join itself needs no exchange; only the tiny post-agg one
+        plan = executed_plan(joined)
+        n_shuffles = shuffle_count(joined)
+        assert "SortMergeJoin" in plan
+        assert n_shuffles <= 1, plan
+        assert joined.count() == 3
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_repartition_by_range_sorted_write(spark, sf_dir, tmp_path):
+    """repartitionByRange + sortWithinPartitions: globally range-
+    clustered files — what a downstream range-pruning reader wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = str(tmp_path / "li_ranged")
+    (
+        li.repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()

@@ -74,3 +74,38 @@ def test_streaming_dedup_drops_duplicates(spark, stream_src, tmp_path):
     )
     q.awaitTermination()
     assert spark.table("t_dedup").count() == ev.count()
+
+
+def test_stateful_running_totals_match_batch(spark, stream_src):
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.streaming.event_time import running_user_totals_stateful
+
+    path, ev = stream_src
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=1)
+    out = running_user_totals_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # in update mode the memory sink accumulates one row per key per
+    # batch; the LAST row per key is the final running total
+    import pandas as pd
+
+    got = spark.table("t_stateful").toPandas()
+    final = got.groupby("user_id").last()
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got_map = {
+        int(uid): (int(row.n_events), round(float(row.total_value), 4))
+        for uid, row in final.iterrows()
+    }
+    assert got_map == batch
