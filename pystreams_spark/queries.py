@@ -1973,3 +1973,168 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K text vectorization + §2.H long-tail function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM toks GROUP BY word
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word) AS rn
+          FROM scored)
+    WHERE rn <= 3 AND doc_id < 50
+    ORDER BY doc_id, tfidf DESC, word
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (tf · ln(N/df)) with top-3 terms per document —
+    the oracle-checkable text-vectorization baseline (HashingTF+IDF is
+    the hashed variant for 100 TB vocabularies). df join is broadcast:
+    the vocabulary is tiny relative to the corpus."""
+    from .functions.text import tokens
+    from .operators.topk import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n_docs = d.count()
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .filter(F.col("doc_id") < 50)
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], [F.desc("tfidf"), F.asc("word")], k=3
+    ).orderBy("doc_id", F.desc("tfidf"), "word")
+
+
+@query(
+    "string_funcs_extended",
+    oracle="""
+    SELECT n_name,
+           concat('<<', lpad(n_name, 12, '.'), '>>') AS padded,
+           replace(lower(n_name), 'nation', 'N') AS replaced,
+           CAST(strpos(n_name, '_') AS INT) AS underscore_at,
+           reverse(n_name) AS reversed,
+           CAST(ascii(n_name) AS INT) AS first_ascii,
+           repeat(substring(n_name, 1, 2), 2) AS doubled_prefix
+    FROM nation
+    ORDER BY n_name
+    """,
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail string family: pad/replace/position/reverse/ascii/repeat."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.select(
+            "n_name",
+            F.concat(F.lit("<<"), F.lpad("n_name", 12, "."), F.lit(">>")).alias("padded"),
+            F.replace(F.lower("n_name"), F.lit("nation"), F.lit("N")).alias("replaced"),
+            F.instr(F.col("n_name"), "_").alias("underscore_at"),
+            F.reverse("n_name").alias("reversed"),
+            F.ascii("n_name").alias("first_ascii"),
+            F.repeat(F.substring("n_name", 1, 2), 2).alias("doubled_prefix"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "math_funcs_extended",
+    oracle="""
+    SELECT l_linenumber,
+           ROUND(SUM(SIN(l_discount) + COS(l_tax)), 6) AS trig_sum,
+           ROUND(SUM(EXP(l_discount)), 6) AS exp_sum,
+           ROUND(SUM(LN(l_quantity + 1)), 6) AS ln_sum,
+           ROUND(SUM(LOG10(l_extendedprice)), 6) AS log10_sum,
+           CAST(SUM(CASE WHEN MOD(CAST(l_quantity AS BIGINT), 2) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_qty,
+           ROUND(AVG(SIGN(l_discount - 0.05)), 6) AS avg_sign
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY l_linenumber
+    """,
+)
+def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail math family: trig, exp/ln/log10, mod, sign."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            F.round(F.sum(F.sin("l_discount") + F.cos("l_tax")), 6).alias("trig_sum"),
+            F.round(F.sum(F.exp("l_discount")), 6).alias("exp_sum"),
+            F.round(F.sum(F.log(F.col("l_quantity") + 1)), 6).alias("ln_sum"),
+            F.round(F.sum(F.log10("l_extendedprice")), 6).alias("log10_sum"),
+            F.sum(
+                F.when(F.col("l_quantity").cast("long") % 2 == 0, 1).otherwise(0)
+            ).alias("n_even_qty"),
+            F.round(F.avg(F.signum(F.col("l_discount") - 0.05)), 6).alias("avg_sign"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+@query(
+    "datetime_funcs_extended",
+    oracle="""
+    SELECT CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sun0,
+           COUNT(*) AS n,
+           MIN(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)) AS first_week,
+           CAST(MAX(last_day(CAST(o_orderdate AS DATE))) AS TIMESTAMP) AS max_month_end,
+           CAST(MAX(EXTRACT(doy FROM o_orderdate)) AS INT) AS max_doy
+    FROM orders
+    GROUP BY qtr, dow_sun0
+    ORDER BY qtr, dow_sun0
+    """,
+)
+def datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail datetime family: quarter, day-of-week, week truncation,
+    last_day, day-of-year. (Spark dayofweek is 1=Sunday; DuckDB dow is
+    0=Sunday — aligned by subtracting 1.)"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow_sun0"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_trunc("week", "o_orderdate")).alias("first_week"),
+            # Spark last_day returns DATE; align with the oracle's
+            # TIMESTAMP so value-hash stringification agrees
+            F.max(F.last_day("o_orderdate")).cast("timestamp").alias("max_month_end"),
+            F.max(F.dayofyear("o_orderdate")).alias("max_doy"),
+        )
+        .orderBy("qtr", "dow_sun0")
+    )
