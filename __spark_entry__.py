@@ -11,9 +11,16 @@ registry to the driver's entry-point shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# make the sibling package importable regardless of the caller's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 from pystreams_spark.queries import ORACLE, QUERIES
 

@@ -90,3 +90,20 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input arrives in fewer partitions
+    than we have cores.
+
+    Small fixture files (and, at scale, any source with few large files)
+    otherwise pin compute-heavy narrow pipelines — shingling, hashing,
+    vector math — to a handful of tasks. One cheap shuffle of the raw
+    rows buys full-cluster parallelism for everything downstream. No-op
+    when the input is already wide enough.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, normalize
+from ..io import ensure_parallelism
 from .topk import top_k_per_group
 
 
@@ -48,7 +49,7 @@ def knn_exact(
         as_double(query_vec).alias("_qvec"),
         l2_norm(query_vec).alias("_qnorm"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id),
         as_double(corpus_vec).alias("_cvec"),
         l2_norm(corpus_vec).alias("_cnorm"),
@@ -187,7 +188,7 @@ def cosine_pairs_above(
     import pandas as pd
 
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     pdf = base.toPandas()
     ids_all = pdf["_id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)

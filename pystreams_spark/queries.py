@@ -2138,3 +2138,14 @@ def datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qtr", "dow_sun0")
     )
+
+
+@query("minhash_banded_neardup")
+def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH (custom, width-2 bands): sharply-thresholded
+    candidate generation — P(candidate)=1-(1-j^r)^b — unlike ml-lib's
+    width-1 bands which admit ~all pairs. Approximate → rows-only."""
+    from .operators.dedup import minhash_banded_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_banded_candidates(d).orderBy("id_a", "id_b")

@@ -202,3 +202,24 @@ def test_simhash_similar_docs_close_hamming(spark):
     # determinism
     sigs2 = {r.doc_id: r.sig for r in df.select("doc_id", simhash("text").alias("sig")).collect()}
     assert sigs == sigs2
+
+
+def test_minhash_banded_recall_and_precision(spark, sf_dir):
+    from pystreams_spark.operators.dedup import minhash_banded_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_hi = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs.limit(250), threshold=0.5, n=3).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in minhash_banded_candidates(docs.limit(250), n=3).collect()
+    }
+    n_docs = 250
+    all_pairs = n_docs * (n_docs - 1) / 2
+    # banding must not degenerate to all-pairs (the ml-lib failure mode)
+    assert len(cand) < 0.2 * all_pairs, f"{len(cand)} candidates of {all_pairs}"
+    if exact_hi:
+        recall = len(exact_hi & cand) / len(exact_hi)
+        assert recall >= 0.8, f"banded minhash recall {recall} on {len(exact_hi)} pairs"
