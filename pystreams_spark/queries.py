@@ -2149,3 +2149,33 @@ def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return minhash_banded_candidates(d).orderBy("id_a", "id_b")
+
+
+@query(
+    "json_struct_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS BIGINT) AS sum_k2,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def json_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON path: from_json into a typed struct (vs the
+    get_json_object string path in json_props_events), then struct-field
+    arithmetic."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    parsed = ev.withColumn("_p", F.from_json("props", schema))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("_p.k") * 2).alias("sum_k2"),
+            F.max(F.col("_p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

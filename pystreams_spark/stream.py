@@ -54,6 +54,19 @@ class Stream:
         """Stream over 0..n-1 (column ``id``), distributed from the start."""
         return Stream(spark.range(0, n, numPartitions=partitions))
 
+    @staticmethod
+    def generate(spark, fn: Callable[[int], dict], n: int, schema, partitions: int | None = None) -> "Stream":
+        """Stream(generator_fn, n) analog: fn(i) -> row dict, evaluated
+        distributed — each partition materializes only its index range
+        (nothing driver-side, unlike ``Stream.of``)."""
+        import pandas as pd
+
+        def gen(batches):
+            for pdf in batches:
+                yield pd.DataFrame([fn(int(i)) for i in pdf["id"]])
+
+        return Stream(spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema))
+
     # -- intermediate: element-wise (§2.B) ----------------------------------
     def map(self, *exprs: Column | str, **named: Column | str) -> "Stream":
         """1→1 transform via Column algebra. Positional exprs replace the
@@ -181,6 +194,26 @@ class Stream:
 
     def count_by_key(self, *keys: str) -> "Stream":
         return Stream(self.df.groupBy(*keys).count())
+
+    def aggregate_by_key(
+        self,
+        keys: Sequence[str],
+        value: Column | str,
+        zero: Any,
+        seq_op: Callable[[Any, Any], Any],
+        comb_op: Callable[[Any, Any], Any],
+        alias: str = "agg",
+    ) -> "Stream":
+        """RDD aggregateByKey analog: arbitrary per-key accumulate with
+        worker-local partial aggregation (seq_op) then cross-partition
+        combine (comb_op). Escape hatch — named aggregates in
+        ``reduce_by_key`` are the fast path."""
+        rdd = self.df.select(*keys, _col(value).alias("_v")).rdd.map(
+            lambda r: (tuple(r[k] for k in keys), r["_v"])
+        )
+        agged = rdd.aggregateByKey(zero, seq_op, comb_op)
+        out = agged.map(lambda kv: kv[0] + (kv[1],))
+        return Stream(out.toDF(list(keys) + [alias]))
 
     def group_values(self, keys: Sequence[str], value: Column | str, alias="values") -> "Stream":
         """groupByKey→list analog. collect_list materializes whole groups —

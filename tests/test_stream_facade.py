@@ -119,3 +119,32 @@ def test_peek_observe(spark):
     observed.collect()
     # observation metrics are attached to the executed plan
     assert observed.df.schema == s.df.schema
+
+
+def test_generate_distributed_source(spark):
+    s = Stream.generate(
+        spark, lambda i: {"i": i, "sq": i * i}, 100, "i long, sq long", partitions=4
+    )
+    rows = sorted((r.i, r.sq) for r in s.collect())
+    assert rows == [(i, i * i) for i in range(100)]
+
+
+def test_aggregate_by_key_arbitrary_op(spark):
+    data = [(i % 3, i) for i in range(30)]
+    s = Stream.of(spark, data, "k long, v long")
+    # arbitrary op: accumulate into (count, sum-of-squares)
+    got = {
+        r.k: r.agg
+        for r in s.aggregate_by_key(
+            ["k"],
+            "v",
+            zero=(0, 0),
+            seq_op=lambda acc, v: (acc[0] + 1, acc[1] + v * v),
+            comb_op=lambda a, b: (a[0] + b[0], a[1] + b[1]),
+        ).collect()
+    }
+    expected = {}
+    for k, v in data:
+        c, ss = expected.get(k, (0, 0))
+        expected[k] = (c + 1, ss + v * v)
+    assert {k: tuple(v) for k, v in got.items()} == expected

@@ -109,3 +109,20 @@ def test_stateful_running_totals_match_batch(spark, stream_src):
         for uid, row in final.iterrows()
     }
     assert got_map == batch
+
+
+def test_foreach_batch_parquet_sink(spark, stream_src, tmp_path):
+    """foreachBatch: arbitrary batch-sink logic (e.g. partitioned parquet
+    upsert) driven from a stream."""
+    path, ev = stream_src
+    out_dir = str(tmp_path / "fb_out")
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=2)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == ev.count()
+    assert back.select("batch_id").distinct().count() >= 2
