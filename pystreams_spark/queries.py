@@ -1862,6 +1862,10 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface (SURVEY §2.J)."""
     from pyspark.sql.functions import lit, udtf
 
+    # Arrow-optimized UDTF execution (batch transfer instead of pickled
+    # rows); falls back silently on builds without the conf
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+
     @udtf(returnType="doc_id long, pos int, word string")
     class Tokenize:
         def eval(self, doc_id: int, text: str):

@@ -87,3 +87,39 @@ def test_global_topk_never_full_sorts(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     df = top_k(o, [F.desc("o_totalprice")], 5)
     assert has_take_ordered(df)
+
+
+def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
+    """Sweep every registered query plan: row-at-a-time Python UDFs
+    (BatchEvalPython) are banned — Python only ever enters via Arrow
+    (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)."""
+    import re
+
+    from pystreams_spark.plans import executed_plan
+
+    for name, fn in QUERIES.items():
+        plan = executed_plan(fn(spark, sf_dir))
+        # BatchEvalPythonUDTF is the (separate) UDTF node; scalar
+        # row-wise UDFs plan as plain BatchEvalPython
+        assert not re.search(r"BatchEvalPython(?!UDTF)", plan), (
+            f"{name} uses a row-wise Python UDF"
+        )
+
+
+def test_cartesian_products_only_where_designed(spark, sf_dir):
+    """Cross joins are legitimate only where the operator is explicitly
+    all-pairs (kNN/cross query) — anywhere else a cartesian in the plan
+    is a missing join condition."""
+    from pystreams_spark.plans import executed_plan
+
+    allowed = {
+        "region_nation_cross",
+        "knn_exact_cosine",
+        "knn_lsh_approx",
+        "knn_ivf_approx",
+    }
+    for name, fn in QUERIES.items():
+        if name in allowed:
+            continue
+        plan = executed_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} has an undeclared cartesian"
