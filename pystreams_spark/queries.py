@@ -2183,3 +2183,67 @@ def json_struct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH deduped AS (
+        SELECT doc_id, text, lang, n_chars
+        FROM documents
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ),
+    scored AS (
+        SELECT doc_id, lang, n_chars,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+               ROUND(
+                 0.5 * LEAST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE) / 50.0, 1.0)
+               + 0.3 * (CASE WHEN
+                    list_sum(list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), x -> CAST(length(x) AS DOUBLE)))
+                      / GREATEST(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE), 1.0)
+                    BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (1.0 - LEAST(
+                    CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                      / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)), 6) AS quality
+        FROM deduped
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.8 AND n_tokens BETWEEN 20 AND 95
+    ),
+    capped AS (
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+        FROM filtered
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) <= 40
+    )
+    SELECT doc_id, lang, n_tokens, quality FROM capped
+    ORDER BY lang, quality DESC, doc_id
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship §2.K composite: the full training-data curation pipeline
+    as ONE declarative plan — exact dedup → quality scoring → token-count
+    band filter → per-language quality-ranked cap. Every stage is
+    Column algebra, so Catalyst sees the whole pipeline (the dedup
+    window, the filters, and the cap share shuffles where possible) and
+    the same code runs unchanged at 100 TB."""
+    from .functions.text import quality_score, token_count
+    from .operators.dedup import exact_dedup
+    from .operators.topk import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    deduped = exact_dedup(d)
+    scored = deduped.select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+    filtered = scored.filter(
+        (F.col("quality") >= 0.8) & F.col("n_tokens").between(20, 95)
+    )
+    capped = top_k_per_group(
+        filtered, ["lang"], [F.desc("quality"), F.asc("doc_id")], k=40
+    )
+    return capped.select("doc_id", "lang", "n_tokens", "quality").orderBy(
+        "lang", F.desc("quality"), "doc_id"
+    )
