@@ -2247,3 +2247,56 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select("doc_id", "lang", "n_tokens", "quality").orderBy(
         "lang", F.desc("quality"), "doc_id"
     )
+
+
+@query(
+    "price_neighborhood_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS BIGINT)
+               AS n_similar_price,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+               AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6)
+               AS cume
+    FROM orders
+    WHERE o_custkey <= 30
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def price_neighborhood_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame (not row-count): peers within ±10000 of
+    each row's totalprice; plus percent_rank / cume_dist ranking."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 30)
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.count(F.lit(1)).over(w_range).alias("n_similar_price"),
+            F.round(F.percent_rank().over(w_rank), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w_rank), 6).alias("cume"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query("knn_ivf_kmeans")
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with KMeans-trained centroids (pyspark.ml, seeded):
+    higher-recall cells than sampled centroids; the train step runs once
+    and amortizes over all queries. Approximate → rows-only."""
+    from .operators.similarity import knn_ivf_kmeans as op
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return op(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
