@@ -1136,8 +1136,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID over documents (heuristic → rows-only)."""
     from .functions.text import lang_id
+    from .io import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return (
         d.select(lang_id("text").alias("guessed_lang"))
         .groupBy("guessed_lang")
@@ -1322,7 +1323,11 @@ def udf_centered_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators.udf_compat import grouped_apply
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 100)
+        .repartition(8, "o_custkey")
+    )
 
     def center(pdf):
         pdf = pdf.copy()
@@ -1414,8 +1419,19 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.udf_compat import cogroup_apply
 
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    # bounded explicit partitioning: the cogroup inherits it (ENSURE_
+    # REQUIREMENTS is satisfied), so the Python-worker fan-out stays at
+    # 16 tasks regardless of the session's shuffle-partition setting
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .repartition(16, "o_orderkey")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 1000)
+        .repartition(16, "l_orderkey")
+    )
 
     def reconcile(left_pdf, right_pdf):
         if left_pdf.empty:
