@@ -2316,3 +2316,70 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.filter(F.col("vec_id") >= 5)
     return op(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
+
+
+@query(
+    "bitwise_key_partitioning",
+    oracle="""
+    SELECT CAST(o_orderkey & 7 AS BIGINT) AS bucket_and,
+           COUNT(*) AS n,
+           CAST(SUM(xor(o_orderkey, o_custkey) % 100) AS BIGINT) AS xor_checksum,
+           CAST(MAX(o_orderkey >> 8) AS BIGINT) AS max_shifted,
+           MIN(hex(o_custkey)) AS min_hex
+    FROM orders
+    GROUP BY bucket_and
+    ORDER BY bucket_and
+    """,
+)
+def bitwise_key_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (and/xor/shift/hex) — the building blocks of hash
+    bucketing and band extraction."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy((F.col("o_orderkey").bitwiseAND(F.lit(7))).alias("bucket_and"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.col("o_orderkey").bitwiseXOR(F.col("o_custkey")) % 100
+            ).alias("xor_checksum"),
+            F.max(F.shiftright("o_orderkey", 8)).cast("long").alias("max_shifted"),
+            F.min(F.hex("o_custkey")).alias("min_hex"),
+        )
+        .orderBy("bucket_and")
+    )
+
+
+@query(
+    "array_ops_embeddings",
+    oracle="""
+    SELECT vec_id,
+           list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4))) AS head_sorted,
+           ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+           ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(list_position(list_transform(embedding, x -> x > 0.2), true) AS INT) AS first_big_idx
+    FROM embeddings
+    WHERE vec_id < 50
+    ORDER BY vec_id
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family: slice/sort/max/min/filter/position over the
+    embedding column — the nested-data manipulation surface."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    return (
+        e.select(
+            "vec_id",
+            F.array_sort(
+                F.transform(F.slice(emb, 1, 4), lambda x: F.round(x.cast("double"), 4))
+            ).alias("head_sorted"),
+            F.round(F.array_max(emb).cast("double"), 4).alias("vmax"),
+            F.round(F.array_min(emb).cast("double"), 4).alias("vmin"),
+            F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+            F.array_position(
+                F.transform(emb, lambda x: x > 0.2), F.lit(True)
+            ).cast("int").alias("first_big_idx"),
+        )
+        .orderBy("vec_id")
+    )
