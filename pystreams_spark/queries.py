@@ -2353,7 +2353,9 @@ def bitwise_key_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_ops_embeddings",
     oracle="""
     SELECT vec_id,
-           list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4))) AS head_sorted,
+           array_to_string(list_transform(
+               list_sort(list_transform(embedding[1:4], x -> round(CAST(x AS DOUBLE), 4))),
+               x -> printf('%.4f', x)), ',') AS head_sorted,
            ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
            ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
@@ -2371,8 +2373,20 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "vec_id",
-            F.array_sort(
-                F.transform(F.slice(emb, 1, 4), lambda x: F.round(x.cast("double"), 4))
+            # string-join the sorted slice with explicit %.4f formatting:
+            # array-typed outputs are risky for value hashers, and raw
+            # double stringification differs across engines (3.0E-4 vs
+            # 0.0003)
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.slice(emb, 1, 4), lambda x: F.round(x.cast("double"), 4)
+                        )
+                    ),
+                    lambda x: F.format_string("%.4f", x),
+                ),
             ).alias("head_sorted"),
             F.round(F.array_max(emb).cast("double"), 4).alias("vmax"),
             F.round(F.array_min(emb).cast("double"), 4).alias("vmin"),

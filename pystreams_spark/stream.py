@@ -283,6 +283,23 @@ class Stream:
 
         write_parquet(self.df, path, list(partition_by) if partition_by else None)
 
+    # -- persistence ---------------------------------------------------------
+    def cache(self) -> "Stream":
+        """Memory-and-disk cache for reuse across actions."""
+        return Stream(self.df.cache())
+
+    def persist(self, storage_level=None) -> "Stream":
+        from pyspark import StorageLevel
+
+        return Stream(self.df.persist(storage_level or StorageLevel.MEMORY_AND_DISK))
+
+    def unpersist(self) -> "Stream":
+        return Stream(self.df.unpersist())
+
+    def checkpoint_local(self, eager: bool = True) -> "Stream":
+        """Truncate lineage (iterative algorithms — see dedup.cc_keep_min)."""
+        return Stream(self.df.localCheckpoint(eager=eager))
+
     # -- introspection -------------------------------------------------------
     def explain(self, mode: str = "formatted"):
         return self.df.explain(mode=mode)
