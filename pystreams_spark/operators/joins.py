@@ -27,19 +27,30 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     right_tiebreak: Sequence[str] = (),
     suffix: str = "_matched",
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """Backward-inclusive as-of join: for each left row, attach the right
-    row with the greatest ``right_time`` <= ``left_time`` within the same
-    ``on`` key group (LEFT semantics: unmatched left rows keep NULLs).
+    """As-of join: for each left row, attach the nearest right row within
+    the same ``on`` key group (LEFT semantics: unmatched rows keep NULLs).
+
+    ``direction='backward'`` (default): greatest right_time <= left_time
+    — matches DuckDB ``ASOF LEFT JOIN`` with ``l.t >= r.t``.
+    ``direction='forward'``: smallest right_time >= left_time.
+    ``tolerance``: a Column/interval expression (e.g.
+    ``F.expr("INTERVAL 1 DAY")``) or numeric bound; matches farther than
+    the tolerance are nulled out (pandas merge_asof semantics).
 
     ``right_tiebreak`` orders equal-time right rows so the match is
-    deterministic (last one wins). Matches DuckDB ``ASOF LEFT JOIN``
-    with ``l.t >= r.t``.
+    deterministic (last one wins).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     right_cols = list(right_cols or [c for c in right.columns if c not in on])
 
-    payload = F.struct(*[F.col(c) for c in right_cols])
+    payload = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_time).alias("_mt_")
+    )
     r = right.select(
         *on,
         F.col(right_time).alias("_t"),
@@ -64,9 +75,11 @@ def asof_join(
     ).select(*l.columns)
 
     # right rows sort BEFORE left rows at equal time (_side 0 < 1) →
-    # inclusive >= match; equal-time right rows ordered by the tiebreak
+    # inclusive match on ties; equal-time right rows ordered by the
+    # tiebreak. Forward direction = the same scan over reversed time.
+    time_order = F.asc("_t") if direction == "backward" else F.desc("_t")
     order = (
-        [F.asc("_t"), F.asc("_side")]
+        [time_order, F.asc("_side")]
         + [F.asc_nulls_first(f"_tb_{i}") for i in range(len(right_tiebreak))]
     )
     w = (
@@ -78,11 +91,19 @@ def asof_join(
         "_match", F.last("_rp", ignorenulls=True).over(w)
     )
     out_cols = [c for c in left.columns]
+    match = F.col("_match")
+    if tolerance is not None:
+        delta = (
+            (F.col(left_time) - match["_mt_"])
+            if direction == "backward"
+            else (match["_mt_"] - F.col(left_time))
+        )
+        match = F.when(delta <= tolerance, F.col("_match"))
     return (
         matched.filter(F.col("_side") == 1)
         .select(
             *out_cols,
-            *[F.col("_match")[c].alias(f"{c}{suffix}") for c in right_cols],
+            *[match[c].alias(f"{c}{suffix}") for c in right_cols],
         )
     )
 

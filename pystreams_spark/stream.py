@@ -105,6 +105,15 @@ class Stream:
         registers named metrics collected during the next action."""
         return Stream(self.df.observe(name, *aggs))
 
+    def peek_observed(self, *aggs: Column) -> "tuple[Stream, Any]":
+        """Observation-handle variant of peek: returns (stream, handle);
+        ``handle.get`` yields the metric dict after the next action —
+        per-pipeline counters without a second pass over the data."""
+        from pyspark.sql import Observation
+
+        ob = Observation()
+        return Stream(self.df.observe(ob, *aggs)), ob
+
     def map_batches(self, fn: Callable, schema) -> "Stream":
         """Raw-callable slow path: fn(iter[pd.DataFrame]) -> iter[pd.DataFrame]
         over Arrow batches (mapInPandas). Use only when Column algebra

@@ -223,3 +223,46 @@ def test_minhash_banded_recall_and_precision(spark, sf_dir):
     if exact_hi:
         recall = len(exact_hi & cand) / len(exact_hi)
         assert recall >= 0.8, f"banded minhash recall {recall} on {len(exact_hi)} pairs"
+
+
+def test_asof_forward_and_tolerance_vs_pandas(spark):
+    rng = random.Random(23)
+    left = [(i, rng.choice([1, 2]), rng.randint(0, 500)) for i in range(150)]
+    right = [(j, rng.choice([1, 2]), rng.randint(0, 500)) for j in range(80)]
+    ldf = spark.createDataFrame(left, "lid long, k long, t long")
+    rdf = spark.createDataFrame(right, "rid long, k long, rt long").dropDuplicates(["k", "rt"])
+
+    lp = pd.DataFrame(left, columns=["lid", "k", "t"]).sort_values("t", kind="stable")
+    rp = (
+        pd.DataFrame(right, columns=["rid", "k", "rt"])
+        .drop_duplicates(subset=["k", "rt"])
+        .sort_values("rt", kind="stable")
+    )
+
+    for direction, tol in [("forward", None), ("backward", 50), ("forward", 25)]:
+        got = {
+            r.lid: r.rt_matched
+            for r in asof_join(
+                ldf,
+                rdf,
+                on=["k"],
+                left_time="t",
+                right_time="rt",
+                right_cols=["rt"],
+                direction=direction,
+                tolerance=tol,
+            ).collect()
+        }
+        exp = pd.merge_asof(
+            lp,
+            rp,
+            left_on="t",
+            right_on="rt",
+            by="k",
+            direction=direction,
+            tolerance=tol,
+        )
+        exp_map = {
+            int(r.lid): (None if pd.isna(r.rt) else int(r.rt)) for _, r in exp.iterrows()
+        }
+        assert got == exp_map, f"direction={direction} tol={tol}"

@@ -148,3 +148,12 @@ def test_aggregate_by_key_arbitrary_op(spark):
         c, ss = expected.get(k, (0, 0))
         expected[k] = (c + 1, ss + v * v)
     assert {k: tuple(v) for k, v in got.items()} == expected
+
+
+def test_peek_observed_metrics(spark):
+    s = Stream.of(spark, [(i,) for i in range(100)], "x long")
+    observed, handle = s.peek_observed(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    observed.filter("x >= 0").count()
+    assert handle.get == {"n": 100, "sx": 4950}

@@ -126,3 +126,38 @@ def test_foreach_batch_parquet_sink(spark, stream_src, tmp_path):
     back = spark.read.parquet(out_dir)
     assert back.count() == ev.count()
     assert back.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_static_dim_join(spark, stream_src, sf_dir):
+    """Stream-static join: enrich a stream with a static dimension (the
+    standard pattern for dimension lookups on an unbounded stream —
+    the static side is re-planned per micro-batch, no state store)."""
+    from pystreams_spark.io import load_table
+
+    path, ev = stream_src
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = events_file_stream(spark, path, ev.schema)
+    enriched = (
+        stream.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("t_dim_join")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.c_mktsegment: r.n for r in spark.table("t_dim_join").collect()}
+    batch = {
+        r.c_mktsegment: r.n
+        for r in ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == batch and got
