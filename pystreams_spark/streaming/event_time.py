@@ -150,3 +150,60 @@ def running_user_totals_stateful(stream: DataFrame, timeout_ms: int = 0) -> Data
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_user_totals_tws(stream: DataFrame) -> DataFrame:
+    """Same running per-user totals on the Spark 4.x transformWithState
+    API (StatefulProcessor + typed ValueState): the successor to
+    applyInPandasWithState — composable state variables, per-state TTL,
+    and timers. Kept alongside the classic variant so both §2.I custom
+    stateful surfaces exist.
+
+    Environment note: the TWS state protocol requires ``google.protobuf``
+    (not installed in this container), so its test skips with the real
+    error when the import is missing; ``running_user_totals_stateful``
+    (applyInPandasWithState) is the equivalence-tested path here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store
+    stream.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -161,3 +161,36 @@ def test_stream_static_dim_join(spark, stream_src, sf_dir):
         .collect()
     }
     assert got == batch and got
+
+
+def test_transform_with_state_matches_batch(spark, stream_src):
+    from pystreams_spark.streaming.event_time import running_user_totals_tws
+
+    path, ev = stream_src
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=2)
+    try:
+        out = running_user_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    except Exception as ex:  # pragma: no cover - API availability guard
+        import pytest
+
+        pytest.skip(f"transformWithStateInPandas unavailable: {ex}")
+    got = spark.table("t_tws").toPandas().groupby("user_id").last()
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got_map = {
+        int(uid): (int(row.n_events), round(float(row.total_value), 4))
+        for uid, row in got.iterrows()
+    }
+    assert got_map == batch
