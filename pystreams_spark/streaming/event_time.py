@@ -207,3 +207,36 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def purchases_after_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases attributed to a
+    click by the same user within ``within``. Both sides buffer only a
+    watermark-bounded window of rows — the state-store contract that
+    makes stream-stream joins viable on unbounded input. The identical
+    expression works in batch (watermarks ignored).
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond).select(
+        "c_user", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )

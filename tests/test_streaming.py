@@ -194,3 +194,30 @@ def test_transform_with_state_matches_batch(spark, stream_src):
         for uid, row in got.iterrows()
     }
     assert got_map == batch
+
+
+def test_stream_stream_join_matches_batch(spark, stream_src):
+    from pystreams_spark.streaming.event_time import purchases_after_clicks
+
+    path, ev = stream_src
+    stream = events_file_stream(spark, path, ev.schema)
+    s_clicks = stream.filter(F.col("event_type") == "click")
+    s_purch = stream.filter(F.col("event_type") == "purchase")
+    out = purchases_after_clicks(s_clicks, s_purch)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    b_clicks = ev.filter(F.col("event_type") == "click")
+    b_purch = ev.filter(F.col("event_type") == "purchase")
+    batch = purchases_after_clicks(b_clicks, b_purch)
+    key = lambda df: sorted(
+        (r.click_id, r.purchase_id) for r in df.select("click_id", "purchase_id").collect()
+    )
+    got, expected = key(spark.table("t_ss_join")), key(batch)
+    assert got == expected and len(got) > 0
