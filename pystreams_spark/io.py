@@ -40,12 +40,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_session_confs(spark)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df  # a future Spark that reads ns natively
+    except Exception:
+        # fallback (e.g. conf rejected): convert ns→µs via pyarrow and
+        # ship through Arrow createDataFrame. Driver-sized only — the
+        # conf path is the distributed one.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path)
+        ts_idx = t.schema.get_field_index("ts")
+        t = t.set_column(
+            ts_idx, "ts", t.column("ts").cast(pa.timestamp("us"))
+        )
+        return spark.createDataFrame(t.to_pandas())
 
 
 def load_tables(
