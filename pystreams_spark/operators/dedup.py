@@ -278,10 +278,14 @@ def cc_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") ->
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    labels = all_ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    )
+    # propagate labels only over nodes that occur in edges — isolated
+    # nodes are their own cluster and rejoin at the end. The per-round
+    # frames then scale with |dup graph|, not |corpus| (dup graphs are
+    # tiny relative to 100 TB corpora).
+    edge_nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = edge_nodes.select("node", F.col("node").alias("label"))
     for _ in range(20):  # 2^20 diameter bound; real dup clusters are tiny
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -307,7 +311,15 @@ def cc_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") ->
         labels = new_labels.localCheckpoint(eager=True)
         if changed == 0:
             break
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    edge_labels = labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+    isolated = all_ids.select(F.col(id_col)).join(
+        edge_nodes.withColumnRenamed("node", id_col), id_col, "left_anti"
+    )
+    return edge_labels.unionByName(
+        isolated.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    )
 
 
 def _minhash_bands_udf(bands: int, rows_per_band: int, seed: int):
@@ -403,3 +415,44 @@ def minhash_banded_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def neardup_dedup(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end near-duplicate dedup: banded-MinHash candidates →
+    exact-Jaccard verification of candidates only → connected components
+    → keep the min-id survivor per cluster.
+
+    The composition is the production shape: candidate generation is
+    subquadratic (banding), the expensive exact measure runs only on
+    candidate pairs, and cluster resolution keeps one doc per duplicate
+    group regardless of chain shape (a~b~c collapses to min(a,b,c) even
+    when a≁c directly). Returns the surviving rows of ``df``.
+    """
+    cands = minhash_banded_candidates(
+        df, n=n, text_col=text_col, id_col=id_col, seed=seed
+    )
+    sh = df.select(
+        F.col(id_col), shingles(text_col, n).alias("_sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (
+        F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
+    )
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter / union >= threshold)
+        .select("id_a", "id_b")
+    )
+    clusters = cc_keep_min(verified, df.select(id_col), id_col=id_col)
+    survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(survivors, id_col, "left_semi")

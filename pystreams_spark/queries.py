@@ -2397,3 +2397,15 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query("neardup_dedup_pipeline")
+def neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup: banded-MinHash candidates → exact
+    Jaccard verify (candidates only) → connected components → min-id
+    survivors. Candidate stage is approximate → rows-only; the unit test
+    pins survivors against a brute-force Python reference."""
+    from .operators.dedup import neardup_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return neardup_dedup(d).select("doc_id", "lang").orderBy("doc_id")

@@ -266,3 +266,47 @@ def test_asof_forward_and_tolerance_vs_pandas(spark):
             int(r.lid): (None if pd.isna(r.rt) else int(r.rt)) for _, r in exp.iterrows()
         }
         assert got == exp_map, f"direction={direction} tol={tol}"
+
+
+def test_neardup_dedup_pipeline_vs_python_reference(spark):
+    from pystreams_spark.operators.dedup import neardup_dedup
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today ok fine"),
+        (1, "the quick brown fox jumps over the lazy dog tomorrow ok fine"),  # ~0
+        (2, "completely different text about spark query optimization engines"),
+        (3, "the quick brown fox jumps over the lazy dog tomorrow ok maybe"),  # ~1 (chain)
+        (4, "another unrelated document mentioning windows and aggregates"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kept = sorted(r.doc_id for r in neardup_dedup(df, threshold=0.35).collect())
+
+    # python reference: exact jaccard graph at the same threshold + CC
+    def sh3(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))}
+
+    import itertools
+
+    adj = {d[0]: set() for d in docs}
+    for (ida, ta), (idb, tb) in itertools.combinations(docs, 2):
+        a, b = sh3(ta), sh3(tb)
+        if len(a & b) / len(a | b) >= 0.35:
+            adj[ida].add(idb)
+            adj[idb].add(ida)
+    seen, survivors = set(), []
+    for node in sorted(adj):
+        if node in seen:
+            continue
+        comp, stack = [], [node]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        survivors.append(min(comp))
+    assert kept == sorted(survivors)
+    # the transitive chain 0~1~3 must collapse to one survivor
+    assert 0 in kept and 1 not in kept and 3 not in kept
