@@ -2409,3 +2409,92 @@ def neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return neardup_dedup(d).select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_returnflag, metric, ROUND(SUM(val), 2) AS total
+    FROM (
+        UNPIVOT (SELECT l_returnflag, l_quantity, l_discount, l_tax FROM lineitem)
+        ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val
+    )
+    GROUP BY l_returnflag, metric
+    ORDER BY l_returnflag, metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): the inverse of pivot — metric columns
+    become (name, value) rows, then aggregate per metric."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "metric")
+        .agg(F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+@query(
+    "explode_outer_long_words",
+    oracle="""
+    SELECT doc_id, long_word
+    FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), w -> length(w) >= 9)) = 0
+                           THEN [NULL]
+                           ELSE list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), w -> length(w) >= 9)
+                      END) AS long_word
+        FROM documents
+        WHERE doc_id < 100
+    )
+    ORDER BY doc_id, long_word
+    """,
+)
+def explode_outer_long_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: 1→N that KEEPS rows whose array is empty (as a NULL
+    row) — the outer-join flavor of flatmap; docs with no long words
+    still appear."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    long_words = F.filter(tokens("text"), lambda w: F.length(w) >= 9)
+    return (
+        d.select("doc_id", F.explode_outer(long_words).alias("long_word"))
+        .orderBy("doc_id", "long_word")
+    )
+
+
+@query(
+    "facade_fluent_pipeline",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.08
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def facade_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the pystreams-flavored Stream facade:
+    fluent filter → reduce_by_key lowering to identical Catalyst plans
+    (SURVEY §3.3 — the facade is sugar, not an execution layer)."""
+    from .stream import Stream
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        Stream(li)
+        .filter("l_quantity > 25 AND l_discount BETWEEN 0.02 AND 0.08")
+        .reduce_by_key(
+            ["l_returnflag"],
+            n=F.count(F.lit(1)),
+            revenue=F.round(F.sum("l_extendedprice"), 2),
+        )
+        .sorted("l_returnflag")
+        .df
+    )
