@@ -52,3 +52,39 @@ def salted_aggregate(
         *[_MERGE[kind](name).alias(name) for name, (kind, col) in aggs.items()]
     )
     return phase2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi join by salting: the big (skewed) side gets a
+    uniform salt; the small side is replicated once per salt value; the
+    join runs on (key, salt), splitting each hot key over
+    ``salt_buckets`` reducers.
+
+    Join results are exactly the unsalted join's (salt only re-routes
+    rows). Prefer AQE's runtime skew splitting when sizes are known;
+    salting is the static tool for *predictably* hot keys (e.g. a null
+    or default-valued FK). Replication multiplies the small side —
+    keep it broadcast-sized per bucket.
+    """
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        ).cast("int"),
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = big_s.join(
+        small_s,
+        (big_s[big_key] == small_s[small_key]) & (big_s["_salt"] == small_s["_salt"]),
+        how,
+    )
+    return out.drop("_salt")

@@ -2498,3 +2498,54 @@ def facade_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sorted("l_returnflag")
         .df
     )
+
+
+@query(
+    "salted_join_user_events",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(e.value), 4) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def salted_join_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join: events.user_id has ~15 distinct values over
+    10^5 rows (maximal key skew) — each hot key fans out over 16 salt
+    buckets before joining the customer dim. Results exactly equal the
+    unsalted join (oracle)."""
+    from .operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(ev, c, "user_id", "c_custkey", salt_buckets=16)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("seeded_random_tags")
+def seeded_random_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded rand()/randn() (§2.H): deterministic within an engine,
+    engine-specific RNG → rows-only. The reproducibility unit test pins
+    run-to-run stability (what seeded sampling pipelines rely on)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.rand(seed=42), 6).alias("u"),
+            F.round(F.randn(seed=43), 6).alias("g"),
+        )
+        .withColumn("split", F.when(F.col("u") < 0.8, "train").otherwise("eval"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("g"), 4).alias("avg_gauss"),
+        )
+        .orderBy("split")
+    )

@@ -157,3 +157,18 @@ def test_peek_observed_metrics(spark):
     )
     observed.filter("x >= 0").count()
     assert handle.get == {"n": 100, "sx": 4950}
+
+
+def test_foreach_side_effect_accumulator(spark):
+    acc = spark.sparkContext.accumulator(0)
+    s = Stream.of(spark, [(i,) for i in range(50)], "x long")
+    s.foreach(lambda row: acc.add(row.x))
+    assert acc.value == sum(range(50))
+
+
+def test_seeded_rand_reproducible(spark, sf_dir):
+    from pystreams_spark.queries import QUERIES
+
+    a = QUERIES["seeded_random_tags"](spark, sf_dir).collect()
+    b = QUERIES["seeded_random_tags"](spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
