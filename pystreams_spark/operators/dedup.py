@@ -154,7 +154,7 @@ def minhash_candidates(
     df: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
-    num_hash_tables: int = 8,
+    num_hash_tables: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_features: int = 1 << 18,
@@ -292,23 +292,22 @@ def cc_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") ->
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the old label through the join so the convergence check
+        # reads the checkpointed blocks instead of re-running the round's
+        # joins as a second job (was: separate new-vs-old join + count)
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("_old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.localCheckpoint(eager=True)
+        changed = stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = stepped.drop("_old")
         if changed == 0:
             break
     edge_labels = labels.select(
@@ -438,8 +437,15 @@ def neardup_dedup(
     cands = minhash_banded_candidates(
         df, n=n, text_col=text_col, id_col=id_col, seed=seed
     )
+    # verify on hashed shingles: array_intersect/union over fixed-width
+    # longs instead of shingle strings — same Jaccard (64-bit collisions
+    # are negligible next to MinHash's own error), and the two joined
+    # sides shuffle 8 bytes per shingle instead of the n-gram text
     sh = df.select(
-        F.col(id_col), shingles(text_col, n).alias("_sh")
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("_sh"),
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
