@@ -1,0 +1,215 @@
+"""Vectorized Arrow kernels for the rows-only text-dedup hot path.
+
+Why kernels and not Column algebra: the shingle pipeline (split →
+sequence → transform(slice+concat_ws) → array_distinct) is built from
+higher-order functions, which Spark interprets per element — no
+WholeStageCodegen. Measured at sf0.1 (5k docs, ~300 chars): ~3.3 s per
+pass for the Column version vs ~0.2 s for one Arrow-batched kernel, and
+several rows-only queries need the pass (banded MinHash, SimHash, the
+end-to-end near-dup pipeline, inverted-index Jaccard). Each kernel does
+tokenize → shingle → hash in ONE narrow pass over the text column —
+no shuffle, one JVM↔Python Arrow round-trip.
+
+Determinism: shingle hashing is `pandas.util.hash_array` (SipHash with
+pandas' fixed default key) over the exact ``" ".join(tokens[i:i+n])``
+shingle strings — the same shingle set the Column-algebra
+``functions.text.shingles`` builds, so exact-Jaccard results computed
+from these hashes match the string-set semantics the SQL oracle states
+(64-bit collisions are the only gap, negligible at any realistic doc
+size). MinHash permutations / SimHash bit votes use the splitmix64
+mixer seeded explicitly.
+
+The Column-algebra versions in ``functions.text`` remain the
+oracle-parity surface; these kernels are the scale path for the
+rows-only operators built on them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+_U64 = np.uint64
+_MASK = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (public-domain constant mixer)."""
+    x = (x + _U64(0x9E3779B97F4A7C15)) & _MASK
+    x = ((x ^ (x >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK
+    x = ((x ^ (x >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK
+    return x ^ (x >> _U64(31))
+
+
+def _shingle_strings(texts) -> tuple[np.ndarray, np.ndarray]:
+    """texts (iterable of str|None) → (flat object array of shingle
+    strings, per-doc lengths). Mirrors functions.text.shingles exactly:
+    word tokens (split on whitespace, empties dropped), windows
+    ``" ".join(tokens[i:i+n])`` for i in range(max(L-n+1, 1)) — so a
+    doc with < n tokens yields ONE short shingle ('' when empty)."""
+    raise NotImplementedError  # bound below per-n; kept for doc shape
+
+
+def _doc_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle-string construction over one Arrow batch.
+
+    Returns (flat object ndarray of shingle strings across all docs,
+    int64 ndarray of shingles-per-doc)."""
+    tok_lists = [("" if t is None else t).split() for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    n_sh = np.maximum(lens - (n - 1), 1)
+
+    total_tokens = int(lens.sum())
+    flat_tokens = np.empty(total_tokens, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat_tokens[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    tok_offsets = np.concatenate(([0], np.cumsum(lens)))
+
+    # long docs (L >= n): all windows fully vectorized over the flat array
+    out = np.empty(int(n_sh.sum()), dtype=object)
+    sh_offsets = np.concatenate(([0], np.cumsum(n_sh)))
+    long_mask = lens >= n
+    if long_mask.any():
+        # window start positions in the flat token array, per long doc
+        starts = np.concatenate(
+            [
+                np.arange(tok_offsets[i], tok_offsets[i] + n_sh[i])
+                for i in np.where(long_mask)[0]
+            ]
+        )
+        parts = flat_tokens[starts]
+        for j in range(1, n):
+            parts = parts + " "  # object-array elementwise concat
+            parts = parts + flat_tokens[starts + j]
+        out_pos = np.concatenate(
+            [
+                np.arange(sh_offsets[i], sh_offsets[i] + n_sh[i])
+                for i in np.where(long_mask)[0]
+            ]
+        )
+        out[out_pos] = parts
+    for i in np.where(~long_mask)[0]:
+        out[sh_offsets[i]] = " ".join(tok_lists[i])
+    return out, n_sh
+
+
+def _hashed_shingle_sets(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """texts → (flat uint64 hashes of the DISTINCT shingles of each doc,
+    per-doc distinct counts). One pd.util.hash_array call per batch."""
+    import pandas as pd
+
+    flat, n_sh = _doc_shingles(texts, n)
+    hashes = pd.util.hash_array(flat) if len(flat) else np.empty(0, dtype=_U64)
+    doc_idx = np.repeat(np.arange(len(n_sh)), n_sh)
+    # distinct per doc: sort by (doc, hash), keep first of each run
+    order = np.lexsort((hashes, doc_idx))
+    d, h = doc_idx[order], hashes[order]
+    keep = np.ones(len(h), dtype=bool)
+    if len(h) > 1:
+        keep[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d, h = d[keep], h[keep]
+    counts = np.bincount(d, minlength=len(n_sh)).astype(np.int64)
+    return h, counts
+
+
+def hashed_shingles_udf(n: int = 3):
+    """pandas UDF: text → array<long> of the doc's distinct hashed word
+    n-gram shingles (sorted). The scale-path replacement for
+    ``transform(shingles(text, n), xxhash64)``."""
+    import pandas as pd
+
+    def kernel(texts):
+        h, counts = _hashed_shingle_sets(texts.to_numpy(dtype=object), n)
+        signed = h.astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        return pd.Series(
+            [signed[offsets[i] : offsets[i + 1]].tolist() for i in range(len(counts))]
+        )
+
+    return F.pandas_udf(kernel, "array<long>")
+
+
+def shingle_strings_udf(n: int = 3):
+    """pandas UDF: text → array<string> distinct shingles — feeds
+    pyspark.ml HashingTF without the interpreted-HOF pass."""
+    import pandas as pd
+
+    def kernel(texts):
+        flat, n_sh = _doc_shingles(texts.to_numpy(dtype=object), n)
+        offsets = np.concatenate(([0], np.cumsum(n_sh)))
+        return pd.Series(
+            [
+                list(dict.fromkeys(flat[offsets[i] : offsets[i + 1]]))
+                for i in range(len(n_sh))
+            ]
+        )
+
+    return F.pandas_udf(kernel, "array<string>")
+
+
+def _band_sigs_from_hashes(
+    h: np.ndarray, counts: np.ndarray, salts: np.ndarray, bands: int, rows_per_band: int
+) -> np.ndarray:
+    """(flat uint64 shingle hashes, per-doc counts) → (n_docs, bands)
+    int64 band signatures. Docs with zero shingles get all-zero rows
+    (callers filter empties beforehand; '' still hashes to one value)."""
+    k = bands * rows_per_band
+    out = np.zeros((len(counts), bands), dtype=np.int64)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    mixed = _mix(h[:, None] ^ salts[None, :])  # (total, k)
+    offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    mins = np.minimum.reduceat(mixed, offsets, axis=0)  # (n_nonzero, k)
+    sigs = (
+        _mix(mins.reshape(-1, bands, rows_per_band) ^ salts.reshape(1, bands, rows_per_band))
+        .sum(axis=2, dtype=_U64)
+        .astype(np.int64)
+    )
+    out[nz] = sigs
+    return out
+
+
+def band_signatures_from_text_udf(
+    n: int, bands: int, rows_per_band: int, seed: int
+):
+    """pandas UDF: text → array<long> of ``bands`` MinHash band
+    signatures, fused tokenize→shingle→hash→minhash→band in one kernel
+    (one Arrow round-trip instead of two)."""
+    import pandas as pd
+
+    k = bands * rows_per_band
+    rng = np.random.RandomState(seed)
+    salts = rng.randint(0, 2**63 - 1, size=k, dtype=np.int64).astype(_U64)
+
+    def kernel(texts):
+        h, counts = _hashed_shingle_sets(texts.to_numpy(dtype=object), n)
+        sigs = _band_sigs_from_hashes(h, counts, salts, bands, rows_per_band)
+        return pd.Series([row.tolist() for row in sigs])
+
+    return F.pandas_udf(kernel, "array<long>")
+
+
+def simhash_from_text_udf(n: int = 2):
+    """pandas UDF: text → 64-bit SimHash, fused tokenize→shingle→hash→
+    bit-vote in one kernel. Votes are over the doc's DISTINCT shingle
+    hashes (same set semantics as the shingles() Column)."""
+    import pandas as pd
+
+    bit_idx = np.arange(64, dtype=_U64)
+
+    def kernel(texts):
+        h, counts = _hashed_shingle_sets(texts.to_numpy(dtype=object), n)
+        out = np.zeros(len(counts), dtype=np.int64)
+        nz = counts > 0
+        if nz.any():
+            bits = ((h[:, None] >> bit_idx) & _U64(1)).astype(np.int64) * 2 - 1
+            offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+            votes = np.add.reduceat(bits, offsets, axis=0)  # (n_nonzero, 64)
+            sigs = ((votes > 0).astype(_U64) << bit_idx).sum(axis=1, dtype=_U64)
+            out[nz] = sigs.astype(np.int64)
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, "long")

@@ -22,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingles
+from ..functions.text_kernels import (
+    band_signatures_from_text_udf,
+    hashed_shingles_udf,
+    shingle_strings_udf,
+    simhash_from_text_udf,
+)
 from ..io import ensure_parallelism
 
 
@@ -105,8 +111,8 @@ def ngram_jaccard_pairs_inverted(
     """Exact n-gram Jaccard pairs via an inverted index — same output as
     ``ngram_jaccard_pairs`` (for threshold > 0), radically cheaper.
 
-    Plan: shingle → xxhash64 (distinct strings → distinct 64-bit keys) →
-    explode postings → self-equi-join on (blocks…, shingle) → count
+    Plan: shingle+hash in one Arrow kernel (distinct strings → distinct
+    64-bit keys) → explode postings → self-equi-join on (blocks…, shingle) → count
     shared shingles per pair → Jaccard from counts and set sizes. Pairs
     sharing zero shingles never materialize, so cost is Σ df(shingle)²
     instead of |docs|² — the standard IR trick that survives 100 TB.
@@ -116,7 +122,7 @@ def ngram_jaccard_pairs_inverted(
     sh = ensure_parallelism(df).select(
         F.col(id_col),
         *blocks,
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("_sh"),
+        hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"),
     ).withColumn("_sz", F.size("_sh"))
     posts = sh.select(id_col, *blocks, "_sz", F.explode("_sh").alias("_h"))
     a = posts.select(
@@ -171,7 +177,7 @@ def minhash_candidates(
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = ensure_parallelism(df).select(
-        F.col(id_col), shingles(text_col, n).alias("_sh")
+        F.col(id_col), shingle_strings_udf(n)(F.col(text_col)).alias("_sh")
     ).filter(F.size("_sh") > 0)
     tf = HashingTF(inputCol="_sh", outputCol="_features", numFeatures=num_features)
     feat = tf.transform(sh)
@@ -236,7 +242,9 @@ def simhash_candidates(
     """Candidate near-dup pairs = docs sharing any 16-bit band of their
     simhash (≈ hamming distance ≤ 3·16 guaranteed recall band trick).
     Shuffles (band_id, band_value) keys only."""
-    sig = ensure_parallelism(df).select(F.col(id_col), simhash(text_col, n).alias("_sig"))
+    sig = ensure_parallelism(df).select(
+        F.col(id_col), simhash_from_text_udf(n)(F.col(text_col)).alias("_sig")
+    )
     band_width = 64 // bands
     banded = sig.select(
         id_col,
@@ -336,37 +344,26 @@ def _minhash_bands_udf(bands: int, rows_per_band: int, seed: int):
     import numpy as np
     import pandas as pd
 
+    from ..functions.text_kernels import _band_sigs_from_hashes
+
     k = bands * rows_per_band
     rng = np.random.RandomState(seed)
     salts = rng.randint(0, 2**63 - 1, size=k, dtype=np.int64).astype(np.uint64)
 
-    def mix(x):
-        # splitmix64 finalizer (public-domain constant mixer)
-        x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-        return x ^ (x >> np.uint64(31))
-
     def kernel(hashes):
-        lens = np.array([0 if h is None else len(h) for h in hashes])
-        if lens.sum() == 0:
+        lens = np.array([0 if h is None else len(h) for h in hashes], dtype=np.int64)
+        if len(lens) == 0 or lens.sum() == 0:
             return pd.Series([None] * len(hashes))
         # flatten all rows into one array; per-row mins via reduceat —
         # no per-row Python loop (the loop version cost ~1 ms/row)
         flat = np.concatenate(
             [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
         ).astype(np.uint64)
-        mixed = mix(flat[:, None] ^ salts[None, :])  # (total, k)
-        nz = lens > 0
-        offsets = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
-        mins = np.minimum.reduceat(mixed, offsets, axis=0)  # (n_nonzero, k)
-        band_sigs = mix(
-            mins.reshape(-1, bands, rows_per_band)
-            ^ salts.reshape(1, bands, rows_per_band)
-        ).sum(axis=2, dtype=np.uint64).astype(np.int64)
+        band_sigs = _band_sigs_from_hashes(flat, lens, salts, bands, rows_per_band)
         out = np.empty(len(hashes), dtype=object)
-        for j, i in enumerate(np.where(nz)[0]):
-            out[i] = band_sigs[j].tolist()
+        nz = lens > 0
+        for i in np.where(nz)[0]:
+            out[i] = band_sigs[i].tolist()
         return pd.Series(out)
 
     return F.pandas_udf(kernel, "array<long>")
@@ -393,13 +390,11 @@ def minhash_banded_candidates(
     Candidates are distinct (id_a < id_b) pairs — verify with exact
     Jaccard downstream.
     """
-    sh = ensure_parallelism(df).select(
+    sigs = ensure_parallelism(df).select(
         F.col(id_col),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("_hs"),
-    ).filter(F.size("_hs") > 0)
-    sigs = sh.select(
-        F.col(id_col),
-        _minhash_bands_udf(bands, rows_per_band, seed)(F.col("_hs")).alias("_bands"),
+        band_signatures_from_text_udf(n, bands, rows_per_band, seed)(
+            F.col(text_col)
+        ).alias("_bands"),
     )
     # materialize signatures once: both sides of the self-join would
     # otherwise recompute the whole shingle+kernel pipeline (2x cost);
@@ -434,19 +429,32 @@ def neardup_dedup(
     group regardless of chain shape (a~b~c collapses to min(a,b,c) even
     when a≁c directly). Returns the surviving rows of ``df``.
     """
-    cands = minhash_banded_candidates(
-        df, n=n, text_col=text_col, id_col=id_col, seed=seed
+    # One narrow kernel pass computes each doc's hashed shingle set;
+    # the checkpointed frame feeds BOTH the band signatures (candidate
+    # generation) and the exact-Jaccard verification — the text is
+    # tokenized exactly once end-to-end.
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
+        .localCheckpoint(eager=False)
+    )
+    sigs = sh.filter(F.size("_sh") > 0).select(
+        F.col(id_col),
+        _minhash_bands_udf(8, 2, seed)(F.col("_sh")).alias("_bands"),
+    )
+    banded = sigs.select(id_col, F.posexplode("_bands").alias("band", "sig"))
+    other = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    cands = (
+        banded.withColumnRenamed(id_col, "id_a")
+        .join(other, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
     # verify on hashed shingles: array_intersect/union over fixed-width
     # longs instead of shingle strings — same Jaccard (64-bit collisions
     # are negligible next to MinHash's own error), and the two joined
     # sides shuffle 8 bytes per shingle instead of the n-gram text
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-        ).alias("_sh"),
-    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")

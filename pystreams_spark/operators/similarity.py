@@ -232,44 +232,76 @@ def knn_ivf_kmeans(
     same n_probe. Train is one pass over (a sample of) the corpus;
     assignment is a broadcast transform. Approximate → rows-only.
 
-    The fit input is sampled (``fit_fraction`` — at 100 TB pass
-    ~1e5/|corpus| so training sees a bounded set), shuffled down to a
-    handful of partitions, and cached: per-iteration cost is then a few
-    in-memory tasks instead of a full-width lineage re-scan per
-    iteration (measured 5.3 s -> 1.5 s at sf0.1 even unsampled).
+    The fit runs DRIVER-SIDE with numpy Lloyd iterations over a bounded
+    sample (``fit_fraction``, capped at ``_FIT_CAP`` rows — at 100 TB
+    pass ~1e5/|corpus|): a 16-cell fit over ≤100k×64 doubles is
+    milliseconds of BLAS, vs ~10 distributed jobs (one per iteration)
+    for pyspark.ml KMeans. Sampling-to-driver for coarse-quantizer
+    training is the standard IVF recipe; only the bounded sample ever
+    leaves the executors. Assignment stays distributed (one vectorized
+    kernel pass with the broadcast centroid matrix).
+    (Measured at sf0.1: 5.3 s ml-lib → 1.5 s cached ml-lib → ~0.7 s.)
     """
-    from pyspark.ml.clustering import KMeans
-
-    c = _with_ml_vector(ensure_parallelism(corpus), vec_col, "_features")
-    fit_in = c.select("_features")
-    if fit_fraction < 1.0:
-        fit_in = fit_in.sample(fraction=fit_fraction, seed=seed)
-    fit_in = fit_in.repartition(8).cache()
-    model = KMeans(
-        k=n_cells, seed=seed, maxIter=10, featuresCol="_features", predictionCol="_cell"
-    ).fit(fit_in)
-    fit_in.unpersist(blocking=False)
-    assigned = model.transform(c).drop("_features")
-
-    q = _with_ml_vector(queries, vec_col, "_features")
-    centers = model.clusterCenters()
     import numpy as np
+    import pandas as pd
 
-    centers_mat = np.stack(centers)
+    _FIT_CAP = 200_000
+    fit_df = ensure_parallelism(corpus).select(F.col(vec_col).alias("_v"))
+    if fit_fraction < 1.0:
+        fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
+    sample = np.stack(
+        fit_df.limit(_FIT_CAP).toPandas()["_v"].to_numpy()
+    ).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    centers_mat = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(10):  # Lloyd: assign to nearest center, recenter
+        d2 = ((sample[:, None, :] - centers_mat[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for j in range(n_cells):
+            members = sample[cells == j]
+            if len(members):
+                centers_mat[j] = members.mean(axis=0)
+
+    spark = corpus.sparkSession
+    bc_centers = spark.sparkContext.broadcast(centers_mat)
+
+    def assign_cells(batches):
+        cm = bc_centers.value
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ||x-c||² argmin via the expansion -2x·c + ||c||² (||x||² constant per row)
+            scores = m @ cm.T - 0.5 * (cm * cm).sum(axis=1)[None, :]
+            pdf = pdf.copy()
+            pdf["_cell"] = scores.argmax(axis=1).astype(np.int32)
+            yield pdf
+
+    assigned_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields]
+        + ["_cell int"]
+    )
+    assigned = ensure_parallelism(corpus).mapInPandas(assign_cells, assigned_schema)
+
+    q = queries
 
     def probe_cells(batches):
-        import pandas as pd
-
+        cm = bc_centers.value
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                v = np.asarray(r[vec_col], dtype=np.float64)
-                d = ((centers_mat - v) ** 2).sum(axis=1)
-                for cell in np.argsort(d, kind="stable")[:n_probe]:
-                    rows.append({query_id: r[query_id], "_cell": int(cell)})
-            yield pd.DataFrame(rows, columns=[query_id, "_cell"])
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                - 2.0 * (m @ cm.T)
+                + (cm * cm).sum(axis=1)[None, :]
+            )
+            top = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            qids = pdf[query_id].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, n_probe),
+                    "_cell": top.reshape(-1).astype(np.int32),
+                }
+            )
 
-    probes = q.drop("_features").mapInPandas(
+    probes = q.select(query_id, vec_col).mapInPandas(
         probe_cells, f"{query_id} long, _cell int"
     ).join(queries.select(F.col(query_id), F.col(vec_col).alias("_qvec")), query_id)
 
