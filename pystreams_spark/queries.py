@@ -1077,12 +1077,15 @@ def embedding_norms_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("minhash_neardup_candidates")
 def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH near-dup candidates (seeded, approximate → rows-only;
-    unit tests compare its recall against exact Jaccard)."""
-    from .operators.dedup import minhash_candidates
+    """MinHash LSH near-dup candidates (seeded, approximate → rows-only;
+    unit tests compare recall against exact Jaccard). Runs the Arrow-
+    kernel implementation with ml-lib MinHashLSH's width-1-band
+    semantics; the pyspark.ml-backed ``minhash_candidates`` operator
+    stays available for API parity and is unit-tested at small scale."""
+    from .operators.dedup import minhash_candidates_fast
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_candidates(d, threshold=0.1).orderBy("id_a", "id_b")
+    return minhash_candidates_fast(d, threshold=0.1).orderBy("id_a", "id_b")
 
 
 @query("simhash_neardup_candidates")

@@ -118,6 +118,23 @@ def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
         assert recall >= 0.8, f"minhash recall too low: {recall}"
 
 
+def test_minhash_fast_recall_and_threshold(spark, sf_dir):
+    from pystreams_spark.operators.dedup import minhash_candidates_fast
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.4, n=3).collect()
+    }
+    rows = minhash_candidates_fast(docs, threshold=0.3, n=3).collect()
+    cand = {(r.id_a, r.id_b) for r in rows}
+    # every reported pair really is ≥ threshold (verify stage is exact)
+    assert all(r.est_jaccard >= 0.3 for r in rows)
+    if exact:
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.8, f"fast minhash recall too low: {recall}"
+
+
 def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
@@ -149,6 +166,12 @@ def test_cc_keep_min_survivors(spark):
     ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], "doc_id long")
     got = {r.doc_id: r.cluster_id for r in cc_keep_min(pairs, ids).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    # big-graph path (label propagation) must agree with union-find path
+    got_lp = {
+        r.doc_id: r.cluster_id
+        for r in cc_keep_min(pairs, ids, small_graph_edges=0).collect()
+    }
+    assert got_lp == got
 
 
 def test_exact_dedup_hashed_equals_plain(spark, sf_dir):
