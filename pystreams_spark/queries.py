@@ -2552,3 +2552,37 @@ def seeded_random_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "pandas_api_segment_stats",
+    oracle="""
+    SELECT c_mktsegment, n, avg_bal FROM (
+        SELECT c_mktsegment, COUNT(*) AS n,
+               ROUND(AVG(c_acctbal), 2) AS avg_bal
+        FROM customer GROUP BY c_mktsegment
+    ) ORDER BY c_mktsegment
+    """,
+)
+def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas-on-Spark compatibility layer (pyspark.pandas): the same
+    groupby/agg written in pandas idioms lowers to the identical Spark
+    plan — users migrating pandas pipelines keep their API and gain
+    distributed execution. The ps frame round-trips back to a DataFrame
+    for the oracle comparison."""
+    import pyspark.pandas as ps  # noqa: F401  (registers .pandas_api())
+
+    c = _t(spark, sf_dir, "customer")
+    pdf = c.pandas_api()
+    out = (
+        pdf.groupby("c_mktsegment")
+        .agg({"c_custkey": "count", "c_acctbal": "mean"})
+        .reset_index()
+    )
+    out.columns = ["c_mktsegment", "n", "avg_bal"]
+    out["avg_bal"] = out["avg_bal"].round(2)
+    return (
+        out.to_spark()
+        .select("c_mktsegment", F.col("n").cast("long").alias("n"), "avg_bal")
+        .orderBy("c_mktsegment")
+    )

@@ -259,6 +259,47 @@ class Stream:
         rdd = self.df.select(_col(col).alias("v")).rdd.map(lambda r: r["v"])
         return rdd.treeReduce(op)
 
+    def fold(self, col: Column | str, zero, op: Callable[[Any, Any], Any]):
+        """RDD `fold`: like reduce but with a zero element applied per
+        partition and at the final combine (Hadoop/RDD surface)."""
+        rdd = self.df.select(_col(col).alias("v")).rdd.map(lambda r: r["v"])
+        return rdd.fold(zero, op)
+
+    def tree_aggregate(
+        self,
+        zero,
+        seq_op: Callable[[Any, Any], Any],
+        comb_op: Callable[[Any, Any], Any],
+        depth: int = 2,
+    ):
+        """RDD `treeAggregate`: arbitrary (zero, seqOp over Rows, combOp)
+        with multi-level combining, so the driver merges O(sqrt(P))
+        partials instead of P at high partition counts — the global
+        cousin of aggregate_by_key's per-key fold."""
+        return self.df.rdd.treeAggregate(zero, seq_op, comb_op, depth)
+
+    def accumulate(self, fn: Callable[[Any], float]):
+        """Hadoop-counter-style accumulator terminal: runs ``fn(row)``
+        per row across executors, summing the returned numbers into a
+        Spark accumulator; returns the total. Side-channel metrics that
+        don't disturb the main result (the RDD accumulator surface)."""
+        acc = self.df.sparkSession.sparkContext.accumulator(0.0)
+        self.df.foreach(lambda row, _acc=acc, _fn=fn: _acc.add(_fn(row)))
+        return acc.value
+
+    def map_batches_with(self, value, fn: Callable, schema) -> "Stream":
+        """Broadcast-variable sugar: ``value`` is broadcast once per
+        executor (not pickled per task); ``fn(pdf, value)`` maps each
+        Arrow batch with the shared read-only value — the RDD
+        ``broadcast()`` idiom on the DataFrame fast path."""
+        bc = self.df.sparkSession.sparkContext.broadcast(value)
+
+        def runner(batches):
+            for pdf in batches:
+                yield fn(pdf, bc.value)
+
+        return Stream(self.df.mapInPandas(runner, schema))
+
     def any(self, predicate: Column | str) -> bool:
         """Early-out existence check: LIMIT 1 stops the scan at the first
         match instead of counting everything."""

@@ -172,3 +172,35 @@ def test_seeded_rand_reproducible(spark, sf_dir):
     a = QUERIES["seeded_random_tags"](spark, sf_dir).collect()
     b = QUERIES["seeded_random_tags"](spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_fold_and_tree_aggregate(s):
+    assert s.fold("x", 0, lambda a, b: a + b) == sum(XS)
+    # treeAggregate computing (sum, count) with arbitrary zero/ops
+    total, n = s.tree_aggregate(
+        (0, 0),
+        lambda acc, row: (acc[0] + row["x"], acc[1] + 1),
+        lambda a, b: (a[0] + b[0], a[1] + b[1]),
+    )
+    assert (total, n) == (sum(XS), len(XS))
+
+
+def test_accumulate_counter(s):
+    # Hadoop-counter idiom: count negatives via accumulator side-channel
+    assert s.accumulate(lambda row: 1 if row["x"] < 0 else 0) == len(
+        [x for x in XS if x < 0]
+    )
+
+
+def test_map_batches_with_broadcast(s):
+    lookup = {x: x * 10 for x in range(-100, 101)}
+
+    def apply(pdf, table):
+        pdf = pdf.copy()
+        pdf["y"] = pdf["x"].map(table)
+        return pdf
+
+    got = sorted(
+        r.y for r in s.map_batches_with(lookup, apply, "x long, y long").collect()
+    )
+    assert got == sorted(x * 10 for x in XS)
