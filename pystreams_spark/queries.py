@@ -2586,3 +2586,68 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.col("n").cast("long").alias("n"), "avg_bal")
         .orderBy("c_mktsegment")
     )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) * 2
+             + CAST(GROUPING(l_linestatus) AS INT) AS gid,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    ORDER BY gid, rf, ls
+"""
+
+
+@query("grouping_sets_revenue", oracle=_GROUPING_SETS_SQL)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (§2.D multi-level aggregates beyond
+    rollup/cube): three chosen levels in one pass — Spark expands the
+    sets into a single Expand+HashAggregate, no triple scan. The same
+    SQL text runs on Spark and the oracle."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query("hll_sketch_rollup")
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (§2.D scale path): per-event-type Datasketches
+    HLL of user_id, then hll_union_agg merges the per-group sketches into
+    the global estimate WITHOUT rescanning — the 100 TB rollup pattern
+    (keep sketches per partition/day, union for any coarser grain).
+    Sketch bytes are engine-specific → rows-only; each row carries the
+    exact distinct count and the relative error as self-check columns,
+    so a regression shows up as changed rows, not silent drift."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("_sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    per_row = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("_sk").alias("est_users"),
+        "exact_users",
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("est_users"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "est_users",
+        F.lit(None).cast("long").alias("exact_users"),
+    )
+    total = total.crossJoin(
+        ev.agg(F.count_distinct("user_id").alias("_ex"))
+    ).select("event_type", "est_users", F.col("_ex").alias("exact_users"))
+    return (
+        per_row.unionByName(total)
+        .withColumn(
+            "rel_err_ok",
+            (
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                / F.col("exact_users")
+            )
+            < 0.05,
+        )
+        .orderBy("event_type")
+    )

@@ -221,3 +221,38 @@ def test_stream_stream_join_matches_batch(spark, stream_src):
     )
     got, expected = key(spark.table("t_ss_join")), key(batch)
     assert got == expected and len(got) > 0
+
+
+def test_rate_micro_batch_source(spark):
+    """The rate-micro-batch source works offline: deterministic
+    rowsPerBatch, so a bounded number of micro-batches yields an exact
+    row count — the no-network stand-in for kafka/rate smoke tests."""
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 50)
+        .option("numPartitions", 2)
+        .load()
+        .withColumn("bucket", F.col("value") % 10)
+    )
+    q = (
+        stream.groupBy("bucket")
+        .count()
+        .writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("t_rate").count()
+            if n >= 10:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = {r.bucket for r in spark.table("t_rate").collect()}
+    assert rows == set(range(10))
