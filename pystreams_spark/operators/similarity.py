@@ -32,8 +32,11 @@ def knn_exact(
     corpus_vec: str = "embedding",
     score_col: str = "score",
     round_to: int | None = 6,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Brute-force cosine top-k per query.
+    """Brute-force top-k per query — cosine (descending score) or
+    ``metric="l2"`` euclidean (ascending distance, the ground truth for
+    BucketedRandomProjectionLSH).
 
     ``queries`` must be small (it is broadcast); ``corpus`` may be
     arbitrarily large — it is scanned once, never shuffled. Determinism:
@@ -54,7 +57,22 @@ def knn_exact(
         as_double(corpus_vec).alias("_cvec"),
         l2_norm(corpus_vec).alias("_cnorm"),
     )
-    score = dot(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm"))
+    if metric == "l2":
+        # ||x-y||² = ||x||² - 2x·y + ||y||² — reuses the precomputed norms
+        score = F.sqrt(
+            F.greatest(
+                F.col("_qnorm") * F.col("_qnorm")
+                - 2.0 * dot(F.col("_qvec"), F.col("_cvec"))
+                + F.col("_cnorm") * F.col("_cnorm"),
+                F.lit(0.0),
+            )
+        )
+        order = [F.asc(score_col), F.asc(corpus_id)]
+    else:
+        score = dot(F.col("_qvec"), F.col("_cvec")) / (
+            F.col("_qnorm") * F.col("_cnorm")
+        )
+        order = [F.desc(score_col), F.asc(corpus_id)]
     if round_to is not None:
         score = F.round(score, round_to)
     joined = c.crossJoin(F.broadcast(q)).select(
@@ -62,8 +80,34 @@ def knn_exact(
         F.col(corpus_id),
         score.alias(score_col),
     )
-    return top_k_per_group(
-        joined, [query_id], [F.desc(score_col), F.asc(corpus_id)], k=k
+    return top_k_per_group(joined, [query_id], order, k=k)
+
+
+def annotate_recall_vs_exact(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Self-check columns for approximate kNN: flag each approx row as
+    in/out of the exact top-k and attach the per-query recall@k. A
+    recall regression then changes visible row values in rows-only
+    correctness checks instead of drifting silently. ``exact`` is tiny
+    (n_queries × k) and broadcast — the check never reshuffles the
+    approx side."""
+    hits = exact.select(query_id, corpus_id).withColumn("_hit", F.lit(1))
+    w = Window.partitionBy(query_id)
+    return (
+        approx.join(F.broadcast(hits), [query_id, corpus_id], "left")
+        .withColumn("in_exact_topk", F.col("_hit").isNotNull())
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.sum(F.col("_hit").isNotNull().cast("int")).over(w) / F.lit(k), 4
+            ),
+        )
+        .drop("_hit")
     )
 
 

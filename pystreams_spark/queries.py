@@ -1100,28 +1100,44 @@ def simhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_lsh_approx")
 def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via BucketedRandomProjectionLSH (seeded)."""
-    from .operators.similarity import knn_lsh
+    """Approximate kNN via BucketedRandomProjectionLSH (seeded).
+    Carries in_exact_topk / recall_at_k self-check columns (vs exact
+    euclidean top-k) so rows-only checks surface recall drift."""
+    from .operators.similarity import annotate_recall_vs_exact, knn_exact, knn_lsh
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") >= 5)
-    return knn_lsh(q, c, k=10).orderBy("query_id", "dist", "vec_id")
+    approx = knn_lsh(q, c, k=10)
+    exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
+    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+        "query_id", "dist", "vec_id"
+    )
 
 
 @query("knn_ivf_approx")
 def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate kNN (sampled centroids, n_probe cells)."""
-    from .operators.similarity import knn_ivf
+    """IVF-bucketed approximate kNN (sampled centroids, n_probe of
+    n_cells probed). Self-check columns flag rows vs the exact cosine
+    top-k. NOTE the fixture embeddings are uniform random (no cluster
+    structure — measured same-label vs cross-label mean cosine 0.002 vs
+    0.000), so IVF recall here is bounded by the probed fraction
+    (4/16); on real clustered embeddings recall concentrates far above
+    that bound."""
+    from .operators.similarity import annotate_recall_vs_exact, knn_exact, knn_ivf
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") >= 5)
-    return knn_ivf(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
+    approx = knn_ivf(q, c, k=10, n_probe=4)
+    exact = knn_exact(q, c, k=10)
+    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+        "query_id", F.desc("score"), "vec_id"
+    )
 
 
 @query("doc_fingerprints")
@@ -2308,9 +2324,12 @@ def price_neighborhood_range_frame(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query("knn_ivf_kmeans")
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with KMeans-trained centroids (pyspark.ml, seeded):
-    higher-recall cells than sampled centroids; the train step runs once
-    and amortizes over all queries. Approximate → rows-only."""
+    """IVF ANN with KMeans-trained centroids (seeded): higher-recall
+    cells than sampled centroids when the data clusters; the train step
+    runs once and amortizes over all queries. Approximate → rows-only.
+    Self-check columns flag rows vs the exact cosine top-k (see the
+    uniform-fixture recall caveat on knn_ivf_approx)."""
+    from .operators.similarity import annotate_recall_vs_exact, knn_exact
     from .operators.similarity import knn_ivf_kmeans as op
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2318,7 +2337,11 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") >= 5)
-    return op(q, c, k=10).orderBy("query_id", F.desc("score"), "vec_id")
+    approx = op(q, c, k=10, n_probe=4)
+    exact = knn_exact(q, c, k=10)
+    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+        "query_id", F.desc("score"), "vec_id"
+    )
 
 
 @query(

