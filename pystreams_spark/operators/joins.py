@@ -141,3 +141,30 @@ def interval_join(
         F.col(left_time) <= F.col(right_end)
     )
     return lb.join(rb, on + ["_bucket"]).filter(cond).drop("_bucket")
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """MERGE INTO semantics as a pure DataFrame op (no table format
+    needed): update rows overwrite matching base rows by key, unmatched
+    update rows are inserted, unmatched base rows pass through —
+    exactly a FULL OUTER JOIN with COALESCE(update, base) per column.
+
+    ``updates`` must share the base schema. This is the shuffle-on-key
+    plan Delta/Iceberg MERGE executes underneath (minus their
+    transaction log); at 100 TB both sides hash-partition on the key,
+    and a broadcast hint on a small ``updates`` side removes the big
+    shuffle entirely.
+    """
+    b, u = base.alias("b"), updates.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}") == F.col(f"u.{k}")
+        cond = c if cond is None else (cond & c)
+    return b.join(u, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in base.columns
+        ]
+    )

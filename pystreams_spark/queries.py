@@ -2674,3 +2674,55 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    m AS (
+        SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+               COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+               COALESCE(u.o_totalprice, b.o_totalprice) AS o_totalprice
+        FROM orders b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (§2.C relational completeness): a deterministic
+    update set (every 10th order repriced 2x) plus an insert set (every
+    17th order cloned under a new key, status 'N') merged into orders
+    via the merge_upsert operator; aggregated by status to keep the
+    oracle comparison small. The oracle states the same FULL OUTER
+    JOIN + COALESCE semantics in SQL."""
+    from .operators.joins import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    repriced = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 17 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    updates = repriced.unionByName(inserts)
+    merged = merge_upsert(o, updates, keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

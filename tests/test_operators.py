@@ -349,3 +349,16 @@ def test_annotate_recall_vs_exact_identity(spark, sf_dir):
     # l2 metric agrees with a naive euclidean computation on one query
     l2 = knn_exact(q.limit(1), c, k=3, metric="l2", score_col="dist").collect()
     assert [round(r.dist, 4) for r in l2] == sorted(round(r.dist, 4) for r in l2)
+
+
+def test_merge_upsert_semantics(spark):
+    from pystreams_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
