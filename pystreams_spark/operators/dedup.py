@@ -241,10 +241,12 @@ def simhash_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs = docs sharing any 16-bit band of their
     simhash (≈ hamming distance ≤ 3·16 guaranteed recall band trick).
-    Shuffles (band_id, band_value) keys only."""
+    Shuffles (band_id, band_value) keys only. Each pair carries its
+    signature ``hamming`` distance as a self-check column — quality
+    drift shows up as changed values in rows-only checks."""
     sig = ensure_parallelism(df).select(
         F.col(id_col), simhash_from_text_udf(n)(F.col(text_col)).alias("_sig")
-    )
+    ).localCheckpoint(eager=True)
     band_width = 64 // bands
     banded = sig.select(
         id_col,
@@ -265,12 +267,23 @@ def simhash_candidates(
     other = banded.select(
         F.col(id_col).alias("id_b"), F.col("band"), F.col("val")
     )
-    return (
+    pairs = (
         banded.withColumnRenamed(id_col, "id_a")
         .join(other, ["band", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+        )
     )
 
 
