@@ -78,3 +78,27 @@ def test_repartition_by_range_sorted_write(spark, sf_dir, tmp_path):
     )
     back = spark.read.parquet(path)
     assert back.count() == li.count()
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a filter on the DIM side of a join prunes partitions of the
+    partitioned FACT at runtime — at 100 TB this is the difference
+    between scanning one status partition and scanning the table when
+    the selective predicate lives on the dimension."""
+    o = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part_status")
+    write_parquet(o, path, partition_by=["o_orderstatus"])
+    fact = spark.read.parquet(path)
+
+    # the dim filter must be on a NON-join column, so the surviving
+    # status values are only known at runtime — a static filter on the
+    # join key would be constraint-propagated without DPP
+    status_counts = o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+    n_max = status_counts.agg(F.max("n")).collect()[0][0]
+    dim = status_counts.filter(F.col("n") == n_max)
+
+    joined = fact.join(F.broadcast(dim), "o_orderstatus")
+    plan = executed_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    expected = o.join(dim.select("o_orderstatus"), "o_orderstatus").count()
+    assert joined.count() == expected
