@@ -1530,13 +1530,22 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (the approx variant is the
     rows-only query 'approx_sketches')."""
     li = _t(spark, sf_dir, "lineitem")
+    # one percentile buffer for all three quantity cut-points (array
+    # form) instead of three independent sort-buffers per group
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
-            F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("_p"),
             F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_p")[0], 6).alias("p25"),
+            F.round(F.col("_p")[1], 6).alias("p50"),
+            F.round(F.col("_p")[2], 6).alias("p75"),
+            "price_p90",
         )
         .orderBy("l_returnflag")
     )

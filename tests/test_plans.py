@@ -123,3 +123,18 @@ def test_cartesian_products_only_where_designed(spark, sf_dir):
             continue
         plan = executed_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} has an undeclared cartesian"
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """Physical join strategy is controllable per-join: broadcast,
+    shuffle_hash, and merge hints each produce their operator — the
+    knob that matters when AQE's estimates are wrong at scale."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.plans.introspect import executed_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    on = o.o_custkey == c.c_custkey
+    assert "BroadcastHashJoin" in executed_plan(o.join(c.hint("broadcast"), on))
+    assert "ShuffledHashJoin" in executed_plan(o.join(c.hint("shuffle_hash"), on))
+    assert "SortMergeJoin" in executed_plan(o.join(c.hint("merge"), on))
