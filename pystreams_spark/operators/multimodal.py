@@ -142,4 +142,7 @@ def media_stats(df: DataFrame, meta_col: str = "meta") -> DataFrame:
     return df.groupBy(F.col(f"{meta_col}.mime").alias("mime")).agg(
         F.count(F.lit(1)).alias("n"),
         F.avg(F.col(f"{meta_col}.width").cast("double")).alias("avg_width"),
+        F.avg(F.col(f"{meta_col}.duration_ms").cast("double")).alias(
+            "avg_duration_ms"
+        ),
     )

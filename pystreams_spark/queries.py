@@ -2735,3 +2735,59 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "multimodal_meta_stats",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN lang IN ('en', 'de') THEN 'image/png'
+                    ELSE 'video/mp4' END AS mime,
+               (n_chars % 640) + 64 AS width,
+               CASE WHEN lang IN ('en', 'de') THEN NULL
+                    ELSE (n_chars % 9000) + 1000 END AS duration_ms
+        FROM documents
+    )
+    SELECT mime, COUNT(*) AS n,
+           ROUND(AVG(width), 4) AS avg_width,
+           ROUND(AVG(duration_ms), 4) AS avg_duration_ms
+    FROM media GROUP BY mime ORDER BY mime
+    """,
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal columns (§2.K): a media table in the engine's canonical
+    layout — opaque binary payload + typed metadata struct — built
+    deterministically from documents (payload = utf-8 bytes; mime/width/
+    duration derived from doc fields). The aggregate reads ONLY the
+    metadata struct, so Catalyst prunes the payload bytes out of the
+    scan entirely — the property that makes 100 TB multimodal corpora
+    queryable. The oracle states the same derivation over the scalar
+    columns."""
+    from .operators.multimodal import media_stats
+
+    d = _t(spark, sf_dir, "documents")
+    is_img = F.col("lang").isin("en", "de")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("uri"),
+            F.when(is_img, "image/png").otherwise("video/mp4").alias("mime"),
+            ((F.col("n_chars") % 640) + 64).cast("int").alias("width"),
+            ((F.col("doc_id") % 480) + 16).cast("int").alias("height"),
+            F.when(is_img, F.lit(None).cast("long"))
+            .otherwise(((F.col("n_chars") % 9000) + 1000).cast("long"))
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return (
+        media_stats(media)
+        .select(
+            "mime",
+            "n",
+            F.round("avg_width", 4).alias("avg_width"),
+            F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
+        )
+        .orderBy("mime")
+    )
