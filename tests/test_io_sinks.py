@@ -102,3 +102,30 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     expected = o.join(dim.select("o_orderstatus"), "o_orderstatus").count()
     assert joined.count() == expected
+
+
+def test_json_corrupt_record_handling(spark, tmp_path):
+    """PERMISSIVE ingestion: malformed JSON lines land in the corrupt-
+    record column instead of failing the 100 TB job; DROPMALFORMED
+    silently drops them."""
+    p = tmp_path / "messy.json"
+    p.write_text('{"k": 1, "v": "a"}\n{"k": bad\n{"k": 3, "v": "c"}\n')
+    schema = "k long, v string, _corrupt_record string"
+    df = (
+        spark.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()
+    )
+    try:
+        ok = df.filter(F.col("_corrupt_record").isNull()).count()
+        bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        assert (ok, bad) == (2, 1)
+    finally:
+        df.unpersist()
+    dropped = (
+        spark.read.schema("k long, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(p))
+    )
+    assert dropped.count() == 2

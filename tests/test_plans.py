@@ -138,3 +138,18 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     assert "BroadcastHashJoin" in executed_plan(o.join(c.hint("broadcast"), on))
     assert "ShuffledHashJoin" in executed_plan(o.join(c.hint("shuffle_hash"), on))
     assert "SortMergeJoin" in executed_plan(o.join(c.hint("merge"), on))
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE is not just enabled but engaged: a small aggregate's shuffle
+    read coalesces the static 32 partitions down to match actual data —
+    the runtime re-plan that keeps reducer counts sane from sf0.001 to
+    100 TB without retuning spark.sql.shuffle.partitions."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.plans.introspect import executed_plan
+
+    n = load_table(spark, sf_dir, "nation")
+    agg = n.groupBy("n_regionkey").count()
+    agg.collect()  # materialize so AQE finalizes the plan
+    plan = executed_plan(agg)
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
