@@ -256,3 +256,39 @@ def test_rate_micro_batch_source(spark):
         q.stop()
     rows = {r.bucket for r in spark.table("t_rate").collect()}
     assert rows == set(range(10))
+
+
+def test_streaming_dedup_rocksdb_state_store(spark, stream_src, tmp_path):
+    """Same dedup, RocksDB state store: keyed state lives off-heap on
+    local disk with incremental checkpoints — the state backend that
+    holds billion-key dedup state at corpus scale, vs the default
+    in-memory HDFS-backed provider."""
+    path, ev = stream_src
+    doubled = ev.unionByName(ev)
+    dup_path = str(tmp_path / "dup_events_rocks")
+    doubled.repartition(2).write.mode("overwrite").parquet(dup_path)
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = events_file_stream(spark, dup_path, ev.schema)
+        deduped = streaming_dedup(stream, ["event_id"], watermark="10 minutes")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("t_dedup_rocks")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert spark.table("t_dedup_rocks").count() == ev.count()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
