@@ -335,8 +335,9 @@ def cc_keep_min(
     the dup graph (always orders of magnitude smaller than the corpus):
     one count of the deduped edge list decides between (a) small graph →
     union-find in a single executor task (2 jobs total), or (b) big
-    graph → iterative min-label propagation, one shuffle per round,
-    converging in ≤ log₂(diameter) rounds. Both run fully executor-side.
+    graph → iterative min-label propagation with pointer jumping
+    (label-of-label compression), converging in O(log diameter) rounds
+    of two shuffling joins each. Both run fully executor-side.
     Returns (id, cluster_id); survivors are rows with id == cluster_id.
     """
     edges = (
@@ -362,28 +363,46 @@ def cc_keep_min(
             isolated.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
         )
     labels = edge_nodes.select("node", F.col("node").alias("label"))
-    for _ in range(20):  # 2^20 diameter bound; real dup clusters are tiny
+    # Each round: (1) adopt the min label among self+neighbors (moves
+    # labels ONE hop along edges), then (2) pointer-jump — adopt the
+    # label OF the label node (halves remaining chain length). Without
+    # step 2 a round cap of R only handles diameter ≤ R; with it,
+    # reachable distance compounds geometrically, so 20 rounds cover
+    # any realistic dup-chain diameter (~2^20).
+    for _ in range(20):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry the old label through the join so the convergence check
+        # carry the old label through the joins so the convergence check
         # reads the checkpointed blocks instead of re-running the round's
         # joins as a second job (was: separate new-vs-old join + count)
-        stepped = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        jump_to = stepped.select(
+            F.col("node").alias("_jnode"), F.col("label").alias("_jlabel")
+        )
+        jumped = (
+            stepped.join(jump_to, stepped.label == jump_to._jnode, "left")
             .select(
                 "node",
-                F.col("label").alias("_old"),
+                "_old",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"), F.coalesce("_jlabel", F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
-        labels = stepped.drop("_old")
+        changed = jumped.filter(F.col("label") != F.col("_old")).limit(1).count()
+        labels = jumped.drop("_old")
         if changed == 0:
             break
     edge_labels = labels.select(

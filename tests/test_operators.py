@@ -362,3 +362,19 @@ def test_merge_upsert_semantics(spark):
     )
     got = {r.k: (r.s, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_cc_long_chain_big_graph_path(spark):
+    """A 120-node path graph through the label-propagation path: pointer
+    jumping must collapse it well inside the 20-round cap (plain 1-hop
+    propagation would need 120 rounds and silently mis-cluster)."""
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in cc_keep_min(pairs, ids, small_graph_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
