@@ -2791,3 +2791,28 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+_BIG_SPENDERS_SQL = """
+    WITH spend AS (
+        SELECT o_custkey, SUM(o_totalprice) AS s
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_big_spenders,
+           ROUND(SUM(spend.s), 2) AS segment_spend
+    FROM customer c JOIN spend ON c.c_custkey = spend.o_custkey
+    WHERE spend.s > (SELECT 2 * AVG(s) FROM spend)
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@query("scalar_subquery_big_spenders", oracle=_BIG_SPENDERS_SQL)
+def scalar_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (§2.C/D relational completeness): the threshold
+    (2x average customer spend) is a one-row subquery Catalyst plans as
+    its own stage and broadcasts into the filter — no driver round-trip,
+    no collect. Identical SQL text runs on the oracle."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_BIG_SPENDERS_SQL)
