@@ -2816,3 +2816,52 @@ def scalar_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_BIG_SPENDERS_SQL)
+
+
+@query(
+    "doc_repetition_by_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+        FROM documents
+    ),
+    r AS (
+        SELECT lang,
+               1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                     / GREATEST(len(t), 1) AS rep
+        FROM toks
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(rep), 6) AS avg_repetition,
+           ROUND(MAX(rep), 6) AS max_repetition,
+           CAST(SUM(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def doc_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality signal (Gopher-style repetition filter):
+    per-doc duplicate-token ratio 1 - |distinct|/|tokens| in pure Column
+    algebra (split/array_distinct/size — one narrow pass, codegen'd),
+    aggregated per language with a high-repetition count that a
+    filtering pipeline would threshold on."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    rep = 1.0 - F.size(F.array_distinct(t)).cast("double") / F.greatest(
+        F.size(t), F.lit(1)
+    )
+    return (
+        d.select("lang", rep.alias("rep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("rep"), 6).alias("avg_repetition"),
+            F.round(F.max("rep"), 6).alias("max_repetition"),
+            F.sum(F.when(F.col("rep") > 0.5, 1).otherwise(0)).alias(
+                "n_high_repetition"
+            ),
+        )
+        .orderBy("lang")
+    )
