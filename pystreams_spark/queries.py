@@ -1100,17 +1100,20 @@ def simhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("knn_lsh_approx")
 def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN via BucketedRandomProjectionLSH (seeded).
+    """Approximate kNN via random-projection (Euclidean) LSH — seeded,
+    same hash family as BucketedRandomProjectionLSH, executed on the
+    engine's kernel path (``knn_lsh_fast``; the pyspark.ml-backed
+    ``knn_lsh`` operator stays available and unit-tested for parity).
     Carries in_exact_topk / recall_at_k self-check columns (vs exact
     euclidean top-k) so rows-only checks surface recall drift."""
-    from .operators.similarity import annotate_recall_vs_exact, knn_exact, knn_lsh
+    from .operators.similarity import annotate_recall_vs_exact, knn_exact, knn_lsh_fast
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c = e.filter(F.col("vec_id") >= 5)
-    approx = knn_lsh(q, c, k=10)
+    approx = knn_lsh_fast(q, c, k=10)
     exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
     return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
         "query_id", "dist", "vec_id"

@@ -157,6 +157,20 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
+    # kernel-path variant: same hash family, same contract, must reach
+    # the same recall bar and return sane distances
+    from pystreams_spark.operators.similarity import knn_lsh_fast
+
+    fast_rows = knn_lsh_fast(q, c, k=10, num_hash_tables=5, bucket_length=4.0).collect()
+    fast = {(r.query_id, r.vec_id) for r in fast_rows}
+    fast_recall = len(exact & fast) / len(exact)
+    assert fast_recall >= 0.6, f"fast LSH recall too low: {fast_recall}"
+    assert all(r.dist >= 0 for r in fast_rows)
+    per_q: dict = {}
+    for r in fast_rows:
+        per_q.setdefault(r.query_id, []).append(r.dist)
+    assert all(ds == sorted(ds) for ds in per_q.values())
+
 
 def test_cc_keep_min_survivors(spark):
     # chain 1-2-3, pair 10-11, singleton 20
