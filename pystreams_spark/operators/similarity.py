@@ -365,6 +365,50 @@ def knn_ivf(
     )
 
 
+def nearest_centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Nearest-centroid classifier over an embedding column, fully
+    declarative (oracle-checkable — no RNG, no UDF):
+
+    1. centroid per label: posexplode → partial-aggregated AVG per
+       (label, position) → rebuild the ordered centroid array. At
+       100 TB this is one shuffle keyed on (label, position) with
+       map-side partial sums — never a driver collect.
+    2. classify: the centroid table (|labels| rows) is BROADCAST; each
+       vector scores against every centroid (cosine, Column algebra)
+       and keeps the top-1 by (score desc, label asc).
+
+    Returns (id, label, predicted, score) — one row per input vector.
+    """
+    pos = df.select(label_col, F.posexplode(vec_col).alias("_pos", "_val"))
+    cents = (
+        pos.groupBy(label_col, "_pos")
+        .agg(F.avg("_val").alias("_c"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("_centroid")
+        )
+        .select(F.col(label_col).alias("predicted"), "_centroid")
+    )
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        label_col,
+        "predicted",
+        F.round(cosine(vec_col, "_centroid"), round_to).alias("score"),
+    )
+    return top_k_per_group(
+        scored, [id_col], [F.desc("score"), F.asc("predicted")], k=1
+    )
+
+
 def cosine_pairs_above(
     df: DataFrame,
     threshold: float,

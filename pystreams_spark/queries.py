@@ -1051,6 +1051,59 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "centroid_classifier_confusion",
+    oracle="""
+    WITH pos AS (
+        SELECT label, i, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings
+        CROSS JOIN generate_series(1, 256) AS t(i)  -- constant bound (DuckDB
+        -- generate_series takes constants only); guard trims to true length
+        WHERE i <= len(embedding)
+    ),
+    cents AS (
+        SELECT label AS predicted, list(c ORDER BY i) AS centroid
+        FROM (SELECT label, i, AVG(val) AS c FROM pos GROUP BY label, i)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.predicted,
+               ROUND(
+                 list_sum(list_transform(list_zip(e.embedding, c.centroid),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * SQRT(list_sum(list_transform(c.centroid, x -> x * x)))),
+               6) AS score
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    pred AS (
+        SELECT label, predicted,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score DESC, predicted) AS rn
+        FROM scored
+    )
+    SELECT label, predicted, COUNT(*) AS n
+    FROM pred WHERE rn = 1
+    GROUP BY label, predicted
+    ORDER BY label, predicted
+    """,
+)
+def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification of every embedding against the
+    per-label mean vectors, reported as a confusion matrix. Centroids
+    are built distributively (posexplode → (label, position) partial
+    AVG → ordered array rebuild) and broadcast for the classify pass —
+    the embedding table itself is scanned once and never shuffled."""
+    from .operators.similarity import nearest_centroid_classify
+
+    e = _t(spark, sf_dir, "embeddings")
+    pred = nearest_centroid_classify(e)
+    return (
+        pred.groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "predicted")
+    )
+
+
+@query(
     "embedding_norms_top20",
     oracle="""
     SELECT vec_id, label,
