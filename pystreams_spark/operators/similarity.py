@@ -365,6 +365,96 @@ def knn_ivf(
     )
 
 
+def cosine_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.85,
+    bits_per_band: int = 10,
+    bands: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup pairs at corpus scale: sign-random-projection
+    (hyperplane) LSH candidates → exact-cosine verification.
+
+    A vector's signature is ``bands × bits_per_band`` hyperplane signs
+    (sign(x·g)); two vectors are candidates iff some band's bits all
+    agree. P[bit agrees] = 1 − θ/π, so with the defaults (6 bands of 10
+    bits) a cos ≥ 0.95 pair is caught with ~92% probability, a true
+    duplicate (cos ≥ 0.99) with ~99.98%, while a random orthogonal pair
+    collides only ~0.6% of the time — the subquadratic regime. (For the
+    uniform-noise regime around cos 0.4 no hyperplane parameterization
+    is subquadratic; that's what the exact blocked-matmul
+    ``cosine_pairs_above`` is for.)
+
+    Plan shape mirrors ``minhash_candidates_fast``: one narrow kernel
+    pass computes band signatures (a matmul + bit-pack per Arrow
+    batch), the only corpus-scale shuffle is the (band, sig) equi-join,
+    and verification joins vectors for candidate pairs only (candidate
+    list broadcast). Verified scores are exact → precision 1.0 by
+    construction; recall is probabilistic (unit-tested on planted
+    duplicates). Approximate → rows-only checked.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _banded_candidate_pairs
+
+    n_bits = bands * bits_per_band
+    # projection matrix is (n_bits × dim); built lazily per worker from
+    # the seed once the batch reveals dim — deterministic everywhere,
+    # and the operator works for any embedding width without a driver pass
+    state = {"proj": None}
+
+    def band_sigs(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if state["proj"] is None or state["proj"].shape[1] != m.shape[1]:
+                r = np.random.RandomState(seed)
+                state["proj"] = r.normal(size=(n_bits, m.shape[1]))
+            bits = (m @ state["proj"].T) > 0  # (n, n_bits)
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))[None, None, :]
+            sigs = (
+                bits.reshape(len(m), bands, bits_per_band).astype(np.int64) * weights
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "_bands": list(sigs),
+                }
+            )
+
+    sigs = ensure_parallelism(df).mapInPandas(
+        band_sigs, f"{id_col} long, _bands array<long>"
+    )
+    cands = _banded_candidate_pairs(sigs, id_col=id_col)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = a.join(F.broadcast(cands), "id_a").join(b, "id_b")
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            s = np.round(
+                (va * vb).sum(axis=1)
+                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
+                6,
+            )
+            keep = s >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "score": s[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, "id_a long, id_b long, score double")
+
+
 def nearest_centroid_classify(
     df: DataFrame,
     id_col: str = "vec_id",

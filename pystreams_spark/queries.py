@@ -1103,6 +1103,37 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("embedding_neardup_lsh")
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup at corpus scale, validated on
+    planted duplicates: 50 seeded jittered copies (cos ≈ 0.999) are
+    unioned into the corpus; the LSH pipeline (sign signatures → band
+    join → exact-cosine verify ≥ 0.9) must recover them. The
+    ``is_planted`` column makes recall regressions visible as changed
+    row values in the rows-only check. The uniform fixture itself has
+    no cos ≥ 0.9 pairs, so planted rows are exactly the signal.
+    Deterministic jitter (sin of id·position) — no RNG anywhere."""
+    from .operators.similarity import cosine_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    jitter = (
+        e.filter(F.col("vec_id") < 50)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x, i: x + 0.01 * F.sin(F.col("vec_id") * 64 + i),
+            ).cast("array<float>").alias("embedding"),
+            "label",
+        )
+    )
+    corpus = e.unionByName(jitter)
+    pairs = cosine_lsh_pairs(corpus, threshold=0.9)
+    return pairs.withColumn(
+        "is_planted", F.col("id_b") == F.col("id_a") + 1_000_000
+    ).orderBy("id_a", "id_b")
+
+
 @query(
     "embedding_norms_top20",
     oracle="""

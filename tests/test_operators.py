@@ -172,6 +172,30 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert all(ds == sorted(ds) for ds in per_q.values())
 
 
+def test_cosine_lsh_recovers_planted_duplicates(spark, sf_dir):
+    from pystreams_spark.operators.similarity import cosine_lsh_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + 0.01 * F.sin(F.col("vec_id") * 64 + i),
+        ).cast("array<float>").alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(planted)
+    rows = cosine_lsh_pairs(corpus, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    want = {(i, i + 1_000_000) for i in range(30)}
+    recall = len(got & want) / len(want)
+    # hyperplane LSH at cos≈0.999: each band agrees with prob ~0.92^8,
+    # any-of-8 ≈ 1 — recall must be perfect on planted dups
+    assert recall == 1.0, f"planted-dup recall: {recall}"
+    # precision: verify stage is exact, nothing below threshold survives
+    assert all(r.score >= 0.9 for r in rows)
+
+
 def test_cc_keep_min_survivors(spark):
     # chain 1-2-3, pair 10-11, singleton 20
     pairs = spark.createDataFrame(
