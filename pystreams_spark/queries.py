@@ -2623,6 +2623,49 @@ def facade_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "take_drop_while_orders",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS k FROM orders WHERE NOT (o_totalprice < 450000)
+    ),
+    tw AS (
+        SELECT COUNT(*) AS n_prefix,
+               ROUND(SUM(o_totalprice), 2) AS prefix_revenue,
+               MAX(o_orderkey) AS last_prefix_key
+        FROM orders, b WHERE b.k IS NULL OR o_orderkey < b.k
+    ),
+    dw AS (
+        SELECT COUNT(*) AS n_rest
+        FROM orders, b WHERE b.k IS NOT NULL AND o_orderkey >= b.k
+    )
+    SELECT n_prefix, prefix_revenue, last_prefix_key, n_rest FROM tw, dw
+    """,
+)
+def take_drop_while_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """java.util.stream takeWhile/dropWhile (JDK 9) on the facade:
+    longest prefix of orders (by o_orderkey) with o_totalprice < 450k,
+    and its complement. Executed as one partial-aggregated MIN of the
+    first failing key + a broadcast filter — no global sort, no window,
+    rows never shuffle (the single-task Window.orderBy alternative
+    would serialize the stream at 100 TB)."""
+    from .stream import Stream
+
+    o = _t(spark, sf_dir, "orders")
+    pred = F.col("o_totalprice") < 450000
+    s = Stream(o)
+    tw = (
+        s.take_while(pred, "o_orderkey")
+        .df.agg(
+            F.count(F.lit(1)).alias("n_prefix"),
+            F.round(F.sum("o_totalprice"), 2).alias("prefix_revenue"),
+            F.max("o_orderkey").alias("last_prefix_key"),
+        )
+    )
+    dw = s.drop_while(pred, "o_orderkey").df.agg(F.count(F.lit(1)).alias("n_rest"))
+    return tw.crossJoin(dw)
+
+
+@query(
     "salted_join_user_events",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(e.value), 4) AS total_value

@@ -154,6 +154,41 @@ class Stream:
     def distinct(self, subset: Sequence[str] | None = None) -> "Stream":
         return Stream(self.df.dropDuplicates(subset) if subset else self.df.distinct())
 
+    def _while_boundary(self, predicate: Column | str, order_key: Column | str):
+        """First order-key value (ascending) whose row FAILS the
+        predicate — the takeWhile/dropWhile cut point. One partial-
+        aggregated MIN, no global sort, no window: this is what keeps
+        the op parallel at 100 TB (a single-task Window.orderBy would
+        serialize the whole stream). Requires a unique order key
+        (encounter order must be a strict total order)."""
+        key = _col(order_key) if isinstance(order_key, str) else order_key
+        return self.df.filter(~_expr(predicate)).agg(
+            F.min(key).alias("_boundary")
+        )
+
+    def take_while(self, predicate: Column | str, order_key: Column | str) -> "Stream":
+        """Longest prefix (in ``order_key`` order) where ``predicate``
+        holds — java.util.stream ``takeWhile`` (JDK 9). The boundary
+        aggregate is broadcast; rows never shuffle."""
+        key = _col(order_key) if isinstance(order_key, str) else order_key
+        b = self._while_boundary(predicate, order_key)
+        return Stream(
+            self.df.crossJoin(F.broadcast(b)).filter(
+                F.col("_boundary").isNull() | (key < F.col("_boundary"))
+            ).drop("_boundary")
+        )
+
+    def drop_while(self, predicate: Column | str, order_key: Column | str) -> "Stream":
+        """Complement of ``take_while``: everything from the first
+        predicate-failing row onward — java.util.stream ``dropWhile``."""
+        key = _col(order_key) if isinstance(order_key, str) else order_key
+        b = self._while_boundary(predicate, order_key)
+        return Stream(
+            self.df.crossJoin(F.broadcast(b)).filter(
+                F.col("_boundary").isNotNull() & (key >= F.col("_boundary"))
+            ).drop("_boundary")
+        )
+
     # -- intermediate: multi-stream (§2.C / §2.G) ----------------------------
     def union(self, other: "Stream") -> "Stream":
         """Bag-semantics concatenation (RDD union)."""

@@ -204,3 +204,29 @@ def test_map_batches_with_broadcast(s):
         r.y for r in s.map_batches_with(lookup, apply, "x long, y long").collect()
     )
     assert got == sorted(x * 10 for x in XS)
+
+
+def test_take_drop_while_vs_itertools(spark):
+    # unique order key (i), predicate over the value column
+    import itertools
+
+    random.seed(7)
+    rows = [(i, random.randint(0, 100)) for i in range(300)]
+    st = Stream.of(spark, rows, "i long, v long")
+    pred = F.col("v") < 95
+
+    got_tw = sorted(
+        (r.i, r.v) for r in st.take_while(pred, "i").collect()
+    )
+    want_tw = list(itertools.takewhile(lambda t: t[1] < 95, rows))
+    assert got_tw == want_tw
+
+    got_dw = sorted(
+        (r.i, r.v) for r in st.drop_while(pred, "i").collect()
+    )
+    want_dw = list(itertools.dropwhile(lambda t: t[1] < 95, rows))
+    assert got_dw == want_dw
+
+    # all-true predicate: takeWhile keeps everything, dropWhile nothing
+    assert st.take_while(F.lit(True), "i").count() == len(rows)
+    assert st.drop_while(F.lit(True), "i").count() == 0
