@@ -2666,6 +2666,33 @@ def take_drop_while_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_order_prices",
+    oracle="""
+    WITH r AS (
+        SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo) / ((hi - lo) / 12)) AS BIGINT), 11) AS bucket,
+           ROUND(lo + LEAST(CAST(FLOOR((CAST(o_totalprice AS DOUBLE) - lo) / ((hi - lo) / 12)) AS BIGINT), 11) * ((hi - lo) / 12), 6) AS bucket_lo,
+           COUNT(*) AS n
+    FROM orders, r
+    GROUP BY bucket, bucket_lo
+    ORDER BY bucket
+    """,
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDD ``histogram`` analog on the facade: 12 evenly-spaced buckets
+    over o_totalprice. Two partial-aggregated scans (min/max, then
+    bucket counts) and a broadcast of the 1-row range — the classic
+    2-pass distributed histogram."""
+    from .stream import Stream
+
+    o = _t(spark, sf_dir, "orders")
+    return Stream(o).histogram("o_totalprice", 12).df
+
+
+@query(
     "salted_join_user_events",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n, ROUND(SUM(e.value), 4) AS total_value

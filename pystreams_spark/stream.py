@@ -154,6 +154,36 @@ class Stream:
     def distinct(self, subset: Sequence[str] | None = None) -> "Stream":
         return Stream(self.df.dropDuplicates(subset) if subset else self.df.distinct())
 
+    def histogram(self, col: Column | str, n_buckets: int, alias: str = "n") -> "Stream":
+        """RDD ``histogram(buckets)`` analog with evenly-spaced buckets:
+        pass 1 computes (min, max) with a partial-aggregated scan, pass 2
+        buckets every row against the broadcast range — floor((x−min)/w)
+        with the max clamped into the last bucket, like RDD.histogram.
+        Returns (bucket, bucket_lo, n) sorted by bucket. Two scans, one
+        tiny broadcast, one shuffle on the bucket id."""
+        c = _col(col) if isinstance(col, str) else col
+        rng = self.df.agg(
+            F.min(c).cast("double").alias("_lo"), F.max(c).cast("double").alias("_hi")
+        )
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        bucket = F.least(
+            F.floor((c.cast("double") - F.col("_lo")) / w), F.lit(n_buckets - 1)
+        ).cast("long")
+        return Stream(
+            self.df.crossJoin(F.broadcast(rng))
+            .select(bucket.alias("bucket"), F.col("_lo"), w.alias("_w"))
+            .groupBy("bucket", "_lo", "_w")
+            .agg(F.count(F.lit(1)).alias(alias))
+            .select(
+                "bucket",
+                F.round(F.col("_lo") + F.col("bucket") * F.col("_w"), 6).alias(
+                    "bucket_lo"
+                ),
+                alias,
+            )
+            .orderBy("bucket")
+        )
+
     def _while_boundary(self, predicate: Column | str, order_key: Column | str):
         """First order-key value (ascending) whose row FAILS the
         predicate — the takeWhile/dropWhile cut point. One partial-
