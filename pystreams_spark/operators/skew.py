@@ -54,6 +54,38 @@ def salted_aggregate(
     return phase2
 
 
+def heavy_hitters(
+    df: DataFrame, cols: Sequence[str], support: float = 0.05
+) -> DataFrame:
+    """Single-pass heavy-hitter sketch (Spark's ``stat.freqItems``,
+    Misra-Gries style): per column, every value with frequency >
+    ``support`` is guaranteed in the result (false positives possible,
+    false negatives not). This is the skew DETECTOR: run it on join/agg
+    keys to find the hot values worth salting (``salted_join`` /
+    ``salted_aggregate``) before a 100 TB shuffle, for one narrow pass —
+    no shuffle at all until the 1-row result.
+
+    Returns one row per input column: (column, hot_values sorted array).
+    Sketch output order is partition-dependent → arrays sorted for a
+    stable rows-only check.
+    """
+    freq = df.stat.freqItems(list(cols), support)
+    # freq: 1 row, one `<col>_freqItems` array per column → long shape
+    rows = [
+        freq.select(
+            F.lit(c).alias("column"),
+            F.array_sort(F.col(f"{c}_freqItems").cast("array<string>")).alias(
+                "hot_values"
+            ),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -2692,6 +2692,21 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Stream(o).histogram("o_totalprice", 12).df
 
 
+@query("heavy_hitters_events")
+def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection on the skewed events keys (user_id has
+    ~15 values over 10^5 rows): single-pass Misra-Gries sketch, the
+    pre-shuffle skew detector feeding salted_join/salted_aggregate.
+    Guaranteed-superset semantics (false positives possible) → rows-only;
+    the exact-inclusion guarantee is unit-tested against true counts."""
+    from .operators.skew import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, ["user_id", "event_type"], support=0.05).orderBy(
+        "column"
+    )
+
+
 @query(
     "salted_join_user_events",
     oracle="""

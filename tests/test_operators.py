@@ -172,6 +172,25 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert all(ds == sorted(ds) for ds in per_q.values())
 
 
+def test_heavy_hitters_includes_all_true_hot_keys(spark, sf_dir):
+    from pystreams_spark.operators.skew import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    support = 0.05
+    got = {
+        r.column: set(r.hot_values)
+        for r in heavy_hitters(ev, ["user_id", "event_type"], support).collect()
+    }
+    for col in ["user_id", "event_type"]:
+        true_hot = {
+            str(r[col])
+            for r in ev.groupBy(col).count().filter(F.col("count") > n * support).collect()
+        }
+        # Misra-Gries guarantee: no false negatives above the support
+        assert true_hot <= got[col], f"{col}: missing {true_hot - got[col]}"
+
+
 def test_cosine_lsh_recovers_planted_duplicates(spark, sf_dir):
     from pystreams_spark.operators.similarity import cosine_lsh_pairs
 
