@@ -28,6 +28,46 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ship_package_to_workers(spark: SparkSession) -> None:
+    """Make ``pystreams_spark`` importable inside Python workers no
+    matter where the driver process was launched from.
+
+    Workers inherit PYTHONPATH from the JVM's environment, so a driver
+    started outside /root/repo (the verify harness, a notebook, a real
+    cluster submit) spawns workers that cannot resolve the module-by-
+    reference pickles our pandas-UDF kernels use. Shipping the package
+    once per SparkContext via ``addPyFile`` (the standard dependency
+    mechanism — works identically on a 1000-executor cluster) closes
+    that hole. No-op on repeat calls and on any failure path (e.g. a
+    session that forbids adding files — then the local PYTHONPATH must
+    already be right, as in our own test/bench runs)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pystreams_pkg_shipped", False):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        stamp = max(
+            int(os.path.getmtime(os.path.join(r, f)))
+            for r, _, fs in os.walk(pkg_dir)
+            for f in fs
+            if f.endswith(".py")
+        )
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"pystreams_spark_pkg_{stamp}"
+        )
+        if not os.path.exists(zip_path + ".zip"):
+            shutil.make_archive(
+                zip_path, "zip", os.path.dirname(pkg_dir), "pystreams_spark"
+            )
+        sc.addPyFile(zip_path + ".zip")
+    except Exception:
+        pass
+    sc._pystreams_pkg_shipped = True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet is self-describing; no inferSchema.
 
@@ -39,6 +79,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ~1.7e18 ns value loses sub-µs bits (double ulp there is ~256 ns).
     """
     apply_session_confs(spark)
+    ship_package_to_workers(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
