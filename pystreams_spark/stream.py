@@ -67,6 +67,22 @@ class Stream:
 
         return Stream(spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema))
 
+    @staticmethod
+    def iterate(spark, seed, fn: Callable, n: int, schema="value double") -> "Stream":
+        """java.util.stream ``Stream.iterate(seed, f)`` limited to ``n``
+        elements: [seed, f(seed), f(f(seed)), ...]. The recurrence is
+        inherently sequential, so the chain is unfolded DRIVER-side
+        (bounded n — seeds, schedules, configs) and parallelized from
+        there; an unbounded distributed variant would be dishonest
+        about the dependency structure."""
+        vals, x = [], seed
+        for _ in range(n):
+            vals.append(x)
+            x = fn(x)
+        return Stream(
+            spark.createDataFrame([(v,) for v in vals], schema)
+        )
+
     # -- intermediate: element-wise (§2.B) ----------------------------------
     def map(self, *exprs: Column | str, **named: Column | str) -> "Stream":
         """1→1 transform via Column algebra. Positional exprs replace the

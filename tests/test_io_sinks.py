@@ -129,3 +129,14 @@ def test_json_corrupt_record_handling(spark, tmp_path):
         .json(str(p))
     )
     assert dropped.count() == 2
+
+
+def test_text_lines_source(spark, tmp_path):
+    # Files.lines analog: stream of lines with the standard `value` column
+    from pystreams_spark.io import read_text_lines
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    df = read_text_lines(spark, str(p))
+    assert df.columns == ["value"]
+    assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]

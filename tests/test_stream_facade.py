@@ -230,3 +230,10 @@ def test_take_drop_while_vs_itertools(spark):
     # all-true predicate: takeWhile keeps everything, dropWhile nothing
     assert st.take_while(F.lit(True), "i").count() == len(rows)
     assert st.drop_while(F.lit(True), "i").count() == 0
+
+
+def test_iterate_unfolds_recurrence(spark):
+    # Stream.iterate(seed, f) limited to n, per java.util.stream semantics
+    s = Stream.iterate(spark, 1.0, lambda x: x * 3, 10, "value double")
+    got = sorted(r.value for r in s.collect())
+    assert got == sorted(float(3**k) for k in range(10))
