@@ -2687,6 +2687,102 @@ def take_drop_while_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "regression_price_vs_qty",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           regr_count(l_extendedprice, l_quantity) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def regression_price_vs_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in linear-regression aggregates (regr_slope/intercept/r2 —
+    single-pass decomposable sums, so partial aggregation applies like
+    any sum): price-vs-quantity fit per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(
+                F.regr_intercept("l_extendedprice", "l_quantity"), 4
+            ).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sessions_gaps_islands",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN date_diff('second',
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                         ts) > 1800
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessions_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by gaps-and-islands (lag + running sum of
+    session-start flags, 30-minute gap) — the pure-window relational
+    formulation next to the built-in ``session_window`` query
+    (`events_sessionized`). One shuffle on user_id; both window passes
+    and the final aggregate reuse the same partitioning. Deterministic:
+    window order ties broken by event_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > 1800),
+        1,
+    ).otherwise(0)
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("_flag", new_session).withColumn(
+        "session_id", F.sum("_flag").over(w_run)
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            ).alias("duration_s"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
     "argminmax_orders_per_segment",
     oracle="""
     SELECT c.c_mktsegment,
