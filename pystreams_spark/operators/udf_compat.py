@@ -21,6 +21,15 @@ def map_batches(df: DataFrame, fn: Callable, schema) -> DataFrame:
     return df.mapInPandas(fn, schema)
 
 
+def map_arrow_batches(df: DataFrame, fn: Callable, schema) -> DataFrame:
+    """mapInArrow: fn(iterator[pyarrow.RecordBatch]) ->
+    iterator[pyarrow.RecordBatch]. Narrow, like ``map_batches``, but
+    skips the Arrow→pandas conversion entirely — the right adapter when
+    the kernel is already columnar (numpy/pyarrow compute) and the
+    pandas object step would only add copies."""
+    return df.mapInArrow(fn, schema)
+
+
 def map_rows(df: DataFrame, fn: Callable, schema) -> DataFrame:
     """Per-row dict→dict lambda adapted onto Arrow batches."""
     import pandas as pd

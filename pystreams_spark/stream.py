@@ -152,10 +152,52 @@ class Stream:
 
     def enumerate(self, order: Sequence[Column | str], name: str = "idx") -> "Stream":
         """Deterministic ordinal attach (zipWithIndex analog). Global
-        window — use only on bounded/sliced data; see operators.topk for
-        the scalable slice-first pattern."""
+        window — use only on bounded/sliced data; ``enumerate_distributed``
+        is the scale path, see also operators.topk's slice-first pattern."""
         w = Window.orderBy(*[_col(c) for c in order])
         return Stream(self.df.withColumn(name, F.row_number().over(w) - 1))
+
+    def enumerate_distributed(self, name: str = "idx") -> "Stream":
+        """RDD ``zipWithIndex`` semantics at scale: indices 0..n-1
+        assigned by (partition id, intra-partition position) in TWO
+        passes — a per-partition count (rows-per-partition collected to
+        the driver, KBs at any scale) and a narrow kernel pass adding
+        partition offset + running position. No shuffle, no global sort,
+        no single-task window. Same caveat as zipWithIndex: ordering
+        follows the current partition layout, so run it on a
+        deterministic source (file scans qualify; post-shuffle intra-
+        partition order does not)."""
+        import numpy as np
+        import pandas as pd
+
+        tagged = self.df.withColumn("_pid", F.spark_partition_id())
+        counts = {
+            r["_pid"]: r["count"]
+            for r in tagged.groupBy("_pid").count().collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+
+        schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in self.df.schema.fields]
+            + [f"{name} long"]
+        )
+
+        def kernel(batches):
+            pos = 0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                off = offsets[int(pdf["_pid"].iloc[0])]
+                pdf = pdf.drop(columns=["_pid"])
+                pdf[name] = off + pos + np.arange(len(pdf), dtype=np.int64)
+                pos += len(pdf)
+                yield pdf
+
+        return Stream(tagged.mapInPandas(kernel, schema))
 
     # -- intermediate: order/slice (§2.F) ------------------------------------
     def sorted(self, *order: Column | str) -> "Stream":

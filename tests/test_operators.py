@@ -172,6 +172,29 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert all(ds == sorted(ds) for ds in per_q.values())
 
 
+def test_map_arrow_batches_columnar_kernel(spark, sf_dir):
+    # mapInArrow adapter: pure-Arrow kernel, no pandas materialization
+    import pyarrow as pa
+
+    from pystreams_spark.operators.udf_compat import map_arrow_batches
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.multiply(batch.column(1), 2.0)],
+                ["l_orderkey", "qty2"],
+            )
+
+    out = map_arrow_batches(li, kernel, "l_orderkey long, qty2 double")
+    got = out.agg(F.sum("qty2")).collect()[0][0]
+    want = li.agg(F.sum(F.col("l_quantity") * 2.0)).collect()[0][0]
+    assert abs(got - want) < 1e-6
+
+
 def test_heavy_hitters_includes_all_true_hot_keys(spark, sf_dir):
     from pystreams_spark.operators.skew import heavy_hitters
 

