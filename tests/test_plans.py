@@ -153,3 +153,49 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     agg.collect()  # materialize so AQE finalizes the plan
     plan = executed_plan(agg)
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime filtering: a selective filter on the build side of a
+    shuffle join injects a bloom filter onto the probe (fact) side, so
+    the 100 TB scan drops non-joining rows before the exchange. Local
+    thresholds are lowered to trigger on fixture sizes; on a cluster the
+    defaults (10 MB creation side / 10 GB probe side) gate it to joins
+    where it pays."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        su = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 1000)
+        j = li.join(su, li.l_suppkey == su.s_suppkey).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+        # and the result is unaffected by the filter (correctness)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        plain = li.join(su, li.l_suppkey == su.s_suppkey).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        got, want = j.collect()[0].rev, plain.collect()[0].rev
+        assert (got is None and want is None) or abs(got - want) < 1e-6
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
