@@ -131,6 +131,47 @@ def test_json_corrupt_record_handling(spark, tmp_path):
     assert dropped.count() == 2
 
 
+def test_zorder_layout_improves_per_chunk_locality(spark, sf_dir):
+    """Z-order clustering must make consecutive row blocks (row-group
+    stand-ins) span a small range in EVERY clustered dimension — the
+    property parquet min/max skipping exploits. Compare the average
+    per-1000-row-chunk span against the unclustered layout."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.operators.layout import zorder_by
+
+    # dense uniform 2-D grid (both dims 0..140) — scale-independent check
+    base_df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 141).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    z = zorder_by(base_df, ["x", "y"], bits=10)
+    zp = z.toPandas()
+    base = base_df.toPandas()
+
+    def avg_chunk_span(pdf, col, chunk=500):
+        v = pdf[col].to_numpy()
+        spans = [
+            v[i : i + chunk].max() - v[i : i + chunk].min()
+            for i in range(0, len(v), chunk)
+            if len(v[i : i + chunk]) > 10
+        ]
+        return float(np.mean(spans))
+
+    # same rows, just re-laid-out
+    assert len(zp) == len(base)
+    assert sorted(zp["payload"]) == sorted(base["payload"])
+    for col in ["x", "y"]:
+        full_span = base[col].max() - base[col].min()
+        z_span = avg_chunk_span(zp, col)
+        # 40 chunks over a 2-D z-curve → per-chunk span ~ range/sqrt(40);
+        # assert well under half the full range in BOTH dims (a 1-D sort
+        # can only achieve this in one dim)
+        assert z_span < full_span * 0.5, (col, z_span, full_span)
+
+
 def test_text_lines_source(spark, tmp_path):
     # Files.lines analog: stream of lines with the standard `value` column
     from pystreams_spark.io import read_text_lines
