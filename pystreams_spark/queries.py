@@ -865,6 +865,9 @@ def dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE)), 6) AS avg_tokens,
+           -- BPE-ish subword proxy: each alnum run collapses to one piece,
+           -- every other char is its own piece (== Spark's boundary split)
+           ROUND(AVG(CAST(length(regexp_replace(text, '[A-Za-z0-9]+', 'X', 'g')) AS DOUBLE)), 6) AS avg_bpe_tokens,
            ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
@@ -873,8 +876,11 @@ def dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) + per-language stats."""
-    from .functions.text import token_count
+    """Token counting + per-language stats: whitespace tokens AND the
+    BPE-ish boundary-split proxy (alnum runs + individual symbols —
+    approximates subword token counts for ASCII text; cross-checked
+    piece-exact against the DuckDB regexp_replace formulation)."""
+    from .functions.text import bpe_ish_token_count, token_count
 
     d = _t(spark, sf_dir, "documents")
     return (
@@ -882,6 +888,9 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg(token_count("text").cast("double")), 6).alias("avg_tokens"),
+            F.round(
+                F.avg(bpe_ish_token_count("text").cast("double")), 6
+            ).alias("avg_bpe_tokens"),
             F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
             F.sum("n_chars").alias("sum_chars"),
         )
