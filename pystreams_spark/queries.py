@@ -899,6 +899,83 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stopword_ratio_by_lang",
+    oracle="""
+    WITH toks AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(
+             CAST(len(list_filter(t, w -> list_contains(
+               ['the','and','of','to','a','in','is','that','it','for'], w))) AS DOUBLE)
+             / GREATEST(CAST(len(t) AS DOUBLE), 1.0)
+           ), 6) AS avg_en_stopword_ratio
+    FROM toks
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def stopword_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """English-stopword density per language — the quality/language
+    signal feature (en documents should dominate). Pure Column algebra
+    over the token array; one shuffle on lang."""
+    from .functions.text import stopword_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(stopword_ratio("text", "en")), 6).alias(
+                "avg_en_stopword_ratio"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "char_trigram_profiles",
+    oracle="""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, lang, substring(lower(text), i, 3) AS gram
+        FROM documents
+        CROSS JOIN generate_series(1, 4096) AS t(i)
+        WHERE i <= GREATEST(length(text) - 2, 1)
+    ),
+    counts AS (SELECT lang, gram, COUNT(*) AS df FROM grams GROUP BY lang, gram),
+    ranked AS (
+        SELECT lang, gram, df,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, gram) AS rn
+        FROM counts
+    )
+    SELECT lang, gram, df FROM ranked WHERE rn <= 5
+    ORDER BY lang, df DESC, gram
+    """,
+)
+def char_trigram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 character trigrams per language by document frequency —
+    the n-gram profile a trained language identifier uses. Per-doc
+    distinct grams (document frequency, like the char_ngrams column
+    function computes), one shuffle on (lang, gram), then per-group
+    top-k."""
+    from .functions.text import char_ngrams
+    from .operators.topk import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(char_ngrams(F.lower(F.col("text")), 3)).alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return top_k_per_group(
+        counts, ["lang"], [F.desc("df"), F.asc("gram")], k=5
+    ).orderBy("lang", F.desc("df"), "gram")
+
+
+@query(
     "doc_quality_by_lang",
     oracle="""
     WITH scored AS (
