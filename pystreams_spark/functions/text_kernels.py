@@ -192,6 +192,26 @@ def band_signatures_from_text_udf(
     return F.pandas_udf(kernel, "array<long>")
 
 
+def char_ngrams_udf(n: int = 3):
+    """pandas UDF: text → array<string> of the doc's DISTINCT character
+    n-grams (insertion order, like array_distinct over the window
+    transform). The scale path for ``functions.text.char_ngrams`` —
+    the Column version interprets one substring HOF call per position
+    (~10 s at sf0.1); here the windows are sliced batch-side."""
+    import pandas as pd
+
+    def kernel(texts):
+        out = []
+        for t in texts:
+            if t is None or len(t) < n:
+                out.append(["" if not t else t])
+                continue
+            out.append(list(dict.fromkeys(t[i : i + n] for i in range(len(t) - n + 1))))
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, "array<string>")
+
+
 def simhash_from_text_udf(n: int = 2):
     """pandas UDF: text → 64-bit SimHash, fused tokenize→shingle→hash→
     bit-vote in one kernel. Votes are over the doc's DISTINCT shingle

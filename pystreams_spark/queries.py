@@ -961,12 +961,13 @@ def char_trigram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct grams (document frequency, like the char_ngrams column
     function computes), one shuffle on (lang, gram), then per-group
     top-k."""
-    from .functions.text import char_ngrams
+    from .functions.text_kernels import char_ngrams_udf
+    from .io import ensure_parallelism
     from .operators.topk import top_k_per_group
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     counts = (
-        d.select("lang", F.explode(char_ngrams(F.lower(F.col("text")), 3)).alias("gram"))
+        d.select("lang", F.explode(char_ngrams_udf(3)(F.lower(F.col("text")))).alias("gram"))
         .groupBy("lang", "gram")
         .agg(F.count(F.lit(1)).alias("df"))
     )
