@@ -2731,6 +2731,59 @@ def facade_fluent_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — the 6-relation join tree: two fact tables
+    (orders, lineitem) sort-merge on their keys; customer and supplier
+    are LEFT TO AQE (they scale with the data — broadcast-able at
+    bench SFs, shuffle joins at 100 TB; hard-coding either would be
+    wrong at one of the scales); the constant-size nation/region dims
+    are broadcast explicitly, with the region filter pruning before
+    any join. The customer-nation = supplier-nation condition ("local"
+    suppliers) rides the supplier join as an equi conjunct."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
     "take_drop_while_orders",
     oracle="""
     WITH b AS (
