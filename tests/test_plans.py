@@ -199,3 +199,14 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q5_join_tree_physical_shape(spark, sf_dir):
+    """The six-relation Q5 tree must keep the constant dims broadcast
+    and the aggregation partial — no full-table nested loops anywhere."""
+    df = QUERIES["local_supplier_volume"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert has_partial_aggregate(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
