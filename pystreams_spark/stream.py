@@ -223,7 +223,12 @@ class Stream:
         rng = self.df.agg(
             F.min(c).cast("double").alias("_lo"), F.max(c).cast("double").alias("_hi")
         )
-        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+        # degenerate range (all values equal) → width 1, everything in
+        # bucket 0 — avoids ANSI divide-by-zero
+        span = F.when(F.col("_hi") > F.col("_lo"), F.col("_hi") - F.col("_lo")).otherwise(
+            F.lit(float(n_buckets))
+        )
+        w = span / F.lit(float(n_buckets))
         bucket = F.least(
             F.floor((c.cast("double") - F.col("_lo")) / w), F.lit(n_buckets - 1)
         ).cast("long")

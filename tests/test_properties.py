@@ -82,3 +82,40 @@ def test_asof_property_vs_merge_asof(spark, left, right):
         int(r.lid): (None if pd.isna(r.rt) else int(r.rt)) for _, r in exp.iterrows()
     }
     assert got == exp_map
+
+
+@slow
+@given(xs=ints, thresh=st.integers(min_value=-(10**6), max_value=10**6))
+def test_take_drop_while_partition_identity(spark, xs, thresh):
+    """take_while(p) ∪ drop_while(p) == stream, and both match the
+    itertools semantics over the ordered (unique-keyed) rows."""
+    import itertools
+
+    rows = list(enumerate(xs))  # unique order key
+    s = Stream.of(spark, rows, "i long, x long")
+    pred = F.col("x") < thresh
+    tw = sorted((r.i, r.x) for r in s.take_while(pred, "i").collect())
+    dw = sorted((r.i, r.x) for r in s.drop_while(pred, "i").collect())
+    assert tw == list(itertools.takewhile(lambda t: t[1] < thresh, rows))
+    assert dw == list(itertools.dropwhile(lambda t: t[1] < thresh, rows))
+    assert sorted(tw + dw) == rows
+
+
+@slow
+@given(xs=ints, k=st.integers(min_value=1, max_value=8))
+def test_histogram_counts_partition_rows(spark, xs, k):
+    """Histogram bucket counts must sum to n, stay in-range, and match a
+    direct Python recomputation of the same floor formula."""
+    s = Stream.of(spark, [(x,) for x in xs], "x long")
+    rows = s.histogram("x", k).collect()
+    assert sum(r.n for r in rows) == len(xs)
+    assert all(0 <= r.bucket < k for r in rows)
+    lo, hi = min(xs), max(xs)
+    if hi > lo:
+        w = (hi - lo) / k
+        expect = {}
+        for x in xs:
+            b = min(int((x - lo) / w), k - 1)
+            expect[b] = expect.get(b, 0) + 1
+        got = {r.bucket: r.n for r in rows}
+        assert got == expect
