@@ -128,6 +128,62 @@ def test_foreach_batch_parquet_sink(spark, stream_src, tmp_path):
     assert back.select("batch_id").distinct().count() >= 2
 
 
+def test_foreach_batch_cdc_upsert_state_table(spark, stream_src, tmp_path):
+    """The CDC pattern: stream of change events → per-batch latest-per-
+    key reduction → MERGE into a keyed state table via foreachBatch.
+    Composes streaming replay with the merge_upsert operator (the plan
+    Delta/Iceberg MERGE runs underneath); the final state table must
+    equal the batch-computed latest-value-per-user over all events."""
+    import os
+
+    from pyspark.sql import Window
+
+    path, ev = stream_src
+    state_dir = str(tmp_path / "user_state")
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=2)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def upsert(batch_df, batch_id):
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        if os.path.exists(state_dir):
+            # event-time upsert: file replay is NOT ordered, so a later
+            # batch can carry an older event — keep max (ts, event_id)
+            # per key rather than blindly overwriting (merge_upsert is
+            # the right tool only for in-order CDC feeds)
+            state = spark.read.parquet(state_dir)
+            merged = (
+                latest.unionByName(state)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        # materialize before overwriting the path we just read (a table
+        # format's MERGE owns this step transactionally in production)
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(state_dir).collect()}
+    assert got == want
+
+
 def test_stream_static_dim_join(spark, stream_src, sf_dir):
     """Stream-static join: enrich a stream with a static dimension (the
     standard pattern for dimension lookups on an unbounded stream —
