@@ -1325,6 +1325,31 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("winnowing_fingerprints")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (MOSS scheme):
+    O(1)-per-char rolling k-gram hashes, keep each w-window's minimum —
+    any shared substring of length ≥ w+k−1 between two documents yields
+    a shared fingerprint, which a whole-document hash cannot do. One
+    narrow kernel pass; output is (doc_id, n_fp, fp_digest) with the
+    digest an order-invariant XOR fold. Engine-specific hash →
+    rows-only; substring-sharing guarantee unit-tested."""
+    from .functions.text_kernels import winnowing_fingerprints_udf
+    from .io import ensure_parallelism
+
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    fps = d.select(
+        "doc_id", winnowing_fingerprints_udf(5, 8)(F.col("text")).alias("_fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("_fps").alias("n_fp"),
+        F.aggregate(
+            "_fps", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_digest"),
+    ).orderBy("doc_id")
+
+
 @query("lang_id_heuristic")
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID over documents (heuristic → rows-only)."""

@@ -172,6 +172,27 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert all(ds == sorted(ds) for ds in per_q.values())
 
 
+def test_winnowing_shared_substring_guarantee():
+    # pure-kernel test (no session): the winnowing locality property
+    from pystreams_spark.functions.text_kernels import _winnowing_doc_fps
+
+    k, w = 5, 8
+    a = "the quick brown fox jumps over the lazy dog and keeps running far"
+    b = "ANOTHER START the quick brown fox jumps over the lazy dog NEW END"
+    c = "zzzz qqqq xxxx wwww vvvv uuuu tttt ssss"
+    fa = set(_winnowing_doc_fps(a, k, w))
+    assert fa == set(_winnowing_doc_fps(a, k, w))  # deterministic
+    # docs sharing a substring >= w+k-1 chars must share a fingerprint
+    assert fa & set(_winnowing_doc_fps(b, k, w))
+    # disjoint character content shares nothing
+    assert not (fa & set(_winnowing_doc_fps(c, k, w)))
+    # position independence of the rolling hash: same text shifted
+    # by a prefix still yields the same gram hashes (implied by the
+    # overlap above, asserted directly here)
+    shifted = "XY" + a
+    assert fa & set(_winnowing_doc_fps(shifted, k, w))
+
+
 def test_map_arrow_batches_columnar_kernel(spark, sf_dir):
     # mapInArrow adapter: pure-Arrow kernel, no pandas materialization
     import pyarrow as pa
