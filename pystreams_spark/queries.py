@@ -1325,6 +1325,42 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT doc_id) AS n_distinct_ids,
+           CAST(SUM(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_char_counts,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus validation in ONE aggregate pass (the pre-training data
+    contract: completeness, uniqueness, consistency, ranges): empty/null
+    counts, key uniqueness (n_distinct_ids vs n_rows), the n_chars ==
+    length(text) consistency invariant, and value ranges. All partial-
+    aggregable — one scan, one reduce, no matter the corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            ((F.col("text").isNull()) | (F.col("text") == "")).cast("long")
+        ).alias("n_empty_text"),
+        F.sum(F.col("lang").isNull().cast("long")).alias("n_null_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+        F.sum((F.col("n_chars") != F.length("text")).cast("long")).alias(
+            "n_bad_char_counts"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 @query("winnowing_fingerprints")
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (MOSS scheme):

@@ -181,3 +181,25 @@ def test_text_lines_source(spark, tmp_path):
     df = read_text_lines(spark, str(p))
     assert df.columns == ["value"]
     assert sorted(r.value for r in df.collect()) == ["alpha", "beta", "gamma"]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; reading with
+    mergeSchema unions the schemas and back-fills nulls — the standard
+    way an append-only 100 TB dataset grows columns without rewrites."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("v1").alias("src")).write.mode(
+        "append"
+    ).parquet(p)
+    spark.range(5, 8).select(
+        F.col("id"), F.lit("v2").alias("src"), (F.col("id") * 10).alias("score")
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "src", "score"}
+    assert merged.count() == 8
+    # old rows surface the new column as null; new rows carry values
+    assert merged.filter(F.col("score").isNull()).count() == 5
+    assert merged.filter(F.col("score") == 70).count() == 1
