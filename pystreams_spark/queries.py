@@ -1361,6 +1361,22 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pack_training_sequences")
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: every document assigned to a 512-token training
+    bin by per-partition first-fit-decreasing — no shuffle, bin ids
+    namespaced by partition. Per-doc output carries the bin's final
+    fill, so a budget violation is visible in the rows themselves
+    (invariants unit-tested). Partition-dependent ids → rows-only."""
+    from .functions.text import token_count
+    from .operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return pack_sequences(d, max_tokens=512).orderBy("doc_id")
+
+
 @query("winnowing_fingerprints")
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (MOSS scheme):

@@ -172,6 +172,34 @@ def test_knn_lsh_recall_vs_exact(spark, sf_dir):
     assert all(ds == sorted(ds) for ds in per_q.values())
 
 
+def test_pack_sequences_invariants(spark, sf_dir):
+    from pystreams_spark.functions.text import token_count
+    from pystreams_spark.operators.packing import pack_sequences
+
+    max_tokens = 512
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    rows = pack_sequences(d, max_tokens=max_tokens).collect()
+    # every document packed exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in d.select("doc_id").collect()
+    )
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault(r.bin_id, []).append(r)
+    for b, members in bins.items():
+        total = sum(r.n_tokens for r in members)
+        # bin_fill column is consistent and the budget holds (a single
+        # oversized doc is allowed its own bin)
+        assert all(r.bin_fill == total for r in members)
+        assert total <= max_tokens or len(members) == 1
+    # first-fit-decreasing should pack densely on ~54-token docs
+    multi = [sum(r.n_tokens for r in m) for m in bins.values() if len(m) > 1]
+    if multi:
+        assert sum(multi) / (len(multi) * max_tokens) > 0.7
+
+
 def test_winnowing_shared_substring_guarantee():
     # pure-kernel test (no session): the winnowing locality property
     from pystreams_spark.functions.text_kernels import _winnowing_doc_fps
