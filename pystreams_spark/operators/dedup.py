@@ -13,8 +13,11 @@ Tiers, cheapest first:
 - embedding: cosine-threshold pairs (see operators.similarity).
 
 Cluster resolution (connected components over the duplicate-pair graph)
-is ``cc_keep_min``: iterative min-label propagation via joins —
-converges in O(log n) rounds and stays fully distributed.
+is ``cc_keep_min``: single-task union-find for small dup graphs,
+alternating large-star/small-star contraction (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond") for big ones — fully
+distributed, with per-round frames that SHRINK as edges collapse into
+component-min stars.
 """
 
 from __future__ import annotations
@@ -328,6 +331,81 @@ def _cc_union_find_one_task(edges: DataFrame) -> DataFrame:
     return edges.coalesce(1).mapInPandas(uf, "node long, label long")
 
 
+def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components of a LARGE edge list via alternating
+    large-star / small-star contraction (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond", Algorithm 2).
+
+    Why this over min-label propagation: propagation re-joins a
+    constant-size label frame against the full edge list every round.
+    Star contraction rewrites the EDGE SET itself — each round
+    re-points nodes at their neighborhood minimum, so edges collapse
+    toward component-min stars and the shuffled frames shrink as
+    rounds proceed. Converges in O(log² n) rounds (a handful in
+    practice); two shuffle rounds per iteration (one groupBy+join per
+    star step). Returns (node, label) for every node in ``edges``.
+
+    large-star(a): every neighbor b > a re-points at
+    m = min(Γ(a) ∪ {a}). small-star(u): every smaller neighbor (and u
+    itself) re-points at the minimum smaller neighbor. Both preserve
+    connectivity (paper, Lemmas 1–2); the fixed point is a star per
+    component centered at its minimum node.
+    """
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"),
+            F.least("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # convergence = unchanged edge set; one cheap aggregate per round
+    # (count + order-independent hash-sum) instead of a set-compare join
+    sig = tuple(e.agg(F.count("*"), F.sum(F.xxhash64("u", "v"))).first())
+    for _ in range(max_rounds):
+        bi = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = bi.groupBy("u").agg(F.min("v").alias("_m"))
+        large = (
+            bi.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_m"), F.col("u")).alias("v"),
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        smin = large.groupBy("u").agg(F.min("v").alias("_m"))
+        e = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("n"), F.col("_m").alias("m"))
+            .unionAll(smin.select(F.col("u").alias("n"), F.col("_m").alias("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_sig = tuple(e.agg(F.count("*"), F.sum(F.xxhash64("u", "v"))).first())
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixed point: (non-root → component-min) star edges. min() guards
+    # the (terminated-at-max_rounds, not-yet-star) case conservatively.
+    parents = e.groupBy("u").agg(F.min("v").alias("label")).select(
+        F.col("u").alias("node"), "label"
+    )
+    return all_nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
+
+
 def cc_keep_min(
     pairs: DataFrame,
     all_ids: DataFrame,
@@ -340,9 +418,9 @@ def cc_keep_min(
     the dup graph (always orders of magnitude smaller than the corpus):
     one count of the deduped edge list decides between (a) small graph →
     union-find in a single executor task (2 jobs total), or (b) big
-    graph → iterative min-label propagation with pointer jumping
-    (label-of-label compression), converging in O(log diameter) rounds
-    of two shuffling joins each. Both run fully executor-side.
+    graph → alternating large-star/small-star contraction
+    (``_cc_alternating_stars``), whose per-round frames shrink as the
+    graph collapses. Both run fully executor-side.
     Returns (id, cluster_id); survivors are rows with id == cluster_id.
     """
     edges = (
@@ -367,49 +445,7 @@ def cc_keep_min(
         return edge_labels.unionByName(
             isolated.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
         )
-    labels = edge_nodes.select("node", F.col("node").alias("label"))
-    # Each round: (1) adopt the min label among self+neighbors (moves
-    # labels ONE hop along edges), then (2) pointer-jump — adopt the
-    # label OF the label node (halves remaining chain length). Without
-    # step 2 a round cap of R only handles diameter ≤ R; with it,
-    # reachable distance compounds geometrically, so 20 rounds cover
-    # any realistic dup-chain diameter (~2^20).
-    for _ in range(20):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # carry the old label through the joins so the convergence check
-        # reads the checkpointed blocks instead of re-running the round's
-        # joins as a second job (was: separate new-vs-old join + count)
-        stepped = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            "node",
-            F.col("label").alias("_old"),
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-        )
-        jump_to = stepped.select(
-            F.col("node").alias("_jnode"), F.col("label").alias("_jlabel")
-        )
-        jumped = (
-            stepped.join(jump_to, stepped.label == jump_to._jnode, "left")
-            .select(
-                "node",
-                "_old",
-                F.least(
-                    F.col("label"), F.coalesce("_jlabel", F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = jumped.filter(F.col("label") != F.col("_old")).limit(1).count()
-        labels = jumped.drop("_old")
-        if changed == 0:
-            break
+    labels = _cc_alternating_stars(edges)
     edge_labels = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
