@@ -60,14 +60,34 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    out = {
+    # Per-query detail goes to a file AND an early stdout line; the
+    # FINAL stdout line is the compact summary only. The driver keeps a
+    # 2000-char tail of stdout — a 106-query map is ~3.5 kB, so round 1
+    # lost the parseable summary ("parsed": null in BENCH_r01.json).
+    detail = {
         "metric": "total_query_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(detail))
+    compact = {
+        "metric": "total_query_wall_clock",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        "queries_truncated_to_slowest_5": True,
+        "full_detail": "BENCH_DETAIL.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

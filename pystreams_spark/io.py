@@ -48,20 +48,18 @@ def ship_package_to_workers(spark: SparkSession) -> None:
         import shutil
         import tempfile
 
+        # Build the archive in a fresh private dir (mkdtemp → mode 0700,
+        # unpredictable name): a world-readable predictable path in the
+        # shared tempdir could be pre-planted by another local user and
+        # would then be imported by every Python worker. Per-context
+        # build cost is negligible (package is ~100 KB).
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        stamp = max(
-            int(os.path.getmtime(os.path.join(r, f)))
-            for r, _, fs in os.walk(pkg_dir)
-            for f in fs
-            if f.endswith(".py")
-        )
         zip_path = os.path.join(
-            tempfile.gettempdir(), f"pystreams_spark_pkg_{stamp}"
+            tempfile.mkdtemp(prefix="pystreams_spark_pkg_"), "pystreams_spark"
         )
-        if not os.path.exists(zip_path + ".zip"):
-            shutil.make_archive(
-                zip_path, "zip", os.path.dirname(pkg_dir), "pystreams_spark"
-            )
+        shutil.make_archive(
+            zip_path, "zip", os.path.dirname(pkg_dir), "pystreams_spark"
+        )
         sc.addPyFile(zip_path + ".zip")
     except Exception:
         pass
@@ -169,3 +167,25 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
+    """Adaptive broadcast: hint only when the frame is verifiably small.
+
+    Data-dependent intermediates (e.g. LSH candidate-pair lists, whose
+    size is the band-collision count — near-quadratic on a dup-heavy
+    corpus) must not carry an unconditional ``F.broadcast`` hint: the
+    hint overrides AQE's size check and fails at the 8 GB broadcast /
+    driver-memory cap exactly on the corpora dedup exists for. This
+    materializes the frame once (localCheckpoint, so the count and the
+    downstream join share one computation), counts it, and broadcasts
+    only under ``max_rows``; above, it returns the checkpointed frame
+    and the join falls back to a shuffle join (AQE may still decide to
+    broadcast from its own runtime size estimate).
+    """
+    from pyspark.sql import functions as F
+
+    mat = df.localCheckpoint(eager=True)
+    if mat.count() <= max_rows:
+        return F.broadcast(mat)
+    return mat

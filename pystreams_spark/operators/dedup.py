@@ -32,7 +32,7 @@ from ..functions.text_kernels import (
     shingle_strings_udf,
     simhash_from_text_udf,
 )
-from ..io import ensure_parallelism
+from ..io import broadcast_if_small, ensure_parallelism
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -367,8 +367,12 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # convergence = unchanged edge set; one cheap aggregate per round
-    # (count + order-independent hash-sum) instead of a set-compare join
-    sig = tuple(e.agg(F.count("*"), F.sum(F.xxhash64("u", "v"))).first())
+    # (count + order-independent XOR-of-hashes) instead of a set-compare
+    # join. bit_xor cannot overflow (ANSI-safe), unlike sum(xxhash64),
+    # and stays order-independent; NOT try_sum — that returns NULL on
+    # overflow, so successive signatures would compare equal and the
+    # loop would terminate before convergence.
+    sig = tuple(e.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first())
     for _ in range(max_rounds):
         bi = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmin = bi.groupBy("u").agg(F.min("v").alias("_m"))
@@ -392,7 +396,7 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_sig = tuple(e.agg(F.count("*"), F.sum(F.xxhash64("u", "v"))).first())
+        new_sig = tuple(e.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first())
         if new_sig == sig:
             break
         sig = new_sig
@@ -511,10 +515,11 @@ def minhash_candidates_fast(
     # candidate list into the first join streams the corpus shingle
     # arrays in place (no corpus-wide array shuffle); only the
     # candidate-matched rows (bounded by the band collision count)
-    # reach the second, shuffling join. The broadcast is bounded by
-    # the candidate set, not the corpus.
+    # reach the second, shuffling join. The candidate count is
+    # data-dependent (near-quadratic on dup-heavy corpora), so the
+    # broadcast is adaptive: verified-small → hint, else shuffle join.
     return (
-        a.join(F.broadcast(cands), "id_a")
+        a.join(broadcast_if_small(cands), "id_a")
         .join(b, "id_b")
         .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("est_jaccard"))
@@ -637,10 +642,11 @@ def neardup_dedup(
     union = (
         F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
     )
-    # candidate list broadcast into the first join: corpus arrays are
-    # never shuffled for non-candidate rows (see minhash_candidates_fast)
+    # candidate list broadcast (adaptive — see broadcast_if_small) into
+    # the first join: corpus arrays are never shuffled for
+    # non-candidate rows (see minhash_candidates_fast)
     verified = (
-        a.join(F.broadcast(cands), "id_a")
+        a.join(broadcast_if_small(cands), "id_a")
         .join(b, "id_b")
         .filter(inter / union >= threshold)
         .select("id_a", "id_b")

@@ -28,6 +28,16 @@ def zorder_key(
     """Morton key: each column is range-normalized to ``bits`` bits
     using the (lo, hi) Columns in ``ranges``, then bit-interleaved.
     Pure Column algebra — stays in codegen, no UDF."""
+    if bits * len(cols) > 63:
+        # Spark's shiftleft wraps the shift amount mod 64, so exceeding
+        # 63 interleaved bits would silently fold high-order bits onto
+        # low positions — corrupt Morton keys and bad clustering, with
+        # no error. Refuse instead; callers can lower `bits`.
+        raise ValueError(
+            f"zorder_key: bits*len(cols) = {bits}*{len(cols)} = "
+            f"{bits * len(cols)} exceeds the 63 usable bits of a long key; "
+            f"use bits <= {63 // len(cols)} for {len(cols)} columns"
+        )
     quantized = []
     for c in cols:
         lo, hi = ranges[c]

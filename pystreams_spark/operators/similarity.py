@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, normalize
-from ..io import ensure_parallelism
+from ..io import broadcast_if_small, ensure_parallelism
 from .topk import top_k_per_group
 
 
@@ -430,7 +430,7 @@ def cosine_lsh_pairs(
     cands = _banded_candidate_pairs(sigs, id_col=id_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    joined = a.join(F.broadcast(cands), "id_a").join(b, "id_b")
+    joined = a.join(broadcast_if_small(cands), "id_a").join(b, "id_b")
 
     def verify(batches):
         for pdf in batches:
@@ -505,6 +505,7 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold (id_a < id_b), exact.
 
@@ -517,15 +518,27 @@ def cosine_pairs_above(
 
     The broadcast bounds corpus size to driver/executor memory (a 10M ×
     64-float corpus is ~2.5 GB — near the practical limit); beyond that,
-    use the LSH variant or tile both sides. Scores match the SQL
-    dot/(|a||b|) formula; summation order differs from a sequential
-    fold only at ~1e-15, far inside the rounding granularity.
+    use the LSH variant or tile both sides. A hard ``max_rows`` gate
+    (default 10M) refuses loudly instead of OOM-ing the driver when the
+    operator is pointed at a corpus it was never meant for. Scores match
+    the SQL dot/(|a||b|) formula; summation order differs from a
+    sequential fold only at ~1e-15, far inside the rounding granularity.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
     base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = base.localCheckpoint(eager=True)  # count + collect share one computation
+    n = base.count()
+    if n > max_rows:
+        raise ValueError(
+            f"cosine_pairs_above is the exact small-scale oracle: the corpus "
+            f"({n} rows) exceeds max_rows={max_rows} and would be collected "
+            f"to the driver. Use cosine_lsh_pairs (subquadratic, distributed) "
+            f"for corpus-scale near-duplicate pairs, or raise max_rows "
+            f"explicitly if the driver really has the memory."
+        )
     pdf = base.toPandas()
     ids_all = pdf["_id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)

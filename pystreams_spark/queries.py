@@ -940,10 +940,16 @@ def stopword_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char_trigram_profiles",
     oracle="""
     WITH grams AS (
+        -- per-row series bound (list-form generate_series + unnest takes
+        -- column args), so the oracle can never silently truncate long
+        -- documents the way a fixed constant would (the Spark kernel
+        -- scans full text)
         SELECT DISTINCT doc_id, lang, substring(lower(text), i, 3) AS gram
-        FROM documents
-        CROSS JOIN generate_series(1, 4096) AS t(i)
-        WHERE i <= GREATEST(length(text) - 2, 1)
+        FROM (
+            SELECT doc_id, lang, text,
+                   unnest(generate_series(1, GREATEST(length(text) - 2, 1))) AS i
+            FROM documents
+        )
     ),
     counts AS (SELECT lang, gram, COUNT(*) AS df FROM grams GROUP BY lang, gram),
     ranked AS (
@@ -2449,7 +2455,7 @@ def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate TODO noted this query lacked). Approximate →
     rows-only."""
     from .functions.text_kernels import hashed_shingles_udf
-    from .io import ensure_parallelism
+    from .io import broadcast_if_small, ensure_parallelism
     from .operators.dedup import minhash_banded_candidates
 
     d = _t(spark, sf_dir, "documents")
@@ -2464,7 +2470,7 @@ def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
     return (
-        a.join(F.broadcast(cands), "id_a")
+        a.join(broadcast_if_small(cands), "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("exact_jaccard"))
         .orderBy("id_a", "id_b")

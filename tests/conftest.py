@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Default SF for fast iteration. The driver's correctness gate runs at
+# sf0.01 — before any round snapshot, ALSO run the parity suite there
+# (`make parity-gate`): sf0.001-only green has missed sf-dependent
+# divergence before (empty groups, quantile ties).
 SF_DIR = os.environ.get("PYSTREAMS_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 

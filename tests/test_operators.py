@@ -507,3 +507,57 @@ def test_cc_long_chain_big_graph_path(spark):
         for r in cc_keep_min(pairs, ids, small_graph_edges=0).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_candidate_shuffle_path_identical(spark, monkeypatch):
+    """A dup-heavy corpus routed through the shuffle-join candidate path
+    (broadcast_if_small forced to never broadcast) must produce exactly
+    the same survivors as the broadcast path — the adaptive gate changes
+    the physical join only."""
+    import pystreams_spark.operators.dedup as dd
+    from pystreams_spark.io import broadcast_if_small
+
+    rows = [
+        (i, f"a perfectly unique document body number {i} " * 3)
+        for i in range(30)
+    ]
+    rows += [(100 + i, "the same duplicated text content repeated here " * 3)
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {r.doc_id for r in dd.neardup_dedup(df).collect()}
+    monkeypatch.setattr(
+        dd, "broadcast_if_small", lambda d, max_rows=0: broadcast_if_small(d, 0)
+    )
+    forced = {r.doc_id for r in dd.neardup_dedup(df).collect()}
+    assert forced == base
+    assert 100 in forced and not (forced & set(range(101, 112)))
+
+
+def test_broadcast_if_small_threshold(spark):
+    from pystreams_spark.io import broadcast_if_small
+
+    small = spark.range(10).toDF("k")
+    hinted = broadcast_if_small(small, max_rows=100)
+    plan = hinted._jdf.queryExecution().logical().toString()
+    assert "broadcast" in plan.lower()
+    unhinted = broadcast_if_small(small, max_rows=5)
+    plan2 = unhinted._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in plan2.lower()
+
+
+def test_cosine_pairs_above_refuses_oversized_corpus(spark, sf_dir):
+    from pystreams_spark.operators.similarity import cosine_pairs_above
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cosine_lsh_pairs"):
+        cosine_pairs_above(emb, threshold=0.9, max_rows=10).collect()
+
+
+def test_zorder_key_bits_guard():
+    from pystreams_spark.operators.layout import zorder_key
+
+    ranges = {f"c{i}": (F.lit(0.0), F.lit(1.0)) for i in range(7)}
+    # 7 cols x 10 bits = 70 > 63 usable bits: must refuse, not wrap
+    with pytest.raises(ValueError, match="63"):
+        zorder_key([f"c{i}" for i in range(7)], ranges, bits=10)
