@@ -59,20 +59,65 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Literal key set of CORRECTNESS_r02.json (the driver's 50-query round-2
+# window). R1 ∪ R2 covers 100 of 106 registered queries.
+R2_DRIVER_CHECKED = {
+    "asof_join_last_order", "interval_join_events_in_order_week",
+    "udf_centered_prices", "udf_weighted_avg_discount",
+    "udf_map_batches_tokens", "cogroup_order_reconciliation",
+    "cube_status_priority", "quantity_percentiles", "dispersion_stats",
+    "histogram_order_prices", "grouping_sets_revenue",
+    "nations_concat_per_region", "explode_outer_long_words",
+    "map_type_metrics", "string_funcs_extended", "datetime_funcs_extended",
+    "math_funcs_extended", "null_handling_funcs", "array_ops_embeddings",
+    "json_struct_events", "first_last_order_window",
+    "price_neighborhood_range_frame", "supplier_page_2",
+    "intersect_all_bag", "multimodal_meta_stats", "salted_event_counts",
+    "salted_join_user_events", "sessions_gaps_islands",
+    "order_date_series", "nation_name_distances", "regexp_part_types",
+    "bitwise_key_partitioning", "udtf_token_positions",
+    "tfidf_top_terms", "doc_repetition_by_lang",
+    "training_corpus_pipeline", "minhash_banded_neardup",
+    "neardup_dedup_pipeline", "approx_sketches",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    the driver's 50-query correctness window lands on the entries with
-    the least prior driver evidence (see R1_DRIVER_CHECKED above)."""
+    the driver's 50-query correctness window lands on the entries worth
+    the most fresh evidence: (0) the 6 queries never driver-checked,
+    (1) queries whose code paths changed this round — the events loader
+    (TIMESTAMP_NTZ→LTZ cast) and the MinHash/dedup family (signature
+    checkpointing + band-sig kernel rewrite) — to re-confirm identical
+    results after the perf fixes, (2) r1-checked (oldest evidence),
+    (3) r2-checked (freshest evidence)."""
 
-    # rows-only queries the round-1 verdict called out by name — they
-    # outrank the other rows-only entries for the remaining window slots
-    priority_rows_only = {"neardup_dedup_pipeline", "minhash_banded_neardup"}
+    never_checked = {
+        "seeded_sample_stats", "stratified_sample_stats", "knn_ivf_kmeans",
+        "heavy_hitters_events", "seeded_random_tags", "hll_sketch_rollup",
+    }
+    # code-touched in round 3: events.ts now loads as LTZ (was NTZ), and
+    # the MinHash kernel/checkpoint changes touched every *_neardup /
+    # trigram / LSH query lineage
+    touched_r3 = {
+        "events_tumbling_daily", "events_sliding_2h", "events_sessionized",
+        "json_props_events", "json_struct_events", "salted_event_counts",
+        "salted_join_user_events", "interval_join_events_in_order_week",
+        "heavy_hitters_events", "order_date_series",
+        "minhash_neardup_candidates", "minhash_banded_neardup",
+        "neardup_dedup_pipeline", "ngram_jaccard_neardup",
+        "simhash_neardup_candidates", "char_trigram_profiles",
+        "knn_lsh_approx", "asof_join_last_order", "doc_fingerprints",
+        "winnowing_fingerprints", "word_freq_top20", "tfidf_top_terms",
+    }
 
     def rank(name: str) -> int:
-        if name not in R1_DRIVER_CHECKED:
-            if name in ORACLE:
-                return 0
-            return 1 if name in priority_rows_only else 2
+        if name in never_checked:
+            return 0
+        if name in touched_r3:
+            return 1
+        if name in R1_DRIVER_CHECKED and name not in R2_DRIVER_CHECKED:
+            return 2
         return 3
 
     ordered = sorted(QUERIES, key=lambda n: rank(n))  # stable: keeps file order within tiers

@@ -54,11 +54,21 @@ def main() -> None:
             F.pandas_udf(lambda s: s, "string")(F.col("text")).alias("t")
         ).write.format("noop").mode("overwrite").save()
 
+    # Min-of-two per query, matching BASELINE.md's methodology: this box
+    # shows violent bursty noise (same query 23.6 s and 2.2 s in
+    # back-to-back runs — virtualization stalls, /proc/stat system time
+    # ≈ 2.5× user), so a single sample is dominated by when it ran, not
+    # what it computed. BENCH_RUNS overrides (e.g. 1 for a quick pass).
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples[name] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples[name].append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(samples[name])
 
     # Per-query detail goes to a file AND an early stdout line; the
     # FINAL stdout line is the compact summary only. The driver keeps a
@@ -69,6 +79,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "runs_per_query": runs,
+        "aggregation": "min_of_runs",
         "sf": sf,
     }
     detail_path = os.path.join(

@@ -160,13 +160,22 @@ def _band_sigs_from_hashes(
     nz = counts > 0
     if not nz.any():
         return out
-    mixed = _mix(h[:, None] ^ salts[None, :])  # (total, k)
     offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
-    mins = np.minimum.reduceat(mixed, offsets, axis=0)  # (n_nonzero, k)
+    n_nz = int(nz.sum())
+    # One contiguous 1-D mix+reduceat per permutation salt. The obvious
+    # (total, k) 2-D form costs ~10× more: reduceat along axis=0 of a
+    # C-order matrix strides k words per step (cache-hostile) and the
+    # (total, k) temporary blows the cache for large corpora; k passes
+    # over a contiguous len(h) vector stream at memory bandwidth
+    # (measured at sf0.1, 260k shingles × 16 salts: 6.4 s → <0.5 s).
+    mins = np.empty((k, n_nz), dtype=_U64)
+    for j in range(k):
+        mins[j] = np.minimum.reduceat(_mix(h ^ salts[j]), offsets)
     sigs = (
-        _mix(mins.reshape(-1, bands, rows_per_band) ^ salts.reshape(1, bands, rows_per_band))
-        .sum(axis=2, dtype=_U64)
-        .astype(np.int64)
+        _mix(mins ^ salts[:, None])
+        .reshape(bands, rows_per_band, n_nz)
+        .sum(axis=1, dtype=_U64)
+        .T.astype(np.int64)
     )
     out[nz] = sigs
     return out

@@ -90,9 +90,18 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df  # a future Spark that reads ns natively
+        if ts_type == "timestamp_ntz":
+            # Spark 4.1 reads ns parquet natively as TIMESTAMP_NTZ
+            # (truncated to µs). Structured Streaming rejects NTZ event
+            # time (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so cast to
+            # session-local TimestampType — the session is pinned to
+            # UTC (session.py), so wall-clock values are unchanged and
+            # the DuckDB oracle (naive timestamps) still agrees.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     except Exception:
         # fallback (e.g. conf rejected): convert ns→µs via pyarrow and
         # ship through Arrow createDataFrame. Driver-sized only — the

@@ -501,9 +501,18 @@ def minhash_candidates_fast(
         .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
         .localCheckpoint(eager=True)
     )
-    sigs = sh.filter(F.size("_sh") > 0).select(
-        F.col(id_col),
-        _minhash_bands_udf(num_hash_tables, 1, seed)(F.col("_sh")).alias("_bands"),
+    # materialize signatures once (id + k longs per doc — tiny): the
+    # banded self-join has the kernel stage on BOTH sides, and the
+    # downstream broadcast_if_small materialization adds a third lineage
+    # pass — un-checkpointed, the pandas kernel ran ≥2× per action
+    # (measured at sf0.1: candidate generation 20.3 s → 7.3 s)
+    sigs = (
+        sh.filter(F.size("_sh") > 0)
+        .select(
+            F.col(id_col),
+            _minhash_bands_udf(num_hash_tables, 1, seed)(F.col("_sh")).alias("_bands"),
+        )
+        .localCheckpoint(eager=True)
     )
     cands = _banded_candidate_pairs(sigs, id_col=id_col)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
@@ -627,9 +636,17 @@ def neardup_dedup(
         .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
         .localCheckpoint(eager=True)
     )
-    sigs = sh.filter(F.size("_sh") > 0).select(
-        F.col(id_col),
-        _minhash_bands_udf(8, 2, seed)(F.col("_sh")).alias("_bands"),
+    # materialize the (tiny) signature table once — both sides of the
+    # banded self-join and broadcast_if_small's materialization would
+    # otherwise each re-run the minhash kernel stage (the reproducible
+    # 30× r2 bench regression on this pipeline)
+    sigs = (
+        sh.filter(F.size("_sh") > 0)
+        .select(
+            F.col(id_col),
+            _minhash_bands_udf(8, 2, seed)(F.col("_sh")).alias("_bands"),
+        )
+        .localCheckpoint(eager=True)
     )
     cands = _banded_candidate_pairs(sigs, id_col=id_col)
     # verify on hashed shingles: array_intersect/union over fixed-width

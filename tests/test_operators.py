@@ -221,6 +221,66 @@ def test_winnowing_shared_substring_guarantee():
     assert fa & set(_winnowing_doc_fps(shifted, k, w))
 
 
+def test_band_sigs_kernel_vectorization():
+    # pure-kernel test (no session): the per-salt 1-D reduceat rewrite
+    # must (a) produce signatures identical to the straightforward 2-D
+    # formulation and (b) stay ~memory-bandwidth fast at sf0.1 scale
+    # (~260k shingles x 16 salts; was 6.4 s with the 2-D reduceat trap)
+    import time
+
+    import numpy as np
+
+    from pystreams_spark.functions.text_kernels import (
+        _MASK,
+        _U64,
+        _band_sigs_from_hashes,
+        _mix,
+    )
+
+    def reference(h, counts, salts, bands, rows_per_band):
+        out = np.zeros((len(counts), bands), dtype=np.int64)
+        nz = counts > 0
+        if not nz.any():
+            return out
+        mixed = _mix(h[:, None] ^ salts[None, :])
+        offsets = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+        mins = np.minimum.reduceat(mixed, offsets, axis=0)
+        out[nz] = (
+            _mix(mins.reshape(-1, bands, rows_per_band)
+                 ^ salts.reshape(1, bands, rows_per_band))
+            .sum(axis=2, dtype=_U64)
+            .astype(np.int64)
+        )
+        return out
+
+    rng = np.random.RandomState(7)
+    for bands, rpb in [(8, 2), (4, 1), (16, 1), (2, 8)]:
+        counts = rng.randint(0, 40, size=rng.randint(1, 200)).astype(np.int64)
+        h = rng.randint(0, 2**63, size=int(counts.sum()), dtype=np.int64).astype(_U64)
+        salts = rng.randint(0, 2**63 - 1, size=bands * rpb, dtype=np.int64).astype(_U64)
+        assert np.array_equal(
+            reference(h, counts, salts, bands, rpb),
+            _band_sigs_from_hashes(h, counts, salts, bands, rpb),
+        )
+    # empty-corpus edge: all-zero counts
+    z = np.zeros(5, dtype=np.int64)
+    assert _band_sigs_from_hashes(np.empty(0, dtype=_U64), z, salts, 8, 2).shape == (5, 8)
+
+    # microbenchmark: sf0.1-corpus shape, single core. Best-of-3 with a
+    # generous bound — this box has documented multi-second stalls, so
+    # one slow sample must not flake the suite.
+    counts = rng.randint(30, 80, size=5000).astype(np.int64)
+    h = rng.randint(0, 2**63, size=int(counts.sum()), dtype=np.int64).astype(_U64)
+    salts = rng.randint(0, 2**63 - 1, size=16, dtype=np.int64).astype(_U64)
+    best = min(
+        (lambda t0: (_band_sigs_from_hashes(h, counts, salts, 8, 2), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        )
+        for _ in range(3)
+    )
+    assert best <= 1.0, f"band-sig kernel too slow: best-of-3 {best:.2f}s"
+
+
 def test_map_arrow_batches_columnar_kernel(spark, sf_dir):
     # mapInArrow adapter: pure-Arrow kernel, no pandas materialization
     import pyarrow as pa

@@ -90,12 +90,33 @@ def test_global_topk_never_full_sorts(spark, sf_dir):
 
 
 def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
-    """Sweep every registered query plan: row-at-a-time Python UDFs
-    (BatchEvalPython) are banned — Python only ever enters via Arrow
-    (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas)."""
+    """Sweep every registered query plan for two Python-boundary
+    invariants:
+
+    1. Row-at-a-time Python UDFs (BatchEvalPython) are banned — Python
+       only ever enters via Arrow (ArrowEvalPython / mapInPandas /
+       FlatMapGroupsInPandas).
+    2. Python-eval stages are a BUDGETED resource (each stage is an
+       Arrow round-trip + worker dispatch, 1-6 s overhead on this box;
+       the r2 bench regression was one kernel silently evaluated 2-3x
+       through a self-join lineage). Budget = one eval per distinct
+       kernel the query deliberately uses; queries whose kernels are
+       pre-materialized via localCheckpoint plan as ExistingRDD scans
+       and show ZERO Python nodes. Exceeding the budget means a kernel
+       output got re-derived instead of reused — checkpoint it.
+    """
     import re
 
     from pystreams_spark.plans import executed_plan
+
+    python_nodes = re.compile(
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+        r"|FlatMapCoGroupsInPandas|BatchEvalPythonUDTF|MapInArrow"
+    )
+    # queries with >1 DISTINCT kernel by design (each still evaluated
+    # exactly once): the ANN paths run a bucket/cell-assignment kernel
+    # on the corpus and a separate exact-refine kernel on candidates
+    budget = {"knn_ivf_approx": 2, "knn_ivf_kmeans": 2, "knn_lsh_approx": 2}
 
     for name, fn in QUERIES.items():
         plan = executed_plan(fn(spark, sf_dir))
@@ -103,6 +124,12 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # row-wise UDFs plan as plain BatchEvalPython
         assert not re.search(r"BatchEvalPython(?!UDTF)", plan), (
             f"{name} uses a row-wise Python UDF"
+        )
+        n_py = len(python_nodes.findall(plan))
+        assert n_py <= budget.get(name, 1), (
+            f"{name}: {n_py} Python-eval stages in one plan "
+            f"(budget {budget.get(name, 1)}) — a kernel is being "
+            "re-evaluated; materialize its output once (localCheckpoint)"
         )
 
 
