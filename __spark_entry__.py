@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = {
         "seeded_sample_stats", "stratified_sample_stats", "knn_ivf_kmeans",
         "heavy_hitters_events", "seeded_random_tags", "hll_sketch_rollup",
+        # new in round 3
+        "benchmark_decontamination", "seeded_global_shuffle",
     }
     # code-touched in round 3: events.ts now loads as LTZ (was NTZ), and
     # the MinHash kernel/checkpoint changes touched every *_neardup /

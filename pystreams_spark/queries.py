@@ -2572,6 +2572,71 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "benchmark_decontamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(w, i, i + 2), ' ') AS gram
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 2, 1))) AS i
+            FROM toks
+        )
+    ),
+    g AS (SELECT * FROM grams WHERE gram != ''),
+    ev AS (SELECT gram, doc_id AS eval_id FROM g WHERE doc_id % 41 = 0),
+    tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 41 != 0)
+    SELECT tr.doc_id,
+           CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_matched_grams,
+           CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs_hit
+    FROM tr JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    HAVING COUNT(DISTINCT tr.gram) >= 2
+    ORDER BY doc_id
+    """,
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K contamination check (GPT-3 appendix / Dolma recipe): train
+    docs sharing ≥2 distinct word 3-gram shingles with a held-out eval
+    set (here the deterministic doc_id % 41 == 0 slice standing in for a
+    benchmark suite). The eval gram table is tiny → broadcast; the train
+    side is one narrow kernel pass + map-side join — the only shuffle is
+    the per-doc aggregate. See operators/decontaminate.py for the scale
+    notes."""
+    from .operators.decontaminate import contaminated_docs
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 41 == 0)
+    tr = d.filter(F.col("doc_id") % 41 != 0)
+    return contaminated_docs(tr, ev, n=3, min_overlap=2).orderBy("doc_id")
+
+
+@query("seeded_global_shuffle")
+def seeded_global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K seeded global permutation — the training-data final-shuffle
+    step. Deterministic (xxhash64 sort key, id tie-break), so the
+    position column is stable across runs and cluster sizes; the hash is
+    engine-specific → rows-only, with self-check columns: pos is a
+     1..N permutation (n_rows and id-set preserved, asserted in tests)
+    and identical on every run under the same seed."""
+    from .operators.decontaminate import seeded_global_shuffle
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # slice-first: orderBy+limit plans as TakeOrderedAndProject (no full
+    # sort materialization); the ordinal window then runs over the
+    # 200-row slice only, never the corpus
+    head = seeded_global_shuffle(d, seed=42).limit(200)
+    w = Window.orderBy(
+        F.xxhash64(F.col("doc_id"), F.lit(42)).asc(), F.col("doc_id").asc()
+    )
+    return head.select("doc_id", F.row_number().over(w).alias("pos"))
+
+
+@query(
     "price_neighborhood_range_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,

@@ -221,6 +221,59 @@ def test_winnowing_shared_substring_guarantee():
     assert fa & set(_winnowing_doc_fps(shifted, k, w))
 
 
+def test_decontaminate_planted_overlap(spark):
+    # plant: train doc 1 copies an eval sentence verbatim, train doc 2
+    # shares nothing, train doc 3 shares exactly one 3-gram (below a
+    # min_overlap=2 bar)
+    from pystreams_spark.operators.decontaminate import (
+        contaminated_docs,
+        decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over suffix tail"),
+            (2, "completely disjoint content with other tokens entirely"),
+            (3, "the quick brown unrelated continuation of this sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r.doc_id: r
+        for r in contaminated_docs(tr, ev, n=3, min_overlap=2).collect()
+    }
+    assert set(flagged) == {1}
+    assert flagged[1].n_matched_grams >= 4  # the copied run yields many grams
+    assert flagged[1].n_eval_docs_hit == 1
+    # min_overlap=1 additionally catches the single-gram doc 3
+    one = {r.doc_id for r in contaminated_docs(tr, ev, n=3, min_overlap=1).collect()}
+    assert one == {1, 3}
+    # decontaminate = anti-join of the flagged set
+    kept = {r.doc_id for r in decontaminate(tr, ev, n=3, min_overlap=2).collect()}
+    assert kept == {2, 3}
+
+
+def test_seeded_global_shuffle_permutation(spark, sf_dir):
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.decontaminate import seeded_global_shuffle
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ids = [r.doc_id for r in d.collect()]
+    out1 = [r.doc_id for r in seeded_global_shuffle(d, seed=7).collect()]
+    out2 = [r.doc_id for r in seeded_global_shuffle(d, seed=7).collect()]
+    # a permutation (nothing lost/duplicated), deterministic under a
+    # fixed seed, different under a different seed, and actually shuffled
+    assert sorted(out1) == sorted(ids)
+    assert out1 == out2
+    assert out1 != sorted(out1)
+    out3 = [r.doc_id for r in seeded_global_shuffle(d, seed=8).collect()]
+    assert out3 != out1 and sorted(out3) == sorted(ids)
+
+
 def test_band_sigs_kernel_vectorization():
     # pure-kernel test (no session): the per-salt 1-D reduceat rewrite
     # must (a) produce signatures identical to the straightforward 2-D
