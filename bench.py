@@ -62,6 +62,8 @@ def main() -> None:
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    import gc
+
     for name in names:
         samples[name] = []
         for _ in range(runs):
@@ -69,6 +71,12 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
         timings[name] = min(samples[name])
+        # drop the Py4J proxies of this query's checkpointed
+        # intermediates so the ContextCleaner (periodic driver GC,
+        # session.py) can evict their blocks — otherwise 100+ queries
+        # of leftover checkpoint RDDs crowd the block manager and the
+        # suite runs slower than the same queries in isolation
+        gc.collect()
 
     # Per-query detail goes to a file AND an early stdout line; the
     # FINAL stdout line is the compact summary only. The driver keeps a
@@ -84,8 +92,11 @@ def main() -> None:
         "aggregation": "min_of_runs",
         "sf": sf,
     }
+    # subset runs (BENCH_QUERIES) go to a separate file so they never
+    # clobber the last full-suite detail record
+    detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)

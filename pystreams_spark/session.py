@@ -23,6 +23,14 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The engine checkpoints small intermediates (MinHash signatures,
+    # candidate lists) per query; their RDD blocks are only reclaimed by
+    # the ContextCleaner after a DRIVER GC, and with a mostly-idle 16 GB
+    # driver heap that can be never. On a long pipeline (the 100+-query
+    # bench, or a multi-stage production run) unreclaimed blocks crowd
+    # the block manager. Force a periodic driver GC so cleanup keeps
+    # pace (default is 30 min — far longer than a whole bench run).
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
