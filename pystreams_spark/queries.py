@@ -2615,6 +2615,35 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contaminated_docs(tr, ev, n=3, min_overlap=2).orderBy("doc_id")
 
 
+@query(
+    "incremental_dedup_new_docs",
+    oracle="""
+    SELECT n.doc_id, n.lang
+    FROM documents n
+    WHERE n.doc_id % 3 != 0
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id % 3 = 0 AND c.text = n.text
+      )
+    ORDER BY n.doc_id
+    """,
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K incremental-ingest dedup: the doc_id % 3 != 0 slice is the
+    arriving batch, the % 3 == 0 slice the existing corpus. Bloom
+    pre-filter → broadcast-semi verify → anti-join; result is exactly
+    the plain anti-join's (bloom fp only cost verify work). See
+    operators/bloom.py for the no-shuffle scale shape."""
+    from .operators.bloom import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    return incremental_exact_dedup(new, corpus).select("doc_id", "lang").orderBy(
+        "doc_id"
+    )
+
+
 @query("seeded_global_shuffle")
 def seeded_global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K seeded global permutation — the training-data final-shuffle

@@ -257,6 +257,46 @@ def test_decontaminate_planted_overlap(spark):
     assert kept == {2, 3}
 
 
+def test_incremental_bloom_dedup_exactness(spark, sf_dir):
+    # the bloom path must return EXACTLY the plain anti-join result —
+    # also under a deliberately tiny, fp-heavy bitmap (512 bits for 300+
+    # corpus docs → most probes are false-positive and go through exact
+    # verification)
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.bloom import (
+        bloom_might_contain_udf,
+        build_bloom,
+        incremental_exact_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 == 0)
+    new = d.filter(F.col("doc_id") % 3 != 0)
+    want = sorted(
+        r.doc_id
+        for r in new.join(
+            corpus.select("text").distinct(), "text", "left_anti"
+        ).collect()
+    )
+    for bits in (1 << 20, 512):
+        got = sorted(
+            r.doc_id
+            for r in incremental_exact_dedup(new, corpus, num_bits=bits).collect()
+        )
+        assert got == want, f"bloom path diverged at num_bits={bits}"
+    # no false negatives: every corpus hash probes positive
+    bloom = build_bloom(
+        corpus.select(F.xxhash64("text").alias("_h")), "_h", num_bits=1 << 16
+    )
+    probe = bloom_might_contain_udf(spark, bloom, 5)
+    n_corpus = corpus.count()
+    n_pos = (
+        corpus.select(probe(F.xxhash64("text")).alias("p")).filter("p").count()
+    )
+    assert n_pos == n_corpus
+
+
 def test_seeded_global_shuffle_permutation(spark, sf_dir):
     from pystreams_spark.io import load_table
     from pystreams_spark.operators.decontaminate import seeded_global_shuffle
