@@ -317,6 +317,54 @@ class Stream:
         ]
         return Stream(zipped.toDF(cols))
 
+    # -- §2.K corpus ops (facade sugar over operators/) ----------------------
+    def dedup_exact(self, text_col: str = "text", id_col: str = "doc_id") -> "Stream":
+        """Keep one row per distinct text (min id). Hashed-shuffle
+        variant — 16 B/row instead of document bytes at scale."""
+        from .operators.dedup import exact_dedup_hashed
+
+        return Stream(exact_dedup_hashed(self.df, text_col, id_col))
+
+    def dedup_neardup(
+        self, threshold: float = 0.35, n: int = 3,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "Stream":
+        """Near-duplicate dedup: banded-MinHash candidates → exact
+        Jaccard verify → connected components → min-id survivors."""
+        from .operators.dedup import neardup_dedup
+
+        return Stream(neardup_dedup(self.df, threshold, n, text_col, id_col))
+
+    def dedup_against(
+        self, corpus: "Stream | DataFrame", text_col: str = "text"
+    ) -> "Stream":
+        """Incremental ingest: drop rows whose text already exists in
+        ``corpus`` (bloom pre-filter, exact result — operators/bloom.py)."""
+        from .operators.bloom import incremental_exact_dedup
+
+        other = corpus.df if isinstance(corpus, Stream) else corpus
+        return Stream(incremental_exact_dedup(self.df, other, text_col))
+
+    def decontaminate(
+        self, eval_set: "Stream | DataFrame", n: int = 3, min_overlap: int = 1,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "Stream":
+        """Remove docs sharing ≥ ``min_overlap`` word n-grams with the
+        eval/benchmark set (operators/decontaminate.py)."""
+        from .operators.decontaminate import decontaminate
+
+        other = eval_set.df if isinstance(eval_set, Stream) else eval_set
+        return Stream(
+            decontaminate(self.df, other, n, min_overlap, text_col, id_col)
+        )
+
+    def shuffle_seeded(self, seed: int = 42, id_col: str = "doc_id") -> "Stream":
+        """Deterministic global permutation (training-order shuffle,
+        reseedable per epoch)."""
+        from .operators.decontaminate import seeded_global_shuffle
+
+        return Stream(seeded_global_shuffle(self.df, seed, id_col))
+
     # -- keyed ops (§2.D) ----------------------------------------------------
     def group_by(self, *keys: Column | str):
         return self.df.groupBy(*keys)

@@ -252,3 +252,36 @@ def test_enumerate_distributed_zipwithindex_semantics(spark):
     assert vals == list(range(n))
     # agrees with the RDD implementation's index set per partition layout
     assert len(idx) == n
+
+
+def test_corpus_ops_facade_sugar(spark, sf_dir):
+    # the §2.K facade methods must agree with their operator-module
+    # implementations (same plans, just fluent access)
+    from pystreams_spark.io import load_table
+
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    n_docs = docs.count()
+
+    deduped = docs.dedup_exact()
+    n_distinct = docs.df.select("text").distinct().count()
+    assert deduped.count() == n_distinct
+
+    corpus = Stream(docs.df.filter("doc_id % 3 = 0"))
+    new = Stream(docs.df.filter("doc_id % 3 != 0"))
+    survivors = new.dedup_against(corpus)
+    want = new.df.join(
+        corpus.df.select("text").distinct(), "text", "left_anti"
+    ).count()
+    assert survivors.count() == want
+
+    ev = Stream(docs.df.filter("doc_id % 41 = 0"))
+    tr = Stream(docs.df.filter("doc_id % 41 != 0"))
+    clean = tr.decontaminate(ev, n=3, min_overlap=2)
+    assert clean.count() <= tr.count()
+    # removed docs really do overlap the eval set
+    assert clean.count() < tr.count() or n_docs < 41
+
+    shuffled = docs.shuffle_seeded(seed=3)
+    ids = sorted(r.doc_id for r in docs.df.select("doc_id").collect())
+    got = [r.doc_id for r in shuffled.df.select("doc_id").collect()]
+    assert sorted(got) == ids and got != ids
