@@ -3461,6 +3461,53 @@ def scalar_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+        SELECT l_partkey, 0.2 * AVG(l_quantity) AS thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS lost_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND l.l_quantity < a.thresh
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate subquery (each
+    lineitem compared against ITS part's 0.2x average quantity),
+    expressed decorrelated the way Catalyst rewrites it: the per-part
+    aggregate is its own plan branch joined back on the key. Scale
+    notes: the aggregate shuffles (partkey, partial-avg) pairs only; the
+    brand filter broadcasts through the part dim; AQE picks broadcast
+    vs shuffle for the agg-side join from runtime sizes."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    avg_qty = li.groupBy(F.col("l_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("lost_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
     "doc_repetition_by_lang",
     oracle="""
     WITH toks AS (
