@@ -139,6 +139,24 @@ def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     return spark.read.json(path, schema=schema, **options)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source (built-in, self-describing like parquet): same
+    pushdown/pruning behavior, ACID-table interop on Hive-flavored
+    lakes. Avro would be the remaining columnar-ish format; its data
+    source module is external to the Spark distribution and absent in
+    this container — gate any avro path behind a format probe."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Stream-of-lines source (java.util.stream Files.lines analog)."""
     return spark.read.text(path)

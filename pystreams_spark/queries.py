@@ -3508,6 +3508,59 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "disjunctive_predicate_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — an OR of cross-table conjuncts on top of an
+    equi-join. The optimizer-relevant property: Catalyst keeps the
+    equi-key join (no nested loop) and derives pushable single-table
+    disjunctions for BOTH scans (p_brand/p_size on part,
+    l_quantity on lineitem) from the OR, so each side prunes before the
+    join even though no single conjunct applies alone."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        j.filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
     "doc_repetition_by_lang",
     oracle="""
     WITH toks AS (

@@ -203,3 +203,33 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # old rows surface the new column as null; new rows carry values
     assert merged.filter(F.col("score").isNull()).count() == 5
     assert merged.filter(F.col("score") == 70).count() == 1
+
+
+def test_orc_roundtrip_partitioned_and_pushdown(spark, sf_dir, tmp_path):
+    # ORC sink/source parity with the parquet path: partitioned write,
+    # identical values back, partition pruning + predicate pushdown
+    # reach the ORC scan
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.io import load_table, read_orc, write_orc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(o, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert back.count() == o.count()
+    want = o.agg(F.sum("o_totalprice")).collect()[0][0]
+    got = back.agg(F.sum("o_totalprice")).collect()[0][0]
+    assert abs(want - got) < 1e-6
+    pruned = back.filter(F.col("o_orderstatus") == "F").filter(
+        F.col("o_totalprice") > 1000
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filter on the partition column, data filter pushed to ORC
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    assert "PushedFilters" in plan and "o_totalprice" in plan
+    assert pruned.count() == o.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)
+    ).count()

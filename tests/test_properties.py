@@ -119,3 +119,48 @@ def test_histogram_counts_partition_rows(spark, xs, k):
             expect[b] = expect.get(b, 0) + 1
         got = {r.bucket: r.n for r in rows}
         assert got == expect
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    inserted=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=100
+    ),
+    num_bits_pow=st.integers(min_value=3, max_value=16),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_bloom_bitmap_no_false_negatives(inserted, probes, num_bits_pow, k):
+    # pure-kernel property (no Spark session): any hash that was set
+    # must probe positive at ANY bitmap size / hash count — false
+    # positives are allowed, false negatives never
+    import numpy as np
+
+    from pystreams_spark.operators.bloom import _bloom_positions
+
+    num_bits = 1 << num_bits_pow
+    bitmap = np.zeros(num_bits // 8, dtype=np.uint8)
+    h_in = np.array(inserted, dtype=np.int64).astype(np.uint64)
+    if len(h_in):
+        pos = _bloom_positions(h_in, k, num_bits).reshape(-1)
+        np.bitwise_or.at(
+            bitmap, (pos >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+        )
+
+    def contains(h):
+        p = _bloom_positions(np.asarray(h, dtype=np.uint64), k, num_bits)
+        bits = (bitmap[(p >> np.uint64(3)).astype(np.int64)]
+                >> (p & np.uint64(7)).astype(np.uint8)) & 1
+        return bits.all(axis=0)
+
+    if len(h_in):
+        assert contains(h_in).all()  # no false negatives, ever
+    # probes of never-inserted values may be fp but must not crash and
+    # must be deterministic
+    h_pr = np.array(probes, dtype=np.int64).astype(np.uint64)
+    if len(h_pr):
+        r1, r2 = contains(h_pr), contains(h_pr)
+        assert (r1 == r2).all()
