@@ -157,6 +157,16 @@ def write_orc(
     w.orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None, **options) -> DataFrame:
+    """XML source (built-in since Spark 4.0). Always pass row_tag; pass
+    a schema in production — inference is an extra full pass, same rule
+    as csv/json."""
+    r = spark.read.format("xml").option("rowTag", row_tag).options(**options)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """Stream-of-lines source (java.util.stream Files.lines analog)."""
     return spark.read.text(path)

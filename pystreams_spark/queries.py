@@ -816,6 +816,40 @@ def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "variant_props_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data (§1.3 type
+    system): parse_json once into the binary VARIANT encoding, then
+    typed variant_get extraction — the open-schema alternative to
+    from_json's fixed struct (json_struct_events) that still avoids
+    per-access string re-parsing. At scale the parse is one codegen'd
+    pass and the extracted column participates in partial aggregation
+    like any native column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.K LLM-data-pipeline extensions: dedup, text analysis, similarity
 # ---------------------------------------------------------------------------

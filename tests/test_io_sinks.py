@@ -233,3 +233,22 @@ def test_orc_roundtrip_partitioned_and_pushdown(spark, sf_dir, tmp_path):
     assert pruned.count() == o.filter(
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000)
     ).count()
+
+
+def test_xml_source_roundtrip(spark, tmp_path):
+    # built-in XML data source (Spark 4): explicit schema, rowTag
+    from pystreams_spark.io import read_xml
+
+    p = str(tmp_path / "recs.xml")
+    with open(p, "w") as f:
+        f.write(
+            "<recs>"
+            + "".join(
+                f"<rec><id>{i}</id><name>n{i}</name><v>{i * 1.5}</v></rec>"
+                for i in range(20)
+            )
+            + "</recs>"
+        )
+    df = read_xml(spark, p, row_tag="rec", schema="id long, name string, v double")
+    rows = sorted((r.id, r.name, r.v) for r in df.collect())
+    assert rows == [(i, f"n{i}", i * 1.5) for i in range(20)]
