@@ -1,0 +1,154 @@
+"""Custom Python data sources (Spark 4 ``pyspark.sql.datasource`` API,
+SURVEY.md §2.A extensibility): when a corpus lives behind an API, a
+proprietary format, or a generator, the Spark-first answer is a custom
+DataSource — the driver plans InputPartitions, every executor reads its
+partitions in parallel, and the result is a normal DataFrame that all
+downstream operators (pushdown excepted) treat like any scan.
+
+``SyntheticDocsDataSource`` is the reference implementation: a seeded,
+deterministic document generator (same shape as the ``documents``
+fixture) that scales to any row count with zero driver data movement —
+each partition derives its rows from (seed, partition_id) alone. At
+100 TB-scale ingestion the same skeleton wraps a real upstream (object
+listing in ``partitions()``, fetch/decode in ``read()``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_WORDS = (
+    "key agg row scan slow fast table value part hash merge batch spark "
+    "order data column join small line customer query big stream group "
+    "vector window filter sort the a"
+).split()
+_LANGS = ("en", "de", "es", "fr", "zh")
+
+
+class _DocsPartition(InputPartition):
+    def __init__(self, index: int, start: int, end: int, seed: int):
+        self.index = index
+        self.start = start
+        self.end = end
+        self.seed = seed
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 8))
+        self.seed = int(options.get("seed", 42))
+
+    def partitions(self):
+        # even row ranges; at scale this is where you list files/shards
+        per = -(-self.n_rows // self.n_parts)
+        return [
+            _DocsPartition(i, i * per, min((i + 1) * per, self.n_rows), self.seed)
+            for i in range(self.n_parts)
+            if i * per < self.n_rows
+        ]
+
+    def read(self, partition):
+        # runs ON THE EXECUTOR: derive rows purely from (seed, doc_id)
+        # so any partitioning of the id space yields identical data
+        import numpy as np
+
+        rng = np.random.RandomState(self.seed + partition.index)
+        for doc_id in range(partition.start, partition.end):
+            r = np.random.RandomState((self.seed * 1_000_003 + doc_id) % (2**31))
+            n_tokens = 20 + int(r.randint(0, 40))
+            words = [_WORDS[int(w)] for w in r.randint(0, len(_WORDS), n_tokens)]
+            yield (doc_id, " ".join(words), _LANGS[doc_id % len(_LANGS)])
+
+
+class SyntheticDocsDataSource(DataSource):
+    """``spark.read.format("synthetic_docs").option("rows", N).load()``
+    after ``register_data_sources(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(self.options)
+
+
+class _EventsRangePartition(InputPartition):
+    def __init__(self, start: int, end: int, seed: int):
+        self.start = start
+        self.end = end
+        self.seed = seed
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset-tracked micro-batch source — the Kafka-shaped contract
+    (monotonic offsets, replayable ranges, partition-parallel reads)
+    over a deterministic generator. ``latestOffset`` advances by
+    ``rows_per_batch`` per poll; a given offset range always yields the
+    same rows, so checkpoint recovery replays exactly (the property
+    Structured Streaming's exactly-once sink contract builds on)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"offset": 0}
+
+    def latestOffset(self):
+        self._latest += self.rows_per_batch
+        return {"offset": self._latest}
+
+    def partitions(self, start, end):
+        s, e = start["offset"], end["offset"]
+        per = max(-(-(e - s) // self.n_parts), 1)
+        return [
+            _EventsRangePartition(s + i * per, min(s + (i + 1) * per, e), self.seed)
+            for i in range(self.n_parts)
+            if s + i * per < e
+        ]
+
+    def read(self, partition):
+        import numpy as np
+
+        for event_id in range(partition.start, partition.end):
+            r = np.random.RandomState((partition.seed * 999_983 + event_id) % (2**31))
+            yield (
+                event_id,
+                int(r.randint(0, 1000)),
+                ("click", "view", "purchase", "scroll")[int(r.randint(0, 4))],
+            )
+
+    def commit(self, end):
+        pass  # nothing to clean up — ranges are derivable forever
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """``spark.readStream.format("synthetic_events").load()`` after
+    ``register_data_sources(spark)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string"
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_data_sources(spark) -> None:
+    """Idempotent registration of all custom sources on a session."""
+    spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(SyntheticEventsStreamSource)

@@ -252,3 +252,47 @@ def test_xml_source_roundtrip(spark, tmp_path):
     df = read_xml(spark, p, row_tag="rec", schema="id long, name string, v double")
     rows = sorted((r.id, r.name, r.v) for r in df.collect())
     assert rows == [(i, f"n{i}", i * 1.5) for i in range(20)]
+
+
+def test_custom_python_datasource(spark):
+    # Spark 4 Python DataSource API: partition-parallel custom source,
+    # deterministic under a fixed seed, rows derived executor-side
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.sources import register_data_sources
+
+    register_data_sources(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 7)
+        .option("seed", 11)
+        .load()
+    )
+    assert df.count() == 500
+    # actually parallel: rows came from all planned partitions
+    n_parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+    assert n_parts == 7
+    # deterministic: same options → identical content
+    again = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 7)
+        .option("seed", 11)
+        .load()
+    )
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, again.collect()))
+    assert a == b
+    # ids are exactly 0..499 once each; schema as declared
+    assert [r[0] for r in a] == list(range(500))
+    assert df.schema.simpleString() == "struct<doc_id:bigint,text:string,lang:string>"
+    # partitioning-independent content: different partition count, same rows
+    other = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 3)
+        .option("seed", 11)
+        .load()
+    )
+    assert sorted(map(tuple, other.collect())) == a

@@ -419,3 +419,44 @@ def test_streaming_dedup_rocksdb_changelog_checkpoint_restart(
             spark.conf.unset(provider_conf)
         else:
             spark.conf.set(provider_conf, prev)
+
+
+def test_custom_python_stream_source(spark, tmp_path):
+    # Spark 4 Python DataSourceStreamReader: offset-tracked micro-batch
+    # source; rows are a deterministic function of the offset range, so
+    # a batch is replayable (the exactly-once building block)
+    import time
+
+    from pystreams_spark.sources import register_data_sources
+
+    register_data_sources(spark)
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 50)
+        .option("partitions", 3)
+        .load()
+        .writeStream.format("memory")
+        .queryName("synth_events")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT COUNT(*) c FROM synth_events").collect()[0].c >= 100:
+                break
+            time.sleep(1)
+        rows = spark.sql(
+            "SELECT event_id, user_id, event_type FROM synth_events ORDER BY event_id"
+        ).collect()
+        assert len(rows) >= 100
+        # contiguous offsets, each exactly once
+        ids = [r.event_id for r in rows]
+        assert ids == list(range(len(ids)))
+        # deterministic generator: spot-check a row recomputes identically
+        import numpy as np
+
+        r7 = np.random.RandomState((42 * 999_983 + 7) % (2**31))
+        assert rows[7].user_id == int(r7.randint(0, 1000))
+    finally:
+        q.stop()
