@@ -133,6 +133,18 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
 
 
+def chunk_text(text: Column | str, size: int, stride: int) -> Column:
+    """Overlapping fixed-size character chunks (array<string>): window
+    starts 1, 1+stride, ... over the doc — the long-document splitter a
+    training pipeline runs before tokenization (stride < size gives
+    overlap; stride = size gives a partition). Empty docs yield one ''
+    chunk, mirroring shingles()' degenerate case. Pure Column algebra —
+    a handful of interpreted HOF elements per doc, no kernel needed."""
+    t = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
+    return F.transform(idx, lambda i: t.substr(i, F.lit(size)))
+
+
 def fingerprint(text: Column | str) -> Column:
     """64-bit rolling document fingerprint: xxhash64 of the sorted
     distinct token multiset — stable under token reordering, which makes

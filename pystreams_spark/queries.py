@@ -3595,6 +3595,48 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "chunk_long_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST((i - 1) / 120 AS BIGINT) AS chunk_idx,
+           substr(text, i, 200) AS chunk,
+           CAST(length(substr(text, i, 200)) AS INTEGER) AS n_chunk_chars
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(length(text), 1), 120)) AS i
+        FROM documents
+        WHERE doc_id < 100
+    )
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_long_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K long-document chunking: overlapping 200-char windows with
+    stride 120 (overlap 80), the pre-tokenization splitter for docs
+    exceeding a model's context. Narrow Column-algebra pass + explode —
+    no shuffle until the ORDER BY; at scale the sink would be
+    partitioned instead of sorted."""
+    from .functions.text import chunk_text
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(chunk_text("text", size=200, stride=120)).alias(
+                "chunk_idx", "chunk"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk",
+            F.length("chunk").alias("n_chunk_chars"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
     "doc_repetition_by_lang",
     oracle="""
     WITH toks AS (
