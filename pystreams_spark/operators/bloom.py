@@ -2,9 +2,10 @@
 of documents against an EXISTING corpus without shuffling either side.
 
 The production shape for continuous ingest at 100 TB: the corpus is
-summarized once into a fixed-size bloom bitmap (one narrow pass; the
-per-partition bitmaps OR together on the driver — k × num_bits/8 bytes
-regardless of corpus size, e.g. 2 MB for 16M bits), the new batch
+summarized once into a fixed-size bloom bitmap (one narrow pass;
+per-partition bitmaps OR-reduce executor-side via treeAggregate, so
+the driver receives one num_bits/8-byte bitmap regardless of corpus
+size or partition count, e.g. 2 MB for 16M bits), the new batch
 probes the broadcast bitmap in a vectorized kernel, and only the
 bloom-POSITIVE slice (true dups + the fp rate) participates in exact
 verification. Bloom false positives cannot corrupt the result — they
@@ -42,11 +43,10 @@ def build_bloom(
 ) -> bytes:
     """One narrow pass over ``df[hash_col]`` (int64) → bloom bitmap.
 
-    Each Arrow batch sets its bits into a local bitmap; per-batch
-    bitmaps are OR-reduced on the driver. Driver traffic is
-    batches × num_bits/8 bytes — for 2 MB bitmaps and a 1000-executor
-    scan that is GBs of tiny rows, so batches pre-OR per partition:
-    the kernel emits ONE bitmap row per partition, not per batch."""
+    Each partition ORs all its Arrow batches into one local bitmap
+    (the kernel emits ONE row per partition); partition bitmaps then
+    OR-reduce executor-side (treeAggregate), so the driver receives a
+    single num_bits/8-byte bitmap at any scale."""
     import pandas as pd
 
     nb = int(num_bits)
@@ -64,10 +64,19 @@ def build_bloom(
             yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
     parts = df.select(F.col(hash_col)).mapInPandas(to_bitmaps, "bitmap binary")
-    acc = np.zeros(nb // 8, dtype=np.uint8)
-    for row in parts.collect():  # ≤ one small row per partition, bounded
-        acc |= np.frombuffer(row.bitmap, dtype=np.uint8)
-    return acc.tobytes()
+
+    # OR-reduce executor-side (treeAggregate, depth 2): the driver
+    # receives ONE bitmap, not one per partition — at 10k-partition
+    # corpus scale the difference between 2 MB and 20 GB of driver
+    # traffic. seq/comb ops run on executors; bytes in, bytes out.
+    def _or(a: bytes, b) -> bytes:
+        bb = b.bitmap if hasattr(b, "bitmap") else b
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(bb, dtype=np.uint8)
+        ).tobytes()
+
+    zero = bytes(nb // 8)
+    return parts.rdd.treeAggregate(zero, _or, _or, depth=2)
 
 
 def bloom_might_contain_udf(spark, bloom: bytes, k: int):
