@@ -2673,8 +2673,13 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 3 == 0)
     new = d.filter(F.col("doc_id") % 3 != 0)
-    return incremental_exact_dedup(new, corpus).select("doc_id", "lang").orderBy(
-        "doc_id"
+    # bitmap sized ~10 bits/corpus-doc for ~1% fp: 2^20 covers every
+    # fixture SF with headroom (size the bitmap to YOUR corpus at scale;
+    # fp only costs verify work, never correctness)
+    return (
+        incremental_exact_dedup(new, corpus, num_bits=1 << 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     )
 
 
