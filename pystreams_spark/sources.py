@@ -111,6 +111,13 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         s, e = start["offset"], end["offset"]
+        # restart safety: after recovery the in-memory advance counter
+        # restarts at 0 while the checkpointed start may be far ahead —
+        # fast-forward so the next latestOffset() continues from the
+        # recovered position instead of handing Spark end < start
+        self._latest = max(self._latest, s, e)
+        if e <= s:
+            return []
         per = max(-(-(e - s) // self.n_parts), 1)
         return [
             _EventsRangePartition(s + i * per, min(s + (i + 1) * per, e), self.seed)
@@ -130,7 +137,9 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end):
-        pass  # nothing to clean up — ranges are derivable forever
+        # ranges are derivable forever (nothing to clean up); keep the
+        # advance counter monotonic with what the engine has committed
+        self._latest = max(self._latest, end["offset"])
 
 
 class SyntheticEventsStreamSource(DataSource):

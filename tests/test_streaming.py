@@ -460,3 +460,65 @@ def test_custom_python_stream_source(spark, tmp_path):
         assert rows[7].user_id == int(r7.randint(0, 1000))
     finally:
         q.stop()
+
+
+def test_custom_stream_source_checkpoint_restart(spark, tmp_path):
+    # stop the query, start a NEW one on the same checkpoint with a
+    # parquet sink (fault-tolerant, unlike memory): event ids across
+    # both runs must be exactly-once — contiguous 0..max, no duplicate,
+    # no gap — even though the reader's in-memory counter restarted
+    import time
+
+    from pystreams_spark.sources import register_data_sources
+
+    register_data_sources(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 40)
+            .option("partitions", 2)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    def rows_now():
+        try:
+            return spark.read.parquet(out).count()
+        except Exception:
+            return 0
+
+    def wait_rows(n, timeout=60):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if rows_now() >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"sink never reached {n} rows (have {rows_now()})")
+
+    q1 = start()
+    try:
+        wait_rows(80)
+    finally:
+        q1.stop()
+        q1.awaitTermination()
+    n1 = spark.read.parquet(out).count()
+
+    q2 = start()
+    try:
+        wait_rows(n1 + 40)
+    finally:
+        q2.stop()
+        q2.awaitTermination()
+
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == list(range(len(ids))), (
+        f"not exactly-once across restart: {len(ids)} rows, "
+        f"min {ids[0]}, max {ids[-1]}"
+    )
+    assert len(ids) > n1  # run 2 made progress
