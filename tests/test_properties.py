@@ -164,3 +164,36 @@ def test_bloom_bitmap_no_false_negatives(inserted, probes, num_bits_pow, k):
     if len(h_pr):
         r1, r2 = contains(h_pr), contains(h_pr)
         assert (r1 == r2).all()
+
+
+@slow
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    size=st.integers(min_value=2, max_value=20),
+    stride_delta=st.integers(min_value=0, max_value=10),
+)
+def test_chunk_text_reconstruction(spark, texts, size, stride_delta):
+    # stride <= size: concatenating the first `stride` chars of each
+    # chunk reconstructs the document exactly — no char lost or
+    # duplicated by the splitter, for any doc length incl. empty
+    from pystreams_spark.functions.text import chunk_text
+
+    stride = max(size - stride_delta, 1)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = df.select(
+        "i", "t", chunk_text("t", size=size, stride=stride).alias("chunks")
+    ).collect()
+    for r in rows:
+        rebuilt = "".join(c[:stride] for c in r.chunks)
+        assert rebuilt == r.t
+        # every chunk is a true substring at its expected offset
+        for j, c in enumerate(r.chunks):
+            start = j * stride
+            assert r.t[start : start + size] == c
