@@ -428,6 +428,20 @@ class Stream:
     def mean(self, col: Column | str):
         return self._agg1(F.avg(_col(col)))
 
+    def summary_statistics(self, col: Column | str) -> dict:
+        """java.util.stream ``summaryStatistics()``: count/min/max/sum/
+        mean in ONE partial-aggregated pass (one job), vs five separate
+        jobs from calling the individual terminals."""
+        c = _col(col)
+        row = self.df.agg(
+            F.count(c).alias("count"),
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            F.sum(c).alias("sum"),
+            F.avg(c).alias("mean"),
+        ).collect()[0]
+        return row.asDict()
+
     def reduce(self, col: Column | str, op: Callable[[Any, Any], Any]):
         """Generic associative fold. Known aggregates should use
         sum/min/max/...; this is the escape hatch, executed distributed

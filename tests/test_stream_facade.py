@@ -285,3 +285,15 @@ def test_corpus_ops_facade_sugar(spark, sf_dir):
     ids = sorted(r.doc_id for r in docs.df.select("doc_id").collect())
     got = [r.doc_id for r in shuffled.df.select("doc_id").collect()]
     assert sorted(got) == ids and got != ids
+
+
+def test_summary_statistics_one_pass(spark):
+    rows = [(float(x),) for x in range(1, 101)]
+    s = Stream.of(spark, rows, "x double")
+    got = s.summary_statistics("x")
+    assert got["count"] == 100
+    assert got["min"] == 1.0 and got["max"] == 100.0
+    assert got["sum"] == 5050.0
+    assert abs(got["mean"] - 50.5) < 1e-9
+    # agrees with the individual terminals
+    assert got["sum"] == s.sum("x") and got["min"] == s.min("x")
