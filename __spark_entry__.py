@@ -99,7 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_decontamination", "seeded_global_shuffle",
         "incremental_dedup_new_docs", "small_quantity_revenue",
         "disjunctive_predicate_revenue", "variant_props_events",
-        "chunk_long_documents",
+        "chunk_long_documents", "embedding_quantization_report",
     }
     # code-touched in round 3: events.ts now loads as LTZ (was NTZ), and
     # the MinHash kernel/checkpoint changes touched every *_neardup /

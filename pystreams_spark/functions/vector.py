@@ -46,3 +46,29 @@ def normalize(a: Column | str) -> Column:
     top-k (halves the per-pair work in brute-force kNN)."""
     n = l2_norm(a)
     return F.transform(as_double(a), lambda x: x / n)
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale double,
+    q array<tinyint>) with q_i = round(x_i / scale * 127). At 100 TB
+    embedding storage this is the standard 4x shrink (float32 → int8 +
+    one double per vector); reconstruction error is bounded by
+    scale/127 per element (half-step after rounding — asserted in
+    tests). All-zero vectors get scale 0 and all-zero codes. Pure
+    Column algebra — quantization happens inside codegen, so it can
+    run in the write path of a 1000-executor ingest with no Python."""
+    v = as_double(a)
+    scale = F.array_max(F.transform(v, F.abs))
+    safe = F.when(scale > 0.0, scale).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / safe * 127.0).cast("tinyint"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qs: Column | str) -> Column:
+    """Inverse of ``quantize_int8``: array<double> approximation
+    x̂_i = q_i * scale / 127."""
+    qs = F.col(qs) if isinstance(qs, str) else qs
+    scale = qs["scale"]
+    return F.transform(
+        qs["q"], lambda c: c.cast("double") * scale / F.lit(127.0)
+    )

@@ -2683,6 +2683,47 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_quantization_report")
+def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K int8 embedding quantization (the 4x storage shrink for a
+    100 TB embedding store), reported with its own accuracy audit:
+    max reconstruction error in quantization-step units (must be ≤ 0.5,
+    the self-check the driver's value-hash pins), and cosine between
+    original and reconstructed vectors. Engine-specific float rounding
+    → rows-only; all values deterministic."""
+    from .functions.vector import as_double, cosine, dequantize_int8, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = e.select(
+        "vec_id",
+        as_double("embedding").alias("x"),
+        quantize_int8("embedding").alias("qs"),
+    ).select(
+        "vec_id",
+        "x",
+        F.col("qs.scale").alias("scale"),
+        F.col("qs.q").alias("q"),
+        dequantize_int8("qs").alias("xhat"),
+    )
+    per_vec = qd.select(
+        "vec_id",
+        (
+            F.array_max(F.zip_with("x", "xhat", lambda a, b: F.abs(a - b)))
+            / (F.col("scale") / 127.0)
+        ).alias("err_steps"),
+        cosine("x", "xhat").alias("cos_hat"),
+        F.size(F.filter("q", lambda c: F.abs(c) == 127)).alias("n_saturated"),
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("err_steps"), 4).alias("avg_err_steps"),
+        F.round(F.max("err_steps"), 4).alias("max_err_steps"),
+        F.round(F.avg("cos_hat"), 6).alias("avg_cos_orig_hat"),
+        F.round(F.min("cos_hat"), 6).alias("min_cos_orig_hat"),
+        F.sum("n_saturated").alias("total_saturated_codes"),
+    )
+
+
 @query("seeded_global_shuffle")
 def seeded_global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K seeded global permutation — the training-data final-shuffle

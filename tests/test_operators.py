@@ -714,3 +714,49 @@ def test_zorder_key_bits_guard():
     # 7 cols x 10 bits = 70 > 63 usable bits: must refuse, not wrap
     with pytest.raises(ValueError, match="63"):
         zorder_key([f"c{i}" for i in range(7)], ranges, bits=10)
+
+
+def test_int8_quantization_error_bound(spark, sf_dir):
+    # per-element reconstruction error must be <= scale/127 * 0.5 + eps
+    # (half a quantization step), and cosine between original and
+    # reconstructed vectors must stay ~1
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.vector import (
+        as_double,
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+    from pystreams_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = e.select(
+        "vec_id",
+        as_double("embedding").alias("x"),
+        quantize_int8("embedding").alias("qs"),
+    ).select(
+        "vec_id",
+        "x",
+        F.col("qs.scale").alias("scale"),
+        dequantize_int8("qs").alias("xhat"),
+    )
+    err = qd.select(
+        "vec_id",
+        "scale",
+        F.array_max(
+            F.zip_with("x", "xhat", lambda a, b: F.abs(a - b))
+        ).alias("max_err"),
+        F.round(cosine("x", "xhat"), 4).alias("cos_orig_hat"),
+    )
+    rows = err.collect()
+    assert rows
+    for r in rows:
+        assert r.max_err <= r.scale / 127.0 * 0.5 + 1e-9, (r.vec_id, r.max_err, r.scale)
+        assert r.cos_orig_hat >= 0.999
+    # all-zero vector edge: scale 0, codes 0, reconstruction exact
+    z = spark.createDataFrame([([0.0] * 4,)], "embedding array<float>")
+    zq = z.select(quantize_int8("embedding").alias("qs")).select(
+        "qs.scale", dequantize_int8("qs").alias("xhat")
+    ).collect()[0]
+    assert zq.scale == 0.0 and zq.xhat == [0.0, 0.0, 0.0, 0.0]
