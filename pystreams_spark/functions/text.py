@@ -151,3 +151,19 @@ def fingerprint(text: Column | str) -> Column:
     it a cheap near-dup pre-filter key. Engine-specific hash → rows-only."""
     toks = F.array_sort(F.array_distinct(tokens(F.col(text) if isinstance(text, str) else text)))
     return F.xxhash64(F.concat_ws("", toks))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Engine-portable 60-bit token-set fingerprint: md5 of the sorted
+    distinct tokens joined by ' ', first 15 hex chars converted to a
+    BIGINT. Same order-invariance as ``fingerprint`` but reproducible in
+    any SQL engine (DuckDB: ``('0x' || substr(md5(...),1,15))::BIGINT``),
+    so fingerprint equality — the near-dup pre-filter join key — carries
+    across systems. md5 runs JVM-side (codegen) like xxhash64; ~2x the
+    per-row hash cost, irrelevant next to the tokenize."""
+    toks = F.array_sort(
+        F.array_distinct(tokens(F.col(text) if isinstance(text, str) else text))
+    )
+    return F.conv(F.substring(F.md5(F.concat_ws(" ", toks)), 1, 15), 16, 10).cast(
+        "long"
+    )

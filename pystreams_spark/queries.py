@@ -1354,14 +1354,31 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_fingerprints")
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(array_to_string(list_sort(list_distinct(
+               list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))), ' ')),
+               1, 15))::BIGINT AS fp,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))
+               AS BIGINT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-invariant 64-bit document fingerprints (xxhash64 → rows-only)."""
-    from .functions.text import fingerprint, token_count
+    """Order-invariant document fingerprints. Since r4 keyed on md5
+    (``fingerprint_md5``: 60-bit int from the digest of the sorted
+    distinct tokens) — bit-identical in DuckDB, so the fingerprint
+    VALUES are oracle-checked, not just row counts. The xxhash64
+    ``fingerprint`` stays as the library fast path (pytest-covered)."""
+    from .functions.text import fingerprint_md5, token_count
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", fingerprint("text").alias("fp"), token_count("text").alias("n_tokens")
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+        token_count("text").alias("n_tokens"),
     ).orderBy("doc_id")
 
 
@@ -1417,29 +1434,89 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, max_tokens=512).orderBy("doc_id")
 
 
-@query("winnowing_fingerprints")
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints by winnowing (MOSS scheme):
-    O(1)-per-char rolling k-gram hashes, keep each w-window's minimum —
-    any shared substring of length ≥ w+k−1 between two documents yields
-    a shared fingerprint, which a whole-document hash cannot do. One
-    narrow kernel pass; output is (doc_id, n_fp, fp_digest) with the
-    digest an order-invariant XOR fold. Engine-specific hash →
-    rows-only; substring-sharing guarantee unit-tested."""
-    from .functions.text_kernels import winnowing_fingerprints_udf
-    from .io import ensure_parallelism
-
-    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    fps = d.select(
-        "doc_id", winnowing_fingerprints_udf(5, 8)(F.col("text")).alias("_fps")
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH g0 AS (
+        SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS p
+        FROM documents WHERE length(text) >= 5
+    ), g AS (
+        SELECT doc_id, p,
+               ('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 5)), 1, 15))::BIGINT AS h
+        FROM g0
+    ), m AS (
+        SELECT doc_id, p,
+               min(h) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS mn,
+               count(*) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS c,
+               count(*) OVER (PARTITION BY doc_id) AS tot
+        FROM g
+    ), sel AS (
+        SELECT DISTINCT doc_id, mn AS h
+        FROM m WHERE c = 8 OR (tot < 8 AND p = tot)
     )
-    return fps.select(
+    SELECT doc_id, COUNT(*) AS n_fp, bit_xor(h) AS fp_digest
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints by winnowing (Schleimer et al., the MOSS
+    scheme, public knowledge): hash every char k-gram (k=5), slide a
+    window of w=8 consecutive gram hashes, keep each window's minimum —
+    any shared substring of length ≥ w+k−1 between two documents yields
+    a shared fingerprint, which a whole-document hash cannot do. Output
+    is (doc_id, n_fp, fp_digest) over the DISTINCT selected hashes, the
+    digest an order-invariant XOR fold (bit_xor).
+
+    Since r4 the query is pure Column algebra with an md5-60-bit gram
+    hash — explode(sequence) → substr → md5 → conv, window min per doc —
+    which DuckDB reproduces bit-for-bit, upgrading this from rows-only
+    to full hash-match. The O(1)-per-char ROLLING-hash pandas kernel
+    (``text_kernels.winnowing_fingerprints_udf``) remains the no-shuffle
+    scale path for corpus use and keeps its substring-sharing-guarantee
+    unit tests; the algebra form trades one doc_id-partitioned window
+    shuffle for engine portability (docs here avg ~300 chars → ~300
+    gram rows/doc, all JVM-side codegen)."""
+    k, w = 5, 8
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= k)
+    g = d.select(
         "doc_id",
-        F.size("_fps").alias("n_fp"),
-        F.aggregate(
-            "_fps", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
-        ).alias("fp_digest"),
-    ).orderBy("doc_id")
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("p"),
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(
+            F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(k))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
+    tot_w = Window.partitionBy("doc_id")
+    m = g.select(
+        "doc_id",
+        "p",
+        F.min("h").over(win).alias("mn"),
+        F.count("h").over(win).alias("c"),
+        F.count("h").over(tot_w).alias("tot"),
+    )
+    sel = (
+        m.filter((F.col("c") == w) | ((F.col("tot") < w) & (F.col("p") == F.col("tot"))))
+        .select("doc_id", F.col("mn").alias("h"))
+        .distinct()
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.expr("bit_xor(h)").alias("fp_digest"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query("lang_id_heuristic")
@@ -2724,24 +2801,35 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("seeded_global_shuffle")
+@query(
+    "seeded_global_shuffle",
+    oracle="""
+    SELECT doc_id, pos FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY md5(concat(CAST(doc_id AS VARCHAR), ':', '42')) ASC,
+                            doc_id ASC) AS INTEGER) AS pos
+        FROM documents
+    ) WHERE pos <= 200
+    ORDER BY pos
+    """,
+)
 def seeded_global_shuffle_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K seeded global permutation — the training-data final-shuffle
-    step. Deterministic (xxhash64 sort key, id tie-break), so the
-    position column is stable across runs and cluster sizes; the hash is
-    engine-specific → rows-only, with self-check columns: pos is a
-     1..N permutation (n_rows and id-set preserved, asserted in tests)
-    and identical on every run under the same seed."""
-    from .operators.decontaminate import seeded_global_shuffle
+    step. Deterministic md5 sort key (engine-portable — DuckDB produces
+    the identical digest, so since r4 this is fully oracle-checked;
+    xxhash64 remains the opt-in fast path in the library op), id
+    tie-break: the position column is stable across runs and cluster
+    sizes. Permutation invariants (1..N, id-set preserved) additionally
+    asserted in tests."""
+    from .operators.decontaminate import seeded_global_shuffle, shuffle_key
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     # slice-first: orderBy+limit plans as TakeOrderedAndProject (no full
     # sort materialization); the ordinal window then runs over the
     # 200-row slice only, never the corpus
     head = seeded_global_shuffle(d, seed=42).limit(200)
-    w = Window.orderBy(
-        F.xxhash64(F.col("doc_id"), F.lit(42)).asc(), F.col("doc_id").asc()
-    )
+    w = Window.orderBy(shuffle_key("doc_id", 42).asc(), F.col("doc_id").asc())
     return head.select("doc_id", F.row_number().over(w).alias("pos"))
 
 
@@ -3248,12 +3336,21 @@ def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~15 values over 10^5 rows): single-pass Misra-Gries sketch, the
     pre-shuffle skew detector feeding salted_join/salted_aggregate.
     Guaranteed-superset semantics (false positives possible) → rows-only;
-    the exact-inclusion guarantee is unit-tested against true counts."""
+    the exact-inclusion guarantee is unit-tested against true counts.
+
+    The library op returns ``hot_values`` as array<string>; the query
+    flattens it to a '|'-joined scalar (array is already sorted →
+    deterministic) because the driver's rows-only canonicalizer cannot
+    sort list-valued cells (r3 ERR)."""
     from .operators.skew import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
-    return heavy_hitters(ev, ["user_id", "event_type"], support=0.05).orderBy(
-        "column"
+    return (
+        heavy_hitters(ev, ["user_id", "event_type"], support=0.05)
+        .select(
+            "column", F.concat_ws("|", F.col("hot_values")).alias("hot_values")
+        )
+        .orderBy("column")
     )
 
 
