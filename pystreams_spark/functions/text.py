@@ -139,7 +139,17 @@ def chunk_text(text: Column | str, size: int, stride: int) -> Column:
     training pipeline runs before tokenization (stride < size gives
     overlap; stride = size gives a partition). Empty docs yield one ''
     chunk, mirroring shingles()' degenerate case. Pure Column algebra —
-    a handful of interpreted HOF elements per doc, no kernel needed."""
+    a handful of interpreted HOF elements per doc, no kernel needed.
+
+    stride > size would leave unseen gaps between windows — silent text
+    loss in a training pipeline — so it is rejected outright."""
+    if stride > size:
+        raise ValueError(
+            f"chunk_text: stride ({stride}) > size ({size}) would drop "
+            "characters between windows; use stride <= size"
+        )
+    if size <= 0 or stride <= 0:
+        raise ValueError("chunk_text: size and stride must be positive")
     t = F.col(text) if isinstance(text, str) else text
     idx = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)), F.lit(stride))
     return F.transform(idx, lambda i: t.substr(i, F.lit(size)))

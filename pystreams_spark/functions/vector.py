@@ -33,7 +33,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO error) when either vector has
+    zero norm — aggregates then skip the undefined pair. try_divide is
+    identical to / for every nonzero-norm pair, so oracle-checked
+    callers are unaffected."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:

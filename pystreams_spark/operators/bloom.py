@@ -49,7 +49,13 @@ def build_bloom(
     single num_bits/8-byte bitmap at any scale."""
     import pandas as pd
 
-    nb = int(num_bits)
+    # Positions are taken mod num_bits but the bitmap holds num_bits//8
+    # bytes, so a non-multiple-of-8 size would index past the buffer
+    # (or silently shrink the filter). Round UP to the next byte — a
+    # strictly larger filter, so the no-false-negative guarantee holds
+    # for any requested size. The probe side derives its modulus from
+    # len(bitmap)*8 and therefore agrees automatically.
+    nb = (int(num_bits) + 7) // 8 * 8
 
     def to_bitmaps(batches):
         bitmap = np.zeros(nb // 8, dtype=np.uint8)

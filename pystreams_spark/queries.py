@@ -2782,12 +2782,19 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("qs.q").alias("q"),
         dequantize_int8("qs").alias("xhat"),
     )
+    # scale == 0 (all-zero vector, a case quantize_int8 supports) would
+    # raise DIVIDE_BY_ZERO under ANSI mode: such vectors reconstruct
+    # exactly, so their error is 0 steps; cosine guards its own zero
+    # norms (try_divide -> NULL, skipped by the aggregates).
     per_vec = qd.select(
         "vec_id",
-        (
+        F.when(
+            F.col("scale") > 0.0,
             F.array_max(F.zip_with("x", "xhat", lambda a, b: F.abs(a - b)))
-            / (F.col("scale") / 127.0)
-        ).alias("err_steps"),
+            / (F.col("scale") / 127.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("err_steps"),
         cosine("x", "xhat").alias("cos_hat"),
         F.size(F.filter("q", lambda c: F.abs(c) == 127)).alias("n_saturated"),
     )

@@ -100,7 +100,46 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.n_parts = int(options.get("partitions", 4))
         self.seed = int(options.get("seed", 42))
-        self._latest = 0
+        # Restart safety. partitions() fast-forwards the in-memory
+        # counter from the checkpointed range, which covers restarts
+        # with an uncommitted batch to replay. But if a query stops in
+        # the window AFTER the final batch's commit-log write and
+        # restarts, Spark calls latestOffset() FIRST (nothing to
+        # replay) — with only in-memory state that would return an
+        # offset behind the checkpointed position, and a later restart
+        # from that regressed offset re-reads committed ranges
+        # (duplicates at an exactly-once sink). A real source asks the
+        # external system for its floor; this synthetic one can
+        # optionally persist it: pass ``state_dir`` and commit() writes
+        # the committed offset durably, __init__ reads it back as the
+        # floor. Without state_dir the race window remains (documented
+        # limitation of the in-memory demo configuration).
+        self._state_path = None
+        state_dir = options.get("state_dir")
+        if state_dir:
+            import os
+
+            os.makedirs(state_dir, exist_ok=True)
+            self._state_path = os.path.join(state_dir, "committed_offset")
+        self._latest = self._read_floor()
+
+    def _read_floor(self) -> int:
+        if self._state_path:
+            try:
+                with open(self._state_path) as f:
+                    return int(f.read().strip() or 0)
+            except (OSError, ValueError):
+                return 0
+        return 0
+
+    def _write_floor(self, offset: int) -> None:
+        if self._state_path and offset > self._read_floor():
+            import os
+
+            tmp = f"{self._state_path}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(str(offset))
+            os.replace(tmp, self._state_path)  # atomic on POSIX
 
     def initialOffset(self):
         return {"offset": 0}
@@ -138,8 +177,11 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def commit(self, end):
         # ranges are derivable forever (nothing to clean up); keep the
-        # advance counter monotonic with what the engine has committed
+        # advance counter monotonic with what the engine has committed,
+        # and durably when state_dir is configured (closes the
+        # stop-after-final-commit restart race — see __init__)
         self._latest = max(self._latest, end["offset"])
+        self._write_floor(self._latest)
 
 
 class SyntheticEventsStreamSource(DataSource):

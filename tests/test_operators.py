@@ -760,3 +760,90 @@ def test_int8_quantization_error_bound(spark, sf_dir):
         "qs.scale", dequantize_int8("qs").alias("xhat")
     ).collect()[0]
     assert zq.scale == 0.0 and zq.xhat == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_quantization_zero_vector_guarded(spark):
+    # ANSI mode is on in Spark 4: an all-zero embedding (scale == 0)
+    # must yield err_steps 0 and cosine NULL, not DIVIDE_BY_ZERO
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.vector import (
+        as_double,
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    qd = df.select(
+        "vec_id",
+        as_double("embedding").alias("x"),
+        quantize_int8("embedding").alias("qs"),
+    ).select(
+        "vec_id",
+        "x",
+        F.col("qs.scale").alias("scale"),
+        dequantize_int8("qs").alias("xhat"),
+    )
+    rows = qd.select(
+        "vec_id",
+        F.when(
+            F.col("scale") > 0.0,
+            F.array_max(F.zip_with("x", "xhat", lambda a, b: F.abs(a - b)))
+            / (F.col("scale") / 127.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("err_steps"),
+        cosine("x", "xhat").alias("cos_hat"),
+    ).orderBy("vec_id").collect()
+    assert rows[0].err_steps == 0.0
+    assert rows[0].cos_hat is None  # try_divide -> NULL, not an error
+    assert rows[1].err_steps <= 0.5 + 1e-9
+    assert abs(rows[1].cos_hat - 1.0) < 1e-3
+
+
+def test_bloom_non_multiple_of_8_bits_rounds_up(spark):
+    # num_bits=20 used to index past the 2-byte bitmap; build_bloom now
+    # rounds up to the next byte and the probe derives its modulus from
+    # the bitmap length, so both stay consistent and false-negative-free
+    from pystreams_spark.operators.bloom import (
+        bloom_might_contain_udf,
+        build_bloom,
+    )
+
+    df = spark.range(0, 64).selectExpr("xxhash64(id) AS h")
+    bloom = build_bloom(df, "h", num_bits=20, k=3)
+    assert len(bloom) == 3  # 20 bits -> 24 bits -> 3 bytes
+    probe = bloom_might_contain_udf(spark, bloom, k=3)
+    got = df.select(probe(F.col("h")).alias("hit")).collect()
+    assert all(r.hit for r in got)
+
+
+def test_chunk_text_rejects_gapping_stride():
+    import pytest as _pytest
+
+    from pystreams_spark.functions.text import chunk_text
+
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_text("t", size=5, stride=6)
+    with _pytest.raises(ValueError):
+        chunk_text("t", size=0, stride=1)
+
+
+def test_stream_source_offset_floor_durable(tmp_path):
+    # stop-after-final-commit restart race: with state_dir, a brand-new
+    # reader instance (fresh process state) must never hand out an
+    # offset behind the last committed position
+    from pystreams_spark.sources import SyntheticEventsStreamReader
+
+    opts = {"rows_per_batch": "100", "state_dir": str(tmp_path / "floor")}
+    r1 = SyntheticEventsStreamReader(opts)
+    r1.commit({"offset": 500})
+    r2 = SyntheticEventsStreamReader(opts)  # simulated restart
+    assert r2.latestOffset()["offset"] == 600  # floor 500 + one batch
+    # without state_dir the documented in-memory behavior is unchanged
+    r3 = SyntheticEventsStreamReader({"rows_per_batch": "100"})
+    assert r3.latestOffset()["offset"] == 100
