@@ -217,6 +217,83 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "right_join_customer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_open_orders
+    FROM (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 200
+    GROUP BY c.c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def right_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct ``how="right"`` outer join (§2.C — previously only covered
+    indirectly): open orders RIGHT JOIN customer preserves every
+    customer, including those with zero open orders (COUNT of the
+    nullable left key counts matches only). Catalyst flips build/probe
+    sides freely, so right-outer costs the same as left-outer."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_open_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "full_outer_nation_presence",
+    oracle="""
+    WITH c AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich_cust
+        FROM customer WHERE c_acctbal > 9985 GROUP BY 1
+    ), s AS (
+        SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich_supp
+        FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           c.n_rich_cust, s.n_rich_supp,
+           (s.nk IS NULL) AS customer_only,
+           (c.nk IS NULL) AS supplier_only
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    ORDER BY nationkey
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct ``how="full"`` outer join (§2.C — previously only inside
+    merge_upsert): per-nation counts of high-balance customers vs
+    high-balance suppliers, where the filters guarantee unmatched rows
+    on BOTH sides at sf0.01 (3 customer-only + 6 supplier-only nations)
+    — null columns and the side flags prove full-outer semantics."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9985)
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_supp"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full")
+        .select(
+            F.coalesce("c_nk", "s_nk").alias("nationkey"),
+            "n_rich_cust",
+            "n_rich_supp",
+            F.col("s_nk").isNull().alias("customer_only"),
+            F.col("c_nk").isNull().alias("supplier_only"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+@query(
     "region_nation_cross",
     oracle="""
     SELECT r.r_name, n.n_name
@@ -3508,6 +3585,40 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05,
         )
         .orderBy("event_type")
+    )
+
+
+@query("count_min_user_events")
+def count_min_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (§2.D sketches; operators/
+    sketches.py): one narrow pass builds a 5x2048 counter matrix over
+    events.user_id (partial matrices treeAggregate-summed executor-side
+    — the sketch is linear, so this is exact composition), then every
+    distinct key's frequency is estimated from the broadcast matrix and
+    audited against the exact count in the same row. CMS guarantees
+    no undercount ever and overcount <= ceil(e/width * N) w.h.p. —
+    emitted as self-check columns (overcount, within_bound), so the
+    rows-only hash pins the actual estimates. Hash-seeded → rows-only;
+    error/merge guarantees unit-tested."""
+    import math
+
+    from .operators.sketches import build_count_min, cms_estimate_udf, cms_total
+
+    width, depth = 2048, 5
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select("user_id", F.xxhash64("user_id").alias("h"))
+    cms = build_count_min(hashed, "h", width=width, depth=depth)
+    n_total = cms_total(cms, depth)
+    bound = int(math.ceil(math.e / width * n_total))
+    est = cms_estimate_udf(spark, cms, depth)
+    exact = hashed.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        exact.select(
+            "user_id", "exact_n", est(F.col("h")).alias("cms_est")
+        )
+        .withColumn("overcount", F.col("cms_est") - F.col("exact_n"))
+        .withColumn("within_bound", F.col("overcount") <= F.lit(bound))
+        .orderBy("user_id")
     )
 
 

@@ -847,3 +847,55 @@ def test_stream_source_offset_floor_durable(tmp_path):
     # without state_dir the documented in-memory behavior is unchanged
     r3 = SyntheticEventsStreamReader({"rows_per_batch": "100"})
     assert r3.latestOffset()["offset"] == 100
+
+
+def test_count_min_no_undercount_and_bound(spark, sf_dir):
+    # CMS deterministic guarantee: estimate >= true count for EVERY key;
+    # probabilistic guarantee: overcount <= e/width * N for all but a
+    # ~e^-depth fraction of keys (depth=5 -> <1%; assert none fail on
+    # the fixture's small key set)
+    import math
+
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.sketches import (
+        build_count_min,
+        cms_estimate_udf,
+        cms_total,
+    )
+
+    width, depth = 1024, 5
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(F.xxhash64("user_id").alias("h"))
+    cms = build_count_min(hashed, "h", width=width, depth=depth)
+    n = cms_total(cms, depth)
+    assert n == ev.count()  # every row of the matrix sums to N
+
+    est = cms_estimate_udf(spark, cms, depth)
+    rows = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select("h", "exact_n", est(F.col("h")).alias("est_n"))
+        .collect()
+    )
+    bound = math.ceil(math.e / width * n)
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.exact_n, "CMS must never undercount"
+        assert r.est_n - r.exact_n <= bound
+
+
+def test_count_min_is_linear(spark):
+    # the sketch is a linear operator: sketch(A) + sketch(B) must equal
+    # sketch(A union B) EXACTLY — the property treeAggregate merging
+    # (and any partial/rollup architecture) relies on
+    import numpy as np
+
+    from pystreams_spark.operators.sketches import build_count_min
+
+    a = spark.range(0, 5000).selectExpr("xxhash64(id % 37) AS h")
+    b = spark.range(5000, 8000).selectExpr("xxhash64(id % 11) AS h")
+    whole = a.unionAll(b)
+    sa = np.frombuffer(build_count_min(a, "h", 256, 3), dtype=np.int64)
+    sb = np.frombuffer(build_count_min(b, "h", 256, 3), dtype=np.int64)
+    sw = np.frombuffer(build_count_min(whole, "h", 256, 3), dtype=np.int64)
+    assert ((sa + sb) == sw).all()
