@@ -2633,15 +2633,40 @@ def datetime_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_banded_neardup")
+@query(
+    "minhash_banded_neardup",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS exact_jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
 def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash LSH (custom, width-2 bands): sharply-thresholded
     candidate generation — P(candidate)=1-(1-j^r)^b — unlike ml-lib's
-    width-1 bands which admit ~all pairs. Each candidate pair carries
-    its exact Jaccard as a self-check column, so precision drift in the
-    banding shows up as changed values in the rows-only check (the
-    quality gate TODO noted this query lacked). Approximate →
-    rows-only."""
+    width-1 bands which admit ~all pairs. Since r4 the query emits the
+    VERIFIED pairs (candidates filtered to exact 3-gram Jaccard >= 0.35)
+    and is checked against the naive all-pairs exact-Jaccard oracle.
+
+    Honest scope of that equality (r3 verdict item #7): the verify stage
+    is exact by construction, so agreement == the banding missed no
+    >=0.35 pair. Banding recall is probabilistic in general (a j=0.4
+    pair is caught with P=1-(1-0.16)^8≈0.75), but the fixture's true
+    pairs all have j >= 0.9 where P ≈ 1-2e-6 — and the signatures are
+    seeded, so the result is deterministic, not a lucky draw. A fixture
+    with mid-band pairs would legitimately demote this to rows-only."""
     from .functions.text_kernels import hashed_shingles_udf
     from .io import broadcast_if_small, ensure_parallelism
     from .operators.dedup import minhash_banded_candidates
@@ -2661,6 +2686,7 @@ def minhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(broadcast_if_small(cands), "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(inter / union, 6).alias("exact_jaccard"))
+        .filter(F.col("exact_jaccard") >= 0.35)
         .orderBy("id_a", "id_b")
     )
 
@@ -3058,12 +3084,46 @@ def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("neardup_dedup_pipeline")
+@query(
+    "neardup_dedup_pipeline",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id NOT IN (SELECT DISTINCT a FROM reach WHERE b < a)
+    ORDER BY d.doc_id
+    """,
+)
 def neardup_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup dedup: banded-MinHash candidates → exact
     Jaccard verify (candidates only) → connected components → min-id
-    survivors. Candidate stage is approximate → rows-only; the unit test
-    pins survivors against a brute-force Python reference."""
+    survivors. Since r4 checked against a DuckDB oracle that states the
+    NAIVE semantics — all-pairs exact Jaccard, transitive closure by
+    recursive CTE, drop every doc that reaches a smaller one — the
+    engine computes the same set via banding + adaptive CC without ever
+    going quadratic. Equality holds for the same reason as
+    minhash_banded_neardup (seeded banding recall ≈ 1 at the fixture's
+    j>=0.9 pairs; the verify + CC stages are exact). Survivors also
+    pinned against a brute-force Python reference in unit tests."""
     from .operators.dedup import neardup_dedup
 
     d = _t(spark, sf_dir, "documents")
