@@ -82,48 +82,78 @@ R2_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r03.json (the driver's 50-query round-3
+# window). R1 ∪ R2 ∪ R3 covers all 114 queries registered through r3.
+R3_DRIVER_CHECKED = {
+    "anti_join_customers", "asof_join_last_order",
+    "benchmark_decontamination", "brand_revenue_broadcast",
+    "char_trigram_profiles", "chunk_long_documents",
+    "customer_running_total", "disjunctive_predicate_revenue",
+    "distinct_order_priorities", "doc_fingerprints",
+    "embedding_quantization_report", "events_sessionized",
+    "events_sliding_2h", "events_tumbling_daily", "heavy_hitters_events",
+    "hll_sketch_rollup", "incremental_dedup_new_docs",
+    "interval_join_events_in_order_week", "json_props_events",
+    "json_struct_events", "knn_ivf_kmeans", "knn_lsh_approx",
+    "left_join_order_counts", "minhash_banded_neardup",
+    "minhash_neardup_candidates", "nation_balance_rank",
+    "neardup_dedup_pipeline", "ngram_jaccard_neardup", "order_date_series",
+    "pricing_summary", "range_join_premium_items", "region_nation_cross",
+    "rollup_returns", "salted_event_counts", "salted_join_user_events",
+    "seeded_global_shuffle", "seeded_random_tags", "seeded_sample_stats",
+    "segment_stats", "semi_join_customers", "set_ops_orderkeys",
+    "simhash_neardup_candidates", "small_quantity_revenue",
+    "stratified_sample_stats", "tfidf_top_terms", "top_customers",
+    "union_order_slices", "variant_props_events", "winnowing_fingerprints",
+    "word_freq_top20",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
-    the most fresh evidence: (0) the 6 queries never driver-checked,
-    (1) queries whose code paths changed this round — the events loader
-    (TIMESTAMP_NTZ→LTZ cast) and the MinHash/dedup family (signature
-    checkpointing + band-sig kernel rewrite) — to re-confirm identical
-    results after the perf fixes, (2) r1-checked (oldest evidence),
-    (3) r2-checked (freshest evidence)."""
+    the most fresh evidence: (0) the 3 queries new in round 4 (never
+    driver-checked), (1) queries whose code paths changed in round 4 —
+    the heavy_hitters ERR fix, the md5-keyed oracle upgrades (shuffle /
+    fingerprints / winnowing), the near-dup oracle upgrades, and every
+    lineage through cosine (now try_divide), chunk_text (stride
+    validation) or build_bloom (byte rounding), (2) r1-checked-only
+    (three-round-old evidence, incl. the stale rows-only ANN entries the
+    r3 verdict called out), (3) r2-but-not-r3 (two rounds old),
+    (4) r3-checked (freshest)."""
 
     never_checked = {
-        "seeded_sample_stats", "stratified_sample_stats", "knn_ivf_kmeans",
-        "heavy_hitters_events", "seeded_random_tags", "hll_sketch_rollup",
-        # new in round 3
-        "benchmark_decontamination", "seeded_global_shuffle",
-        "incremental_dedup_new_docs", "small_quantity_revenue",
-        "disjunctive_predicate_revenue", "variant_props_events",
-        "chunk_long_documents", "embedding_quantization_report",
+        # new in round 4
+        "count_min_user_events", "right_join_customer_orders",
+        "full_outer_nation_presence",
     }
-    # code-touched in round 3: events.ts now loads as LTZ (was NTZ), and
-    # the MinHash kernel/checkpoint changes touched every *_neardup /
-    # trigram / LSH query lineage
-    touched_r3 = {
-        "events_tumbling_daily", "events_sliding_2h", "events_sessionized",
-        "json_props_events", "json_struct_events", "salted_event_counts",
-        "salted_join_user_events", "interval_join_events_in_order_week",
-        "heavy_hitters_events", "order_date_series",
-        "minhash_neardup_candidates", "minhash_banded_neardup",
-        "neardup_dedup_pipeline", "ngram_jaccard_neardup",
-        "simhash_neardup_candidates", "char_trigram_profiles",
-        "knn_lsh_approx", "asof_join_last_order", "doc_fingerprints",
-        "winnowing_fingerprints", "word_freq_top20", "tfidf_top_terms",
+    # code-touched in round 4 (need re-verdicts under the new code)
+    touched_r4 = {
+        "heavy_hitters_events",            # array → '|'-joined scalar (r3 ERR fix)
+        "seeded_global_shuffle",           # md5 sort key, now oracle-checked
+        "doc_fingerprints",                # fingerprint_md5, now oracle-checked
+        "winnowing_fingerprints",          # Column-algebra winnowing, now oracle-checked
+        "minhash_banded_neardup",          # verified pairs, now oracle-checked
+        "neardup_dedup_pipeline",          # now oracle-checked (recursive-CTE oracle)
+        "embedding_quantization_report",   # zero-vector guards
+        "chunk_long_documents",            # chunk_text validation
+        "incremental_dedup_new_docs",      # bloom byte-rounding touch
+        # cosine() switched to try_divide — every lineage through it
+        "knn_exact_cosine", "embedding_neardup_pairs",
+        "centroid_classifier_confusion", "embedding_neardup_lsh",
+        "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
     }
 
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r3:
+        if name in touched_r4:
             return 1
-        if name in R1_DRIVER_CHECKED and name not in R2_DRIVER_CHECKED:
+        if name in R1_DRIVER_CHECKED and name not in R2_DRIVER_CHECKED and name not in R3_DRIVER_CHECKED:
             return 2
-        return 3
+        if name not in R3_DRIVER_CHECKED:
+            return 3
+        return 4
 
     ordered = sorted(QUERIES, key=lambda n: rank(n))  # stable: keeps file order within tiers
     return {n: QUERIES[n] for n in ordered}
