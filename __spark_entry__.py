@@ -125,7 +125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked = {
         # new in round 4
         "count_min_user_events", "right_join_customer_orders",
-        "full_outer_nation_presence",
+        "full_outer_nation_presence", "late_order_priority_counts",
+        "large_quantity_orders", "waiting_supplier_ranking",
+        "dormant_rich_customers",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -3916,6 +3916,207 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "late_order_priority_counts",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS over a correlated non-equi condition
+    (some lineitem shipped >60 days after its order date; this fixture
+    has no l_commitdate, so lateness is vs o_orderdate). Spark-first:
+    EXISTS is a LEFT SEMI join with the extra predicate in the join
+    condition — one shuffle on orderkey, never a row multiplication,
+    and the 1996 date filter pushes to the orders scan."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sixty_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & sixty_late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "large_quantity_orders",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a grouped-HAVING subquery. The
+    subquery (orders totalling >300 units) aggregates lineitem once and
+    is tiny → LEFT SEMI with broadcast, so the big fact is scanned
+    twice but shuffled once; deterministic tie-break (orderkey) under
+    the top-100 cut."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "waiting_supplier_ranking",
+    oracle="""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lo l1 ON l1.l_suppkey = s.s_suppkey AND l1.late
+    WHERE EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def waiting_supplier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the hardest decision-support join pattern:
+    EXISTS + NOT EXISTS self-joins on the fact table (suppliers whose
+    late line was the ONLY late line in a multi-supplier order; lateness
+    is ship >60d after order date on this fixture). Spark-first: both
+    correlated subqueries become self-joins of one shared
+    (orderkey, suppkey, late) projection — LEFT SEMI for EXISTS, LEFT
+    ANTI for NOT EXISTS, both shuffling only the 3-column projection on
+    orderkey; the supplier dim broadcasts at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = lo.filter("late").select("l_orderkey", "l_suppkey")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    l3 = lo.filter("late").select(
+        F.col("l_orderkey").alias("_ok3"), F.col("l_suppkey").alias("_sk3")
+    )
+    only_late = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2._ok) & (l1.l_suppkey != l2._sk),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3._ok3) & (F.col("l_suppkey") != l3._sk3),
+            "left_anti",
+        )
+    )
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "dormant_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c.c_nationkey % 10
+    ORDER BY cntrycode
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar-aggregate subquery (global
+    positive-balance average) + NOT EXISTS (no order since 2001;
+    stands in for the phone-prefix country code: nationkey % 10).
+    Spark-first: the 1-row average cross-joins (broadcast) as a filter
+    bound, NOT EXISTS is a LEFT ANTI against the date-pruned orders
+    scan."""
+    c = _t(spark, sf_dir, "customer")
+    o_recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_a"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_a"))
+        .join(o_recent, c.c_custkey == o_recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+@query(
     "chunk_long_documents",
     oracle="""
     SELECT doc_id,
