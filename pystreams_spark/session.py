@@ -23,6 +23,10 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (Spark 4.1): lets custom Python
+    # sources consume planned filters (sources.py pushFilters) — off by
+    # default upstream, required for source-side partition pruning
+    "spark.sql.python.filterPushdown.enabled": "true",
     # The engine checkpoints small intermediates (MinHash signatures,
     # candidate lists) per query; their RDD blocks are only reclaimed by
     # the ContextCleaner after a DRIVER GC, and with a mostly-idle 16 GB
@@ -70,3 +74,4 @@ def apply_session_confs(spark: SparkSession) -> None:
     session (e.g. the driver's). Only touches confs that are safe to set
     after startup."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")

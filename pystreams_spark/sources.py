@@ -19,7 +19,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
 )
 
 _WORDS = (
@@ -43,15 +48,53 @@ class SyntheticDocsReader(DataSourceReader):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 42))
+        # pushdown state (pushFilters runs before partitions when the
+        # plan has filters; these defaults apply otherwise)
+        self._lo = 0
+        self._hi = self.n_rows
+        self._lang = None
+
+    def pushFilters(self, filters):
+        """Spark 4.1 filter pushdown into a Python DataSource: doc_id
+        range predicates clamp the generated id range — PARTITION
+        PRUNING inside the source, planned partitions shrink before any
+        executor runs — and a lang equality is applied row-side in
+        read(). Everything else is returned unconsumed, and Spark
+        re-applies it above the scan (the standard best-effort
+        contract, same as parquet's)."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, GreaterThan) and f.attribute == ("doc_id",):
+                self._lo = max(self._lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("doc_id",):
+                self._lo = max(self._lo, int(f.value))
+            elif isinstance(f, LessThan) and f.attribute == ("doc_id",):
+                self._hi = min(self._hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and f.attribute == ("doc_id",):
+                self._hi = min(self._hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo) and f.attribute == ("doc_id",):
+                self._lo = max(self._lo, int(f.value))
+                self._hi = min(self._hi, int(f.value) + 1)
+            elif isinstance(f, EqualTo) and f.attribute == ("lang",):
+                self._lang = str(f.value)
+            else:
+                remaining.append(f)
+        return remaining
 
     def partitions(self):
-        # even row ranges; at scale this is where you list files/shards
+        # even row ranges over the full id space, each clamped to the
+        # pushed-down [lo, hi) window, empties dropped — the generated
+        # data is a pure function of doc_id, so pruning ranges cannot
+        # change row content. At scale this is where you list
+        # files/shards and skip those outside the predicate.
         per = -(-self.n_rows // self.n_parts)
-        return [
-            _DocsPartition(i, i * per, min((i + 1) * per, self.n_rows), self.seed)
-            for i in range(self.n_parts)
-            if i * per < self.n_rows
-        ]
+        parts = []
+        for i in range(self.n_parts):
+            start = max(i * per, self._lo)
+            end = min((i + 1) * per, self.n_rows, self._hi)
+            if start < end:
+                parts.append(_DocsPartition(i, start, end, self.seed))
+        return parts
 
     def read(self, partition):
         # runs ON THE EXECUTOR: derive rows purely from (seed, doc_id)
@@ -60,10 +103,13 @@ class SyntheticDocsReader(DataSourceReader):
 
         rng = np.random.RandomState(self.seed + partition.index)
         for doc_id in range(partition.start, partition.end):
+            lang = _LANGS[doc_id % len(_LANGS)]
+            if self._lang is not None and lang != self._lang:
+                continue
             r = np.random.RandomState((self.seed * 1_000_003 + doc_id) % (2**31))
             n_tokens = 20 + int(r.randint(0, 40))
             words = [_WORDS[int(w)] for w in r.randint(0, len(_WORDS), n_tokens)]
-            yield (doc_id, " ".join(words), _LANGS[doc_id % len(_LANGS)])
+            yield (doc_id, " ".join(words), lang)
 
 
 class SyntheticDocsDataSource(DataSource):

@@ -296,3 +296,54 @@ def test_custom_python_datasource(spark):
         .load()
     )
     assert sorted(map(tuple, other.collect())) == a
+
+
+def test_custom_source_filter_pushdown_unit():
+    # pushFilters clamps the planned id range (partition pruning inside
+    # the source) and consumes the lang equality; everything else is
+    # handed back for Spark to re-apply
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        IsNotNull,
+        LessThan,
+    )
+
+    from pystreams_spark.sources import SyntheticDocsReader
+
+    r = SyntheticDocsReader({"rows": "1000", "partitions": "8"})
+    remaining = r.pushFilters(
+        [
+            GreaterThanOrEqual(("doc_id",), 500),
+            LessThan(("doc_id",), 625),
+            EqualTo(("lang",), "en"),
+            IsNotNull(("text",)),  # not supported -> must come back
+        ]
+    )
+    assert [type(f).__name__ for f in remaining] == ["IsNotNull"]
+    parts = r.partitions()
+    # rows 500..624 live entirely in the single 500..625 grid slice
+    assert [(p.start, p.end) for p in parts] == [(500, 625)]
+
+
+def test_custom_source_filter_pushdown_e2e(spark):
+    from pystreams_spark.sources import register_data_sources
+
+    register_data_sources(spark)
+    base = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 1000)
+        .option("partitions", 8)
+        .load()
+    )
+    pushed = base.filter(
+        (F.col("doc_id") >= 500) & (F.col("doc_id") < 625) & (F.col("lang") == "en")
+    ).collect()
+    # oracle: the unfiltered read filtered after the fact
+    expect = [
+        r
+        for r in base.collect()
+        if 500 <= r.doc_id < 625 and r.lang == "en"
+    ]
+    assert sorted(pushed) == sorted(expect)
+    assert len(pushed) == 25  # 125-row window, 1 of 5 langs
