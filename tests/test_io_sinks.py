@@ -347,3 +347,67 @@ def test_custom_source_filter_pushdown_e2e(spark):
     ]
     assert sorted(pushed) == sorted(expect)
     assert len(pushed) == 25  # 125-row window, 1 of 5 langs
+
+
+def test_zorder_parquet_row_group_pruning_measured(spark, tmp_path):
+    """The payoff the locality test implies, measured on REAL parquet
+    metadata: write the same rows z-ordered and unsorted with small row
+    groups, then count row groups whose min/max stats exclude a 2-D box
+    predicate. Z-order must let a stats-based reader (Spark's parquet
+    filter pushdown, Delta/Iceberg data skipping) prune row groups in
+    BOTH dimensions; the unsorted layout prunes ~none."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pystreams_spark.operators.layout import zorder_by
+
+    base_df = spark.range(20000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 141).alias("y"),
+        F.col("id").alias("payload"),
+    )
+
+    def write_and_count_skipped(df, path, lo=30, hi=50):
+        (
+            df.coalesce(1)
+            .write.option("parquet.block.size", 64 * 1024)
+            .mode("overwrite")
+            .parquet(str(path))
+        )
+        skipped = total = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                stats = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg)
+                    .column(i)
+                    .statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                total += 1
+                # box predicate x in [lo,hi] AND y in [lo,hi]: a row
+                # group is skippable if either dim's range misses it
+                if (
+                    stats["x"].max < lo
+                    or stats["x"].min > hi
+                    or stats["y"].max < lo
+                    or stats["y"].min > hi
+                ):
+                    skipped += 1
+        return skipped, total
+
+    z_skip, z_total = write_and_count_skipped(
+        zorder_by(base_df, ["x", "y"], bits=10), tmp_path / "zordered"
+    )
+    u_skip, u_total = write_and_count_skipped(base_df, tmp_path / "unsorted")
+
+    assert z_total >= 8, f"need multiple row groups to measure ({z_total})"
+    # the box is ~2% of the 2-D space: a z-ordered layout must skip most
+    # row groups; the hash-spread layout has every dim's full range in
+    # ~every row group
+    assert z_skip / z_total >= 0.5, (z_skip, z_total)
+    assert z_skip / z_total > u_skip / max(u_total, 1) + 0.3, (
+        (z_skip, z_total),
+        (u_skip, u_total),
+    )
