@@ -177,3 +177,36 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.conv(F.substring(F.md5(F.concat_ws(" ", toks)), 1, 15), 16, 10).cast(
         "long"
     )
+
+
+# PII patterns, deliberately restricted to syntax valid in BOTH Java
+# regex (Spark, codegen'd) and RE2 (DuckDB oracle, and Go/Rust scanners
+# a production pipeline might cross-check with): no backreferences, no
+# lookaround. Redaction of web-scraped training text is a standard
+# pre-training step; counts are computed BEFORE redaction.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_counts(text: Column | str) -> Column:
+    """struct(n_emails, n_phones, n_ips) — one regexp_extract_all pass
+    per class, all JVM-side."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+    )
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every email, then phone, then IP with a typed token.
+    Order matters (emails contain digits; IPs would otherwise bite into
+    already-redacted phone tails) and is part of the documented
+    contract."""
+    t = F.col(text) if isinstance(text, str) else text
+    t = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    t = F.regexp_replace(t, PII_PHONE, "[PHONE]")
+    t = F.regexp_replace(t, PII_IP, "[IP]")
+    return t

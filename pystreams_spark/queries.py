@@ -1596,6 +1596,101 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pii_redaction_report",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN doc_id % 7 = 0
+                    THEN ' call +1 (415) 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+                         || ' from 10.' || CAST(doc_id % 250 AS VARCHAR) || '.0.1'
+                    ELSE '' END AS t
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(t, '\\+?[0-9][0-9() \\-]{6,}[0-9]')) AS n_phones,
+               len(regexp_extract_all(t, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips,
+               length(regexp_replace(regexp_replace(regexp_replace(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\\+?[0-9][0-9() \\-]{6,}[0-9]', '[PHONE]', 'g'),
+                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')) AS clean_len
+        FROM aug
+    )
+    SELECT lang,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+           CAST(SUM(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           CAST(SUM(clean_len) AS BIGINT) AS total_clean_chars
+    FROM c GROUP BY lang ORDER BY lang
+    """,
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K PII scrubbing — the redaction pass every web-scrape training
+    pipeline runs: count + replace emails/phones/IPs with typed tokens,
+    entirely via JVM-side regexp_extract_all / regexp_replace (patterns
+    restricted to Java-regex ∩ RE2 so the DuckDB oracle — and any
+    RE2-based production scanner — states the IDENTICAL expressions;
+    functions/text.py PII_*). The fixture's word-salad text carries no
+    real PII, so deterministic doc_id-derived PII is injected first
+    (stated identically in the oracle) — this also pins the exact
+    match/replace semantics, not just zeros."""
+    from .functions.text import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 (415) 555-01"),
+                    (F.col("doc_id") % 90 + 10).cast("string"),
+                    F.lit(" from 10."),
+                    (F.col("doc_id") % 250).cast("string"),
+                    F.lit(".0.1"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    c = aug.select(
+        "doc_id",
+        "lang",
+        pii_counts("t").alias("p"),
+        F.length(redact_pii("t")).alias("clean_len"),
+    )
+    return (
+        c.groupBy("lang")
+        .agg(
+            F.sum("p.n_emails").alias("n_emails"),
+            F.sum("p.n_phones").alias("n_phones"),
+            F.sum("p.n_ips").alias("n_ips"),
+            F.sum(
+                (
+                    (F.col("p.n_emails") + F.col("p.n_phones") + F.col("p.n_ips"))
+                    > 0
+                ).cast("long")
+            ).alias("docs_with_pii"),
+            F.sum("clean_len").alias("total_clean_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 @query("lang_id_heuristic")
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID over documents (heuristic → rows-only)."""

@@ -899,3 +899,26 @@ def test_count_min_is_linear(spark):
     sb = np.frombuffer(build_count_min(b, "h", 256, 3), dtype=np.int64)
     sw = np.frombuffer(build_count_min(whole, "h", 256, 3), dtype=np.int64)
     assert ((sa + sb) == sw).all()
+
+
+def test_pii_redaction_semantics(spark):
+    from pystreams_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach user7@example.com or +1 (415) 555-0107, server 10.0.0.255"),
+            (2, "no pii here at all"),
+            (3, "a.b+c@sub.domain.org twice x@y.io"),
+        ],
+        "i long, t string",
+    )
+    rows = (
+        df.select("i", pii_counts("t").alias("p"), redact_pii("t").alias("c"))
+        .orderBy("i")
+        .collect()
+    )
+    assert (rows[0].p.n_emails, rows[0].p.n_phones, rows[0].p.n_ips) == (1, 1, 1)
+    assert "[EMAIL]" in rows[0].c and "[PHONE]" in rows[0].c and "[IP]" in rows[0].c
+    assert "user7@example.com" not in rows[0].c
+    assert rows[1].c == "no pii here at all"
+    assert rows[2].p.n_emails == 2 and rows[2].c.count("[EMAIL]") == 2
