@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_user_events", "right_join_customer_orders",
         "full_outer_nation_presence", "late_order_priority_counts",
         "large_quantity_orders", "waiting_supplier_ranking",
-        "dormant_rich_customers",
+        "dormant_rich_customers", "pii_redaction_report", "knn_pq_adc",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

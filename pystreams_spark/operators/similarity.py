@@ -616,3 +616,163 @@ def knn_ivf_kmeans(
         queries, corpus, centers_mat, k, n_probe, query_id, corpus_id, vec_col,
         metric="l2",
     )
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 10,
+    fit_cap: int = 200_000,
+):
+    """Product-quantization codebooks (Jégou et al. 2011, public
+    knowledge): split the d-dim space into ``m`` subspaces and run
+    per-subspace KMeans (``n_codes`` centroids each). A vector is then
+    stored as m small codes — at m=8 that is 8 bytes instead of 256 for
+    a 64-dim float32 embedding, the 32x shrink that makes a 100 TB
+    embedding store RAM-resident for ANN serving.
+
+    Same driver-fit posture as ``knn_ivf_kmeans``: codebook training
+    uses a BOUNDED sample (``fit_cap`` rows — at corpus scale pass a
+    sampling fraction upstream), numpy Lloyd iterations per subspace
+    (seeded, milliseconds of BLAS); everything per-row afterwards is
+    distributed. Returns np.ndarray (m, n_codes, d//m)."""
+    import numpy as np
+
+    sample = np.stack(
+        ensure_parallelism(corpus)
+        .select(F.col(vec_col).alias("_v"))
+        .limit(fit_cap)
+        .toPandas()["_v"]
+        .to_numpy()
+    ).astype(np.float64)
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub_d = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, sub_d))
+    for j in range(m):
+        sub = sample[:, j * sub_d : (j + 1) * sub_d]
+        centers = sub[rng.choice(len(sub), size=n_codes, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        books[j] = centers
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Distributed PQ encoding: one vectorized kernel pass with the
+    broadcast codebooks; output is (id, array<tinyint> of m codes) —
+    the compressed representation a 100 TB ingest would write instead
+    of (alongside) raw floats."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    m, n_codes, sub_d = codebooks.shape
+    bc = spark.sparkContext.broadcast(np.ascontiguousarray(codebooks))
+
+    def kernel(batches):
+        books = bc.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(ids), m), dtype=np.int8)
+            for j in range(m):
+                sub = mat[:, j * sub_d : (j + 1) * sub_d]
+                # (n, n_codes) squared distances to this subspace's centroids
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1).astype(np.int8)
+            yield pd.DataFrame({id_col: ids, code_col: list(codes)})
+
+    return ensure_parallelism(df).select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, {code_col} array<tinyint>"
+    )
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    m: int = 8,
+    n_codes: int = 16,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate kNN by asymmetric distance computation over PQ codes:
+    per query, precompute an (m, n_codes) lookup table of subspace
+    squared distances; a corpus vector's approximate L2 is then m table
+    gathers + a sum — no float vector is ever touched at query time.
+
+    Scale shape: queries are bounded/broadcast (their LUTs are
+    nq*m*n_codes doubles); the corpus is one encoded-codes scan, each
+    partition emits only its LOCAL top-k per query, and the exact
+    global top-k reduces (partitions × nq × k) candidate rows — the
+    same partial-top-k pattern as TakeOrdered. Approximate → rows-only
+    with recall self-check at the query layer."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    books = fit_pq_codebooks(
+        corpus, m=m, n_codes=n_codes, vec_col=vec_col, seed=seed
+    )
+    encoded = pq_encode(corpus, books, id_col=corpus_id, vec_col=vec_col)
+    sub_d = books.shape[2]
+
+    qpdf = queries.select(query_id, vec_col).toPandas()
+    qids = qpdf[query_id].to_numpy(dtype=np.int64)
+    qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    # LUT[q, j, c] = ||q_sub_j - codebook[j][c]||^2
+    lut = np.empty((len(qids), m, n_codes))
+    for j in range(m):
+        qs = qmat[:, j * sub_d : (j + 1) * sub_d]
+        lut[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    def kernel(batches):
+        q_ids, q_lut = bc.value
+        nq = len(q_ids)
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            if not len(ids):
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy()).astype(np.int64)
+            acc = np.zeros((nq, len(ids)))
+            for j in range(m):
+                acc += q_lut[:, j, codes[:, j]]
+            dists = np.sqrt(acc)
+            top = min(k, len(ids))
+            part = np.argpartition(dists, top - 1, axis=1)[:, :top]
+            out_q = np.repeat(q_ids, top)
+            out_i = ids[part.reshape(-1)]
+            out_d = np.take_along_axis(dists, part, axis=1).reshape(-1)
+            yield pd.DataFrame(
+                {query_id: out_q, corpus_id: out_i, "adc_dist": out_d}
+            )
+
+    local = encoded.mapInPandas(
+        kernel, f"{query_id} long, {corpus_id} long, adc_dist double"
+    ).withColumn("adc_dist", F.round("adc_dist", round_to))
+    return top_k_per_group(
+        local, [query_id], [F.asc("adc_dist"), F.asc(corpus_id)], k=k
+    )

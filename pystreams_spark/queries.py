@@ -3098,6 +3098,31 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("knn_pq_adc")
+def knn_pq_adc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al.; operators/similarity.py):
+    per-subspace KMeans codebooks (bounded driver fit, seeded), corpus
+    encoded to m=8 tinyint codes (32x smaller than float32 — the
+    RAM-resident 100 TB serving representation), queries answered by
+    asymmetric distance computation: per-partition local top-k over
+    LUT gathers, exact global top-k reduce. Approximate → rows-only;
+    recall self-check columns vs exact L2 top-k (fixture embeddings are
+    uniform random — no cluster structure — so recall here sits at the
+    information floor of 64-bit codes; see the knn_ivf_approx caveat)."""
+    from .operators.similarity import annotate_recall_vs_exact, knn_exact, knn_pq_adc
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    approx = knn_pq_adc(q, c, k=10)
+    exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
+    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+        "query_id", "adc_dist", "vec_id"
+    )
+
+
 @query(
     "bitwise_key_partitioning",
     oracle="""

@@ -922,3 +922,59 @@ def test_pii_redaction_semantics(spark):
     assert "user7@example.com" not in rows[0].c
     assert rows[1].c == "no pii here at all"
     assert rows[2].p.n_emails == 2 and rows[2].c.count("[EMAIL]") == 2
+
+
+def test_pq_encode_beats_trivial_quantizer(spark, sf_dir):
+    # PQ reconstruction (gather each code's centroid) must beat the
+    # 0-bit baseline (quantize everything to the global mean): the
+    # defining property of a useful codebook, deterministic under seed
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import fit_pq_codebooks, pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(e, m=8, n_codes=16)
+    enc = pq_encode(e, books).toPandas().set_index("vec_id")
+    orig = e.select("vec_id", "embedding").toPandas().set_index("vec_id")
+    ids = orig.index.to_numpy()
+    mat = np.stack(orig.loc[ids, "embedding"].to_numpy()).astype(np.float64)
+    codes = np.stack(enc.loc[ids, "pq_codes"].to_numpy()).astype(np.int64)
+    assert codes.min() >= 0 and codes.max() < 16
+    sub_d = books.shape[2]
+    decoded = np.concatenate(
+        [books[j][codes[:, j]] for j in range(books.shape[0])], axis=1
+    )
+    assert decoded.shape == mat.shape
+    pq_mse = ((decoded - mat) ** 2).mean()
+    mean_mse = ((mat - mat.mean(axis=0)) ** 2).mean()
+    assert pq_mse < 0.7 * mean_mse, (pq_mse, mean_mse)
+    # determinism: refit + re-encode yields identical codes
+    books2 = fit_pq_codebooks(e, m=8, n_codes=16)
+    assert np.array_equal(books, books2)
+
+
+def test_pq_adc_topk_recall_floor(spark, sf_dir):
+    from pystreams_spark.operators.similarity import (
+        annotate_recall_vs_exact,
+        knn_exact,
+        knn_pq_adc,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    approx = knn_pq_adc(q, c, k=10)
+    exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
+    out = annotate_recall_vs_exact(approx, exact, k=10)
+    per_q = {
+        r.query_id: r.recall_at_k
+        for r in out.select("query_id", "recall_at_k").distinct().collect()
+    }
+    assert len(per_q) == 5
+    assert all(v >= 0.1 for v in per_q.values()), per_q  # top-1 floor
+    assert sum(per_q.values()) / len(per_q) >= 0.2, per_q
+    # exactly k rows per query
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 10 for r in counts)
