@@ -128,6 +128,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_nation_presence", "late_order_priority_counts",
         "large_quantity_orders", "waiting_supplier_ranking",
         "dormant_rich_customers", "pii_redaction_report", "knn_pq_adc",
+        # round 4: the remaining TPC-H shapes (all 22 now covered)
+        "min_cost_supplier", "shipping_priority_top10",
+        "forecast_revenue_increase", "volume_shipping_nations",
+        "nation_market_share", "product_type_profit",
+        "returned_items_report", "important_part_values",
+        "shipping_delay_classes", "customer_order_distribution",
+        "promo_revenue_effect", "top_supplier_revenue",
+        "part_supplier_counts", "promotion_part_suppliers",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -124,6 +124,11 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # slice separately — two kernel stages over DISJOINT inputs, so
         # neither is a re-evaluation (see operators/decontaminate.py)
         "benchmark_decontamination": 2,
+        # PQ chains two distinct kernels in ONE narrow pipeline: encode
+        # (vector → m codes) then ADC probe (codes → local top-k); each
+        # row passes each kernel exactly once. At ingest scale the
+        # encoded table would be a stored artifact, splitting the plan.
+        "knn_pq_adc": 2,
     }
 
     for name, fn in QUERIES.items():
