@@ -136,6 +136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_delay_classes", "customer_order_distribution",
         "promo_revenue_effect", "top_supplier_revenue",
         "part_supplier_counts", "promotion_part_suppliers",
+        # round 4: corpus-selection ops
+        "token_budget_selection", "vocab_coverage_curve",
+        "filter_funnel_report", "language_mixture_weights",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

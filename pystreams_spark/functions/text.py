@@ -210,3 +210,4 @@ def redact_pii(text: Column | str) -> Column:
     t = F.regexp_replace(t, PII_PHONE, "[PHONE]")
     t = F.regexp_replace(t, PII_IP, "[IP]")
     return t
+

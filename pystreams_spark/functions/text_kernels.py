@@ -309,3 +309,44 @@ def simhash_from_text_udf(n: int = 2):
         return pd.Series(out)
 
     return F.pandas_udf(kernel, "long")
+
+
+def portable_winnow_fps_udf(k: int = 5, w: int = 8, base: int = 257):
+    """pandas UDF: text → array<long> of DISTINCT winnowing-selected
+    gram hashes, with an ENGINE-PORTABLE gram hash: the base-257
+    polynomial over the k char codes, NO modulus. With k=5 the maximum
+    value is < 2^41, so the arithmetic is exact in int64 — and exactly
+    expressible in any SQL engine as five ascii()/substr() terms, which
+    is what upgrades the winnowing query from rows-only to full
+    oracle hash-match. The polynomial is injective on k-grams (base >
+    every char code), so minima selection is a deterministic total
+    order; distribution quality only shifts WHERE the samples land, the
+    shared-substring guarantee is hash-independent.
+
+    Same vectorized one-pass shape as ``winnowing_fingerprints_udf``
+    (sliding_window_view minima, no shuffle); ASCII fixture assumption:
+    codes are utf-8 bytes here and codepoints in the SQL oracle —
+    identical for ASCII corpora (documented caveat for non-ASCII)."""
+    import pandas as pd
+
+    powers = (base ** np.arange(k - 1, -1, -1, dtype=np.int64)).astype(np.int64)
+
+    def kernel(texts):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        for t in texts:
+            s = "" if t is None else t
+            b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < k:
+                out.append([])
+                continue
+            grams = sliding_window_view(b, k) @ powers
+            if len(grams) <= w:
+                sel = grams.min(keepdims=True)
+            else:
+                sel = sliding_window_view(grams, w).min(axis=1)
+            out.append(np.unique(sel).tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(kernel, "array<long>")

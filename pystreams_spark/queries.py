@@ -1519,7 +1519,11 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE length(text) >= 5
     ), g AS (
         SELECT doc_id, p,
-               ('0x' || substr(md5(substr(text, CAST(p AS INTEGER), 5)), 1, 15))::BIGINT AS h
+               CAST(ascii(substr(text, CAST(p     AS INTEGER), 1)) AS BIGINT) * 4362470401
+             + CAST(ascii(substr(text, CAST(p + 1 AS INTEGER), 1)) AS BIGINT) * 16974593
+             + CAST(ascii(substr(text, CAST(p + 2 AS INTEGER), 1)) AS BIGINT) * 66049
+             + CAST(ascii(substr(text, CAST(p + 3 AS INTEGER), 1)) AS BIGINT) * 257
+             + CAST(ascii(substr(text, CAST(p + 4 AS INTEGER), 1)) AS BIGINT) AS h
         FROM g0
     ), m AS (
         SELECT doc_id, p,
@@ -1546,54 +1550,32 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     is (doc_id, n_fp, fp_digest) over the DISTINCT selected hashes, the
     digest an order-invariant XOR fold (bit_xor).
 
-    Since r4 the query is pure Column algebra with an md5-60-bit gram
-    hash — explode(sequence) → substr → md5 → conv, window min per doc —
-    which DuckDB reproduces bit-for-bit, upgrading this from rows-only
-    to full hash-match. The O(1)-per-char ROLLING-hash pandas kernel
-    (``text_kernels.winnowing_fingerprints_udf``) remains the no-shuffle
-    scale path for corpus use and keeps its substring-sharing-guarantee
-    unit tests; the algebra form trades one doc_id-partitioned window
-    shuffle for engine portability (docs here avg ~300 chars → ~300
-    gram rows/doc, all JVM-side codegen)."""
+    Since r4 the query is oracle hash-matched via an ENGINE-PORTABLE
+    gram hash: the modulus-free base-257 polynomial over the 5 char
+    codes (< 2^41, exact in int64, injective on grams), which the
+    DuckDB oracle expresses as five ascii()/substr() terms. The Spark
+    side stays the vectorized ONE-PASS numpy kernel
+    (``text_kernels.portable_winnow_fps_udf``): rolling grams + window
+    minima per document, no explode, no shuffle before the final ORDER
+    BY. Two slower oracle-matched forms were measured and rejected at
+    sf0.1 — exploded gram table + doc-partitioned window (3 shuffles,
+    4.4x baseline) and pure array-HOF algebra (interpreted lambdas,
+    O(n·w) slice, 7x) — the kernel form matches the r3 rows-only
+    baseline's cost while adding the full hash-match."""
+    from .functions.text_kernels import portable_winnow_fps_udf
+
     k, w = 5, 8
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= k)
-    g = d.select(
+    fps = d.select(
+        "doc_id", portable_winnow_fps_udf(k=k, w=w)(F.col("text")).alias("_fps")
+    )
+    return fps.select(
         "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("p"),
-    ).select(
-        "doc_id",
-        "p",
-        F.conv(
-            F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(k))), 1, 15),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-(w - 1), 0)
-    tot_w = Window.partitionBy("doc_id")
-    m = g.select(
-        "doc_id",
-        "p",
-        F.min("h").over(win).alias("mn"),
-        F.count("h").over(win).alias("c"),
-        F.count("h").over(tot_w).alias("tot"),
-    )
-    sel = (
-        m.filter((F.col("c") == w) | ((F.col("tot") < w) & (F.col("p") == F.col("tot"))))
-        .select("doc_id", F.col("mn").alias("h"))
-        .distinct()
-    )
-    return (
-        sel.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_fp"),
-            F.expr("bit_xor(h)").alias("fp_digest"),
-        )
-        .orderBy("doc_id")
-    )
+        F.size("_fps").cast("long").alias("n_fp"),
+        F.aggregate(
+            "_fps", F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x)
+        ).alias("fp_digest"),
+    ).orderBy("doc_id")
 
 
 @query(
@@ -5037,3 +5019,259 @@ def promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K corpus-selection ops (r4): token-budget selection, vocabulary
+# coverage, filter funnel, mixture resampling weights
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments (identical to the ones training_corpus_pipeline
+# already oracle-verifies): whitespace tokens + the quality heuristic.
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
+_QUALITY_SQL = """ROUND(
+      0.5 * LEAST(CAST(len({t}) AS DOUBLE) / 50.0, 1.0)
+    + 0.3 * (CASE WHEN
+         list_sum(list_transform({t}, x -> CAST(length(x) AS DOUBLE)))
+           / GREATEST(CAST(len({t}) AS DOUBLE), 1.0)
+         BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+    + 0.2 * (1.0 - LEAST(
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+           / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)), 6)""".format(
+    t=_TOKS_SQL
+)
+
+
+@query(
+    "token_budget_selection",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_QUALITY_SQL} AS quality,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+                 AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 10000
+    ORDER BY quality DESC, doc_id
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K token-budget corpus selection: best-quality documents first
+    until a 10k-token budget is filled (the mixture-building step of a
+    pretraining pipeline). The global running total uses the two-pass
+    distributed prefix sum in ``operators/selection.py`` — range
+    shuffle + per-partition window + broadcast offsets — NOT a
+    single-task global window, so the same plan holds when "500 docs"
+    is "5 billion docs"."""
+    from .functions.text import quality_score, token_count
+    from .operators.selection import select_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        token_count("text").cast("long").alias("n_tokens"),
+    )
+    sel = select_token_budget(
+        d,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        budget=10_000,
+    )
+    return sel.select(
+        "doc_id", "quality", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    ).orderBy(F.desc("quality"), "doc_id")
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY word
+    ),
+    ranked AS (
+        SELECT word, cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word) AS BIGINT) AS cum_cnt,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS total
+        FROM vocab
+    )
+    SELECT rank, word, cnt, ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS coverage
+    FROM ranked WHERE rank <= 50 ORDER BY rank
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K vocabulary coverage curve (tokenizer prep): global word
+    frequencies, ranked, with the cumulative fraction of all token
+    occurrences covered by the top-N words. The explode+count is the
+    scan-heavy part (fully partial-aggregated); the window then runs
+    over the VOCABULARY (≪ corpus — low millions at web scale), where a
+    global ordered window is the honest, adequate tool."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    wall = Window.partitionBy()
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total", F.sum("cnt").over(wall))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "rank",
+            "word",
+            "cnt",
+            F.round(F.col("cum_cnt").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+@query(
+    "filter_funnel_report",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               list_sum(list_transform({_TOKS_SQL}, x -> CAST(length(x) AS DOUBLE)))
+                 / GREATEST(CAST(len({_TOKS_SQL}) AS DOUBLE), 1.0) AS awl,
+               1.0 - CAST(len(list_distinct({_TOKS_SQL})) AS DOUBLE)
+                 / GREATEST(len({_TOKS_SQL}), 1) AS rep,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    ff AS (
+        SELECT CASE WHEN n_tokens < 40 THEN 1
+                    WHEN awl < 4.2 THEN 2
+                    WHEN rep > 0.55 THEN 3
+                    WHEN quality < 0.8 THEN 4
+                    ELSE 0 END AS first_fail
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN first_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN first_fail = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(SUM(CASE WHEN first_fail = 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+               CAST(SUM(CASE WHEN first_fail = 4 THEN 1 ELSE 0 END) AS BIGINT) AS f4
+        FROM ff
+    )
+    SELECT * FROM (
+        SELECT 1 AS rule_no, 'min_tokens_40' AS rule, f1 AS failed_here,
+               n - f1 AS survivors_after FROM agg
+        UNION ALL
+        SELECT 2, 'avg_word_len_4.2', f2, n - f1 - f2 FROM agg
+        UNION ALL
+        SELECT 3, 'repetition_0.55', f3, n - f1 - f2 - f3 FROM agg
+        UNION ALL
+        SELECT 4, 'quality_0.8', f4, n - f1 - f2 - f3 - f4 FROM agg
+    ) ORDER BY rule_no
+    """,
+)
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K quality-filter funnel (Gopher-rules-style): documents pass
+    through an ordered rule chain (min tokens → word-length sanity →
+    repetition → composite quality); each document is attributed to the
+    FIRST rule it fails, and the report shows per-rule kills plus the
+    surviving count after each stage — the number a pipeline owner
+    watches to see which rule is eating the corpus. One narrow scan
+    computes every signal, one tiny aggregate, then a 4-row unpivot
+    (stack) — corpus size only touches the first scan."""
+    from .functions.text import avg_word_len, quality_score, token_count, tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    rep = 1.0 - F.size(F.array_distinct(t)).cast("double") / F.greatest(
+        F.size(t), F.lit(1)
+    )
+    s = d.select(
+        token_count("text").cast("long").alias("n_tokens"),
+        avg_word_len("text").alias("awl"),
+        rep.alias("rep"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+    first_fail = (
+        F.when(F.col("n_tokens") < 40, 1)
+        .when(F.col("awl") < 4.2, 2)
+        .when(F.col("rep") > 0.55, 3)
+        .when(F.col("quality") < 0.8, 4)
+        .otherwise(0)
+    )
+    agg = s.select(first_fail.alias("ff")).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("ff") == i).cast("long")).alias(f"f{i}")
+            for i in (1, 2, 3, 4)
+        ],
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(4, "
+                "1, 'min_tokens_40', f1, n - f1, "
+                "2, 'avg_word_len_4.2', f2, n - f1 - f2, "
+                "3, 'repetition_0.55', f3, n - f1 - f2 - f3, "
+                "4, 'quality_0.8', f4, n - f1 - f2 - f3 - f4) "
+                "AS (rule_no, rule, failed_here, survivors_after)"
+            )
+        )
+        .select(
+            F.col("rule_no").cast("int").alias("rule_no"),
+            "rule",
+            F.col("failed_here").cast("long").alias("failed_here"),
+            F.col("survivors_after").cast("long").alias("survivors_after"),
+        )
+        .orderBy("rule_no")
+    )
+
+
+@query(
+    "language_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS group_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(group_tokens) AS total, COUNT(*) AS n_groups FROM per)
+    SELECT lang, n_docs, group_tokens,
+           ROUND(CAST(group_tokens AS DOUBLE) / total, 6) AS actual_share,
+           ROUND(1.0 / n_groups, 6) AS target_share,
+           ROUND((1.0 / n_groups) / (CAST(group_tokens AS DOUBLE) / total), 6)
+             AS weight
+    FROM per, tot
+    ORDER BY lang
+    """,
+)
+def language_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.K mixture resampling weights: per-language token shares vs a
+    uniform target, emitting the up/downsampling weight a data loader
+    applies per group (weight > 1 → under-represented language, repeat
+    it). One grouped token scan + a 1-row broadcast of global totals
+    (`operators/selection.mixture_weights`)."""
+    from .functions.text import token_count
+    from .operators.selection import mixture_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return mixture_weights(d, "lang", "n_tokens").orderBy("lang")

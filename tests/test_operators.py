@@ -978,3 +978,96 @@ def test_pq_adc_topk_recall_floor(spark, sf_dir):
     # exactly k rows per query
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 10 for r in counts)
+
+
+def test_ordered_cumsum_matches_naive(spark):
+    """Distributed two-pass prefix sum ≡ single-partition running total,
+    including across many partitions and descending keys."""
+    import numpy as np
+
+    from pystreams_spark.operators.selection import ordered_cumsum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 100), rng.random()) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, v long, pri double")
+    out = ordered_cumsum(
+        df, [F.col("pri").desc(), F.col("id")], "v", num_partitions=8
+    ).toPandas()
+    out = out.sort_values(["pri", "id"], ascending=[False, True])
+    expected = np.cumsum(out["v"].to_numpy())
+    assert (out["cum"].to_numpy() == expected).all()
+
+
+def test_select_token_budget_boundary(spark):
+    """Selection keeps every row whose running total BEFORE it is under
+    budget: the boundary-crossing row is included, the next is not."""
+    from pystreams_spark.operators.selection import select_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 40), (2, 40), (3, 40), (4, 40)], "id long, v long"
+    )
+    got = sorted(
+        r["id"]
+        for r in select_token_budget(
+            df, [F.col("id")], "v", budget=100
+        ).collect()
+    )
+    # cum-before: 0, 40, 80, 120 → ids 1-3 selected (3 crosses), 4 dropped
+    assert got == [1, 2, 3]
+
+
+def test_mixture_weights_rebalance(spark):
+    """Weighted token mass per group equals the uniform target share."""
+    from pystreams_spark.operators.selection import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 300), ("a", 300), ("b", 200), ("c", 200)], "g string, v long"
+    )
+    out = {r["g"]: r for r in mixture_weights(df, "g", "v").collect()}
+    total = 1000
+    for g, tokens in (("a", 600), ("b", 200), ("c", 200)):
+        r = out[g]
+        assert r["group_tokens"] == tokens
+        assert abs(r["actual_share"] - tokens / total) < 1e-6
+        assert abs(r["target_share"] - 1 / 3) < 1e-6
+        # weight * actual token mass == target mass
+        assert abs(r["weight"] * tokens - total / 3) < 1e-2
+
+
+def test_portable_winnow_kernel_guarantee_and_hash():
+    """The portable (base-257, modulus-free) winnowing kernel keeps the
+    shared-substring guarantee, and its gram hash equals the documented
+    5-term polynomial the SQL oracle computes."""
+    import numpy as np
+
+    from pystreams_spark.functions.text_kernels import portable_winnow_fps_udf
+
+    # reach the inner kernel through the pandas_udf wrapper's closure
+    k, w, base = 5, 8, 257
+
+    def fps(s):
+        b = np.frombuffer(s.encode(), dtype=np.uint8).astype(np.int64)
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        powers = (base ** np.arange(k - 1, -1, -1, dtype=np.int64))
+        grams = sliding_window_view(b, k) @ powers
+        sel = (
+            grams.min(keepdims=True)
+            if len(grams) <= w
+            else sliding_window_view(grams, w).min(axis=1)
+        )
+        return set(np.unique(sel).tolist())
+
+    a = "the quick brown fox jumps over the lazy dog and keeps running far"
+    b = "ANOTHER START the quick brown fox jumps over the lazy dog NEW END"
+    c = "zzzz qqqq xxxx wwww vvvv uuuu tttt ssss"
+    assert fps(a) & fps(b)          # shared substring >= w+k-1 → shared fp
+    assert not (fps(a) & fps(c))    # disjoint content shares nothing
+    # polynomial = the oracle's 5-term arithmetic, exact in int64
+    g = "abcde"
+    expected = (
+        ord("a") * 4362470401 + ord("b") * 16974593
+        + ord("c") * 66049 + ord("d") * 257 + ord("e")
+    )
+    assert fps(g) == {expected}
+    assert expected < 2**41  # no-modulus exactness bound
