@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: corpus-selection ops
         "token_budget_selection", "vocab_coverage_curve",
         "filter_funnel_report", "language_mixture_weights",
+        # round 4: event-analytics shapes
+        "scd2_user_state_history", "event_funnel_conversion",
+        "cohort_weekly_retention",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -5275,3 +5275,232 @@ def language_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", token_count("text").cast("long").alias("n_tokens")
     )
     return mixture_weights(d, "lang", "n_tokens").orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# §2 event-analytics completeness (r4): SCD2 history, funnel, cohorts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_type
+        FROM events WHERE user_id < 20
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts AS valid_from
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS BIGINT) AS version,
+           (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL) AS is_current
+    FROM changes
+    ORDER BY user_id, version
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event log: collapse
+    consecutive same-state events per user, emit versioned rows with
+    [valid_from, valid_to) effective ranges and an is_current flag — the
+    warehouse pattern every CDC ingest needs. Two window passes over the
+    same (user_id, ts) partitioning — ONE shuffle, the second window
+    reuses the sort. Dimension keys partition arbitrarily wide; nothing
+    is global."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w_v = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w_v))
+        .withColumn("version", F.row_number().over(w_v).cast("long"))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    ),
+    tot AS (SELECT COUNT(DISTINCT user_id) AS n FROM events)
+    SELECT * FROM (
+        SELECT 0 AS step, 'all_users' AS stage, CAST(n AS BIGINT) AS n_users,
+               1.0 AS conversion FROM tot
+        UNION ALL
+        SELECT 1, 'view', CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) FROM s1
+        UNION ALL
+        SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) FROM s2
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT),
+               ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) FROM s3
+    ) ORDER BY step
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (view → click → purchase, each step strictly
+    after the previous one's FIRST occurrence): the product-analytics
+    primitive. Each stage is a per-user MIN aggregate joined to the
+    previous stage — per-step state is one row per surviving user, and
+    each join narrows, so the funnel scales as a chain of shrinking
+    shuffles on user_id (AQE turns the later ones into broadcasts
+    here). A 4-row report unions the stage counts with conversion
+    ratios off a 1-row total."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    tot = ev.agg(F.countDistinct("user_id").alias("n"))
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_users"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(step).alias("step"),
+                F.lit(name).alias("stage"),
+                F.col("n_users").cast("long").alias("n_users"),
+                F.round(
+                    F.col("n_users").cast("double") / F.col("n"), 6
+                ).alias("conversion"),
+            )
+        )
+
+    base = tot.select(
+        F.lit(0).alias("step"),
+        F.lit("all_users").alias("stage"),
+        F.col("n").cast("long").alias("n_users"),
+        F.lit(1.0).alias("conversion"),
+    )
+    return (
+        base.unionAll(stage(s1, 1, "view"))
+        .unionAll(stage(s2, 2, "view>click"))
+        .unionAll(stage(s3, 3, "view>click>purchase"))
+        .orderBy("step")
+    )
+
+
+@query(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        FROM events
+        WHERE event_type = 'purchase' AND value > 150
+        GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT)
+                 AS week_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active, s.cohort_size,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM active a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of
+    their first QUALIFYING acquisition event (a purchase over 150 —
+    rarer than raw activity, so cohorts actually spread across weeks),
+    tracked by distinct any-event activity in each subsequent week —
+    the standard growth-analytics rollup. Per-user first-seen is one
+    grouped MIN; the (user, week) activity set is a distinct over the
+    joined frame; cohort sizes broadcast. Everything keys on user_id or
+    the tiny (cohort, offset) pair — no wide shuffle survives to the
+    report."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    active = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset", "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
