@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: event-analytics shapes
         "scd2_user_state_history", "event_funnel_conversion",
         "cohort_weekly_retention",
+        # round 4: oracle-checked deterministic sampling
+        "deterministic_reservoir_per_lang",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

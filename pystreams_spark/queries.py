@@ -5504,3 +5504,40 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "deterministic_reservoir_per_lang",
+    oracle="""
+    SELECT lang, doc_id, n_chars
+    FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 10
+    ORDER BY lang, doc_id
+    """,
+)
+def deterministic_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded uniform sample WITHOUT replacement, k=10 per language, as
+    a rank over an engine-portable hash (md5 of "id:seed") — exactly a
+    per-group reservoir sample, but deterministic and reproducible in
+    any engine, which upgrades sampling from the rows-only seeded
+    `F.rand` family to a full oracle hash-match. Per-group top-k over
+    the hash rank = one partial top-k per partition then per-group
+    merge (`operators/topk.top_k_per_group`) — no global sort; re-keying
+    the seed re-draws the sample."""
+    from .operators.topk import top_k_per_group
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_rk", F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("42")))
+    )
+    return (
+        top_k_per_group(d, ["lang"], [F.asc("_rk"), F.asc("doc_id")], k=10)
+        .select("lang", "doc_id", "n_chars")
+        .orderBy("lang", "doc_id")
+    )
