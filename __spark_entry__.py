@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_weekly_retention",
         # round 4: oracle-checked deterministic sampling
         "deterministic_reservoir_per_lang",
+        # round 4: unigram-LM quality filter
+        "unigram_surprisal_filter",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -5541,3 +5541,71 @@ def deterministic_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFr
         .select("lang", "doc_id", "n_chars")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "unigram_surprisal_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM vocab),
+    scored AS (
+        SELECT t.doc_id, t.lang,
+               AVG(-ln(CAST(v.cnt AS DOUBLE) / tot.n)) AS surprisal
+        FROM toks t JOIN vocab v ON t.word = v.word CROSS JOIN tot
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(surprisal), 6) AS avg_surprisal,
+           ROUND(MIN(surprisal), 6) AS min_surprisal,
+           ROUND(MAX(surprisal), 6) AS max_surprisal,
+           CAST(SUM(CASE WHEN surprisal > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+)
+def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filtering, unigram edition (the cheap stand-in
+    for the KenLM-perplexity filters of CCNet/Gopher): fit a unigram
+    model on the corpus itself (global word frequencies), score each
+    document by its mean token surprisal -ln p(w), and report the
+    per-language distribution plus how many docs a 4.0-nat threshold
+    would flag. Spark-first: the vocab is a grouped count off one
+    explode scan and then BROADCASTS back onto the token stream (at web
+    scale: the standard trick is hash-partitioned vocab join — flip the
+    broadcast() off and the same plan shuffles); per-doc scores are one
+    grouped AVG. No UDF anywhere — ln/avg are codegen'd."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("word")
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(F.broadcast(vocab), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))).alias(
+                "surprisal"
+            )
+        )
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+            F.round(F.min("surprisal"), 6).alias("min_surprisal"),
+            F.round(F.max("surprisal"), 6).alias("max_surprisal"),
+            F.sum((F.col("surprisal") > 4.0).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("lang")
+    )
