@@ -250,3 +250,49 @@ def test_q5_join_tree_physical_shape(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_shapes_plan_hygiene(spark, sf_dir):
+    """Representative plan-shape checks on the r4 TPC-H queries: the
+    optimizer decisions each pattern exists to exercise."""
+    from pystreams_spark.plans import executed_plan
+
+    # Q6: pure scan-filter-agg — every predicate pushed, partial agg
+    df = QUERIES["forecast_revenue_increase"](spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pf, (c, pf)
+    assert has_partial_aggregate(df)
+
+    # Q3: top-10 is a TakeOrdered, customer dim broadcasts
+    df = QUERIES["shipping_priority_top10"](spark, sf_dir)
+    assert has_take_ordered(df)
+    assert has_broadcast_join(df)
+
+    # Q18: the grouped-HAVING IN is a broadcast LEFT SEMI, not a shuffle
+    plan = executed_plan(QUERIES["large_quantity_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan and "Broadcast" in plan, plan[:2000]
+
+    # Q2: the correlated MAX is a window over p_partkey — never an
+    # empty-frame (single-task) window
+    plan = executed_plan(QUERIES["min_cost_supplier"](spark, sf_dir))
+    assert "Window" in plan
+    assert "Window [" not in plan.replace("Window [max", "WINOK"), (
+        "unexpected un-partitioned window"
+    )
+
+    # Q16: NOT IN exclusion is a broadcast anti join
+    plan = executed_plan(QUERIES["part_supplier_counts"](spark, sf_dir))
+    assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_ordered_cumsum_no_global_window(spark, sf_dir):
+    """token_budget_selection's running total must plan as per-partition
+    windows (partitioned by the physical pid), not one global window."""
+    from pystreams_spark.plans import executed_plan
+
+    plan = executed_plan(QUERIES["token_budget_selection"](spark, sf_dir))
+    # the window spec must carry a partition key (pid); an empty
+    # partitionBy would plan 'Window [..., [], [quality...]]'
+    assert "Window" in plan
+    assert ", [], [" not in plan, "global (un-partitioned) window found"
