@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_reservoir_per_lang",
         # round 4: unigram-LM quality filter
         "unigram_surprisal_filter",
+        # round 4: exact-substring cross-doc duplication detection
+        "cross_doc_repeated_spans",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

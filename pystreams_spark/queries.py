@@ -5609,3 +5609,69 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "cross_doc_repeated_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS w FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, array_to_string(list_slice(w, i, i + 9), ' ') AS span
+        FROM (
+            SELECT doc_id, w, unnest(generate_series(1, len(w) - 9)) AS i
+            FROM toks WHERE len(w) >= 10
+        )
+    ),
+    dup AS (
+        SELECT span,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM spans GROUP BY span
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT span, n_docs, n_occurrences
+    FROM dup
+    ORDER BY n_docs DESC, n_occurrences DESC, span
+    LIMIT 20
+    """,
+)
+def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication ACROSS documents (the detection core
+    of Lee et al. 2022's train-set dedup): every 10-token span that
+    appears in ≥2 documents, ranked by spread. Spans are built per-doc
+    with array HOFs (sequence → slice → concat_ws) — a narrow pass with
+    no shuffle until the span groupBy, and that shuffle carries
+    (span, doc_id) pairs only. At corpus scale the same plan holds with
+    the span string replaced by an 8-byte hash (the grouping is on a
+    hash either way); spans stay strings here so the oracle check is
+    content-exact. Top-20 under a deterministic tri-key order."""
+    from .functions.text import tokens
+
+    n = 10
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    spans = (
+        d.select("doc_id", t.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
+        .limit(20)
+    )
