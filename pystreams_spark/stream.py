@@ -365,6 +365,30 @@ class Stream:
 
         return Stream(seeded_global_shuffle(self.df, seed, id_col))
 
+    def take_token_budget(
+        self, order: Sequence[Column], token_col: str, budget: int
+    ) -> "Stream":
+        """Keep rows in priority order until the running token total
+        fills ``budget`` (operators/selection.select_token_budget —
+        distributed prefix sum, no single-task window)."""
+        from .operators.selection import select_token_budget
+
+        return Stream(select_token_budget(self.df, order, token_col, budget))
+
+    def mixture_weights(
+        self,
+        group_col: str,
+        token_col: str,
+        target_shares: dict[str, float] | None = None,
+    ) -> "Stream":
+        """Per-group resampling weights toward a target token mixture
+        (operators/selection.mixture_weights)."""
+        from .operators.selection import mixture_weights
+
+        return Stream(
+            mixture_weights(self.df, group_col, token_col, target_shares)
+        )
+
     # -- keyed ops (§2.D) ----------------------------------------------------
     def group_by(self, *keys: Column | str):
         return self.df.groupBy(*keys)

@@ -297,3 +297,22 @@ def test_summary_statistics_one_pass(spark):
     assert abs(got["mean"] - 50.5) < 1e-9
     # agrees with the individual terminals
     assert got["sum"] == s.sum("x") and got["min"] == s.min("x")
+
+
+def test_facade_selection_ops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pystreams_spark import Stream, load_table
+
+    d = Stream(load_table(spark, sf_dir, "documents")).map(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
+    sel = d.take_token_budget([F.col("doc_id")], "n_tokens", budget=2000)
+    rows = sel.df.select("doc_id", "cum_tokens").collect()
+    assert rows and all(
+        r["cum_tokens"] is not None for r in rows
+    )
+    w = d.mixture_weights("lang", "n_tokens").df.collect()
+    assert abs(sum(r["actual_share"] for r in w) - 1.0) < 1e-4
