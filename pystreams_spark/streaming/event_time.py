@@ -240,3 +240,55 @@ def purchases_after_clicks(
     return c.join(p, cond).select(
         "c_user", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
     )
+
+
+def funnel_progress_stateful(
+    stream: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Streaming funnel tracker (applyInPandasWithState): per-user keyed
+    state = (deepest stage reached, event time it was reached). Each
+    micro-batch advances the chain greedily in event-time order: an
+    event advances the funnel iff it is the NEXT stage and strictly
+    later than the current stage's timestamp — exactly the batch
+    funnel's first-view → first-later-click → first-later-purchase
+    chain, provided delivery is event-time-ordered ACROSS batches (the
+    kappa-architecture contract: a time-ordered, user-keyed log; within
+    a batch the processor sorts by ts itself). State per user is one
+    int + one timestamp — bounded regardless of stream length.
+    Emits the current (user_id, stage_reached, reached_ts) per batch;
+    in update mode the last row per user is the final funnel position.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stage_idx = {s: i for i, s in enumerate(stages)}
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        reached, reached_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+                if reached >= len(stages):
+                    break
+                nxt = stage_idx.get(etype)
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                if nxt == reached and (reached == 0 or ts_us > reached_us):
+                    reached += 1
+                    reached_us = ts_us
+        state.update((reached, reached_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "stage_reached": [reached],
+                "reached_us": [reached_us],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stage_reached int, reached_us long",
+        stateStructType="reached int, reached_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -522,3 +522,69 @@ def test_custom_stream_source_checkpoint_restart(spark, tmp_path):
         f"min {ids[0]}, max {ids[-1]}"
     )
     assert len(ids) > n1  # run 2 made progress
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel (keyed state, event-time-ordered replay) ends at
+    the same per-user stage as the batch first-view → first-later-click
+    → first-later-purchase chain."""
+    import time
+
+    from pystreams_spark.streaming.event_time import (
+        events_file_stream,
+        funnel_progress_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    path = str(tmp_path / "ordered_events")
+    # event-time-ordered replay: 4 sequential appends of consecutive
+    # ts ranges (the kappa contract the operator documents); sleeps
+    # separate file mtimes so the file source discovers them in order
+    bounds = [r[0] for r in ev.selectExpr(
+        "percentile(cast(ts as double), array(0.25, 0.5, 0.75))"
+    ).collect()][0]
+    lo = [None] + list(bounds)
+    hi = list(bounds) + [None]
+    for i, (a, b) in enumerate(zip(lo, hi)):
+        part = ev
+        if a is not None:
+            part = part.filter(F.col("ts").cast("double") > a)
+        if b is not None:
+            part = part.filter(F.col("ts").cast("double") <= b)
+        part.orderBy("ts").coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=1)
+    out = funnel_progress_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_funnel").toPandas().groupby("user_id").last()
+    got_map = {int(u): int(r.stage_reached) for u, r in got.iterrows()}
+
+    # batch chain
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id").filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id").filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    users = [r[0] for r in ev.select("user_id").distinct().collect()]
+    expected = {u: 0 for u in users}
+    for stage, df in ((1, s1), (2, s2), (3, s3)):
+        for r in df.collect():
+            expected[r["user_id"]] = stage
+    assert got_map == expected
