@@ -39,13 +39,21 @@ def ordered_cumsum(
     """Add ``out_col`` = running SUM(``value_col``) over the global
     order given by ``order`` (Column expressions, may carry ``.desc()``).
 
-    Scale shape: one range shuffle + local sort (identical cost to a
+    Scale shape: ONE range shuffle + local sort (identical cost to a
     distributed ORDER BY on the same keys), a driver-side offsets pass
-    of |partitions| rows, and a parallel per-partition window. The
-    sorted frame is localCheckpoint'ed so the offsets job and the
-    downstream consumer share one materialization (and one range
-    sampling) instead of recomputing the sort.
+    of |partitions| rows, and a NARROW per-partition cumsum kernel
+    (vectorized, order-preserving) that adds the broadcast offsets.
+    A Window.partitionBy(pid) would be semantically identical but
+    plans an extra full Exchange — Catalyst cannot prove the
+    checkpointed frame is already pid-clustered, so it re-shuffles on
+    hash(pid) (observed in the r4 plan audit); the kernel keeps the
+    second pass pipelined. The sorted frame is localCheckpoint'ed so
+    the offsets job and the downstream consumer share one
+    materialization (and one range sampling) instead of recomputing
+    the sort.
     """
+    import numpy as np
+
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
@@ -63,18 +71,33 @@ def ordered_cumsum(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
-    omap = F.create_map(
-        *[x for pid, off in offsets.items() for x in (F.lit(pid), F.lit(off))]
+
+    integral = ranged.schema[value_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint",
     )
-    w = (
-        Window.partitionBy("_pid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out_type = "bigint" if integral else "double"
+    dtype = np.int64 if integral else np.float64
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"{out_col} {out_type}"]
     )
-    return ranged.withColumn(
-        out_col,
-        F.sum(value_col).over(w) + F.coalesce(omap[F.col("_pid")], F.lit(0)),
-    ).drop("_pid")
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def kernel(batches):
+        run = dtype(0)
+        off = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if off is None:
+                off = dtype(bc.value.get(int(pdf["_pid"].iloc[0]), 0))
+            vals = pdf[value_col].to_numpy(dtype=dtype)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf[out_col] = vals.cumsum(dtype=dtype) + off + run
+            run += vals.sum(dtype=dtype)
+            yield pdf
+
+    return ranged.mapInPandas(kernel, schema)
 
 
 def select_token_budget(

@@ -287,12 +287,17 @@ def test_tpch_shapes_plan_hygiene(spark, sf_dir):
 
 
 def test_ordered_cumsum_no_global_window(spark, sf_dir):
-    """token_budget_selection's running total must plan as per-partition
-    windows (partitioned by the physical pid), not one global window."""
+    """token_budget_selection's running total must stay distributed: a
+    narrow per-partition cumsum kernel over the checkpointed
+    range-sorted frame — NO window at all (a Window.partitionBy(pid)
+    would plan an extra full Exchange because Catalyst can't prove the
+    checkpointed frame is pid-clustered — caught in the r4 plan audit),
+    and only the final ORDER BY exchange after the checkpoint."""
     from pystreams_spark.plans import executed_plan
 
     plan = executed_plan(QUERIES["token_budget_selection"](spark, sf_dir))
-    # the window spec must carry a partition key (pid); an empty
-    # partitionBy would plan 'Window [..., [], [quality...]]'
-    assert "Window" in plan
-    assert ", [], [" not in plan, "global (un-partitioned) window found"
+    assert "Window" not in plan, "cumsum fell back to a window"
+    assert "MapInPandas" in plan
+    # post-checkpoint: the only exchange is the final presentation sort
+    post = plan.split("ExistingRDD")[0]
+    assert post.count("Exchange") <= 1, plan[:1500]
