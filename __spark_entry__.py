@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal_filter",
         # round 4: exact-substring cross-doc duplication detection
         "cross_doc_repeated_spans",
+        # round 4: lang-ID upgraded to oracle-checked
+        "lang_id_heuristic",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {
