@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_repeated_spans",
         # round 4: lang-ID upgraded to oracle-checked
         "lang_id_heuristic",
+        # round 4: exact-substring span REMOVAL (Lee et al. second half)
+        "remove_repeated_spans_report",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -671,3 +671,81 @@ def neardup_dedup(
     clusters = cc_keep_min(verified, df.select(id_col), id_col=id_col)
     survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(survivors, id_col, "left_semi")
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring deduplication ACROSS documents (the removal half
+    of Lee et al. 2022): every n-token span that appears in more than
+    one document keeps its occurrence(s) in the span's canonical
+    document (min id) and is deleted from every other document. Output:
+    one row per input doc with the rebuilt text and before/after token
+    counts.
+
+    Plan shape: span table = one narrow HOF pass per doc (no explode
+    of token rows); duplicated spans = one groupBy on the span key
+    carrying (span, min_id) only; the removal mask joins marked start
+    positions back per doc (collect_list of ints — bounded by dup
+    density, not doc length) and rebuilds the text in a final HOF
+    filter. Two shuffles total: the span groupBy and the per-doc
+    mark aggregation — both on high-cardinality keys. At corpus scale
+    swap the span string for a 64-bit hash; kept as strings here so
+    the whole operator is engine-portable (oracle-checkable).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col),
+        F.filter(toks, lambda x: x != "").alias("_w"),
+    )
+    # (doc, start, span) for every n-token window; docs shorter than n
+    # emit no spans (nothing to deduplicate at this granularity)
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+            )
+        ).alias("_start0", "_span"),
+    )
+    dup = (
+        spans.groupBy("_span")
+        .agg(F.min(id_col).alias("_canon"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+    )
+    marked = (
+        spans.join(dup, "_span")
+        .filter(F.col(id_col) != F.col("_canon"))
+        .groupBy(id_col)
+        .agg(F.collect_set("_start0").alias("_starts"))
+    )
+    joined = base.join(marked, id_col, "left").select(
+        id_col,
+        "_w",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+    )
+    # keep token at 0-based index j unless some marked start s (0-based)
+    # covers it: s <= j < s + n
+    kept = F.filter(
+        F.transform(
+            F.col("_w"),
+            lambda x, j: F.when(
+                F.exists(
+                    F.col("_starts"),
+                    lambda s: (s <= j) & (j < s + F.lit(n)),
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        id_col,
+        F.size("_w").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

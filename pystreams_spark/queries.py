@@ -5709,3 +5709,66 @@ def cross_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "span")
         .limit(20)
     )
+
+
+@query(
+    "remove_repeated_spans_report",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i - 1 AS s0,
+               array_to_string(list_slice(w, i, i + 9), ' ') AS span
+        FROM (
+            SELECT doc_id, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 9, 0))) AS i
+            FROM base
+        )
+    ),
+    dup AS (
+        SELECT span, MIN(doc_id) AS canon
+        FROM spans GROUP BY span HAVING COUNT(*) >= 2
+    ),
+    marked AS (
+        SELECT s.doc_id, list(DISTINCT s.s0) AS starts
+        FROM spans s JOIN dup d ON s.span = d.span
+        WHERE s.doc_id != d.canon
+        GROUP BY s.doc_id
+    ),
+    rebuilt AS (
+        SELECT b.doc_id,
+               CAST(len(b.w) AS BIGINT) AS n_tokens_before,
+               list_filter(
+                   b.w,
+                   (x, j) -> len(list_filter(COALESCE(m.starts, []),
+                                             s -> s <= j - 1 AND j - 1 < s + 10)) = 0
+               ) AS kept
+        FROM base b LEFT JOIN marked m ON b.doc_id = m.doc_id
+    )
+    SELECT doc_id, n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM rebuilt
+    WHERE len(kept) != n_tokens_before
+    ORDER BY doc_id
+    """,
+)
+def remove_repeated_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact-substring train-set dedup (Lee et al.
+    2022; `operators/dedup.remove_repeated_spans`): every 10-token span
+    occurring ≥2 times corpus-wide keeps its occurrences only in the
+    span's canonical (min-id) document and is cut from every other doc,
+    with the text rebuilt from the surviving tokens. Report = only the
+    documents that changed. Two shuffles (span groupBy + per-doc mark
+    aggregation), removal mask and rebuild are narrow HOFs; the oracle
+    replicates the mask with DuckDB's indexed list_filter lambdas."""
+    from .operators.dedup import remove_repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_repeated_spans(d, n=10)
+    return out.filter(
+        F.col("n_tokens_after") != F.col("n_tokens_before")
+    ).orderBy("doc_id")

@@ -365,6 +365,14 @@ class Stream:
 
         return Stream(seeded_global_shuffle(self.df, seed, id_col))
 
+    def dedup_spans(self, n: int = 10, text_col: str = "text", id_col: str = "doc_id") -> "Stream":
+        """Exact-substring span dedup across the corpus (Lee et al.):
+        repeated n-token spans survive only in their canonical doc
+        (operators/dedup.remove_repeated_spans)."""
+        from .operators.dedup import remove_repeated_spans
+
+        return Stream(remove_repeated_spans(self.df, n, text_col, id_col))
+
     def take_token_budget(
         self, order: Sequence[Column], token_col: str, budget: int
     ) -> "Stream":

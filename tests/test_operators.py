@@ -1071,3 +1071,26 @@ def test_portable_winnow_kernel_guarantee_and_hash():
     )
     assert fps(g) == {expected}
     assert expected < 2**41  # no-modulus exactness bound
+
+
+def test_remove_repeated_spans_planted(spark):
+    """Span-level exact-substring dedup: a 10-token span shared by two
+    docs survives only in the canonical (min-id) doc; overlapping and
+    unique spans are untouched."""
+    from pystreams_spark.operators.dedup import remove_repeated_spans
+
+    shared = "a b c d e f g h i j"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique1 tail1"),
+            (2, f"prefix2 {shared} suffix2"),
+            (3, "totally different words one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=10).collect()}
+    assert out[1]["clean_text"] == f"{shared} unique1 tail1"  # canonical kept
+    assert out[2]["clean_text"] == "prefix2 suffix2"          # span removed
+    assert out[2]["n_tokens_before"] == 12 and out[2]["n_tokens_after"] == 2
+    assert out[3]["clean_text"].startswith("totally")          # untouched
+    assert out[3]["n_tokens_before"] == out[3]["n_tokens_after"]
