@@ -702,12 +702,15 @@ def remove_repeated_spans(
         F.filter(toks, lambda x: x != "").alias("_w"),
     )
     # (doc, start, span) for every n-token window; docs shorter than n
-    # emit no spans (nothing to deduplicate at this granularity)
-    spans = base.select(
+    # emit no spans (nothing to deduplicate at this granularity). The
+    # size filter is REQUIRED, not cosmetic: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0] (unlike DuckDB's empty series), and the 0
+    # would feed slice() an invalid start.
+    spans = base.filter(F.size("_w") >= n).select(
         id_col,
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(0))),
+                F.sequence(F.lit(1), F.size("_w") - (n - 1)),
                 lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
             )
         ).alias("_start0", "_span"),

@@ -147,12 +147,14 @@ def mixture_weights(
             *[x for k, v in target_shares.items() for x in (F.lit(k), F.lit(v))]
         )
         target = mapping[F.col(group_col)]
-    actual = F.col("group_tokens") / F.col("_total_tokens")
+    # try_divide: a zero-token group (or an empty corpus) yields NULL
+    # shares/weights instead of an ANSI DIVIDE_BY_ZERO crash
+    actual = F.try_divide(F.col("group_tokens"), F.col("_total_tokens"))
     return out.select(
         group_col,
         "n_docs",
         F.col("group_tokens").cast("long").alias("group_tokens"),
         F.round(actual, 6).alias("actual_share"),
         F.round(target, 6).alias("target_share"),
-        F.round(target / actual, 6).alias("weight"),
+        F.round(F.try_divide(target, actual), 6).alias("weight"),
     )

@@ -1094,3 +1094,32 @@ def test_remove_repeated_spans_planted(spark):
     assert out[2]["n_tokens_before"] == 12 and out[2]["n_tokens_after"] == 2
     assert out[3]["clean_text"].startswith("totally")          # untouched
     assert out[3]["n_tokens_before"] == out[3]["n_tokens_after"]
+
+
+def test_remove_repeated_spans_short_docs(spark):
+    """Docs shorter than the span length pass through untouched (the
+    naive sequence(1, size-n+1) would feed slice() a 0 start — Spark's
+    sequence(1, 0) is DESCENDING [1, 0], unlike DuckDB's empty series)."""
+    from pystreams_spark.operators.dedup import remove_repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, n=10).collect()}
+    assert len(out) == 3
+    for i in (1, 2, 3):
+        assert out[i]["n_tokens_before"] == out[i]["n_tokens_after"]
+
+
+def test_mixture_weights_zero_token_group(spark):
+    """A group with zero tokens yields NULL shares, not a DIVIDE_BY_ZERO
+    crash under ANSI mode."""
+    from pystreams_spark.operators.selection import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 0)], "g string, v long"
+    )
+    out = {r["g"]: r for r in mixture_weights(df, "g", "v").collect()}
+    assert out["b"]["actual_share"] == 0.0
+    assert out["b"]["weight"] is None
+    assert abs(out["a"]["weight"] - 0.5) < 1e-6
