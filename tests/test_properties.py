@@ -197,3 +197,68 @@ def test_chunk_text_reconstruction(spark, texts, size, stride_delta):
         for j, c in enumerate(r.chunks):
             start = j * stride
             assert r.t[start : start + size] == c
+
+
+def test_remove_repeated_spans_matches_python_reference(spark):
+    """Differential: the distributed span-removal pipeline equals a
+    direct Python implementation of the same semantics (span occurring
+    >= 2 times corpus-wide keeps only its canonical-min-doc
+    occurrences) on randomized corpora with planted shared spans."""
+    import random
+
+    from pystreams_spark.operators.dedup import remove_repeated_spans
+
+    rng = random.Random(123)
+    vocab = [f"w{i}" for i in range(30)]
+    n = 4
+
+    def make_corpus():
+        shared_a = [rng.choice(vocab) for _ in range(n)]
+        shared_b = [rng.choice(vocab) for _ in range(n + 2)]
+        docs = []
+        for doc_id in range(8):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(1, 15))]
+            if rng.random() < 0.6:
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = shared_a
+            if rng.random() < 0.4:
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = shared_b
+            docs.append((doc_id, " ".join(toks)))
+        return docs
+
+    def reference(docs):
+        spans = {}
+        toks_by_doc = {}
+        for doc_id, text in docs:
+            w = text.split()
+            toks_by_doc[doc_id] = w
+            for s in range(len(w) - n + 1):
+                spans.setdefault(tuple(w[s : s + n]), []).append((doc_id, s))
+        out = {}
+        removed = {d: set() for d, _ in docs}
+        for span, occ in spans.items():
+            if len(occ) < 2:
+                continue
+            canon = min(d for d, _ in occ)
+            for d, s in occ:
+                if d != canon:
+                    removed[d].update(range(s, s + n))
+        for doc_id, _ in docs:
+            w = toks_by_doc[doc_id]
+            kept = [x for j, x in enumerate(w) if j not in removed[doc_id]]
+            out[doc_id] = (len(w), len(kept), " ".join(kept))
+        return out
+
+    for _ in range(3):
+        docs = make_corpus()
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens_before"],
+                r["n_tokens_after"],
+                r["clean_text"],
+            )
+            for r in remove_repeated_spans(df, n=n).collect()
+        }
+        assert got == reference(docs)
