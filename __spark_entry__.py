@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_heuristic",
         # round 4: exact-substring span REMOVAL (Lee et al. second half)
         "remove_repeated_spans_report",
+        # round 4: deterministic split + skew probe
+        "deterministic_split_report", "join_key_skew_report",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     touched_r4 = {

@@ -5772,3 +5772,87 @@ def remove_repeated_spans_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("n_tokens_after") != F.col("n_tokens_before")
     ).orderBy("doc_id")
+
+
+@query(
+    "deterministic_split_report",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT lang,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8))::BIGINT
+                     / 4294967296.0 AS frac
+            FROM documents
+        )
+    )
+    SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY lang, split ORDER BY lang, split
+    """,
+)
+def deterministic_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) keyed on
+    md5(id:salt) — the reproducible, engine-portable alternative to
+    randomSplit: membership is a pure function of the id, so the split
+    survives re-runs, backfills, and engine changes (the property a
+    training pipeline actually needs). One narrow hash pass + a tiny
+    grouped count; re-salting re-draws the split."""
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split42"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        d.select(
+            "lang",
+            F.when(frac < 0.8, "train")
+            .when(frac < 0.9, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "join_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           ROUND(AVG(n), 6) AS avg_rows,
+           ROUND(MAX(n) / AVG(n), 6) AS skew_factor,
+           CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
+           CAST(SUM(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """,
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis: per-key row counts for the prospective
+    join/aggregation key, reduced to the numbers that drive a salting /
+    AQE-skew-join decision (max/avg skew factor, discrete p50/p99, hot
+    key count). One partial-aggregated groupBy + a 1-row reduce; at
+    100 TB this is the cheap probe you run BEFORE choosing a strategy
+    for the expensive join (`operators/skew.py` then applies salting)."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").alias("p50"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)").cast("long").alias("p99"),
+        F.sum((F.col("n") > 10).cast("long")).alias("n_hot_keys"),
+    )
