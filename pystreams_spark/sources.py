@@ -19,12 +19,14 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 _WORDS = (
@@ -249,3 +251,77 @@ def register_data_sources(spark) -> None:
     """Idempotent registration of all custom sources on a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(SyntheticEventsStreamSource)
+
+
+class _ManifestCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, rows: int):
+        self.tmp_path = tmp_path
+        self.rows = rows
+
+
+class ManifestJsonWriter(DataSourceWriter):
+    """Two-phase-commit batch sink (Spark 4 Python DataSourceWriter):
+    each task writes its partition to a TEMPORARY json-lines file and
+    returns a commit message; only the driver-side ``commit`` publishes
+    the files (atomic rename) and writes a ``_MANIFEST.json`` naming
+    every published file + row counts. A failed/speculative task's
+    temp file is never named by the manifest, and ``abort`` removes
+    temps — the visibility contract object-store pipelines need
+    (readers trust the manifest, not directory listings). The same
+    skeleton wraps any exactly-once external sink: stage in write(),
+    publish in commit(), clean in abort()."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _ManifestCommit(tmp, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        files = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            files.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class ManifestJsonSink(DataSource):
+    """Register with ``spark.dataSource.register(ManifestJsonSink)``;
+    write via ``df.write.format("manifest_json").option("path", p)
+    .mode("append").save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_json"
+
+    def writer(self, schema, overwrite: bool) -> ManifestJsonWriter:
+        return ManifestJsonWriter(self.options)

@@ -411,3 +411,32 @@ def test_zorder_parquet_row_group_pruning_measured(spark, tmp_path):
         (z_skip, z_total),
         (u_skip, u_total),
     )
+
+
+def test_custom_python_datasource_writer_manifest(spark, sf_dir, tmp_path):
+    """Two-phase-commit Python DataSourceWriter: tasks stage temp files,
+    driver commit publishes + writes the manifest; published data and
+    manifest row counts match the source exactly; no temp files leak."""
+    import json
+    import os
+
+    from pystreams_spark.sources import ManifestJsonSink
+
+    spark.dataSource.register(ManifestJsonSink)
+    out = str(tmp_path / "manifest_sink")
+    src = load_table(spark, sf_dir, "nation")
+    src.repartition(3).write.format("manifest_json").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == src.count()
+    listed = sorted(f for f in os.listdir(out) if not f.startswith("_"))
+    assert listed == sorted(f["file"] for f in manifest["files"])
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    # round-trip: published rows equal the source
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == src.count()
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
