@@ -226,3 +226,33 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     if mat.count() <= max_rows:
         return F.broadcast(mat)
     return mat
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ~``target_file_mb`` files; returns the output file count. The
+    small-files problem is the slow death of long-running ingest at
+    scale (every file costs a task + footer read + catalog entry);
+    standard maintenance is a periodic rewrite sized by BYTES, not by
+    file count. Sizing reads only directory metadata (sum of file
+    sizes — no data scan); the rewrite itself is one pass with a
+    round-robin repartition so output files are uniform even when the
+    inputs were skewed. Row-group-friendly: target defaults to 128 MB,
+    the usual HDFS/object-store sweet spot."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_dir)
+    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
+    return n

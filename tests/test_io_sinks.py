@@ -440,3 +440,34 @@ def test_custom_python_datasource_writer_manifest(spark, sf_dir, tmp_path):
     assert sorted(r["n_name"] for r in back.collect()) == sorted(
         r["n_name"] for r in src.collect()
     )
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    """Compaction collapses a fragmented directory to the byte-sized
+    file count and preserves content exactly."""
+    import os
+
+    from pystreams_spark.io import compact_parquet
+
+    frag = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    src = load_table(spark, sf_dir, "orders")
+    src.repartition(32).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 32
+
+    n = compact_parquet(spark, frag, out, target_file_mb=128)
+    n_out = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_out == n <= 2  # small fixture → a couple of files max
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    # value check robust to float partial-sum order: exact on keys,
+    # cent-rounded on the money sum
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == src.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    assert round(back.agg(F.sum("o_totalprice")).collect()[0][0], 2) == round(
+        src.agg(F.sum("o_totalprice")).collect()[0][0], 2
+    )
