@@ -19,6 +19,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     GreaterThan,
@@ -325,3 +326,62 @@ class ManifestJsonSink(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ManifestJsonWriter:
         return ManifestJsonWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return ManifestJsonStreamWriter(self.options)
+
+
+class ManifestJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the manifest sink: per micro-batch, tasks
+    stage temp files and the driver publishes them under an
+    epoch-scoped manifest (``_MANIFEST-<epoch>.json``). Exactly-once
+    follows from the engine's contract — a replayed epoch re-runs
+    write() and commit() with the SAME epoch id, and publish is an
+    atomic rename + manifest overwrite, so readers that union the
+    manifests see each epoch's data exactly once no matter how many
+    times it was attempted. abort() drops that epoch's staged temps."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_json stream sink requires option 'path'")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _ManifestCommit(tmp, n)
+
+    def commit(self, messages, batchId=None):
+        import json
+        import os
+
+        files = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"epoch-{batchId:05d}-part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            files.append({"file": os.path.basename(final), "rows": m.rows})
+        manifest = {
+            "epoch": batchId,
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId:05d}.json"), "w"
+        ) as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId=None):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)

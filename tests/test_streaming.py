@@ -588,3 +588,39 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, tmp_path):
         for r in df.collect():
             expected[r["user_id"]] = stage
     assert got_map == expected
+
+
+def test_custom_stream_writer_epoch_manifests(spark, stream_src, tmp_path):
+    """Streaming Python DataSourceStreamWriter: per-epoch manifests
+    publish staged temps atomically; the union of all epoch manifests
+    accounts for every source row exactly once."""
+    import glob
+    import json
+    import os
+
+    from pystreams_spark.sources import ManifestJsonSink
+    from pystreams_spark.streaming.event_time import events_file_stream
+
+    spark.dataSource.register(ManifestJsonSink)
+    path, ev = stream_src
+    out = str(tmp_path / "stream_manifest")
+    stream = events_file_stream(spark, path, ev.schema, max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("manifest_json")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    assert len(manifests) >= 2  # one per micro-batch (4 input files)
+    total = 0
+    for mf in manifests:
+        m = json.load(open(mf))
+        for f in m["files"]:
+            assert os.path.exists(os.path.join(out, f["file"]))
+        total += m["total_rows"]
+    assert total == ev.count()
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
