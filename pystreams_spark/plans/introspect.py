@@ -83,3 +83,66 @@ def wholestage_codegen_count(df: DataFrame, force: bool = True) -> int:
     if not ids:
         ids = set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df)))
     return len(ids)
+
+
+def runtime_metrics(df: DataFrame, execute: bool = True) -> list[dict]:
+    """POST-execution observability: run the plan (noop sink — full
+    computation, nothing collected) and harvest every operator's SQL
+    metrics (output rows, shuffle bytes/records, spill sizes, peak
+    memory) from the executed plan tree. This is the number source for
+    "did this shuffle what I think it shuffled" questions that static
+    plan text can't answer — the per-operator truth the Spark UI shows,
+    programmatically, so a pipeline can assert runtime budgets (e.g.
+    shuffle bytes ≤ X) in tests or log them per production run.
+
+    Returns [{operator, metric, value}] for every metric with a
+    non-default value. AQE is unwrapped to the FINAL adaptive plan.
+
+    Execution detail: a sink write (even noop) wraps the query in a NEW
+    QueryExecution whose metrics start at zero, so the probe executes
+    THIS DataFrame's own plan instance via its RDD — full distributed
+    computation, only a count comes back to the driver.
+    """
+    qe = df._jdf.queryExecution()
+    if execute:
+        qe.executedPlan().execute().count()
+    plan = qe.executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+
+    rows: list[dict] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metric = kv._1()
+                v = kv._2().value()
+                if v not in (0, -1):
+                    rows.append(
+                        {"operator": name, "metric": str(metric), "value": int(v)}
+                    )
+        except Exception:
+            pass  # metric-less nodes (e.g. reused exchanges)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        if name.endswith("QueryStageExec"):
+            # AQE materialized stages hold their subtree outside children()
+            try:
+                walk(node.plan())
+            except Exception:
+                pass
+
+    walk(plan)
+    return rows
+
+
+def metric_total(metrics: list[dict], metric_substr: str) -> int:
+    """Sum a named metric family over all operators (e.g. 'shuffle
+    bytes written', 'spill')."""
+    return sum(
+        m["value"] for m in metrics if metric_substr in m["metric"].lower()
+    )

@@ -301,3 +301,23 @@ def test_ordered_cumsum_no_global_window(spark, sf_dir):
     # post-checkpoint: the only exchange is the final presentation sort
     post = plan.split("ExistingRDD")[0]
     assert post.count("Exchange") <= 1, plan[:1500]
+
+
+def test_runtime_metrics_prove_partial_aggregation(spark, sf_dir):
+    """RUNTIME (not static) proof of the map-side combine: the flagship
+    aggregate scans the full fixture but shuffles only ~groups×tasks
+    records — the property that keeps a 100 TB Q1 shuffle in MBs. Also
+    pins that the probe harvests scan/shuffle/agg metrics at all."""
+    from pystreams_spark.plans.introspect import metric_total, runtime_metrics
+
+    m = runtime_metrics(QUERIES["pricing_summary"](spark, sf_dir))
+    scan_rows = max(
+        x["value"]
+        for x in m
+        if x["operator"] == "FileSourceScanExec" and x["metric"] == "numOutputRows"
+    )
+    shuffled = metric_total(m, "shufflerecordswritten".lower())
+    assert scan_rows >= 1000
+    # 6 groups × ≤8 map tasks (+ final single-partition exchange) ≪ input
+    assert 0 < shuffled <= 100, (scan_rows, shuffled)
+    assert metric_total(m, "shuffle bytes written") < 64 * 1024
