@@ -156,13 +156,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_split_report", "join_key_skew_report",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
-    touched_r4 = {
+    # r4 entries whose DRIVER verdict must change this round: the r3
+    # hard ERR fix and the rows-only → oracle upgrades. These outrank
+    # even never-checked entries — a flipped verdict on a red/weak row
+    # is worth more than a first verdict on a fresh query.
+    must_recheck = {
         "heavy_hitters_events",            # array → '|'-joined scalar (r3 ERR fix)
         "seeded_global_shuffle",           # md5 sort key, now oracle-checked
         "doc_fingerprints",                # fingerprint_md5, now oracle-checked
-        "winnowing_fingerprints",          # Column-algebra winnowing, now oracle-checked
+        "winnowing_fingerprints",          # portable gram hash, now oracle-checked
         "minhash_banded_neardup",          # verified pairs, now oracle-checked
-        "neardup_dedup_pipeline",          # now oracle-checked (recursive-CTE oracle)
+        "neardup_dedup_pipeline",          # now oracle-checked
+    }
+    touched_r4 = {
         "embedding_quantization_report",   # zero-vector guards
         "chunk_long_documents",            # chunk_text validation
         "incremental_dedup_new_docs",      # bloom byte-rounding touch
@@ -173,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
     def rank(name: str) -> int:
+        if name in must_recheck:
+            return -1
         if name in never_checked:
             return 0
         if name in touched_r4:
