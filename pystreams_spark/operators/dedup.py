@@ -46,19 +46,43 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def exact_dedup_hashed(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact dedup shuffling xxhash64(text)+length instead of full text —
-    at 100 TB the shuffle moves 16 bytes/row instead of whole documents.
-    Hash collisions are disambiguated by a final equality check."""
+    """Exact dedup whose wide shuffle moves xxhash64(text)+length — 16
+    bytes/row — instead of full documents, while staying EXACT under
+    hash collisions:
+
+    1. one narrow pass keys every row (id, hash, len);
+    2. the tiny key frame finds (hash, len) groups with >1 row — true
+       duplicates plus any collisions; everything else (the bulk of a
+       typical corpus) is a survivor with NO text movement at all;
+    3. ONLY rows in multi-member groups — the duplicate candidates —
+       re-shuffle with their text for the exact per-text min-id pick.
+
+    So document bytes move for the duplicate-candidate slice only; the
+    r4 runtime-metrics probe measures this (shuffle bytes ≪ corpus text
+    bytes), where the previous form — window over (hash, len, text) —
+    silently dragged every document through the exchange. The dup-key
+    frame rides ``broadcast_if_small`` (falls back to a key-only
+    shuffle join when dup cardinality is huge)."""
     keyed = df.withColumn("_h", F.xxhash64(text_col)).withColumn(
         "_len", F.length(text_col)
     )
+    keys = keyed.select(id_col, "_h", "_len")
+    dup_keys = broadcast_if_small(
+        keys.groupBy("_h", "_len")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h", "_len")
+    )
+    singles = keyed.join(dup_keys, ["_h", "_len"], "left_anti")
+    cand = keyed.join(dup_keys, ["_h", "_len"], "left_semi")
     w = Window.partitionBy("_h", "_len", text_col).orderBy(F.asc(id_col))
-    return (
-        keyed.repartition(F.col("_h"))
+    winners = (
+        cand.repartition(F.col("_h"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_h", "_len")
+        .drop("_rn")
     )
+    return singles.unionByName(winners).drop("_h", "_len")
 
 
 def duplicate_clusters_md5(
