@@ -354,3 +354,4 @@ def test_runtime_metrics_dedup_shuffles_hashes_not_documents(spark, sf_dir):
     assert shuffled < text_bytes / 2, (shuffled, text_bytes)
     # and the dedup itself is exact
     assert deduped.count() == docs.count()
+
