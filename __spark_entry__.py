@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_repeated_spans_report",
         # round 4: deterministic split + skew probe
         "deterministic_split_report", "join_key_skew_report",
+        # round 4 (late): distributed BPE tokenizer training + SemDeDup
+        "bpe_top_pairs", "bpe_learned_merges",
+        "semantic_dedup_by_label", "semantic_dedup_kmeans",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     # r4 entries whose DRIVER verdict must change this round: the r3

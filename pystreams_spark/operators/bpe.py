@@ -1,0 +1,160 @@
+"""Distributed byte-pair-encoding (BPE) tokenizer training — the
+subword-vocabulary step of an LLM training-data pipeline (algorithm:
+Sennrich, Haddow & Birch 2016, "Neural Machine Translation of Rare
+Words with Subword Units", ACL — public).
+
+Scale shape (the whole point of doing this on Spark): BPE never
+iterates over the corpus. One corpus-wide ``groupBy(word)`` collapses
+100 TB of text into a *word-frequency table* whose size is the distinct
+vocabulary (10^6–10^8 rows at web scale, a few hundred on the test
+fixtures). Every merge iteration after that touches only that small
+frame:
+
+1. pair count: one narrow explode + partial/final hash-agg over the
+   word table (shuffle moves only distinct (left,right) pairs),
+2. argmax: ``orderBy(...).limit(1)`` → TakeOrdered, ONE row to the
+   driver per iteration,
+3. merge apply: a narrow per-row left-fold over the symbol arrays
+   (Column algebra ``aggregate`` HOF — interpreted, not codegen'd, but
+   it runs over the vocabulary-sized frame, not the corpus, so the
+   constant factor is irrelevant; see TODO.md r4 perf note for why we
+   care about that distinction).
+
+Tie-breaking is fully deterministic (weight DESC, then left, then
+right lexicographically) so training is reproducible across engines and
+partitionings — the differential test replays the same algorithm in
+pure Python and must match merge-for-merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_freqs", "to_symbols", "pair_counts", "bpe_train", "apply_merges"]
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus → (word, freq) table: the ONLY pass over the corpus.
+
+    Whitespace tokenization (matches ``functions.text.tokens``); empty
+    tokens dropped. Partial aggregation makes the shuffle
+    vocabulary-sized, not corpus-sized.
+    """
+    w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    return (
+        docs.select(w)
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def to_symbols(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Attach the initial symbol sequence: one single-character symbol
+    per char (no end-of-word marker — keeps the SQL oracle simple; a
+    marker is just an extra ``concat`` here if a caller wants one)."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word_col)),
+        lambda i: F.substring(F.col(word_col), i, F.lit(1)),
+    )
+    return words.withColumn("syms", syms)
+
+
+def pair_counts(
+    words: DataFrame, syms_col: str = "syms", freq_col: str = "freq"
+) -> DataFrame:
+    """(left, right, weight) — adjacent-symbol pair frequencies weighted
+    by word frequency. Narrow explode + hash-agg; the shuffle carries
+    only the distinct pairs (map-side combine)."""
+    syms = F.col(syms_col)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(syms) - 1),
+        lambda i: F.struct(
+            F.element_at(syms, i).alias("left"),
+            F.element_at(syms, i + 1).alias("right"),
+        ),
+    )
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select(F.explode(pairs).alias("p"), F.col(freq_col).alias("freq"))
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("freq").cast("long").alias("weight"))
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Left-to-right non-overlapping replacement of the adjacent pair
+    (left, right) with the merged symbol, as a Column-algebra left fold
+    (the merge is inherently sequential per word, so ``transform`` can't
+    express it; ``aggregate`` can)."""
+    merged = left + right
+
+    def step(acc: Column, x: Column) -> Column:
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right))
+        )
+        return F.when(
+            can,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def apply_merges(
+    words: DataFrame, merges: list[tuple[str, str]], syms_col: str = "syms"
+) -> DataFrame:
+    """Apply an ordered merge list to the symbol column (narrow; used to
+    segment new text with a trained vocabulary)."""
+    out = words
+    for left, right in merges:
+        out = out.withColumn(syms_col, _merge_fold(F.col(syms_col), left, right))
+    return out
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_freq: int = 1,
+) -> tuple[list[dict], DataFrame]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns (merge list, final symbolized word table). Each merge dict:
+    {rank, left, right, merged, weight}. Stops early if no pair reaches
+    ``min_freq``.
+
+    Driver traffic: exactly ONE row per iteration (the argmax). The
+    word table is localCheckpoint'ed per iteration so the lineage stays
+    O(1) instead of stacking ``num_merges`` fold layers onto every
+    subsequent job (each checkpoint is a vocabulary-sized in-memory
+    materialization — cheap at any corpus scale).
+    """
+    words = to_symbols(word_freqs(docs, text_col)).localCheckpoint(eager=True)
+    learned: list[dict] = []
+    for rank in range(1, num_merges + 1):
+        best = (
+            pair_counts(words)
+            .orderBy(F.desc("weight"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["weight"] < min_freq:
+            break
+        left, right, weight = best[0]["left"], best[0]["right"], int(best[0]["weight"])
+        learned.append(
+            {
+                "rank": rank,
+                "left": left,
+                "right": right,
+                "merged": left + right,
+                "weight": weight,
+            }
+        )
+        words = words.withColumn(
+            "syms", _merge_fold(F.col("syms"), left, right)
+        ).localCheckpoint(eager=True)
+    return learned, words

@@ -776,3 +776,188 @@ def knn_pq_adc(
     return top_k_per_group(
         local, [query_id], [F.asc("adc_dist"), F.asc(corpus_id)], k=k
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — cluster-scoped semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def _fit_centroids_driver(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int,
+    fit_fraction: float = 1.0,
+    fit_cap: int = 200_000,
+    iters: int = 10,
+):
+    """Driver-side numpy Lloyd fit over a bounded corpus sample — the
+    standard coarse-quantizer recipe (same bound/rationale as
+    ``knn_ivf_kmeans``: at 100 TB pass ``fit_fraction`` ≈ 1e5/|corpus|;
+    only the capped sample ever leaves the executors)."""
+    import numpy as np
+
+    fit_df = ensure_parallelism(corpus).select(F.col(vec_col).alias("_v"))
+    if fit_fraction < 1.0:
+        fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
+    sample = np.stack(fit_df.limit(fit_cap).toPandas()["_v"].to_numpy()).astype(
+        np.float64
+    )
+    rng = np.random.RandomState(seed)
+    centers = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        cells = d2.argmin(axis=1)
+        for j in range(n_cells):
+            members = sample[cells == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return centers
+
+
+def assign_kmeans_cells(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    out_col: str = "cell",
+    fit_fraction: float = 1.0,
+) -> DataFrame:
+    """Attach a KMeans cell id to every row: driver-bounded centroid
+    fit + ONE vectorized broadcast-assignment kernel pass (no shuffle —
+    assignment is a narrow map)."""
+    import numpy as np
+    import pandas as pd
+
+    centers = _fit_centroids_driver(df, vec_col, n_cells, seed, fit_fraction)
+    bc = df.sparkSession.sparkContext.broadcast(centers)
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, {out_col} int"
+
+    def kernel(batches):
+        c = bc.value
+        c2 = (c * c).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # argmin over squared L2 via the expansion trick (no n×k×d temp)
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) + c2[None, :]
+            out = pdf.copy()
+            out[out_col] = d2.argmin(axis=1).astype(np.int32)
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_cells: int = 16,
+    seed: int = 42,
+    round_to: int = 6,
+    tile: int = 2048,
+    max_cluster_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public):
+    semantic near-duplicate PAIRS, scoped to clusters so the pairwise
+    cost is Σ m_c² (bounded by cluster size), never |corpus|².
+
+    ``cluster_col=None`` runs the built-in KMeans cells (the paper's
+    recipe); passing an existing column (e.g. a label / topic / domain)
+    makes the op fully deterministic and SQL-oracle-checkable.
+
+    Execution: ONE shuffle (hash by cluster), then a per-cluster numpy
+    kernel that scores the cluster's m×d matrix against itself in row
+    tiles (memory O(tile·m), compute O(m²) per cluster — the SemDeDup
+    contract is that clusters are small relative to the corpus; a hard
+    ``max_cluster_rows`` gate refuses degenerate clusterings loudly
+    instead of OOM-ing an executor; raise n_cells to shrink clusters).
+    Zero-norm vectors score 0 against everything (norm clamped to 1).
+
+    Returns (cluster, id_a, id_b, score) with id_a < id_b,
+    score = round(cosine, round_to) ≥ threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if cluster_col is None:
+        base = assign_kmeans_cells(df, vec_col, n_cells, seed, out_col="_cluster")
+        cl = "_cluster"
+    else:
+        base, cl = df, cluster_col
+    sel = base.select(
+        F.col(cl).cast("long").alias("cluster"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+    )
+
+    def kernel(key, pdf):
+        m_rows = len(pdf)
+        if m_rows > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster {key[0]} has {m_rows} rows > "
+                f"max_cluster_rows={max_cluster_rows}. Raise n_cells (smaller "
+                f"clusters) or max_cluster_rows (more executor memory)."
+            )
+        pdf = pdf.sort_values("_id")
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, m_rows, tile):
+            hi = min(lo + tile, m_rows)
+            s = np.round(
+                (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms), round_to
+            )
+            # global triu: row index lo+i vs col j, keep j > lo+i
+            mask = (s >= threshold) & (
+                np.arange(lo, hi)[:, None] < np.arange(m_rows)[None, :]
+            )
+            ia, ib = np.nonzero(mask)
+            out_a.append(ids[lo + ia])
+            out_b.append(ids[ib])
+            out_s.append(s[ia, ib])
+        return pd.DataFrame(
+            {
+                "cluster": np.full(sum(map(len, out_a)), key[0], dtype=np.int64),
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "score": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
+            }
+        )
+
+    return sel.groupBy("cluster").applyInPandas(
+        kernel, "cluster long, id_a long, id_b long, score double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str | None = None,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup survivors: drop every row that has a SMALLER-id semantic
+    neighbor (cosine ≥ threshold) in its cluster; keep the rest.
+
+    The keep rule ("no smaller similar neighbor") is deterministic and
+    closed-form — on a dup chain a-b-c it keeps exactly the minimum id,
+    matching what connected-components + keep-min would do for cliques,
+    without an iterative CC pass (the paper keeps one exemplar per
+    ε-neighborhood; min-id is the reproducible choice). Survivors are
+    the input minus a broadcast-able dropped-id set (left_anti join).
+    """
+    pairs = semantic_dedup_pairs(
+        df, threshold, id_col, vec_col, cluster_col, n_cells, seed
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(broadcast_if_small(dropped), on=id_col, how="left_anti")

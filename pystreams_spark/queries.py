@@ -5856,3 +5856,133 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)").cast("long").alias("p99"),
         F.sum((F.col("n") > 10).cast("long")).alias("n_hot_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K BPE tokenizer training (distributed; Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bpe_top_pairs",
+    oracle=r"""
+    WITH words AS (
+      SELECT word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS word
+            FROM documents)
+      GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+             substr(word, CAST(i AS INT) + 1, 1) AS right_sym, freq
+      FROM words, unnest(range(1, length(word))) AS t(i)
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS weight
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY weight DESC, left_sym, right_sym LIMIT 20
+    """,
+)
+def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-0 statistics: the 20 highest-weight adjacent char
+    pairs over the word-frequency table (`operators/bpe.py`). The
+    corpus collapses to the vocabulary-sized word table in ONE shuffle
+    (partial-agg'd groupBy); the pair explode + count then runs over
+    that small frame — which is why distributed BPE training never
+    re-scans the corpus per merge."""
+    from .operators.bpe import pair_counts, to_symbols, word_freqs
+
+    d = _t(spark, sf_dir, "documents")
+    pc = pair_counts(to_symbols(word_freqs(d)))
+    return (
+        pc.select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "weight",
+        )
+        .orderBy(F.desc("weight"), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
+@query("bpe_learned_merges")  # iterative argmax chain — no single-SQL oracle;
+# deterministic (weight DESC, left, right tie-break): the differential pytest
+# replays pure-Python BPE on the same corpus and must match merge-for-merge.
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 15 learned BPE merges on `documents` (rank, pair, merged
+    symbol, weight — weight is the value-level self-check column). Each
+    iteration: vocabulary-sized pair count → 1-row argmax → narrow
+    symbol-array fold (`operators/bpe.bpe_train`)."""
+    from .operators.bpe import bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, num_merges=15)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["weight"])
+            for m in merges
+        ],
+        "rank int, left_sym string, right_sym string, merged string, weight long",
+    ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# §2.K SemDeDup — cluster-scoped semantic dedup (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semantic_dedup_by_label",
+    oracle="""
+    WITH pairs AS (
+      SELECT CAST(a.label AS BIGINT) AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             6) AS score
+      FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT cluster, id_b AS dropped_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MIN(id_a) AS min_neighbor, ROUND(MAX(score), 6) AS max_score
+    FROM pairs WHERE score >= 0.35
+    GROUP BY cluster, id_b ORDER BY cluster, dropped_id
+    """,
+)
+def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop report with the fixture `label` as the cluster
+    column (deterministic → fully oracle-checkable; the KMeans-cell
+    variant below is the self-clustered path). Per dropped vector: how
+    many smaller-id semantic neighbors (cosine ≥ 0.35) it has, the
+    canonical keeper candidate, and the max similarity. ONE shuffle
+    (hash by cluster) + a tiled per-cluster numpy kernel — cost Σ m_c²,
+    never |corpus|² (`operators/similarity.semantic_dedup_pairs`)."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(e, threshold=0.35, cluster_col="label")
+    return (
+        pairs.groupBy("cluster", F.col("id_b").alias("dropped_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("id_a").alias("min_neighbor"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("cluster", "dropped_id")
+    )
+
+
+@query("semantic_dedup_kmeans")  # engine-fit KMeans cells (seeded Lloyd on a
+# bounded driver sample) — cluster boundaries are engine-specific, so no SQL
+# oracle; `score` is the value-level self-check (exact cosine, verifiable per
+# pair) and the planted-duplicate pytest asserts recall of true near-dups.
+def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup the paper's way: KMeans cells (driver-bounded Lloyd fit,
+    broadcast assignment kernel — no shuffle) scope the pairwise pass.
+    Emits the above-threshold pairs with exact cosine scores."""
+    from .operators.similarity import semantic_dedup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(e, threshold=0.35, n_cells=8, seed=42).orderBy(
+        "cluster", "id_a", "id_b"
+    )

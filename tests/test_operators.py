@@ -1123,3 +1123,181 @@ def test_mixture_weights_zero_token_group(spark):
     assert out["b"]["actual_share"] == 0.0
     assert out["b"]["weight"] is None
     assert abs(out["a"]["weight"] - 0.5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, num_merges):
+    """Pure-Python reference BPE (Sennrich et al. 2016) with the same
+    deterministic tie-break (weight DESC, left ASC, right ASC) and
+    left-to-right non-overlapping merge application."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split() if w)
+    syms = {w: list(w) for w in wf}
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pc = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        if not pc:
+            break
+        (left, right), weight = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, weight))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_train_matches_python_reference_fixture(spark, sf_dir):
+    from pystreams_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    got, words = bpe_train(docs, num_merges=12)
+    texts = [r.text for r in docs.select("text").collect()]
+    want, want_syms = _py_bpe(texts, 12)
+
+    assert [(m["rank"], m["left"], m["right"], m["merged"], m["weight"]) for m in got] == want
+
+    # final segmentation matches word-for-word, and always reconstructs
+    for r in words.collect():
+        assert r.syms == want_syms[r.word], r.word
+        assert "".join(r.syms) == r.word
+
+
+def test_bpe_merge_fold_overlap_semantics(spark):
+    """Adjacent same-symbol runs merge left-to-right without overlap —
+    the classic 'aaa' + (a,a) -> [aa, a] case."""
+    from pystreams_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [("aaa aaa aaa aa",)], "text string"
+    )
+    merges, words = bpe_train(docs, num_merges=1)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    got = {r.word: r.syms for r in words.collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aa"] == ["aa"]
+
+
+def test_bpe_apply_merges_segments_new_text(spark):
+    from pystreams_spark.operators.bpe import apply_merges, bpe_train, to_symbols
+
+    train = spark.createDataFrame(
+        [("lower lower lowest newer newer newest",)], "text string"
+    )
+    merges, _ = bpe_train(train, num_merges=4)
+    pairs = [(m["left"], m["right"]) for m in merges]
+
+    new_words = to_symbols(
+        spark.createDataFrame([("lowering",), ("new",)], "word string")
+    )
+    got = {r.word: r.syms for r in apply_merges(new_words, pairs).collect()}
+    # whatever the learned merges are, segmentation must reconstruct
+    assert "".join(got["lowering"]) == "lowering"
+    assert "".join(got["new"]) == "new"
+    # and must equal the python reference applied to the same words
+    _, ref_syms = _py_bpe(["lower lower lowest newer newer newest"], 4)
+    py = {w: list(w) for w in ["lowering", "new"]}
+    for left, right in pairs:
+        for w, s in py.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            py[w] = out
+    assert got == py
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark, sf_dir):
+    """Near-identical copies of real vectors must land in the same
+    KMeans cell and be reported as pairs, and semantic_dedup must drop
+    exactly the copies (larger ids)."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.limit(100)
+    rng = np.random.RandomState(0)
+    planted = [
+        (int(r.vec_id) + 100_000, [float(x) + float(e) for x, e in
+                                   zip(r.embedding, rng.normal(0, 1e-4, len(r.embedding)))])
+        for r in base.filter(F.col("vec_id").isin([3, 17, 42, 55, 80])).collect()
+    ]
+    dup_df = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    corpus = base.select("vec_id", "embedding").unionByName(dup_df)
+
+    pairs = semantic_dedup_pairs(
+        corpus, threshold=0.99, n_cells=4, seed=7
+    ).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in pairs}
+    for vid, _ in planted:
+        assert (vid - 100_000, vid) in got_pairs
+
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(corpus, threshold=0.99, n_cells=4, seed=7).collect()
+    }
+    for vid, _ in planted:
+        assert vid not in survivors
+        assert vid - 100_000 in survivors
+
+
+def test_semantic_dedup_survivors_have_no_pairs(spark, sf_dir):
+    """Keep rule = 'no smaller similar neighbor' ⇒ re-running the pair
+    scan on the survivor set must find nothing."""
+    from pystreams_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = semantic_dedup(emb, threshold=0.35, cluster_col="label")
+    assert surv.count() < emb.count()  # fixture does contain pairs >= 0.35
+    left = semantic_dedup_pairs(surv, threshold=0.35, cluster_col="label")
+    assert left.count() == 0
+
+
+def test_semantic_dedup_zero_vector_and_cluster_gate(spark):
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import semantic_dedup_pairs
+
+    rows = [(0, [0.0] * 8, 0), (1, [0.0] * 8, 0), (2, [1.0] * 8, 0), (3, [1.0] * 8, 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = semantic_dedup_pairs(df, threshold=0.5, cluster_col="label").collect()
+    got = {(r.id_a, r.id_b): r.score for r in pairs}
+    assert got == {(2, 3): 1.0}  # zero-norm rows score 0 everywhere, no crash
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup_pairs(
+            df, threshold=0.5, cluster_col="label", max_cluster_rows=2
+        ).collect()

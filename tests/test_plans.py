@@ -129,6 +129,10 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # slice separately — two kernel stages over DISJOINT inputs, so
         # neither is a re-evaluation (see operators/decontaminate.py)
         "benchmark_decontamination": 2,
+        # SemDeDup's KMeans path chains the cell-assignment kernel and
+        # the per-cluster pairwise kernel — two distinct kernels, each
+        # pass-once (the label-clustered variant plans just one)
+        "semantic_dedup_kmeans": 2,
         # PQ chains two distinct kernels in ONE narrow pipeline: encode
         # (vector → m codes) then ADC probe (codes → local top-k); each
         # row passes each kernel exactly once. At ingest scale the
