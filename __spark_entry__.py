@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4 (late): distributed BPE tokenizer training + SemDeDup
         "bpe_top_pairs", "bpe_learned_merges",
         "semantic_dedup_by_label", "semantic_dedup_kmeans",
+        # round 4 (late): distributed PCA spectrum (self-proving var_match)
+        "pca_embedding_spectrum",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     # r4 entries whose DRIVER verdict must change this round: the r3

@@ -1,0 +1,118 @@
+"""Plan linter: mechanical scale-cliff detection on a physical plan.
+
+`tests/test_plans.py` asserts these properties query-by-query for the
+registry; this module packages the same checks as a reusable API so a
+pipeline author can gate THEIR composed plans the way our suite gates
+ours (e.g. `assert_clean(df)` in a pre-deploy test, or `lint(df)` in a
+notebook while iterating). Checks are the ones that matter at 100 TB:
+
+- W_CARTESIAN: CartesianProduct / BroadcastNestedLoopJoin — O(n·m) row
+  pairs; legitimate only for deliberately all-pairs operators.
+- W_ROW_UDF: BatchEvalPython — a row-at-a-time Python UDF in the hot
+  path (per-row pickle round-trip; 10-100× slower than Arrow kernels
+  and an optimizer barrier).
+- W_PYTHON_STAGES: more Arrow/Python eval stages than the budget — a
+  kernel output is probably being re-derived through a self-join
+  lineage instead of checkpointed (the r2 bench regression shape).
+- W_SINGLE_PARTITION: an Exchange SinglePartition feeding a Window or
+  Sort — the whole dataset serialized through ONE task (the classic
+  `Window.orderBy` with no partitionBy cliff). Global aggregates also
+  plan a SinglePartition exchange, but over partial-aggregate rows
+  (|partitions| rows), which is fine and not flagged.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .introspect import executed_plan
+
+_PY_NODES = re.compile(
+    r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+    r"|FlatMapCoGroupsInPandas|BatchEvalPythonUDTF|MapInArrow"
+)
+
+
+def _indent(line: str) -> int:
+    """Tree depth of a plan line (prefix chars before the operator name
+    in Spark's `+-`/`:-` ASCII tree)."""
+    return len(line) - len(line.lstrip(" :+-*("))
+
+
+def lint(
+    df: DataFrame,
+    allow_cartesian: bool = False,
+    python_stage_budget: int = 2,
+) -> list[dict]:
+    """Return [{code, message}] findings for the DataFrame's executed
+    plan (empty list = clean). Purely static — does not run the query."""
+    plan = executed_plan(df)
+    findings: list[dict] = []
+
+    if not allow_cartesian:
+        for op in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if op in plan:
+                findings.append(
+                    {
+                        "code": "W_CARTESIAN",
+                        "message": f"{op} in plan: O(n*m) pair blow-up at scale. "
+                        "Add an equi-join key (even a coarse bucket) or pass "
+                        "allow_cartesian=True if all-pairs is the point.",
+                    }
+                )
+
+    if re.search(r"BatchEvalPython(?!UDTF)", plan):
+        findings.append(
+            {
+                "code": "W_ROW_UDF",
+                "message": "Row-at-a-time Python UDF (BatchEvalPython): per-row "
+                "pickle round-trip and an optimizer barrier. Rewrite as Column "
+                "algebra or an Arrow kernel (pandas_udf / mapInPandas).",
+            }
+        )
+
+    n_py = len(_PY_NODES.findall(plan))
+    if n_py > python_stage_budget:
+        findings.append(
+            {
+                "code": "W_PYTHON_STAGES",
+                "message": f"{n_py} Python-eval stages in one plan (budget "
+                f"{python_stage_budget}): a kernel output may be re-evaluated "
+                "through a self-join lineage — localCheckpoint it once.",
+            }
+        )
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        depth = _indent(line)
+        parent = None
+        for j in range(i - 1, -1, -1):
+            if _indent(lines[j]) < depth:
+                parent = lines[j]
+                break
+        if parent and re.search(r"\b(Window|Sort)\b", parent):
+            findings.append(
+                {
+                    "code": "W_SINGLE_PARTITION",
+                    "message": "Exchange SinglePartition feeds a Window/Sort: "
+                    "the full dataset flows through ONE task. Add a partition "
+                    "key to the window, or use the two-pass prefix-sum shape "
+                    "(operators/selection.ordered_cumsum) for global ordering.",
+                }
+            )
+            break
+
+    return findings
+
+
+def assert_clean(df: DataFrame, **kwargs) -> None:
+    """Raise AssertionError listing every finding (for use in tests /
+    pre-deploy gates)."""
+    findings = lint(df, **kwargs)
+    assert not findings, "plan lint: " + "; ".join(
+        f"[{f['code']}] {f['message']}" for f in findings
+    )

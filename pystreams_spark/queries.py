@@ -5986,3 +5986,54 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_pairs(e, threshold=0.35, n_cells=8, seed=42).orderBy(
         "cluster", "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K distributed PCA spectrum (embedding preprocessing for ANN / SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+@query("pca_embedding_spectrum")  # eigendecomposition — no SQL oracle; the
+# var_match column IS the check: the population variance of each projected
+# component, computed DISTRIBUTED over the corpus, must equal the eigenvalue
+# the driver-side eigh produced (ratio pinned to 1.0 in the value hash), and
+# the differential pytest matches the full model against numpy exact PCA.
+def pca_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA spectrum of the embedding corpus with a built-in
+    consistency proof: one narrow Gram pass fits the model
+    (`operators/pca.py`), one narrow broadcast-matmul pass projects, and
+    a posexplode+groupBy computes each component's distributed variance,
+    which must reproduce the eigenvalue (var_match = 1.0)."""
+    from .operators.pca import fit_pca, pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(e, k=8)
+    spec = spark.createDataFrame(
+        [
+            (
+                i + 1,
+                float(model.eigenvalues[i]),
+                float(model.eigenvalues[i] / model.total_variance),
+                float(model.eigenvalues[: i + 1].sum() / model.total_variance),
+            )
+            for i in range(8)
+        ],
+        "component int, eigenvalue double, explained_ratio double, cum_ratio double",
+    )
+    proj_var = (
+        pca_project(e, model, out_col="pca")
+        .select(F.posexplode("pca").alias("idx", "v"))
+        .groupBy((F.col("idx") + 1).alias("component"))
+        .agg(F.var_pop("v").alias("proj_var"))
+    )
+    return (
+        spec.join(proj_var, "component")
+        .select(
+            "component",
+            F.round("eigenvalue", 6).alias("eigenvalue"),
+            F.round("explained_ratio", 6).alias("explained_ratio"),
+            F.round("cum_ratio", 6).alias("cum_ratio"),
+            F.round(F.col("proj_var") / F.col("eigenvalue"), 3).alias("var_match"),
+        )
+        .orderBy("component")
+    )

@@ -1301,3 +1301,64 @@ def test_semantic_dedup_zero_vector_and_cluster_gate(spark):
         semantic_dedup_pairs(
             df, threshold=0.5, cluster_col="label", max_cluster_rows=2
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fit_pca_matches_numpy_exact(spark, sf_dir):
+    import numpy as np
+
+    from pystreams_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=10)
+
+    x = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()]
+    )
+    mean = x.mean(axis=0)
+    cov = (x.T @ x) / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:10]
+    want_vals = evals[order]
+    want_comps = evecs[:, order].T
+    for i in range(len(want_comps)):
+        j = int(np.argmax(np.abs(want_comps[i])))
+        if want_comps[i, j] < 0:
+            want_comps[i] = -want_comps[i]
+
+    assert model.n_rows == len(x)
+    np.testing.assert_allclose(model.mean, mean, atol=1e-10)
+    np.testing.assert_allclose(model.eigenvalues, want_vals, atol=1e-10)
+    np.testing.assert_allclose(model.components, want_comps, atol=1e-8)
+    np.testing.assert_allclose(model.total_variance, np.trace(cov), atol=1e-10)
+
+
+def test_fit_pca_partitioning_independent(spark, sf_dir):
+    import numpy as np
+
+    from pystreams_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m3 = fit_pca(emb.repartition(3), k=5)
+    m7 = fit_pca(emb.repartition(7), k=5)
+    np.testing.assert_allclose(m3.eigenvalues, m7.eigenvalues, atol=1e-9)
+    np.testing.assert_allclose(m3.components, m7.components, atol=1e-7)
+
+
+def test_pca_project_whiten_unit_variance(spark, sf_dir):
+    import numpy as np
+
+    from pystreams_spark.operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=6)
+    proj = pca_project(emb, model, out_col="w", whiten=True)
+    w = np.stack([np.asarray(r.w) for r in proj.select("w").collect()])
+    np.testing.assert_allclose(w.var(axis=0), np.ones(6), rtol=1e-6)
+    # components are orthogonal directions -> projected dims uncorrelated
+    c = np.cov(w.T, bias=True)
+    np.testing.assert_allclose(c - np.diag(np.diag(c)), 0.0, atol=1e-6)

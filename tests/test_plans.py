@@ -359,3 +359,48 @@ def test_runtime_metrics_dedup_shuffles_hashes_not_documents(spark, sf_dir):
     # and the dedup itself is exact
     assert deduped.count() == docs.count()
 
+
+
+def test_plan_linter_flags_and_clears(spark, sf_dir):
+    """The packaged linter (plans/lint.py) catches each scale cliff on a
+    deliberately bad plan and stays silent on the flagship query."""
+    from pyspark.sql import Window, functions as F
+    from pyspark.sql.functions import udf
+
+    from pystreams_spark.io import load_table
+    from pystreams_spark.plans import assert_clean, lint
+
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+
+    # clean plan: no findings, assert_clean passes
+    good = QUERIES["pricing_summary"](spark, sf_dir)
+    assert lint(good) == []
+    assert_clean(good)
+
+    # cartesian
+    codes = {f["code"] for f in lint(o.crossJoin(n))}
+    assert "W_CARTESIAN" in codes
+    assert lint(o.crossJoin(n), allow_cartesian=True) == []
+
+    # row-wise python UDF
+    plus1 = udf(lambda x: x + 1, "long")
+    codes = {f["code"] for f in lint(o.select(plus1("o_orderkey")))}
+    assert "W_ROW_UDF" in codes
+
+    # global window without partition key -> single-partition exchange
+    w = Window.orderBy("o_orderkey")
+    bad_win = o.withColumn("rn", F.row_number().over(w))
+    codes = {f["code"] for f in lint(bad_win)}
+    assert "W_SINGLE_PARTITION" in codes
+
+    # ...but a plain global aggregate is NOT flagged (partial-agg rows)
+    assert lint(o.agg(F.sum("o_totalprice"))) == []
+
+    # python stage budget
+    from pystreams_spark.operators.similarity import semantic_dedup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    two_kernels = semantic_dedup_pairs(e, threshold=0.9)  # assign + pairwise
+    assert lint(two_kernels, python_stage_budget=1)[0]["code"] == "W_PYTHON_STAGES"
+    assert lint(two_kernels, python_stage_budget=2) == []
