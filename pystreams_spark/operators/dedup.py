@@ -633,6 +633,36 @@ def minhash_banded_candidates(
     return _banded_candidate_pairs(sigs, id_col=id_col)
 
 
+def _verify_pairs_jaccard(
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs over
+    hashed-shingle frames (``id_col`` + ``_sh`` array<long>).
+
+    array_intersect/union over fixed-width longs instead of shingle
+    strings — same Jaccard (64-bit collisions are negligible next to
+    MinHash's own error), and the joined sides shuffle 8 bytes per
+    shingle instead of the n-gram text. The candidate list is broadcast
+    (adaptive — see broadcast_if_small) into the first join so
+    non-candidate rows never shuffle their arrays."""
+    a = sh_a.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
+    b = sh_b.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (
+        F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
+    )
+    return (
+        a.join(broadcast_if_small(cands), "id_a")
+        .join(b, "id_b")
+        .filter(inter / union >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def neardup_dedup(
     df: DataFrame,
     threshold: float = 0.35,
@@ -673,25 +703,7 @@ def neardup_dedup(
         .localCheckpoint(eager=True)
     )
     cands = _banded_candidate_pairs(sigs, id_col=id_col)
-    # verify on hashed shingles: array_intersect/union over fixed-width
-    # longs instead of shingle strings — same Jaccard (64-bit collisions
-    # are negligible next to MinHash's own error), and the two joined
-    # sides shuffle 8 bytes per shingle instead of the n-gram text
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb"))
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = (
-        F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
-    )
-    # candidate list broadcast (adaptive — see broadcast_if_small) into
-    # the first join: corpus arrays are never shuffled for
-    # non-candidate rows (see minhash_candidates_fast)
-    verified = (
-        a.join(broadcast_if_small(cands), "id_a")
-        .join(b, "id_b")
-        .filter(inter / union >= threshold)
-        .select("id_a", "id_b")
-    )
+    verified = _verify_pairs_jaccard(sh, sh, cands, threshold, id_col=id_col)
     clusters = cc_keep_min(verified, df.select(id_col), id_col=id_col)
     survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(survivors, id_col, "left_semi")

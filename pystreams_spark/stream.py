@@ -373,6 +373,36 @@ class Stream:
 
         return Stream(remove_repeated_spans(self.df, n, text_col, id_col))
 
+    def dedup_semantic(
+        self,
+        threshold: float = 0.95,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        cluster_col: str | None = None,
+        n_cells: int = 16,
+        seed: int = 42,
+    ) -> "Stream":
+        """SemDeDup: drop rows with a smaller-id semantic neighbor
+        (cosine ≥ threshold) inside their (KMeans or given) cluster
+        (operators/similarity.semantic_dedup)."""
+        from .operators.similarity import semantic_dedup
+
+        return Stream(
+            semantic_dedup(
+                self.df, threshold, id_col, vec_col, cluster_col, n_cells, seed
+            )
+        )
+
+    def bpe_vocab(
+        self, num_merges: int, text_col: str = "text"
+    ) -> list[dict]:
+        """Learn a BPE merge table from this corpus (operators/bpe.py).
+        Terminal: returns the ordered merge list (driver-sized)."""
+        from .operators.bpe import bpe_train
+
+        merges, _ = bpe_train(self.df, num_merges, text_col)
+        return merges
+
     def take_token_budget(
         self, order: Sequence[Column], token_col: str, budget: int
     ) -> "Stream":

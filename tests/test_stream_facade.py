@@ -316,3 +316,19 @@ def test_facade_selection_ops(spark, sf_dir):
     )
     w = d.mixture_weights("lang", "n_tokens").df.collect()
     assert abs(sum(r["actual_share"] for r in w) - 1.0) < 1e-4
+
+
+def test_semantic_and_bpe_facade_sugar(spark, sf_dir):
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.bpe import bpe_train
+    from pystreams_spark.operators.similarity import semantic_dedup
+
+    emb = Stream(load_table(spark, sf_dir, "embeddings"))
+    surv = emb.dedup_semantic(threshold=0.35, cluster_col="label")
+    want = semantic_dedup(emb.df, threshold=0.35, cluster_col="label").count()
+    assert surv.count() == want < emb.count()
+
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    merges = docs.bpe_vocab(num_merges=3)
+    want_merges, _ = bpe_train(docs.df, 3)
+    assert merges == want_merges and len(merges) == 3

@@ -624,3 +624,113 @@ def test_custom_stream_writer_epoch_manifests(spark, stream_src, tmp_path):
         total += m["total_rows"]
     assert total == ev.count()
     assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+
+
+# ---------------------------------------------------------------------------
+# Continuous near-dup ingest (streaming/neardup_ingest.py)
+# ---------------------------------------------------------------------------
+
+
+def _ingest_corpus():
+    """Synthetic word-soup corpus: 45 distinct docs + planted near-copy
+    cliques, split over 3 batches. Cross-batch chains included: clique
+    C spans batches 0→1→2."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = {}
+    for i in range(45):
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(60))
+
+    def copy_of(src, new_id):
+        words = docs[src].split()
+        j = rng.randrange(len(words))
+        words[j] = rng.choice(vocab)  # 1-word edit: Jaccard stays high
+        docs[new_id] = " ".join(words)
+
+    # clique A: original 3 (batch 0), copies 100 (batch 1), 101 (batch 2)
+    copy_of(3, 100); copy_of(3, 101)
+    # clique B: original 20 (batch 1), copy 120 (batch 2)
+    copy_of(20, 120)
+    # clique C: intra-batch dup pair in batch 0
+    copy_of(7, 50)
+    batches = [
+        sorted([*range(0, 15), 50]),
+        sorted([*range(15, 30), 100]),
+        sorted([*range(30, 45), 101, 120]),
+    ]
+    return docs, batches
+
+
+def test_neardup_ingest_across_batches_and_replay(spark, tmp_path):
+    from pystreams_spark.operators.dedup import neardup_dedup
+    from pystreams_spark.streaming.neardup_ingest import NeardupIngest
+
+    docs, batches = _ingest_corpus()
+    ingest = NeardupIngest(str(tmp_path / "state"), threshold=0.6)
+
+    def bdf(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        )
+
+    for epoch, ids in enumerate(batches):
+        ingest.process_batch(bdf(ids), epoch)
+
+    surv = {r.doc_id for r in ingest.survivors(spark).collect()}
+    # each planted copy dropped, each original kept
+    assert {100, 101, 120, 50}.isdisjoint(surv)
+    assert {3, 20, 7}.issubset(surv)
+    # cliques -> online result equals batch CC result on the full corpus
+    all_df = bdf(sorted(docs))
+    batch_surv = {r.doc_id for r in neardup_dedup(all_df, threshold=0.6).collect()}
+    assert surv == batch_surv
+
+    # replay of the FINAL epoch is idempotent: same state view, same output
+    ingest.process_batch(bdf(batches[2]), 2)
+    surv2 = {r.doc_id for r in ingest.survivors(spark).collect()}
+    assert surv2 == surv
+
+
+def test_neardup_ingest_under_structured_streaming(spark, tmp_path):
+    """End-to-end under a real file stream: 3 parquet drops, one per
+    micro-batch (maxFilesPerTrigger=1). Batch order may vary with file
+    mtimes, so assert the order-independent invariant: exactly one
+    survivor per duplicate clique."""
+    import os
+    import time
+
+    from pystreams_spark.streaming.neardup_ingest import NeardupIngest
+
+    docs, batches = _ingest_corpus()
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for epoch, ids in enumerate(batches):
+        spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{epoch}")
+        time.sleep(0.05)
+
+    ingest = NeardupIngest(str(tmp_path / "state"), threshold=0.6)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    surv = {r.doc_id for r in ingest.survivors(spark).collect()}
+    n_total = sum(len(b) for b in batches)
+    # 5 planted copies collapse onto 3 originals + 1 intra-batch copy on 1:
+    # 49 docs, 4 copies -> 45 survivors, one per distinct content clique
+    assert len(surv) == n_total - 4
+    # exactly one member of each clique survives (whichever arrived first)
+    for clique in ({3, 100, 101}, {20, 120}, {7, 50}):
+        assert len(clique & surv) == 1
