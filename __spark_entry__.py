@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_by_label", "semantic_dedup_kmeans",
         # round 4 (late): distributed PCA spectrum (self-proving var_match)
         "pca_embedding_spectrum",
+        # round 4 (late): expectations gate + time-series regularization
+        "constraint_violations_report", "resample_user_purchases_daily",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     # r4 entries whose DRIVER verdict must change this round: the r3

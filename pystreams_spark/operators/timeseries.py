@@ -1,0 +1,105 @@
+"""Time-series regularization: resample an irregular event stream onto
+a fixed grid per series, with gap semantics a downstream model can rely
+on (forward-fill and linear interpolation) — the standard "sensor /
+metrics / activity" preprocessing step relational engines leave to the
+user.
+
+Scale shape: everything is per-series. The aggregate is one partial-
+agg'd groupBy; the grid is generated per key from that aggregate's own
+min/max (a `sequence` explode — no driver work, no global range); the
+fill windows are all ``partitionBy(keys)``, so there is no
+single-partition exchange anywhere (`plans.lint` clean — a global
+series would be the classic Window cliff; give it a key, even a
+constant bucket of series ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["resample_fill"]
+
+
+def resample_fill(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    key_cols: Sequence[str],
+    step_seconds: int,
+    agg: str = "avg",
+    round_to: int = 6,
+) -> DataFrame:
+    """Resample ``val_col`` onto a ``step_seconds`` grid per key.
+
+    Returns one row per (keys, bucket) over each key's [min, max]
+    bucket span with:
+
+    - ``bucket``: grid epoch seconds (long),
+    - ``raw``: the bucket's aggregate, NULL on empty buckets,
+    - ``ffill``: last observation carried forward,
+    - ``interp``: linear interpolation between the neighboring
+      observations (equals ``raw`` on observed buckets; falls back to
+      ffill after the last observation and backfill before the first).
+    """
+    if not key_cols:
+        raise ValueError(
+            "resample_fill needs at least one key column: a keyless global "
+            "series forces every row through one task (single-partition "
+            "window). Shard the series or add a constant-bucket key "
+            "explicitly upstream if it is genuinely one series."
+        )
+    keys = [F.col(k) for k in key_cols]
+    step = int(step_seconds)
+    agg_fn = getattr(F, agg)
+
+    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    observed = (
+        df.select(*keys, bucket.alias("bucket"), F.col(val_col).alias("_v"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.round(agg_fn("_v"), round_to).alias("raw"))
+    )
+    grid = (
+        observed.groupBy(*key_cols)
+        .agg(F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+        .select(
+            *key_cols,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            ).alias("bucket"),
+        )
+    )
+    filled = grid.join(observed, [*key_cols, "bucket"], "left")
+
+    w_prev = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("raw").isNotNull(), F.col("bucket"))
+    prev_v = F.last("raw", ignorenulls=True).over(w_prev)
+    next_v = F.first("raw", ignorenulls=True).over(w_next)
+    prev_t = F.last(obs_t, ignorenulls=True).over(w_prev)
+    next_t = F.first(obs_t, ignorenulls=True).over(w_next)
+
+    frac = (F.col("bucket") - prev_t).cast("double") / (next_t - prev_t).cast(
+        "double"
+    )
+    linear = F.when(
+        prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t),
+        prev_v + (next_v - prev_v) * frac,
+    )
+    return filled.select(
+        *key_cols,
+        "bucket",
+        "raw",
+        prev_v.alias("ffill"),
+        F.round(F.coalesce(linear, prev_v, next_v), round_to).alias("interp"),
+    )

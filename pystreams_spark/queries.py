@@ -6037,3 +6037,149 @@ def pca_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K data validation / expectations (operators/validate.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "constraint_violations_report",
+    oracle="""
+    SELECT 'not_null(l_orderkey)' AS rule,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_discount,[0.0,0.05])',
+           CAST(SUM(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_range(l_quantity,[1,50])',
+           CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'foreign_key(o_custkey)',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    ORDER BY rule
+    """,
+)
+def constraint_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over the star schema
+    (`operators/validate.py`): row-local rules (null / range / domain)
+    share ONE partial-agg'd scan per table, uniqueness is a key-only
+    groupBy, FK integrity is a broadcast anti-join per edge. The report
+    deliberately mixes passing rules (0s) and a failing one
+    (l_discount ≤ 0.05 — the fixture goes to 0.10) so both verdict
+    shapes are pinned."""
+    from .operators.validate import (
+        check,
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        unique,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li_report = check(
+        li,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 0.05),
+            in_range("l_quantity", 1, 50),
+            foreign_key("l_orderkey", o, "o_orderkey"),
+        ],
+    )
+    o_report = check(
+        o,
+        [
+            in_set("o_orderstatus", ["F", "O"]),
+            unique("o_orderkey"),
+            foreign_key("o_custkey", c, "c_custkey"),
+        ],
+    )
+    return li_report.unionByName(o_report).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# §2.K time-series resample + gap fill (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "resample_user_purchases_daily",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket,
+             ROUND(AVG(value), 6) AS raw
+      FROM events WHERE event_type = 'purchase' AND user_id < 30
+      GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (SELECT user_id, unnest(generate_series(lo, hi, 86400)) AS bucket FROM span),
+    filled AS (
+      SELECT g.user_id, g.bucket, o.raw
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket = o.bucket
+    ),
+    win AS (
+      SELECT user_id, bucket, raw,
+        last_value(raw IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        first_value(raw IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        last_value(CASE WHEN raw IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(CASE WHEN raw IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM filled
+    )
+    SELECT user_id, bucket, raw, prev_v AS ffill,
+           ROUND(COALESCE(
+             CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t != prev_t
+                  THEN prev_v + (next_v - prev_v)
+                       * (bucket - prev_t) / CAST(next_t - prev_t AS DOUBLE) END,
+             prev_v, next_v), 6) AS interp
+    FROM win
+    ORDER BY user_id, bucket
+    """,
+)
+def resample_user_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase-value series regularized onto each
+    user's [first, last] day grid with forward-fill and linear
+    interpolation (`operators/timeseries.resample_fill`). Every window
+    is partitioned by user — no single-partition exchange (the keyless
+    form is refused by the operator; `plans.lint` clean)."""
+    from .operators.timeseries import resample_fill
+
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
+    )
+    return resample_fill(
+        ev, "ts", "value", ["user_id"], step_seconds=86400
+    ).orderBy("user_id", "bucket")

@@ -1362,3 +1362,127 @@ def test_pca_project_whiten_unit_variance(spark, sf_dir):
     # components are orthogonal directions -> projected dims uncorrelated
     c = np.cov(w.T, bias=True)
     np.testing.assert_allclose(c - np.diag(np.diag(c)), 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Data validation (operators/validate.py)
+# ---------------------------------------------------------------------------
+
+
+def test_validate_rules_on_planted_violations(spark):
+    from pystreams_spark.operators.validate import (
+        check,
+        expect,
+        foreign_key,
+        in_range,
+        in_set,
+        not_null,
+        satisfies,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),      # range violation
+            (2, "a", 20.0),      # dup id
+            (None, "z", 30.0),   # null id + domain violation + fk orphan ('z')
+        ],
+        "id long, cat string, v double",
+    )
+    dim = spark.createDataFrame([("a",), ("b",)], "cat string")
+    rep = {
+        r.rule: r.n_violations
+        for r in check(
+            df,
+            [
+                not_null("id"),
+                in_range("v", 0.0, 100.0),
+                in_set("cat", ["a", "b"]),
+                satisfies("v_odd_rule", F.col("v") != 20.0),
+                unique("id"),
+                foreign_key("cat", dim, "cat"),
+            ],
+        ).collect()
+    }
+    assert rep == {
+        "not_null(id)": 1,
+        "in_range(v,[0.0,100.0])": 1,
+        "in_set(cat)": 1,
+        "v_odd_rule": 1,
+        "unique(id)": 1,
+        "foreign_key(cat)": 1,
+    }
+
+    with pytest.raises(AssertionError, match="unique"):
+        expect(df, [unique("id")])
+    expect(df.filter("v > 0"), [in_range("v", 0.0, 100.0)])
+
+
+def test_validate_row_local_rules_share_one_scan(spark, sf_dir):
+    """N row-local rules must plan as ONE aggregate over one scan, not
+    N passes."""
+    from pystreams_spark.operators.validate import check, in_range, not_null
+    from pystreams_spark.plans import executed_plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = check(
+        li,
+        [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.05),
+         in_range("l_quantity", 1, 50)],
+    )
+    plan = executed_plan(rep)
+    assert plan.count("FileScan") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_resample_fill_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pystreams_spark.operators.timeseries import resample_fill
+
+    rows = [
+        ("u1", "2024-01-01 00:30:00", 10.0),
+        ("u1", "2024-01-01 00:45:00", 20.0),   # same hour -> avg 15
+        ("u1", "2024-01-01 03:10:00", 60.0),   # 2h gap
+        ("u1", "2024-01-01 05:05:00", 10.0),
+        ("u2", "2024-01-01 01:00:00", 1.0),    # single-point series
+    ]
+    df = spark.createDataFrame(rows, "u string, ts string, v double").select(
+        "u", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = {
+        (r.u, r.bucket): (r.raw, r.ffill, r.interp)
+        for r in resample_fill(df, "ts", "v", ["u"], 3600).collect()
+    }
+    h = 3600
+    base = int(pd.Timestamp("2024-01-01 00:00:00").timestamp())
+    # u1 grid: hours 0..5
+    assert got[("u1", base + 0 * h)] == (15.0, 15.0, 15.0)
+    assert got[("u1", base + 1 * h)][0] is None
+    np.testing.assert_allclose(got[("u1", base + 1 * h)][1], 15.0)   # ffill
+    np.testing.assert_allclose(got[("u1", base + 1 * h)][2], 30.0)   # 15 + (60-15)*1/3
+    np.testing.assert_allclose(got[("u1", base + 2 * h)][2], 45.0)
+    assert got[("u1", base + 3 * h)] == (60.0, 60.0, 60.0)
+    np.testing.assert_allclose(got[("u1", base + 4 * h)][2], 35.0)   # between 60 and 10
+    assert got[("u1", base + 5 * h)] == (10.0, 10.0, 10.0)
+    # u2: single observation -> 1-row grid
+    assert got[("u2", base + 1 * h)] == (1.0, 1.0, 1.0)
+    assert len(got) == 7
+
+    with pytest.raises(ValueError, match="key column"):
+        resample_fill(df, "ts", "v", [], 3600)
+
+
+def test_resample_fill_plan_is_lint_clean(spark, sf_dir):
+    from pystreams_spark.operators.timeseries import resample_fill
+    from pystreams_spark.plans import lint
+
+    ev = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
+    out = resample_fill(ev, "ts", "value", ["user_id"], 86400)
+    assert lint(out) == []
