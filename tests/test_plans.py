@@ -404,3 +404,42 @@ def test_plan_linter_flags_and_clears(spark, sf_dir):
     two_kernels = semantic_dedup_pairs(e, threshold=0.9)  # assign + pairwise
     assert lint(two_kernels, python_stage_budget=1)[0]["code"] == "W_PYTHON_STAGES"
     assert lint(two_kernels, python_stage_budget=2) == []
+
+
+def test_aqe_skew_join_engages_at_runtime(spark):
+    """AQE's skew-join mitigation must actually fire on a skewed
+    shuffle join — the runtime backstop behind `operators/skew.py`'s
+    explicit salting (thresholds scaled down to fixture sizes; on a
+    real cluster the defaults play the same role). The plan only shows
+    the verdict after ITS OWN execution finalizes AQE, hence the
+    execute-then-inspect dance (same as plans.runtime_metrics)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "50KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(400000).select(
+            F.when(F.col("id") % 20 < 19, 0).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("payload-padding-padding-"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(500).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("rv")
+        )
+        j = left.join(right, "k")
+        qe = j._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
