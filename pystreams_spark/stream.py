@@ -403,6 +403,37 @@ class Stream:
         merges, _ = bpe_train(self.df, num_merges, text_col)
         return merges
 
+    def check(self, rules: list) -> "Stream":
+        """Data-validation report: (rule, n_violations) per declarative
+        rule (operators/validate.check; row-local rules share one scan)."""
+        from .operators.validate import check
+
+        return Stream(check(self.df, rules))
+
+    def expect(self, rules: list) -> "Stream":
+        """Gate form of ``check``: raise AssertionError listing every
+        violated rule; returns self unchanged when clean."""
+        from .operators.validate import expect
+
+        expect(self.df, rules)
+        return self
+
+    def resample(
+        self,
+        ts_col: str,
+        val_col: str,
+        key_cols: Sequence[str],
+        step_seconds: int,
+        agg: str = "avg",
+    ) -> "Stream":
+        """Per-series fixed-grid resample with forward-fill + linear
+        interpolation (operators/timeseries.resample_fill)."""
+        from .operators.timeseries import resample_fill
+
+        return Stream(
+            resample_fill(self.df, ts_col, val_col, key_cols, step_seconds, agg)
+        )
+
     def take_token_budget(
         self, order: Sequence[Column], token_col: str, budget: int
     ) -> "Stream":

@@ -332,3 +332,27 @@ def test_semantic_and_bpe_facade_sugar(spark, sf_dir):
     merges = docs.bpe_vocab(num_merges=3)
     want_merges, _ = bpe_train(docs.df, 3)
     assert merges == want_merges and len(merges) == 3
+
+
+def test_validate_and_resample_facade_sugar(spark, sf_dir):
+    import pytest as _pt
+
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.validate import in_range, not_null
+
+    li = Stream(load_table(spark, sf_dir, "lineitem"))
+    rep = {r.rule: r.n_violations for r in li.check(
+        [not_null("l_orderkey"), in_range("l_discount", 0.0, 0.05)]
+    ).collect()}
+    assert rep["not_null(l_orderkey)"] == 0
+    assert rep["in_range(l_discount,[0.0,0.05])"] > 0
+
+    assert li.expect([not_null("l_orderkey")]) is li
+    with _pt.raises(AssertionError, match="in_range"):
+        li.expect([in_range("l_discount", 0.0, 0.05)])
+
+    ev = Stream(load_table(spark, sf_dir, "events").filter("event_type = 'purchase'"))
+    out = ev.resample("ts", "value", ["user_id"], 86400)
+    pdf = out.df.toPandas()
+    assert {"user_id", "bucket", "raw", "ffill", "interp"} <= set(pdf.columns)
+    assert len(pdf) > 0 and pdf["interp"].notna().all()
