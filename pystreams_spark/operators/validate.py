@@ -82,6 +82,8 @@ def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
 
 def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """(rule, n_violations) report; row-local rules share ONE scan."""
+    if not rules:
+        raise ValueError("check: empty rule list (nothing to validate)")
     spark = df.sparkSession
     reports: list[DataFrame] = []
 

@@ -88,11 +88,17 @@ class NeardupIngest:
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —
-        partition-pruned parquet read; None when nothing is stored yet."""
+        partition-pruned parquet read; None when nothing is stored yet.
+        Only a missing path reads as empty — a corrupt store must fail
+        loudly, not silently disable deduplication."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(f"{self.state_dir}/sigs")
-        except Exception:
-            return None
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                return None
+            raise
         df = df.filter(F.col("epoch") < F.lit(before_epoch))
         return df
 
