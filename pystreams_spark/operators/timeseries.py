@@ -55,11 +55,17 @@ def resample_fill(
     step = int(step_seconds)
     agg_fn = getattr(F, agg)
 
-    bucket = (F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    # floor, not cast-truncate: truncation rounds toward zero, which
+    # would shift every pre-1970 bucket one step late
+    bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
     observed = (
         df.select(*keys, bucket.alias("bucket"), F.col(val_col).alias("_v"))
         .groupBy(*key_cols, "bucket")
         .agg(F.round(agg_fn("_v"), round_to).alias("raw"))
+        # both the grid span and the left join consume this aggregate —
+        # materialize once instead of re-running the corpus scan+shuffle
+        # through two lineages of one plan
+        .localCheckpoint(eager=True)
     )
     grid = (
         observed.groupBy(*key_cols)

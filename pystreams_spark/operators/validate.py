@@ -89,17 +89,25 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     row_local = [r for r in rules if r.predicate is not None]
     if row_local:
+        # positional aliases + lit() labels: labels never enter SQL text,
+        # so quotes in rule names and duplicate labels are both safe
         aggs = [
-            F.sum(r.predicate.cast("long")).alias(r.label()) for r in row_local
+            F.sum(r.predicate.cast("long")).alias(f"_r{i}")
+            for i, r in enumerate(row_local)
         ]
-        wide = df.agg(*aggs)
-        reports.append(
-            wide.selectExpr(
-                "stack({n}, {args}) as (rule, n_violations)".format(
-                    n=len(row_local),
-                    args=", ".join(f"'{r.label()}', `{r.label()}`" for r in row_local),
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.label()).alias("rule"),
+                    F.col(f"_r{i}").alias("n_violations"),
                 )
-            )
+                for i, r in enumerate(row_local)
+            ]
+        )
+        reports.append(
+            df.agg(*aggs)
+            .select(F.explode(pairs).alias("p"))
+            .select("p.rule", "p.n_violations")
         )
 
     for r in rules:
@@ -118,10 +126,12 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             reports.append(dup)
         elif r.kind == "foreign_key":
+            from ..io import broadcast_if_small
+
             orphans = (
                 df.select(F.col(r.column))
                 .join(
-                    F.broadcast(
+                    broadcast_if_small(
                         r.dim.select(F.col(r.dim_col).alias(r.column)).distinct()
                     ),
                     r.column,
@@ -142,12 +152,16 @@ def check(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
 
 def expect(df: DataFrame, rules: list[Rule]) -> None:
-    """Raise AssertionError listing every violated rule (gate form)."""
+    """Raise AssertionError listing every violated rule (gate form).
+    Raised explicitly, not via ``assert`` — a production gate must fire
+    under ``python -O`` too."""
     bad = [
         (r["rule"], r["n_violations"])
         for r in check(df, rules).collect()
         if r["n_violations"]
     ]
-    assert not bad, "expectations violated: " + ", ".join(
-        f"{name}={n}" for name, n in bad
-    )
+    if bad:
+        raise AssertionError(
+            "expectations violated: "
+            + ", ".join(f"{name}={n}" for name, n in bad)
+        )

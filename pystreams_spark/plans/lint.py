@@ -111,8 +111,11 @@ def lint(
 
 def assert_clean(df: DataFrame, **kwargs) -> None:
     """Raise AssertionError listing every finding (for use in tests /
-    pre-deploy gates)."""
+    pre-deploy gates). Raised explicitly, not via ``assert`` — the gate
+    must fire under ``python -O`` too."""
     findings = lint(df, **kwargs)
-    assert not findings, "plan lint: " + "; ".join(
-        f"[{f['code']}] {f['message']}" for f in findings
-    )
+    if findings:
+        raise AssertionError(
+            "plan lint: "
+            + "; ".join(f"[{f['code']}] {f['message']}" for f in findings)
+        )

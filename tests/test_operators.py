@@ -1486,3 +1486,35 @@ def test_resample_fill_plan_is_lint_clean(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").filter("event_type = 'purchase'")
     out = resample_fill(ev, "ts", "value", ["user_id"], 86400)
     assert lint(out) == []
+
+
+def test_validate_quoted_and_duplicate_labels(spark):
+    """Rule labels never enter SQL text: quotes and duplicate labels
+    are both safe (review finding: the first stack()-based report broke
+    on either)."""
+    from pystreams_spark.operators.validate import check, in_set, satisfies
+
+    df = spark.createDataFrame([(1, "a"), (2, "c")], "id long, cat string")
+    rows = check(
+        df,
+        [
+            satisfies("cat isn't 'c'", F.col("cat") != "c"),
+            in_set("cat", ["a"]),
+            in_set("cat", ["a", "c"]),  # duplicate label with different rule
+        ],
+    ).collect()
+    got = sorted((r.rule, r.n_violations) for r in rows)
+    assert got == [("cat isn't 'c'", 1), ("in_set(cat)", 0), ("in_set(cat)", 1)]
+
+
+def test_resample_fill_pre_epoch_buckets_floor(spark):
+    """cast-truncate would shift pre-1970 observations one bucket late;
+    floor keeps them in their own bucket."""
+    from pystreams_spark.operators.timeseries import resample_fill
+
+    df = spark.createDataFrame(
+        [("u", "1969-12-31 23:59:55", 5.0), ("u", "1970-01-01 00:00:30", 7.0)],
+        "u string, ts string, v double",
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"), "v")
+    got = {r.bucket: r.raw for r in resample_fill(df, "ts", "v", ["u"], 60).collect()}
+    assert got == {-60: 5.0, 0: 7.0}
