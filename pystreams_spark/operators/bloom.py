@@ -131,12 +131,20 @@ def incremental_exact_dedup(
 
     spark = new_df.sparkSession
     h = F.xxhash64(F.col(text_col))
+    # NULL text hashes to NULL: exclude it on both sides BEFORE the
+    # int64 kernels (NaN would crash the Arrow conversion). The final
+    # anti-join equality never matches NULL anyway, so NULL-text rows
+    # are kept — identical to the plain anti-join this replaces.
     bloom = build_bloom(
-        ensure_parallelism(corpus_df).select(h.alias("_h")), "_h", num_bits, k
+        ensure_parallelism(corpus_df)
+        .select(h.alias("_h"))
+        .filter(F.col("_h").isNotNull()),
+        "_h", num_bits, k,
     )
     probe = bloom_might_contain_udf(spark, bloom, k)
     pos_keys = (
         new_df.select(h.alias("_h"))
+        .filter(F.col("_h").isNotNull())
         .filter(probe(F.col("_h")))
         .distinct()
     )

@@ -131,7 +131,10 @@ def bpe_train(
     word table is localCheckpoint'ed per iteration so the lineage stays
     O(1) instead of stacking ``num_merges`` fold layers onto every
     subsequent job (each checkpoint is a vocabulary-sized in-memory
-    materialization — cheap at any corpus scale).
+    materialization — cheap at any corpus scale). Checkpoints are EAGER
+    on purpose: the argmax is a limit(1) job that may touch only a
+    subset of partitions, which would leave a lazy checkpoint
+    unmaterialized and silently re-stack the fold lineage.
     """
     words = to_symbols(word_freqs(docs, text_col)).localCheckpoint(eager=True)
     learned: list[dict] = []

@@ -183,7 +183,10 @@ def ngram_jaccard_pairs_inverted(
     )
     return (
         shared.withColumn("jaccard", F.round(jac, round_to))
-        .filter(jac >= threshold)
+        # threshold the ROUNDED value, like ngram_jaccard_pairs — raw
+        # would disagree with the brute-force baseline (and the DuckDB
+        # oracle) exactly at rounding-boundary pairs
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -464,16 +467,8 @@ def cc_keep_min(
     edge_nodes = edges.select(F.col("src").alias("node")).distinct()
     if edges.count() <= small_graph_edges:
         labels = _cc_union_find_one_task(edges).localCheckpoint(eager=False)
-        edge_labels = labels.select(
-            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
-        )
-        isolated = all_ids.select(F.col(id_col)).join(
-            edge_nodes.withColumnRenamed("node", id_col), id_col, "left_anti"
-        )
-        return edge_labels.unionByName(
-            isolated.select(F.col(id_col), F.col(id_col).alias("cluster_id"))
-        )
-    labels = _cc_alternating_stars(edges)
+    else:
+        labels = _cc_alternating_stars(edges)
     edge_labels = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )

@@ -78,8 +78,8 @@ def ordered_cumsum(
     out_type = "bigint" if integral else "double"
     dtype = np.int64 if integral else np.float64
     schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-        + [f"{out_col} {out_type}"]
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` {out_type}"]
     )
     bc = spark.sparkContext.broadcast(offsets)
 
@@ -143,6 +143,17 @@ def mixture_weights(
     if target_shares is None:
         target = 1.0 / F.col("_n_groups")
     else:
+        # an incomplete share dict would silently emit NULL weights for
+        # the missing groups — a typo'd mixture must fail, not under-
+        # specify the resampling plan (groups are few: cheap collect)
+        observed = {r[0] for r in per.select(group_col).collect()}
+        missing = sorted(g for g in observed if g not in target_shares)
+        if missing:
+            raise ValueError(
+                f"mixture_weights: target_shares missing groups {missing} "
+                f"present in the corpus; give every group a share "
+                f"(0.0 to drop it explicitly)"
+            )
         mapping = F.create_map(
             *[x for k, v in target_shares.items() for x in (F.lit(k), F.lit(v))]
         )

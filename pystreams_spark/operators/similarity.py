@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, normalize
+from ..functions.vector import cosine
 from ..io import broadcast_if_small, ensure_parallelism
 from .topk import top_k_per_group
 
@@ -196,7 +196,7 @@ def _ivf_assign_probe_topk(
             yield pdf
 
     assigned_schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields]
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in corpus.schema.fields]
         + ["_cell int"]
     )
     assigned = ensure_parallelism(corpus).mapInPandas(assign_cells, assigned_schema)
@@ -592,25 +592,7 @@ def knn_ivf_kmeans(
     kernel pass with the broadcast centroid matrix).
     (Measured at sf0.1: 5.3 s ml-lib → 1.5 s cached ml-lib → ~0.7 s.)
     """
-    import numpy as np
-    import pandas as pd
-
-    _FIT_CAP = 200_000
-    fit_df = ensure_parallelism(corpus).select(F.col(vec_col).alias("_v"))
-    if fit_fraction < 1.0:
-        fit_df = fit_df.sample(fraction=fit_fraction, seed=seed)
-    sample = np.stack(
-        fit_df.limit(_FIT_CAP).toPandas()["_v"].to_numpy()
-    ).astype(np.float64)
-    rng = np.random.RandomState(seed)
-    centers_mat = sample[rng.choice(len(sample), size=n_cells, replace=False)]
-    for _ in range(10):  # Lloyd: assign to nearest center, recenter
-        d2 = ((sample[:, None, :] - centers_mat[None, :, :]) ** 2).sum(axis=2)
-        cells = d2.argmin(axis=1)
-        for j in range(n_cells):
-            members = sample[cells == j]
-            if len(members):
-                centers_mat[j] = members.mean(axis=0)
+    centers_mat = _fit_centroids_driver(corpus, vec_col, n_cells, seed, fit_fraction)
 
     return _ivf_assign_probe_topk(
         queries, corpus, centers_mat, k, n_probe, query_id, corpus_id, vec_col,
@@ -805,6 +787,9 @@ def _fit_centroids_driver(
         np.float64
     )
     rng = np.random.RandomState(seed)
+    # tiny corpora: can't seed more centers than sample rows — clamp
+    # (every vector its own cell) instead of raising from rng.choice
+    n_cells = min(n_cells, len(sample))
     centers = sample[rng.choice(len(sample), size=n_cells, replace=False)]
     for _ in range(iters):
         d2 = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
@@ -890,11 +875,14 @@ def semantic_dedup_pairs(
         cl = "_cluster"
     else:
         base, cl = df, cluster_col
+    # a NULL cluster key carries no locality information — such rows
+    # cannot be paired (dropped from the pair scan; semantic_dedup then
+    # KEEPS them, the conservative choice for unclusterable rows)
     sel = base.select(
         F.col(cl).cast("long").alias("cluster"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-    )
+    ).filter(F.col("cluster").isNotNull())
 
     def kernel(key, pdf):
         m_rows = len(pdf)

@@ -1518,3 +1518,62 @@ def test_resample_fill_pre_epoch_buckets_floor(spark):
     ).select("u", F.col("ts").cast("timestamp").alias("ts"), "v")
     got = {r.bucket: r.raw for r in resample_fill(df, "ts", "v", ["u"], 60).collect()}
     assert got == {-60: 5.0, 0: 7.0}
+
+
+def test_incremental_dedup_null_text(spark):
+    """NULL text must behave like the plain anti-join it replaces:
+    NULL never matches, so NULL-text rows are kept (review finding:
+    xxhash64(NULL) crashed the int64 bloom kernels)."""
+    from pystreams_spark.operators.bloom import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, None)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in incremental_exact_dedup(new, corpus).collect()}
+    want = {
+        r.doc_id
+        for r in new.join(corpus.select("text").distinct(), "text", "left_anti").collect()
+    }
+    assert got == want == {11, 12}
+
+
+def test_semantic_dedup_null_cluster_rows_kept(spark):
+    from pystreams_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [(0, [1.0] * 8, 0), (1, [1.0] * 8, 0), (2, [1.0] * 8, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = semantic_dedup_pairs(df, threshold=0.9, cluster_col="label").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    surv = {r.vec_id for r in semantic_dedup(df, 0.9, cluster_col="label").collect()}
+    assert surv == {0, 2}  # NULL-cluster row kept (conservative)
+
+
+def test_kmeans_cells_clamped_on_tiny_corpus(spark):
+    from pystreams_spark.operators.similarity import assign_kmeans_cells
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(3)], "vec_id long, embedding array<float>"
+    )
+    out = assign_kmeans_cells(df, n_cells=16, seed=1)  # 16 > 3 rows
+    assert out.count() == 3
+
+
+def test_mixture_weights_rejects_incomplete_shares(spark):
+    from pystreams_spark.operators.selection import mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", 10), ("fr", 10), ("de", 10)], "lang string, n_tokens long"
+    )
+    with pytest.raises(ValueError, match="missing groups \\['de'\\]"):
+        mixture_weights(df, "lang", "n_tokens", {"en": 0.5, "fr": 0.5})
+    # explicit 0.0 share is the documented way to drop a group
+    out = {r.lang: r.weight for r in
+           mixture_weights(df, "lang", "n_tokens", {"en": 0.5, "fr": 0.5, "de": 0.0}).collect()}
+    assert out["de"] == 0.0
