@@ -245,13 +245,15 @@ def compact_parquet(
     inputs were skewed. Row-group-friendly: target defaults to 128 MB,
     the usual HDFS/object-store sweet spot."""
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_dir):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, f))
+    # size via the Hadoop FileSystem API, not os.walk: the same call
+    # works for file://, hdfs://, s3a://, abfs:// — a driver-local walk
+    # would read 0 bytes for any remote path and coalesce a multi-TB
+    # directory into ONE file
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(path).getLength()
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src_dir)
     df.repartition(n).write.mode("overwrite").parquet(dst_dir)

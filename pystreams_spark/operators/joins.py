@@ -149,7 +149,11 @@ def merge_upsert(
     """MERGE INTO semantics as a pure DataFrame op (no table format
     needed): update rows overwrite matching base rows by key, unmatched
     update rows are inserted, unmatched base rows pass through —
-    exactly a FULL OUTER JOIN with COALESCE(update, base) per column.
+    a FULL OUTER JOIN picking the update side's value whenever the key
+    matched. Matching is tracked with an explicit presence flag (NOT
+    per-column COALESCE): an update row that sets a column to NULL
+    really does null it out, matching Delta/Iceberg
+    ``WHEN MATCHED THEN UPDATE SET *`` semantics.
 
     ``updates`` must share the base schema. This is the shuffle-on-key
     plan Delta/Iceberg MERGE executes underneath (minus their
@@ -157,14 +161,18 @@ def merge_upsert(
     and a broadcast hint on a small ``updates`` side removes the big
     shuffle entirely.
     """
-    b, u = base.alias("b"), updates.alias("u")
+    b = base.alias("b")
+    u = updates.withColumn("_upd", F.lit(True)).alias("u")
     cond = None
     for k in keys:
         c = F.col(f"b.{k}") == F.col(f"u.{k}")
         cond = c if cond is None else (cond & c)
+    matched = F.col("u._upd").isNotNull()  # true on matched + insert rows
     return b.join(u, cond, "full_outer").select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(matched, F.col(f"u.{c}"))
+            .otherwise(F.col(f"b.{c}"))
+            .alias(c)
             for c in base.columns
         ]
     )

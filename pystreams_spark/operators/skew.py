@@ -100,11 +100,23 @@ def salted_join(
     ``salt_buckets`` reducers.
 
     Join results are exactly the unsalted join's (salt only re-routes
-    rows). Prefer AQE's runtime skew splitting when sizes are known;
-    salting is the static tool for *predictably* hot keys (e.g. a null
-    or default-valued FK). Replication multiplies the small side —
-    keep it broadcast-sized per bucket.
+    rows) — which is why ``how`` is restricted to inner/left/left_semi/
+    left_anti: a right or full outer join would emit one null-extended
+    row PER REPLICA of an unmatched small-side key (salt_buckets
+    copies), not one. Prefer AQE's runtime skew splitting when sizes
+    are known; salting is the static tool for *predictably* hot keys
+    (e.g. a null or default-valued FK). Replication multiplies the
+    small side — keep it broadcast-sized per bucket.
     """
+    exact = {"inner", "left", "left_outer", "leftouter", "left_semi",
+             "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in exact:
+        raise ValueError(
+            f"salted_join(how={how!r}): only {sorted(exact)} preserve the "
+            "unsalted join's semantics — an outer join on the replicated "
+            "small side would duplicate its unmatched rows once per salt "
+            "bucket. Use AQE skew-join handling for outer joins."
+        )
     big_s = big.withColumn(
         "_salt",
         F.pmod(

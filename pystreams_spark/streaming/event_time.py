@@ -105,12 +105,20 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
-    """Drain an availableNow stream into an in-memory table (tests)."""
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> None:
+    """Drain an availableNow stream into an in-memory table (tests).
+    ``output_mode='complete'`` fits aggregation queries; pass
+    ``'append'`` for non-aggregated streams (dedup, map-only, joins) —
+    complete mode is illegal for those."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1577,3 +1577,30 @@ def test_mixture_weights_rejects_incomplete_shares(spark):
     out = {r.lang: r.weight for r in
            mixture_weights(df, "lang", "n_tokens", {"en": 0.5, "fr": 0.5, "de": 0.0}).collect()}
     assert out["de"] == 0.0
+
+
+def test_merge_upsert_null_update_overwrites(spark):
+    """MERGE SET * semantics: an update row that sets a column to NULL
+    really nulls it (review finding: per-column COALESCE kept the stale
+    base value)."""
+    from pystreams_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "active", 5.0), (2, "idle", 1.0)], "k long, status string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(1, None, 9.0), (3, "new", 2.0)], "k long, status string, v double"
+    )
+    got = {r.k: (r.status, r.v) for r in merge_upsert(base, updates, ["k"]).collect()}
+    assert got == {1: (None, 9.0), 2: ("idle", 1.0), 3: ("new", 2.0)}
+
+
+def test_salted_join_rejects_outer_sides(spark):
+    from pystreams_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(1, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="outer join"):
+        salted_join(big, small, "k", "k", how="full_outer")
+    # exact hows still work
+    assert salted_join(big, small, "k", "k", how="left_semi").count() == 1
