@@ -18,6 +18,10 @@ STOPWORDS = {
     "zh": ["的", "是", "在", "了", "和", "有", "我", "不", "这", "他"],
 }
 
+# Languages written without whitespace between words: stopword matching
+# must be boundary-free (character occurrences), not whole-token.
+_UNSEGMENTED_LANGS = {"zh"}
+
 
 def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
     """Whitespace tokenizer; empty strings removed (split on '' yields
@@ -98,17 +102,25 @@ def lang_id(text: Column | str) -> Column:
     t = F.lower(F.col(text) if isinstance(text, str) else text)
     n = F.greatest(F.regexp_count(t, F.lit(r"\S+")).cast("double"), F.lit(1.0))
 
-    def _hits(sw_words):
+    def _score(lang, sw_words):
+        if lang in _UNSEGMENTED_LANGS:
+            # unsegmented script (zh): real text has no whitespace
+            # between words, so whole-token matching would never fire —
+            # count stopword CHARACTERS anywhere, normalized per char
+            pat = "[" + "".join(sw_words) + "]"
+            return F.regexp_count(t, F.lit(pat)).cast("double") / F.greatest(
+                F.length(t).cast("double"), F.lit(1.0)
+            )
         # whole-token alternation, one regex pass per language profile
         # (same counts as HOF-filtering the token array against the
         # stopword list — verified on the fixture; ~3x faster)
         pat = r"(^|\s)(" + "|".join(sw_words) + r")(?=\s|$)"
-        return F.regexp_count(t, F.lit(pat))
+        return F.regexp_count(t, F.lit(pat)).cast("double") / n
 
     scored = F.array(
         *[
             F.struct(
-                (_hits(sw).cast("double") / n).alias("score"),
+                _score(lang, sw).alias("score"),
                 F.lit(lang).alias("lang"),
             )
             for lang, sw in STOPWORDS.items()

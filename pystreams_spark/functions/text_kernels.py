@@ -41,14 +41,6 @@ def _mix(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> _U64(31))
 
 
-def _shingle_strings(texts) -> tuple[np.ndarray, np.ndarray]:
-    """texts (iterable of str|None) → (flat object array of shingle
-    strings, per-doc lengths). Mirrors functions.text.shingles exactly:
-    word tokens (split on whitespace, empties dropped), windows
-    ``" ".join(tokens[i:i+n])`` for i in range(max(L-n+1, 1)) — so a
-    doc with < n tokens yields ONE short shingle ('' when empty)."""
-    raise NotImplementedError  # bound below per-n; kept for doc shape
-
 
 def _doc_shingles(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized shingle-string construction over one Arrow batch.
@@ -329,6 +321,12 @@ def portable_winnow_fps_udf(k: int = 5, w: int = 8, base: int = 257):
     identical for ASCII corpora (documented caveat for non-ASCII)."""
     import pandas as pd
 
+    if base ** k >= 2 ** 63:
+        raise ValueError(
+            f"portable_winnow_fps_udf: base**k = {base}**{k} overflows int64 — "
+            "the exact-arithmetic / SQL-portability guarantee only holds for "
+            f"k <= {int(np.floor(63 / np.log2(base)))} at base={base}"
+        )
     powers = (base ** np.arange(k - 1, -1, -1, dtype=np.int64)).astype(np.int64)
 
     def kernel(texts):

@@ -47,9 +47,13 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 def normalize(a: Column | str) -> Column:
     """Unit-normalize; pre-normalizing once turns cosine top-k into dot
-    top-k (halves the per-pair work in brute-force kNN)."""
+    top-k (halves the per-pair work in brute-force kNN). An all-zero
+    vector is returned unchanged (norm clamped to 1) — dividing by the
+    raw norm would raise DIVIDE_BY_ZERO under Spark 4's ANSI default,
+    and zero vectors are in-domain for the quantizer in this module."""
     n = l2_norm(a)
-    return F.transform(as_double(a), lambda x: x / n)
+    safe = F.when(n > 0.0, n).otherwise(F.lit(1.0))
+    return F.transform(as_double(a), lambda x: x / safe)
 
 
 def quantize_int8(a: Column | str) -> Column:

@@ -1689,11 +1689,25 @@ def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lang_struct_sql(lang: str, sw: list[str]) -> str:
+    from .functions.text import _UNSEGMENTED_LANGS
+
+    if lang in _UNSEGMENTED_LANGS:
+        # boundary-free character counting for unsegmented scripts —
+        # mirrors functions.text.lang_id's zh branch exactly
+        chars = "".join(sw)
+        return (
+            "{{'score': CAST(length(text) - length(regexp_replace(text, '[{chars}]', '', 'g')) AS DOUBLE)"
+            " / GREATEST(CAST(length(text) AS DOUBLE), 1.0), 'lang': '{lang}'}}"
+        ).format(chars=chars, lang=lang)
+    return (
+        "{{'score': CAST(len(list_filter(w, x -> x IN ({words}))) AS DOUBLE)"
+        " / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 'lang': '{lang}'}}"
+    ).format(lang=lang, words=", ".join("'" + w + "'" for w in sw))
+
+
 _LANG_STRUCTS = ", ".join(
-    "{{'score': CAST(len(list_filter(w, x -> x IN ({words}))) AS DOUBLE)"
-    " / GREATEST(CAST(len(w) AS DOUBLE), 1.0), 'lang': '{lang}'}}".format(
-        lang=lang, words=", ".join("'" + w + "'" for w in sw)
-    )
+    _lang_struct_sql(lang, sw)
     for lang, sw in __import__(
         "pystreams_spark.functions.text", fromlist=["STOPWORDS"]
     ).STOPWORDS.items()
@@ -1704,7 +1718,7 @@ _LANG_STRUCTS = ", ".join(
     "lang_id_heuristic",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, {_TOKS_SQL} AS w FROM (SELECT doc_id, lower(text) AS text FROM documents)
+        SELECT doc_id, text, {_TOKS_SQL} AS w FROM (SELECT doc_id, lower(text) AS text FROM documents)
     ),
     best AS (
         SELECT doc_id, list_max([{_LANG_STRUCTS}]) AS b FROM toks

@@ -1604,3 +1604,42 @@ def test_salted_join_rejects_outer_sides(spark):
         salted_join(big, small, "k", "k", how="full_outer")
     # exact hows still work
     assert salted_join(big, small, "k", "k", how="left_semi").count() == 1
+
+
+def test_lang_id_unsegmented_chinese(spark):
+    """zh stopword matching is boundary-free: real (unsegmented)
+    Chinese text must be identified even though it is one giant token
+    (review finding: the whole-token pattern could never fire)."""
+    from pystreams_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("这是一个测试文档我们的系统是好的",),   # unsegmented zh
+            ("the cat sat on the mat and it is fine",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_id("text")).collect()]
+    assert got == ["zh", "en", "und"]
+
+
+def test_normalize_zero_vector_no_crash(spark):
+    import numpy as np
+
+    from pystreams_spark.functions.vector import normalize
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0, 0.0],), ([3.0, 4.0, 0.0],)], "v array<double>"
+    )
+    got = [r[0] for r in df.select(normalize("v")).collect()]
+    assert got[0] == [0.0, 0.0, 0.0]
+    np.testing.assert_allclose(got[1], [0.6, 0.8, 0.0])
+
+
+def test_portable_winnow_rejects_overflowing_k():
+    from pystreams_spark.functions.text_kernels import portable_winnow_fps_udf
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        portable_winnow_fps_udf(k=8)
+    portable_winnow_fps_udf(k=7)  # max exact k at base 257
