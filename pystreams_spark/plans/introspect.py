@@ -27,31 +27,80 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def _balanced_capture(text: str, start: int, open_ch: str, close_ch: str) -> str:
+    """Return the contents between the bracket at ``start`` and its
+    MATCHING close (depth-aware — a naive regex truncates at the first
+    close char inside nested structs / In(...) lists)."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == open_ch:
+            depth += 1
+        elif text[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]
+
+
+def _split_top_level(inner: str) -> list[str]:
+    """Split on commas at bracket depth 0 only — predicate texts like
+    ``LessThanOrEqual(l_shipdate,1998-09-02 ...)`` and nested
+    ``struct<...>`` fields contain commas of their own."""
+    parts, depth, cur = [], 0, []
+    for ch in inner:
+        if ch in "([<":
+            depth += 1
+        elif ch in ")]>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Filter predicates the parquet source accepted for pushdown."""
+    """Filter predicates the parquet source accepted for pushdown
+    (whole predicate strings, commas inside predicates preserved)."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        inner = m.group(1).strip()
-        if inner:
-            out.extend(p.strip() for p in inner.split(","))
+    for m in re.finditer(r"PushedFilters: ", plan):
+        start = m.end()
+        if start < len(plan) and plan[start] == "[":
+            out.extend(_split_top_level(_balanced_capture(plan, start, "[", "]")))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists actually read by each file scan (pruning check)."""
+    """TOP-LEVEL column lists actually read by each file scan (pruning
+    check); nested struct fields stay inside their parent entry."""
     plan = formatted_plan(df)
     schemas = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
-        schemas.append(cols)
+    for m in re.finditer(r"ReadSchema: struct", plan):
+        start = m.end()
+        if start < len(plan) and plan[start] == "<":
+            inner = _balanced_capture(plan, start, "<", ">")
+            schemas.append([c.split(":")[0].strip() for c in _split_top_level(inner)])
     return schemas
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange operators (each is a full shuffle of its
-    input). AQE reuse means the printed count is an upper bound."""
-    return executed_plan(df).count("Exchange")
+    """Number of DATA-SHUFFLE Exchange operators (hash / range /
+    single-partition / round-robin). BroadcastExchange and
+    ReusedExchange are deliberately NOT counted — a broadcast moves the
+    small side only, and counting it would let a real extra shuffle
+    hide inside an inflated budget. AQE reuse means the printed count
+    is still an upper bound on executed shuffles."""
+    return len(
+        re.findall(
+            r"\bExchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)",
+            executed_plan(df),
+        )
+    )
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -74,10 +123,12 @@ def wholestage_codegen_count(df: DataFrame, force: bool = True) -> int:
     the noop sink first and read the final adaptive plan."""
     plan = executed_plan(df)
     if "isFinalPlan=false" in plan and force:
-        # an action on THIS DataFrame finalizes its own query execution
-        # (df.write/df.count would spawn a fresh one and leave this plan
-        # unfinalized)
-        df.collect()
+        # finalize THIS DataFrame's own query execution by running its
+        # plan distributed and returning only a count — df.collect()
+        # would materialize every row on the driver, and df.write/
+        # df.count would spawn a FRESH QueryExecution and leave this
+        # plan unfinalized (same pattern as runtime_metrics)
+        df._jdf.queryExecution().executedPlan().execute().count()
         plan = executed_plan(df)
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     if not ids:

@@ -2654,14 +2654,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = toks.groupBy("word").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    n_docs = d.count()
+    # N as a lazy 1-row broadcast inside the SAME plan — an eager
+    # d.count() here would run an extra job at query-BUILD time and
+    # bake a stale literal into a reused pipeline (the registry
+    # contract is "returns an un-collected DataFrame")
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     scored = (
         tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "word",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+                F.col("tf") * F.log(F.col("_n_docs") / F.col("df")), 6
             ).alias("tfidf"),
         )
         .filter(F.col("doc_id") < 50)

@@ -443,3 +443,54 @@ def test_aqe_skew_join_engages_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_introspect_parsers_handle_nested_and_commas(spark, sf_dir):
+    """The plan parsers are depth-aware (review findings): predicates
+    containing commas stay whole, nested struct ReadSchemas report only
+    top-level columns, and shuffle_count excludes broadcast/reused
+    exchanges."""
+    from pystreams_spark.plans.introspect import (
+        _balanced_capture,
+        _split_top_level,
+        pushed_filters,
+        read_schema_columns,
+        shuffle_count,
+    )
+
+    # pure parsing units
+    inner = _balanced_capture("x: [A(a), B(b,[1,2])] tail", 3, "[", "]")
+    assert _split_top_level(inner) == ["A(a)", "B(b,[1,2])"]
+    assert _split_top_level("id:bigint,meta:struct<uri:string,mime:string>") == [
+        "id:bigint", "meta:struct<uri:string,mime:string>",
+    ]
+
+    # live plan: comma-carrying pushed predicate survives whole
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select("l_quantity")
+    preds = pushed_filters(f)
+    assert any(p.startswith("LessThanOrEqual(l_shipdate,") for p in preds), preds
+
+    # nested struct scan reports top-level columns only
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    li.limit(10).select(
+        "l_orderkey", F.struct("l_quantity", "l_discount").alias("m")
+    ).write.mode("overwrite").parquet(f"{tmp}/nested")
+    nested = spark.read.parquet(f"{tmp}/nested").select("l_orderkey", "m")
+    (cols,) = read_schema_columns(nested)
+    assert cols == ["l_orderkey", "m"], cols
+
+    # broadcast exchange is not a data shuffle
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(n), o.o_custkey % 25 == n.n_nationkey)
+    assert "BroadcastExchange" in executed_plan_str(j)
+    assert shuffle_count(j) == 0, executed_plan_str(j)
+
+
+def executed_plan_str(df):
+    from pystreams_spark.plans import executed_plan
+
+    return executed_plan(df)
