@@ -161,3 +161,48 @@ def bpe_train(
             "syms", _merge_fold(F.col("syms"), left, right)
         ).localCheckpoint(eager=True)
     return learned, words
+
+
+def segment_corpus_report(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Train BPE on the corpus, then measure what the vocabulary buys:
+    per-``group_col`` (e.g. language) word/subword/char totals and the
+    resulting subwords-per-word and chars-per-subword ratios — the
+    numbers a tokenizer team actually tracks when sizing a merge table.
+
+    Scale shape: segmentation happens on the WORD TABLE (vocabulary-
+    sized, ``num_merges`` narrow folds), never on the corpus; the
+    per-word subword counts then broadcast-join back onto one narrow
+    corpus explode. Total corpus passes: exactly two (the training
+    word-count and this report's explode) regardless of num_merges.
+    """
+    merges, words = bpe_train(docs, num_merges, text_col)
+    seg = F.broadcast(
+        words.select(
+            "word",
+            F.size("syms").alias("_n_sub"),
+            F.length("word").alias("_n_chars"),
+        )
+    )
+    w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    group = [group_col] if group_col else []
+    exploded = docs.select(*group, w).filter(F.col("word") != "")
+    return (
+        exploded.join(seg, "word")
+        .groupBy(*group)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("_n_sub").cast("long").alias("n_subwords"),
+            F.sum("_n_chars").cast("long").alias("n_chars"),
+            F.round(F.sum("_n_sub") / F.count(F.lit(1)), 6).alias(
+                "subwords_per_word"
+            ),
+            F.round(F.sum("_n_chars") / F.sum("_n_sub"), 6).alias(
+                "chars_per_subword"
+            ),
+        )
+    )

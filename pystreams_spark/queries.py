@@ -6202,3 +6202,18 @@ def resample_user_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     return resample_fill(
         ev, "ts", "value", ["user_id"], step_seconds=86400
     ).orderBy("user_id", "bucket")
+
+
+@query("bpe_corpus_compression")  # depends on the iterative merge chain — no
+# single-SQL oracle; fully deterministic, differential-tested against the
+# pure-Python BPE reference (counts are the value-level self-check).
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language segmentation report after 15 learned BPE merges:
+    how many subwords the vocabulary produces per word and characters
+    per subword (`operators/bpe.segment_corpus_report`). Segmentation
+    runs on the vocabulary-sized word table; the corpus is touched
+    exactly twice (train count + report explode)."""
+    from .operators.bpe import segment_corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return segment_corpus_report(d, num_merges=15, group_col="lang").orderBy("lang")

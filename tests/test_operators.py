@@ -1643,3 +1643,24 @@ def test_portable_winnow_rejects_overflowing_k():
     with pytest.raises(ValueError, match="overflows int64"):
         portable_winnow_fps_udf(k=8)
     portable_winnow_fps_udf(k=7)  # max exact k at base 257
+
+
+def test_bpe_segment_corpus_report_matches_python(spark, sf_dir):
+    from pystreams_spark.operators.bpe import segment_corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.lang: (r.n_words, r.n_subwords, r.n_chars)
+        for r in segment_corpus_report(docs, 10, group_col="lang").collect()
+    }
+
+    texts = [(r.lang, r.text) for r in docs.select("lang", "text").collect()]
+    _, syms = _py_bpe([t for _, t in texts], 10)
+    want = {}
+    for lang, t in texts:
+        for w in t.split():
+            if not w:
+                continue
+            nw, ns, nc = want.get(lang, (0, 0, 0))
+            want[lang] = (nw + 1, ns + len(syms[w]), nc + len(w))
+    assert got == want
