@@ -161,9 +161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embedding_spectrum",
         # round 4 (late): expectations gate + time-series regularization
         "constraint_violations_report", "resample_user_purchases_daily",
-        # round 4 (late): BPE corpus-application report (window overflow:
-        # lands past the 50-entry line this round, first in line for r5)
-        "bpe_corpus_compression",
+        # round 4 (late): BPE corpus-application report + PageRank over
+        # the near-dup graph (window overflow: land past the 50-entry
+        # line this round, first in line for r5)
+        "bpe_corpus_compression", "pagerank_neardup_graph",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     # r4 entries whose DRIVER verdict must change this round: the r3

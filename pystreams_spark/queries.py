@@ -6217,3 +6217,36 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return segment_corpus_report(d, num_merges=15, group_col="lang").orderBy("lang")
+
+
+@query("pagerank_neardup_graph")  # iterative join loop — no single-SQL
+# oracle; fully deterministic (fixed iterations, exact-Jaccard edges):
+# the differential pytest matches a dense numpy power iteration to 1e-8.
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-centrality of documents: PageRank over the (undirected)
+    exact-Jaccard near-dup graph — documents central in the duplicate
+    graph are boilerplate/template-like, a standard curation signal.
+    Per iteration: one node-keyed join + one groupBy, rank frame
+    checkpointed so iteration k never replays iterations 1..k-1
+    (`operators/graph.pagerank`). Top 20 by rank."""
+    from .operators.dedup import ngram_jaccard_pairs_inverted
+    from .operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    # lazy checkpoint: BOTH union branches read the pair list, which
+    # would otherwise re-run the whole inverted-index join twice
+    pairs = (
+        ngram_jaccard_pairs_inverted(
+            d, threshold=0.0999995, n=3, block_cols=("lang",)
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    return (
+        pagerank(edges, num_iters=8, src_col="id_a", dst_col="id_b")
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -1664,3 +1664,38 @@ def test_bpe_segment_corpus_report_matches_python(spark, sf_dir):
             nw, ns, nc = want.get(lang, (0, 0, 0))
             want[lang] = (nw + 1, ns + len(syms[w]), nc + len(w))
     assert got == want
+
+
+@pytest.mark.parametrize("cutover", [2_000_000, 0])  # one-task / distributed
+def test_pagerank_matches_numpy_power_iteration(spark, cutover):
+    import random
+
+    import numpy as np
+
+    from pystreams_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    n = 40
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(df, num_iters=25, small_graph_edges=cutover).collect()
+    }
+
+    ids = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    m = len(ids)
+    A = np.zeros((m, m))
+    for a, b in edges:
+        A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=0)
+    dangling = deg == 0
+    P = np.divide(A, deg, out=np.zeros_like(A), where=deg > 0)
+    r = np.full(m, 1.0 / m)
+    for _ in range(25):
+        r = 0.15 / m + 0.85 * (P @ r + r[dangling].sum() / m)
+
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert max(abs(got[ids[i]] - r[i]) for i in range(m)) < 1e-7
