@@ -6219,9 +6219,103 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_corpus_report(d, num_merges=15, group_col="lang").orderBy("lang")
 
 
-@query("pagerank_neardup_graph")  # iterative join loop — no single-SQL
-# oracle; fully deterministic (fixed iterations, exact-Jaccard edges):
-# the differential pytest matches a dense numpy power iteration to 1e-8.
+_PAGERANK_ORACLE = """WITH 
+    s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.0999995
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+    w AS (SELECT e.src, e.dst, 1.0 / deg.d AS w FROM edges e JOIN deg ON e.src = deg.src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+    r1 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r0.rank * w.w) AS inr
+            FROM w JOIN r0 ON w.src = r0.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r2 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r1.rank * w.w) AS inr
+            FROM w JOIN r1 ON w.src = r1.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r3 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r2.rank * w.w) AS inr
+            FROM w JOIN r2 ON w.src = r2.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r4 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r3.rank * w.w) AS inr
+            FROM w JOIN r3 ON w.src = r3.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r5 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r4.rank * w.w) AS inr
+            FROM w JOIN r4 ON w.src = r4.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r6 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r5.rank * w.w) AS inr
+            FROM w JOIN r5 ON w.src = r5.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r7 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r6.rank * w.w) AS inr
+            FROM w JOIN r6 ON w.src = r6.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    ),
+    r8 AS (
+        SELECT nd.node, (0.15 / nn.n) + 0.85 * COALESCE(c.inr, 0.0) AS rank
+        FROM nodes nd
+        LEFT JOIN (
+            SELECT w.dst AS node, SUM(r7.rank * w.w) AS inr
+            FROM w JOIN r7 ON w.src = r7.node GROUP BY w.dst
+        ) c ON nd.node = c.node, nn
+    )
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM r8 ORDER BY rank DESC, node LIMIT 20
+    """
+
+
+@query("pagerank_neardup_graph", oracle=_PAGERANK_ORACLE)
+# oracle = the SAME fixed-point recurrence unrolled as 8 chained CTEs
+# (undirected edges -> no dangling mass on either side); the numpy
+# differential pytest additionally pins both physical paths to 1e-8.
 def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-centrality of documents: PageRank over the (undirected)
     exact-Jaccard near-dup graph — documents central in the duplicate
@@ -6246,7 +6340,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
     return (
-        pagerank(edges, num_iters=8, src_col="id_a", dst_col="id_b")
+        pagerank(edges, num_iters=8, src_col="id_a", dst_col="id_b", round_to=6)
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
