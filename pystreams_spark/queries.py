@@ -3007,14 +3007,57 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_quantization_report")
+@query(
+    "embedding_quantization_report",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) AS scale FROM base
+    ),
+    enc AS (
+      SELECT vec_id, x, scale,
+             list_transform(x, v -> round(v / (CASE WHEN scale > 0 THEN scale ELSE 1.0 END) * 127.0)) AS qv
+      FROM qd
+    ),
+    rec AS (
+      SELECT vec_id, x, scale, qv,
+             list_transform(qv, c -> c * scale / 127.0) AS xhat
+      FROM enc
+    ),
+    per AS (
+      SELECT vec_id,
+        CASE WHEN scale > 0 THEN
+          list_max(list_transform(list_zip(x, xhat),
+                   p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+          / (scale / 127.0)
+        ELSE 0.0 END AS err_steps,
+        list_sum(list_transform(list_zip(x, xhat),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / NULLIF(SQRT(list_sum(list_transform(x, v -> v * v)))
+                   * SQRT(list_sum(list_transform(xhat, v -> v * v))), 0) AS cos_hat,
+        len(list_filter(qv, c -> abs(c) = 127)) AS n_saturated
+      FROM rec
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(err_steps), 4) AS avg_err_steps,
+           ROUND(MAX(err_steps), 4) AS max_err_steps,
+           ROUND(AVG(cos_hat), 6) AS avg_cos_orig_hat,
+           ROUND(MIN(cos_hat), 6) AS min_cos_orig_hat,
+           CAST(SUM(n_saturated) AS BIGINT) AS total_saturated_codes
+    FROM per
+    """,
+)
 def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.K int8 embedding quantization (the 4x storage shrink for a
     100 TB embedding store), reported with its own accuracy audit:
     max reconstruction error in quantization-step units (must be ≤ 0.5,
     the self-check the driver's value-hash pins), and cosine between
-    original and reconstructed vectors. Engine-specific float rounding
-    → rows-only; all values deterministic."""
+    original and reconstructed vectors. r4: oracle-checked — both
+    engines round half-away-from-zero and the dot/norm folds are
+    order-identical, so DuckDB replicates the whole pipeline."""
     from .functions.vector import as_double, cosine, dequantize_int8, quantize_int8
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
