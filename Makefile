@@ -9,5 +9,11 @@ test:
 parity-gate:
 	PYSTREAMS_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 
+# Partitioning-independence sweep: the whole parity suite under a
+# different shuffle-partition count — any query whose result depends on
+# partitioning fails the oracle compare. r4: green at 5 and 8.
+parity-sweep:
+	PYSTREAMS_TEST_SHUFFLE=5 PYSTREAMS_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
+
 bench:
 	python bench.py

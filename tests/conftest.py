@@ -16,7 +16,15 @@ SF_DIR = os.environ.get("PYSTREAMS_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from pystreams_spark.session import get_spark
 
-    s = get_spark(app_name="pystreams-tests", cpus=8, shuffle_partitions=8)
+    # PYSTREAMS_TEST_SHUFFLE lets the parity suite re-run under a
+    # different partitioning (e.g. 5 or 97) — a full-suite
+    # partitioning-independence sweep: any query whose result depends
+    # on partition count fails the oracle compare
+    s = get_spark(
+        app_name="pystreams-tests",
+        cpus=8,
+        shuffle_partitions=int(os.environ.get("PYSTREAMS_TEST_SHUFFLE", "8")),
+    )
     yield s
 
 
