@@ -62,23 +62,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # Literal key set of CORRECTNESS_r02.json (the driver's 50-query round-2
 # window). R1 ∪ R2 covers 100 of 106 registered queries.
 R2_DRIVER_CHECKED = {
-    "asof_join_last_order", "interval_join_events_in_order_week",
-    "udf_centered_prices", "udf_weighted_avg_discount",
-    "udf_map_batches_tokens", "cogroup_order_reconciliation",
-    "cube_status_priority", "quantity_percentiles", "dispersion_stats",
-    "histogram_order_prices", "grouping_sets_revenue",
-    "nations_concat_per_region", "explode_outer_long_words",
-    "map_type_metrics", "string_funcs_extended", "datetime_funcs_extended",
-    "math_funcs_extended", "null_handling_funcs", "array_ops_embeddings",
-    "json_struct_events", "first_last_order_window",
-    "price_neighborhood_range_frame", "supplier_page_2",
-    "intersect_all_bag", "multimodal_meta_stats", "salted_event_counts",
-    "salted_join_user_events", "sessions_gaps_islands",
-    "order_date_series", "nation_name_distances", "regexp_part_types",
-    "bitwise_key_partitioning", "udtf_token_positions",
-    "tfidf_top_terms", "doc_repetition_by_lang",
-    "training_corpus_pipeline", "minhash_banded_neardup",
-    "neardup_dedup_pipeline", "approx_sketches",
+    "approx_sketches", "argminmax_orders_per_segment", "array_ops_embeddings",
+    "asof_join_last_order", "bitwise_key_partitioning", "cogroup_order_reconciliation",
+    "cube_status_priority", "datetime_funcs_extended", "dispersion_stats",
+    "doc_repetition_by_lang", "explode_outer_long_words", "facade_fluent_pipeline",
+    "first_last_order_window", "grouping_sets_revenue", "histogram_order_prices",
+    "intersect_all_bag", "interval_join_events_in_order_week", "json_struct_events",
+    "local_supplier_volume", "map_type_metrics", "math_funcs_extended",
+    "merge_upsert_orders", "minhash_banded_neardup", "multimodal_meta_stats",
+    "nation_name_distances", "nations_concat_per_region", "neardup_dedup_pipeline",
+    "null_handling_funcs", "order_date_series", "pandas_api_segment_stats",
+    "price_neighborhood_range_frame", "quantity_percentiles", "regexp_part_types",
+    "regression_price_vs_qty", "salted_event_counts", "salted_join_user_events",
+    "scalar_subquery_big_spenders", "sessions_gaps_islands", "sql_interface_revenue",
+    "status_pivot_by_priority", "string_funcs_extended", "supplier_page_2",
+    "take_drop_while_orders", "tfidf_top_terms", "training_corpus_pipeline",
+    "udf_centered_prices", "udf_map_batches_tokens", "udf_weighted_avg_discount",
+    "udtf_token_positions", "unpivot_lineitem_metrics",
 }
 
 

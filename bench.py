@@ -33,7 +33,14 @@ def main() -> None:
     names = list(QUERIES)
     subset = os.environ.get("BENCH_QUERIES")
     if subset:
-        names = [n for n in subset.split(",") if n in QUERIES]
+        wanted = [n.strip() for n in subset.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in QUERIES]
+        if unknown or not wanted:
+            raise SystemExit(
+                f"BENCH_QUERIES: unknown query names {unknown or subset!r} "
+                "(typo?) — refusing to run a silently-reduced benchmark"
+            )
+        names = wanted
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -60,6 +67,8 @@ def main() -> None:
     # ≈ 2.5× user), so a single sample is dominated by when it ran, not
     # what it computed. BENCH_RUNS overrides (e.g. 1 for a quick pass).
     runs = int(os.environ.get("BENCH_RUNS", "2"))
+    if runs < 1:
+        raise SystemExit("BENCH_RUNS must be >= 1")
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     import gc
@@ -109,7 +118,7 @@ def main() -> None:
         "n_queries": len(timings),
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
         "queries_truncated_to_slowest_5": True,
-        "full_detail": "BENCH_DETAIL.json",
+        "full_detail": detail_name,
     }
     print(json.dumps(compact))
 

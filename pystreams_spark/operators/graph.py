@@ -79,12 +79,26 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over directed ``edges``; returns (node, rank) with
     Σrank = 1. Nodes = every id appearing as src OR dst."""
+    for c in (src_col, dst_col):
+        t = dict(edges.dtypes)[c]
+        if t not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"pagerank: node ids must be integral (column {c!r} is {t}) — "
+                "both physical paths contract on int64 node ids; map string "
+                "ids through a dictionary first"
+            )
     e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if e.count() <= small_graph_edges:
+    n_edges = e.count()
+    if n_edges == 0:
+        raise ValueError("pagerank: empty graph")
+    if n_edges <= small_graph_edges:
         out = _pagerank_one_task(e, num_iters, damping)
         return out.select("node", F.round("rank", round_to).alias("rank"))
     nodes = (

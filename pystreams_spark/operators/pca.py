@@ -112,6 +112,11 @@ def pca_project(
     import numpy as np
     import pandas as pd
 
+    if out_col in df.columns:
+        raise ValueError(
+            f"pca_project: output column {out_col!r} already exists on the "
+            "input — drop or rename it first (the op adds, never replaces)"
+        )
     comps = model.components
     scale = 1.0 / np.sqrt(model.eigenvalues + eps) if whiten else None
     bc = df.sparkSession.sparkContext.broadcast((model.mean, comps, scale))
@@ -132,4 +137,4 @@ def pca_project(
             out[out_col] = list(p)
             yield out
 
-    return df.mapInPandas(kernel, f"{fields}, {out_col} array<double>")
+    return df.mapInPandas(kernel, f"{fields}, `{out_col}` array<double>")

@@ -86,6 +86,42 @@ class NeardupIngest:
 
     # -- state ---------------------------------------------------------------
 
+    def _params(self) -> dict:
+        return {
+            "threshold": self.threshold, "n": self.n, "bands": self.bands,
+            "rows_per_band": self.rows_per_band, "text_col": self.text_col,
+            "id_col": self.id_col, "seed": self.seed,
+        }
+
+    def _check_params(self, spark: SparkSession) -> None:
+        """Persist the signature parameters next to the store on first
+        use and REFUSE to run with different ones later: a changed seed
+        or banding would make new signatures silently never match the
+        stored ones — duplicates would leak through with no error."""
+        import json
+
+        from pyspark.errors import AnalysisException
+
+        path = f"{self.state_dir}/_params"
+        try:
+            stored = json.loads(
+                spark.read.text(path).agg(
+                    F.concat_ws("", F.collect_list("value"))
+                ).first()[0]
+            )
+        except AnalysisException:
+            spark.createDataFrame(
+                [(json.dumps(self._params(), sort_keys=True),)], "value string"
+            ).coalesce(1).write.mode("overwrite").text(path)
+            return
+        if stored != self._params():
+            raise ValueError(
+                f"NeardupIngest: state at {self.state_dir} was built with "
+                f"{stored}, current instance uses {self._params()} — "
+                "signatures would silently never match. Use the original "
+                "parameters or a fresh state_dir."
+            )
+
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —
         partition-pruned parquet read; None when nothing is stored yet.
@@ -111,6 +147,7 @@ class NeardupIngest:
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         id_col, epoch_id = self.id_col, int(epoch_id)
+        self._check_params(spark)
 
         # 1. tokenize once: shingles + band signatures, checkpointed so
         # the self-join/verify/store lineages share ONE kernel pass
@@ -173,7 +210,7 @@ class NeardupIngest:
         # 4./5. idempotent epoch writes: same epoch → same paths, same
         # deterministic content; the store read above never sees its
         # own epoch, so replay is exactly-once
-        sh.join(sigs.select(id_col, "_bands"), id_col, "left").write.mode(
+        sh.join(sigs, id_col, "left").write.mode(
             "overwrite"
         ).parquet(f"{self.state_dir}/sigs/epoch={epoch_id}")
         survivors.write.mode("overwrite").parquet(
@@ -181,4 +218,4 @@ class NeardupIngest:
         )
 
     def foreach_batch(self):
-        return lambda df, epoch_id: self.process_batch(df, epoch_id)
+        return self.process_batch

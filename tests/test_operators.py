@@ -1699,3 +1699,22 @@ def test_pagerank_matches_numpy_power_iteration(spark, cutover):
 
     assert abs(sum(got.values()) - 1.0) < 1e-6
     assert max(abs(got[ids[i]] - r[i]) for i in range(m)) < 1e-7
+
+
+def test_pagerank_guards(spark):
+    from pystreams_spark.operators.graph import pagerank
+
+    with pytest.raises(ValueError, match="empty graph"):
+        pagerank(spark.createDataFrame([], "src long, dst long")).collect()
+    with pytest.raises(TypeError, match="integral"):
+        pagerank(spark.createDataFrame([("a", "b")], "src string, dst string"))
+
+
+def test_pca_project_rejects_existing_out_col(spark, sf_dir):
+    from pystreams_spark.operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=2)
+    once = pca_project(emb, model, out_col="pca")
+    with pytest.raises(ValueError, match="already exists"):
+        pca_project(once, model, out_col="pca")

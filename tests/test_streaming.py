@@ -734,3 +734,24 @@ def test_neardup_ingest_under_structured_streaming(spark, tmp_path):
     # exactly one member of each clique survives (whichever arrived first)
     for clique in ({3, 100, 101}, {20, 120}, {7, 50}):
         assert len(clique & surv) == 1
+
+
+def test_neardup_ingest_rejects_changed_params(spark, tmp_path):
+    """The signature store is bound to its parameters: a restart with a
+    different seed/banding would silently never match stored signatures,
+    so it must refuse (review finding)."""
+    from pystreams_spark.streaming.neardup_ingest import NeardupIngest
+
+    docs, batches = _ingest_corpus()
+    state = str(tmp_path / "state")
+
+    def bdf(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        )
+
+    NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[0]), 0)
+    with pytest.raises(ValueError, match="never match"):
+        NeardupIngest(state, threshold=0.6, seed=7).process_batch(bdf(batches[1]), 1)
+    # same params resume fine
+    NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[1]), 1)
