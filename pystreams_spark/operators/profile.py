@@ -1,0 +1,103 @@
+"""Generic table profiling: per-column statistics in ONE scan — the
+`ANALYZE` / Deequ-profile / TFDV-statistics step a training pipeline
+runs before trusting a new data drop.
+
+Scale shape: every metric for every column compiles into a single
+``agg`` over one pass (Catalyst plans multiple distinct-aggregates via
+one Expand — still one scan of the input). With the default
+``exact_distinct=False`` the cardinalities are HLL sketches
+(`approx_count_distinct`), keeping the profile cheap at any width; the
+exact form exists for oracle-grade comparisons on bounded tables. The
+wide 1-row result is unpivoted to long (column, metric, ...) via a
+struct-array explode — no second pass, no driver loop.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+__all__ = ["profile"]
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def profile(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+    round_to: int = 6,
+) -> DataFrame:
+    """(column, metric, value_num, value_str) — one row per metric.
+
+    All columns: ``n_nulls``, ``n_distinct`` (nulls excluded, like SQL
+    COUNT(DISTINCT)). Numeric: ``min``/``max``/``mean``/``stddev``
+    (value_num, rounded). String: ``min_len``/``max_len``/``avg_len``/
+    ``n_empty``. Timestamp/date: ``min``/``max`` formatted to
+    ``yyyy-MM-dd HH:mm:ss`` in value_str (engine-portable).
+    """
+    cols = list(columns) if columns is not None else df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    unknown = [c for c in cols if c not in schema]
+    if unknown:
+        raise ValueError(f"profile: unknown columns {unknown}")
+
+    aggs: list = []
+    entries: list[tuple[str, str, str | None, str | None]] = []
+    # (column, metric, num_alias, str_alias)
+    i = 0
+
+    def add(col: str, metric: str, expr, is_str: bool = False):
+        nonlocal i
+        alias = f"_p{i}"
+        i += 1
+        aggs.append(expr.alias(alias))
+        entries.append((col, metric, None if is_str else alias, alias if is_str else None))
+
+    for c in cols:
+        t = schema[c]
+        col = F.col(c)
+        add(c, "n_nulls", F.sum(col.isNull().cast("long")).cast("double"))
+        distinct = (
+            F.countDistinct(col) if exact_distinct else F.approx_count_distinct(col)
+        )
+        add(c, "n_distinct", distinct.cast("double"))
+        if isinstance(t, NumericType):
+            add(c, "min", F.round(F.min(col).cast("double"), round_to))
+            add(c, "max", F.round(F.max(col).cast("double"), round_to))
+            add(c, "mean", F.round(F.avg(col), round_to))
+            add(c, "stddev", F.round(F.stddev_pop(col), round_to))
+        elif isinstance(t, StringType):
+            add(c, "min_len", F.min(F.length(col)).cast("double"))
+            add(c, "max_len", F.max(F.length(col)).cast("double"))
+            add(c, "avg_len", F.round(F.avg(F.length(col)), round_to))
+            add(c, "n_empty", F.sum((col == "").cast("long")).cast("double"))
+        elif isinstance(t, (TimestampType, TimestampNTZType, DateType)):
+            add(c, "min", F.date_format(F.min(col), _TS_FMT), is_str=True)
+            add(c, "max", F.date_format(F.max(col), _TS_FMT), is_str=True)
+
+    wide = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.lit(metric).alias("metric"),
+                (F.col(num) if num else F.lit(None).cast("double")).alias("value_num"),
+                (F.col(s) if s else F.lit(None).cast("string")).alias("value_str"),
+            )
+            for col, metric, num, s in entries
+        ]
+    )
+    return (
+        wide.select(F.explode(pairs).alias("p"))
+        .select("p.column", "p.metric", "p.value_num", "p.value_str")
+    )

@@ -6387,3 +6387,57 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K table profiling (operators/profile.py) — single-scan ANALYZE
+# ---------------------------------------------------------------------------
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB replication of profile(orders, exact_distinct=True),
+    generated from the same per-type metric recipe."""
+    num = lambda e: f"CAST({e} AS DOUBLE)"
+    rows = []
+
+    def add(col, metric, vnum=None, vstr=None):
+        rows.append(
+            f'SELECT \'{col}\' AS "column", \'{metric}\' AS metric, '
+            f"{vnum if vnum else 'CAST(NULL AS DOUBLE)'} AS value_num, "
+            f"{vstr if vstr else 'CAST(NULL AS VARCHAR)'} AS value_str FROM orders"
+        )
+
+    for col, kind in [
+        ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+        ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+    ]:
+        add(col, "n_nulls", num(f"SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"))
+        add(col, "n_distinct", num(f"COUNT(DISTINCT {col})"))
+        if kind == "num":
+            add(col, "min", f"ROUND({num(f'MIN({col})')}, 6)")
+            add(col, "max", f"ROUND({num(f'MAX({col})')}, 6)")
+            add(col, "mean", f"ROUND(AVG({num(col)}), 6)")
+            add(col, "stddev", f"ROUND(stddev_pop({num(col)}), 6)")
+        elif kind == "str":
+            add(col, "min_len", num(f"MIN(length({col}))"))
+            add(col, "max_len", num(f"MAX(length({col}))"))
+            add(col, "avg_len", f"ROUND(AVG({num(f'length({col})')}), 6)")
+            add(col, "n_empty", num(f"SUM(CASE WHEN {col} = '' THEN 1 ELSE 0 END)"))
+        else:
+            add(col, "min", vstr=f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')")
+            add(col, "max", vstr=f"strftime(MAX({col}), '%Y-%m-%d %H:%M:%S')")
+    return "\nUNION ALL\n".join(rows) + '\nORDER BY "column", metric'
+
+
+@query("orders_profile", oracle=_profile_oracle_sql())
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan table profile of `orders` (`operators/profile.py`):
+    every per-column metric (nulls, cardinality, numeric moments,
+    string lengths, timestamp span) compiles into ONE aggregate —
+    Catalyst plans the distinct-aggregates through one Expand, so the
+    table is read once regardless of column count. exact_distinct here
+    for the oracle; the approx (HLL) form is the 100 TB default."""
+    from .operators.profile import profile
+
+    o = _t(spark, sf_dir, "orders")
+    return profile(o, exact_distinct=True).orderBy("column", "metric")

@@ -403,6 +403,14 @@ class Stream:
         merges, _ = bpe_train(self.df, num_merges, text_col)
         return merges
 
+    def profile(self, columns: Sequence[str] | None = None) -> "Stream":
+        """Single-scan per-column statistics (nulls, cardinality,
+        moments, lengths, time span) — operators/profile.profile with
+        the scale-default HLL cardinalities."""
+        from .operators.profile import profile
+
+        return Stream(profile(self.df, columns))
+
     def check(self, rules: list) -> "Stream":
         """Data-validation report: (rule, n_violations) per declarative
         rule (operators/validate.check; row-local rules share one scan)."""

@@ -1718,3 +1718,31 @@ def test_pca_project_rejects_existing_out_col(spark, sf_dir):
     once = pca_project(emb, model, out_col="pca")
     with pytest.raises(ValueError, match="already exists"):
         pca_project(once, model, out_col="pca")
+
+
+def test_profile_single_scan_and_values(spark, sf_dir):
+    from pystreams_spark.operators.profile import profile
+    from pystreams_spark.plans import executed_plan
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = profile(o, exact_distinct=True)
+    plan = executed_plan(prof)
+    assert plan.count("FileScan") == 1, "profile must be ONE scan"
+
+    got = {(r.column, r.metric): (r.value_num, r.value_str) for r in prof.collect()}
+    n = o.count()
+    assert got[("o_orderkey", "n_nulls")][0] == 0.0
+    assert got[("o_orderkey", "n_distinct")][0] == float(n)
+    assert got[("o_orderstatus", "n_distinct")][0] == 3.0
+    assert got[("o_orderstatus", "n_empty")][0] == 0.0
+    assert got[("o_orderdate", "min")][1].startswith("199")
+
+    # approx path runs and is within HLL tolerance
+    approx = {
+        (r.column, r.metric): r.value_num
+        for r in profile(o, exact_distinct=False).collect()
+    }
+    assert abs(approx[("o_orderkey", "n_distinct")] - n) / n < 0.1
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile(o, columns=["nope"])
