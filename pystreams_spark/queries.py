@@ -6441,3 +6441,71 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     return profile(o, exact_distinct=True).orderBy("column", "metric")
+
+
+# ---------------------------------------------------------------------------
+# §2.K distribution drift (operators/drift.py) — PSI + binned KS
+# ---------------------------------------------------------------------------
+
+
+def _drift_oracle_sql() -> str:
+    """DuckDB replication of drift_report(ref, cur, cols, 10) for the
+    discount-split lineitem drift query — generated per column from the
+    same fixed-width-bin / Laplace-smoothing recipe."""
+    per_col = """
+    SELECT '{c}' AS "column", n_ref, n_cur, psi, ks FROM (
+      WITH stats AS (
+        SELECT MIN(CAST({c} AS DOUBLE)) AS lo, MAX(CAST({c} AS DOUBLE)) AS hi
+        FROM lineitem WHERE l_discount <= 0.05
+      ),
+      rb AS (
+        SELECT CAST(LEAST(GREATEST(CASE WHEN (hi - lo) / 10 > 0
+                 THEN FLOOR((CAST({c} AS DOUBLE) - lo) / ((hi - lo) / 10)) ELSE 0 END,
+               0), 9) AS INT) AS bin, COUNT(*) AS n
+        FROM lineitem, stats WHERE l_discount <= 0.05 AND {c} IS NOT NULL GROUP BY 1
+      ),
+      cb AS (
+        SELECT CAST(LEAST(GREATEST(CASE WHEN (hi - lo) / 10 > 0
+                 THEN FLOOR((CAST({c} AS DOUBLE) - lo) / ((hi - lo) / 10)) ELSE 0 END,
+               0), 9) AS INT) AS bin, COUNT(*) AS n
+        FROM lineitem, stats WHERE l_discount > 0.05 AND {c} IS NOT NULL GROUP BY 1
+      ),
+      bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
+      j AS (
+        SELECT b.bin, COALESCE(rb.n, 0) AS n_ref, COALESCE(cb.n, 0) AS n_cur
+        FROM bins b LEFT JOIN rb ON b.bin = rb.bin LEFT JOIN cb ON b.bin = cb.bin
+      ),
+      t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM j),
+      w AS (
+        SELECT j.*, t.tr, t.tc,
+               (n_ref + 0.5) / (t.tr + 5.0) AS p_ref,
+               (n_cur + 0.5) / (t.tc + 5.0) AS p_cur,
+               ABS(SUM(n_ref) OVER (ORDER BY j.bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(t.tr AS DOUBLE)
+                 - SUM(n_cur) OVER (ORDER BY j.bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / CAST(t.tc AS DOUBLE)) AS cdf_diff
+        FROM j, t
+      )
+      SELECT CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+             ROUND(SUM((p_cur - p_ref) * LN(p_cur / p_ref)), 6) AS psi,
+             ROUND(MAX(cdf_diff), 6) AS ks
+      FROM w
+    )"""
+    cols = ["l_extendedprice", "l_quantity", "l_tax"]
+    return "\nUNION ALL\n".join(per_col.format(c=c) for c in cols) + '\nORDER BY "column"'
+
+
+@query("lineitem_discount_drift", oracle=_drift_oracle_sql())
+def lineitem_discount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of price/quantity/tax between low-discount
+    (reference) and high-discount lineitems: PSI over 10 fixed-width
+    reference bins (Laplace-smoothed) + binned KS
+    (`operators/drift.py`). All corpus-sized work is two partial-agg'd
+    bin counts per column; the CDF windows run over the 10-row bin
+    frame only."""
+    from .operators.drift import drift_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.filter(F.col("l_discount") <= 0.05)
+    cur = li.filter(F.col("l_discount") > 0.05)
+    return drift_report(
+        ref, cur, ["l_extendedprice", "l_quantity", "l_tax"]
+    ).orderBy("column")

@@ -1746,3 +1746,38 @@ def test_profile_single_scan_and_values(spark, sf_dir):
 
     with pytest.raises(ValueError, match="unknown columns"):
         profile(o, columns=["nope"])
+
+
+def test_drift_detects_planted_shift(spark):
+    """PSI/KS must be ~0 for identical distributions and large for a
+    planted mean shift; out-of-range values clamp into edge bins."""
+    import numpy as np
+
+    from pystreams_spark.operators.drift import drift_report, psi_bins
+
+    rng = np.random.RandomState(3)
+    ref = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 4000)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(0, 1, 4000)], "v double"
+    )
+    shifted = spark.createDataFrame(
+        [(float(x),) for x in rng.normal(3, 1, 4000)], "v double"
+    )
+    r_same = drift_report(ref, same, ["v"]).collect()[0]
+    r_shift = drift_report(ref, shifted, ["v"]).collect()[0]
+    assert r_same.psi < 0.05 and r_same.ks < 0.05
+    assert r_shift.psi > 1.0 and r_shift.ks > 0.5
+    # the shifted mass lands in the top clamp bin
+    top = {r.bin: r.n_cur for r in psi_bins(ref, shifted, "v").collect()}
+    assert top[9] > 1000  # ~31% of N(3,1) exceeds ref max (~3.5) and clamps
+
+
+def test_drift_constant_reference_column(spark):
+    from pystreams_spark.operators.drift import drift_report
+
+    ref = spark.createDataFrame([(1.0,)] * 50, "v double")
+    cur = spark.createDataFrame([(2.0,)] * 50, "v double")
+    row = drift_report(ref, cur, ["v"]).collect()[0]
+    assert row.psi == 0.0 and row.ks == 0.0  # all mass in bin 0 both sides
