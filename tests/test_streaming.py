@@ -755,3 +755,58 @@ def test_neardup_ingest_rejects_changed_params(spark, tmp_path):
         NeardupIngest(state, threshold=0.6, seed=7).process_batch(bdf(batches[1]), 1)
     # same params resume fine
     NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[1]), 1)
+
+
+# ---------------------------------------------------------------------------
+# Streaming drift monitor (streaming/drift_monitor.py)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """Per-epoch PSI vs a frozen reference: stable batches score ~0,
+    a planted mean shift spikes, and epoch replay is idempotent. Also
+    proven under a real maxFilesPerTrigger=1 file stream."""
+    import numpy as np
+
+    from pystreams_spark.streaming.drift_monitor import DriftMonitor
+
+    rng = np.random.RandomState(9)
+
+    def vdf(vals):
+        return spark.createDataFrame([(float(x),) for x in vals], "v double")
+
+    ref = vdf(rng.normal(0, 1, 3000))
+    monitor = DriftMonitor(str(tmp_path / "mon"), ref, ["v"])
+
+    monitor.process_batch(vdf(rng.normal(0, 1, 1000)), 0)
+    monitor.process_batch(vdf(rng.normal(0, 1, 1000)), 1)
+    monitor.process_batch(vdf(rng.normal(3, 1, 1000)), 2)
+
+    h = {r.epoch: r.psi for r in monitor.history(spark).collect()}
+    assert h[0] < 0.1 and h[1] < 0.1
+    assert h[2] > 1.0
+
+    # replay idempotence: same epoch -> same single row
+    monitor.process_batch(vdf(rng.normal(0, 1, 1000)), 1)
+    assert monitor.history(spark).count() == 3
+
+    # end-to-end under Structured Streaming
+    import os
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    vdf(rng.normal(0, 1, 500)).coalesce(1).write.parquet(f"{src}/a")
+    vdf(rng.normal(3, 1, 500)).coalesce(1).write.parquet(f"{src}/b")
+    m2 = DriftMonitor(str(tmp_path / "mon2"), ref, ["v"])
+    q = (
+        spark.readStream.schema("v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(m2.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    scores = sorted(r.psi for r in m2.history(spark).collect())
+    assert len(scores) == 2 and scores[0] < 0.1 and scores[1] > 1.0
