@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line this round, first in line for r5)
         "bpe_corpus_compression", "pagerank_neardup_graph",
         "orders_profile", "lineitem_discount_drift",
+        "jaccard_similarity_histogram",
     }
     # code-touched in round 4 (need re-verdicts under the new code)
     # r4 entries whose DRIVER verdict must change this round: the r3

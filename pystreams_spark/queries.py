@@ -6509,3 +6509,46 @@ def lineitem_discount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(
         ref, cur, ["l_extendedprice", "l_quantity", "l_tax"]
     ).orderBy("column")
+
+
+@query(
+    "jaccard_similarity_histogram",
+    oracle=r"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ),
+    p AS (
+        SELECT ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.02
+    )
+    SELECT ROUND(FLOOR(j / 0.05) * 0.05, 2) AS sim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM p GROUP BY 1 ORDER BY sim_bucket
+    """,
+)
+def jaccard_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration curve for the near-dup stack: how many
+    candidate pairs live in each 0.05-wide Jaccard band (above a 0.02
+    floor). The number a curator reads before choosing the dedup
+    threshold — a fat tail near 1.0 means true copies; mass near the
+    floor is shingle noise. Executed on the inverted-index pair plan
+    (cost Σ df², not n²), same as `ngram_jaccard_neardup`."""
+    from .operators.dedup import ngram_jaccard_pairs_inverted
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_inverted(d, threshold=0.02, n=3, block_cols=("lang",))
+    return (
+        pairs.groupBy(
+            F.round(F.floor(F.col("jaccard") / 0.05) * 0.05, 2).alias("sim_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("sim_bucket")
+    )
