@@ -82,6 +82,35 @@ R2_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r04.json (the driver's 50-query round-4
+# window). R1 ∪ R2 ∪ R3 ∪ R4 covers 157 of the 162 queries registered
+# through r4 (the 5 late-r4 additions overflowed the window).
+R4_DRIVER_CHECKED = {
+    "bpe_learned_merges", "bpe_top_pairs", "cohort_weekly_retention",
+    "constraint_violations_report", "count_min_user_events",
+    "cross_doc_repeated_spans", "customer_order_distribution",
+    "deterministic_reservoir_per_lang", "deterministic_split_report",
+    "doc_fingerprints", "dormant_rich_customers", "event_funnel_conversion",
+    "filter_funnel_report", "forecast_revenue_increase",
+    "full_outer_nation_presence", "heavy_hitters_events",
+    "important_part_values", "join_key_skew_report", "knn_pq_adc",
+    "lang_id_heuristic", "language_mixture_weights", "large_quantity_orders",
+    "late_order_priority_counts", "min_cost_supplier", "minhash_banded_neardup",
+    "nation_market_share", "neardup_dedup_pipeline", "part_supplier_counts",
+    "pca_embedding_spectrum", "pii_redaction_report", "product_type_profit",
+    "promo_revenue_effect", "promotion_part_suppliers",
+    "remove_repeated_spans_report", "resample_user_purchases_daily",
+    "returned_items_report", "right_join_customer_orders",
+    "scd2_user_state_history", "seeded_global_shuffle",
+    "semantic_dedup_by_label", "semantic_dedup_kmeans",
+    "shipping_delay_classes", "shipping_priority_top10",
+    "token_budget_selection", "top_supplier_revenue",
+    "unigram_surprisal_filter", "vocab_coverage_curve",
+    "volume_shipping_nations", "waiting_supplier_ranking",
+    "winnowing_fingerprints",
+}
+
+
 # Literal key set of CORRECTNESS_r03.json (the driver's 50-query round-3
 # window). R1 ∪ R2 ∪ R3 covers all 114 queries registered through r3.
 R3_DRIVER_CHECKED = {
@@ -112,97 +141,67 @@ R3_DRIVER_CHECKED = {
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
-    the most fresh evidence: (0) the 3 queries new in round 4 (never
-    driver-checked), (1) queries whose code paths changed in round 4 —
-    the heavy_hitters ERR fix, the md5-keyed oracle upgrades (shuffle /
-    fingerprints / winnowing), the near-dup oracle upgrades, and every
-    lineage through cosine (now try_divide), chunk_text (stride
-    validation) or build_bloom (byte rounding), (2) r1-checked-only
-    (three-round-old evidence, incl. the stale rows-only ANN entries the
-    r3 verdict called out), (3) r2-but-not-r3 (two rounds old),
-    (4) r3-checked (freshest)."""
+    the most fresh evidence: (0) queries never driver-checked — the 5
+    late-r4 additions that overflowed the r4 window plus anything new in
+    round 5, (1) queries whose code paths changed in round 5 (the
+    semantic-dedup cluster-key fix, the df-capped inverted Jaccard
+    lineage, the drift_report rewrite, the unigram-vocab join switch,
+    the ANN recall floors), (2) the rows-only-by-nature entries the r4
+    verdict asked to re-verify under r5 code, (3+) stale tiers by age of
+    last driver verdict (r1-only oldest … r4 freshest)."""
 
     never_checked = {
-        # new in round 4
-        "count_min_user_events", "right_join_customer_orders",
-        "full_outer_nation_presence", "late_order_priority_counts",
-        "large_quantity_orders", "waiting_supplier_ranking",
-        "dormant_rich_customers", "pii_redaction_report", "knn_pq_adc",
-        # round 4: the remaining TPC-H shapes (all 22 now covered)
-        "min_cost_supplier", "shipping_priority_top10",
-        "forecast_revenue_increase", "volume_shipping_nations",
-        "nation_market_share", "product_type_profit",
-        "returned_items_report", "important_part_values",
-        "shipping_delay_classes", "customer_order_distribution",
-        "promo_revenue_effect", "top_supplier_revenue",
-        "part_supplier_counts", "promotion_part_suppliers",
-        # round 4: corpus-selection ops
-        "token_budget_selection", "vocab_coverage_curve",
-        "filter_funnel_report", "language_mixture_weights",
-        # round 4: event-analytics shapes
-        "scd2_user_state_history", "event_funnel_conversion",
-        "cohort_weekly_retention",
-        # round 4: oracle-checked deterministic sampling
-        "deterministic_reservoir_per_lang",
-        # round 4: unigram-LM quality filter
-        "unigram_surprisal_filter",
-        # round 4: exact-substring cross-doc duplication detection
-        "cross_doc_repeated_spans",
-        # round 4: lang-ID upgraded to oracle-checked
-        "lang_id_heuristic",
-        # round 4: exact-substring span REMOVAL (Lee et al. second half)
-        "remove_repeated_spans_report",
-        # round 4: deterministic split + skew probe
-        "deterministic_split_report", "join_key_skew_report",
-        # round 4 (late): distributed BPE tokenizer training + SemDeDup
-        "bpe_top_pairs", "bpe_learned_merges",
-        "semantic_dedup_by_label", "semantic_dedup_kmeans",
-        # round 4 (late): distributed PCA spectrum (self-proving var_match)
-        "pca_embedding_spectrum",
-        # round 4 (late): expectations gate + time-series regularization
-        "constraint_violations_report", "resample_user_purchases_daily",
-        # round 4 (late): BPE corpus-application report + PageRank over
-        # the near-dup graph (window overflow: land past the 50-entry
-        # line this round, first in line for r5)
-        "bpe_corpus_compression", "pagerank_neardup_graph",
+        # late-r4 additions that overflowed the r4 window (VERDICT r4 #1)
         "orders_profile", "lineitem_discount_drift",
-        "jaccard_similarity_histogram",
+        "pagerank_neardup_graph", "jaccard_similarity_histogram",
+        "bpe_corpus_compression",
+        # new in round 5
+        "pack_training_sequences_sorted", "drift_report_lineitem",
+        "knn_pq_refined", "doc_minhash_cardinality",
+        "tokens_per_byte_by_lang", "source_lang_contingency",
+        "dedup_survivor_quality_shift", "domain_balance_report",
+        "zipf_fit_by_lang", "ann_ivf_recall_curve",
+        "contamination_overlap_profile", "dup_rate_by_source",
     }
-    # code-touched in round 4 (need re-verdicts under the new code)
-    # r4 entries whose DRIVER verdict must change this round: the r3
-    # hard ERR fix and the rows-only → oracle upgrades. These outrank
-    # even never-checked entries — a flipped verdict on a red/weak row
-    # is worth more than a first verdict on a fresh query.
-    must_recheck = {
-        "heavy_hitters_events",            # array → '|'-joined scalar (r3 ERR fix)
-        "seeded_global_shuffle",           # md5 sort key, now oracle-checked
-        "doc_fingerprints",                # fingerprint_md5, now oracle-checked
-        "winnowing_fingerprints",          # portable gram hash, now oracle-checked
-        "minhash_banded_neardup",          # verified pairs, now oracle-checked
-        "neardup_dedup_pipeline",          # now oracle-checked
+    # code-touched in round 5 (need re-verdicts under the new code)
+    touched_r5 = {
+        # cluster keys now hashed (non-integral label columns supported)
+        "semantic_dedup_by_label", "semantic_dedup_kmeans",
+        # inverted-index Jaccard gained the hot-shingle df-cap lineage
+        "ngram_jaccard_neardup",
+        # unigram surprisal: hash-partitioned vocab switch added
+        "unigram_surprisal_filter",
+        # ANN recall floors now raise on violation
+        "knn_pq_adc", "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
+        # reliable-checkpoint switch threaded through iterative ops
+        "bpe_learned_merges", "neardup_dedup_pipeline",
     }
-    touched_r4 = {
-        "embedding_quantization_report",   # zero-vector guards
-        "chunk_long_documents",            # chunk_text validation
-        "incremental_dedup_new_docs",      # bloom byte-rounding touch
-        # cosine() switched to try_divide — every lineage through it
-        "knn_exact_cosine", "embedding_neardup_pairs",
-        "centroid_classifier_confusion", "embedding_neardup_lsh",
-        "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
+    # rows-only-by-nature entries with old verdicts (VERDICT r4 #9):
+    # re-verify under r5 code since several gained guards late in r4.
+    stale_rows_only = {
+        "approx_sketches", "hll_sketch_rollup", "count_min_user_events",
+        "heavy_hitters_events", "simhash_neardup_candidates",
+        "embedding_neardup_lsh", "seeded_sample_stats",
+        "stratified_sample_stats", "seeded_random_tags",
+        "pack_training_sequences", "pca_embedding_spectrum",
+        "minhash_neardup_candidates",
     }
 
     def rank(name: str) -> int:
-        if name in must_recheck:
-            return -1
         if name in never_checked:
             return 0
-        if name in touched_r4:
+        if name in touched_r5:
             return 1
-        if name in R1_DRIVER_CHECKED and name not in R2_DRIVER_CHECKED and name not in R3_DRIVER_CHECKED:
+        if name in stale_rows_only:
             return 2
-        if name not in R3_DRIVER_CHECKED:
-            return 3
-        return 4
+        checked_in = [name in s for s in (
+            R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
+            R3_DRIVER_CHECKED, R4_DRIVER_CHECKED)]
+        if not any(checked_in):
+            return 3  # registered but never checked and not named above
+        # newest round that checked it: older evidence ranks earlier
+        newest = max(i for i, hit in enumerate(checked_in) if hit)
+        return 4 + newest
 
     ordered = sorted(QUERIES, key=lambda n: rank(n))  # stable: keeps file order within tiers
     return {n: QUERIES[n] for n in ordered}

@@ -14,11 +14,14 @@ Everything is deterministic Column algebra — no sampling, no RNG:
   empties out on one side;
 - KS is the max |ΔCDF| over bin boundaries of the raw proportions.
 
-Cost per column: one groupBy(bin) per side (partial-agg'd, ``n_bins``
-rows shuffle) — the two input scans are shared across all requested
-columns via a single stats row and per-column projections of the same
-cached frames. Rule of thumb (industry convention): PSI < 0.1 stable,
-0.1–0.25 moderate shift, > 0.25 action needed.
+Cost: ``drift_report`` scans the reference twice (one all-column
+min/max agg + one all-column×all-bin conditional-count agg) and the
+current side once, REGARDLESS of how many columns are requested — the
+per-column work is folded into a single wide aggregate per side, the
+same shape ``streaming.DriftMonitor`` uses per micro-batch. Everything
+after the aggs runs on an ``n_cols × n_bins``-row frame. Rule of thumb
+(industry convention): PSI < 0.1 stable, 0.1–0.25 moderate shift,
+> 0.25 action needed.
 """
 
 from __future__ import annotations
@@ -94,6 +97,42 @@ def psi_bins(
     )
 
 
+def _side_bin_counts(
+    df: DataFrame, columns: Sequence[str], n_bins: int
+) -> DataFrame:
+    """(column, bin, n) for ALL columns in ONE scan: each (col, bin)
+    cell is a conditional count folded into a single wide aggregate
+    (n_cols × n_bins expressions, partial-agg'd map-side), then the
+    1-row result is reshaped with ``inline``. Expects the per-column
+    reference bounds to be present as ``_lo_{i}`` / ``_hi_{i}``."""
+    aggs = []
+    for i, col in enumerate(columns):
+        width = (F.col(f"_hi_{i}") - F.col(f"_lo_{i}")) / n_bins
+        raw = F.when(
+            width > 0.0,
+            F.floor((F.col(col).cast("double") - F.col(f"_lo_{i}")) / width),
+        ).otherwise(F.lit(0))
+        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+        for j in range(n_bins):
+            # NULL values yield NULL bin → the when() never fires
+            aggs.append(
+                F.count(F.when(b == j, F.lit(1))).alias(f"_n_{i}_{j}")
+            )
+    one = df.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("column"),
+                F.lit(j).cast("int").alias("bin"),
+                F.col(f"_n_{i}_{j}").alias("n"),
+            )
+            for i, col in enumerate(columns)
+            for j in range(n_bins)
+        ]
+    )
+    return one.select(F.inline(cells))
+
+
 def drift_report(
     ref: DataFrame,
     cur: DataFrame,
@@ -104,38 +143,62 @@ def drift_report(
     """One row per column: (column, n_ref, n_cur, psi, ks). PSI from
     the smoothed proportions, KS as max |ΔCDF| of the raw proportions.
 
-    The CDF windows run over the ``n_bins``-row bin frame — a
-    single-task window by design (10 rows), NOT the corpus-sized
-    Window cliff the plan linter guards against; all corpus-sized work
-    happened in the partial-agg'd bin counts."""
-    from functools import reduce
-
+    Scan-sharing: one reference agg computes every column's min/max,
+    then one wide conditional-count agg per side bins every column —
+    3 input scans total however many columns are requested. The CDF
+    windows run over the ``n_cols × n_bins``-row frame, partitioned by
+    column — NOT the corpus-sized Window cliff the plan linter guards
+    against; all corpus-sized work happened in the partial-agg'd
+    counts. An empty current side yields NULL ks (``try_divide``)
+    instead of an ANSI DIVIDE_BY_ZERO."""
     from pyspark.sql import Window
 
-    w_all = Window.partitionBy()
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    if not columns:
+        raise ValueError("drift_report: columns must be non-empty")
 
-    parts = []
-    for col in columns:
-        b = (
-            psi_bins(ref, cur, col, n_bins)
-            .withColumn("_tr", F.sum("n_ref").over(w_all))
-            .withColumn("_tc", F.sum("n_cur").over(w_all))
-            .withColumn(
-                "_cdf_diff",
-                F.abs(
-                    F.sum("n_ref").over(w_cum) / F.col("_tr")
-                    - F.sum("n_cur").over(w_cum) / F.col("_tc")
-                ),
-            )
+    stats = F.broadcast(
+        ref.agg(
+            *[
+                e
+                for i, c in enumerate(columns)
+                for e in (
+                    F.min(F.col(c).cast("double")).alias(f"_lo_{i}"),
+                    F.max(F.col(c).cast("double")).alias(f"_hi_{i}"),
+                )
+            ]
         )
-        parts.append(
-            b.agg(
-                F.lit(col).alias("column"),
-                F.sum("n_ref").cast("long").alias("n_ref"),
-                F.sum("n_cur").cast("long").alias("n_cur"),
-                F.round(F.sum("psi_term"), round_to).alias("psi"),
-                F.round(F.max("_cdf_diff"), round_to).alias("ks"),
-            )
+    )
+    r = _side_bin_counts(ref.crossJoin(stats), columns, n_bins).withColumnRenamed("n", "n_ref")
+    c = _side_bin_counts(cur.crossJoin(stats), columns, n_bins).withColumnRenamed("n", "n_cur")
+    joined = r.join(c, ["column", "bin"])  # both sides emit every (column, bin)
+
+    w_all = Window.partitionBy("column")
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tr = F.sum("n_ref").over(w_all)
+    tc = F.sum("n_cur").over(w_all)
+    p_ref = (F.col("n_ref") + 0.5) / (tr + 0.5 * n_bins)
+    p_cur = (F.col("n_cur") + 0.5) / (tc + 0.5 * n_bins)
+    cdf_diff = F.abs(
+        F.try_divide(F.sum("n_ref").over(w_cum), tr.cast("double"))
+        - F.try_divide(F.sum("n_cur").over(w_cum), tc.cast("double"))
+    )
+    return (
+        joined.select(
+            "column",
+            "n_ref",
+            "n_cur",
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("_psi_term"),
+            cdf_diff.alias("_cdf_diff"),
         )
-    return reduce(lambda a, b2: a.unionByName(b2), parts)
+        .groupBy("column")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+            F.round(F.sum("_psi_term"), round_to).alias("psi"),
+            F.round(F.max("_cdf_diff"), round_to).alias("ks"),
+        )
+    )

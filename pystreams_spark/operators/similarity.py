@@ -854,7 +854,11 @@ def semantic_dedup_pairs(
 
     ``cluster_col=None`` runs the built-in KMeans cells (the paper's
     recipe); passing an existing column (e.g. a label / topic / domain)
-    makes the op fully deterministic and SQL-oracle-checkable.
+    makes the op fully deterministic and SQL-oracle-checkable. Integral
+    cluster columns keep their value in the output ``cluster`` column;
+    non-integral ones (string topics/domains, …) are deterministically
+    encoded via ``xxhash64`` of their string form — same value → same
+    64-bit cluster id, no Spark-4-ANSI CAST_INVALID_INPUT.
 
     Execution: ONE shuffle (hash by cluster), then a per-cluster numpy
     kernel that scores the cluster's m×d matrix against itself in row
@@ -877,12 +881,26 @@ def semantic_dedup_pairs(
         base, cl = df, cluster_col
     # a NULL cluster key carries no locality information — such rows
     # cannot be paired (dropped from the pair scan; semantic_dedup then
-    # KEEPS them, the conservative choice for unclusterable rows)
-    sel = base.select(
-        F.col(cl).cast("long").alias("cluster"),
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-    ).filter(F.col("cluster").isNotNull())
+    # KEEPS them, the conservative choice for unclusterable rows).
+    # Integral cluster types pass through; anything else (string labels,
+    # …) is encoded as xxhash64 of its string form — NULLs are filtered
+    # BEFORE hashing so they stay unclusterable instead of colliding
+    # into xxhash64's null-input value.
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    cdt = base.schema[cl].dataType
+    if isinstance(cdt, (ByteType, ShortType, IntegerType, LongType)):
+        ckey = F.col(cl).cast("long")
+    else:
+        ckey = F.xxhash64(F.col(cl).cast("string"))
+    sel = (
+        base.filter(F.col(cl).isNotNull())
+        .select(
+            ckey.alias("cluster"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+        )
+    )
 
     def kernel(key, pdf):
         m_rows = len(pdf)

@@ -77,6 +77,17 @@ def unique(*cols: str) -> Rule:
 
 
 def foreign_key(col: str, dim: DataFrame, dim_col: str) -> Rule:
+    """Every fact-side ``col`` value must exist in ``dim.dim_col``.
+
+    NULL semantics (deliberate, differs from SQL's FK constraint): a
+    NULL fact key COUNTS AS A VIOLATION, because the left-anti join
+    never matches NULL. SQL FK constraints let NULLs pass ("unknown
+    parent" is allowed); this gate treats referential integrity as
+    "resolvable to a parent", which a NULL is not. If you want SQL
+    semantics — NULLs pass, and NULL-ness policed separately — filter
+    first (``df.filter(col.isNotNull())``) or pair this rule with
+    ``not_null(col)`` and subtract. Composing both rules on one column
+    double-counts NULL rows (once per rule) by design."""
     return Rule("foreign_key", col, dim=dim, dim_col=dim_col)
 
 

@@ -6262,7 +6262,7 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_corpus_report(d, num_merges=15, group_col="lang").orderBy("lang")
 
 
-_PAGERANK_ORACLE = """WITH 
+_PAGERANK_ORACLE = r"""WITH
     s AS (
         SELECT doc_id, lang,
                list_distinct(list_transform(

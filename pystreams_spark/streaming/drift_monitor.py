@@ -50,6 +50,13 @@ class DriftMonitor:
                 F.max(F.col(c).cast("double")).alias(f"_hi_{c}"),
             ]
         row = ref.agg(*aggs).first()
+        bad = [c for c in columns if row[f"_lo_{c}"] is None]
+        if bad:
+            raise ValueError(
+                "DriftMonitor: reference has no non-NULL values for "
+                f"column(s) {bad} — an empty or all-NULL reference "
+                "cannot define bin edges"
+            )
         self.edges: dict[str, tuple[float, float]] = {
             c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in columns
         }

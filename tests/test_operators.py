@@ -1781,3 +1781,78 @@ def test_drift_constant_reference_column(spark):
     cur = spark.createDataFrame([(2.0,)] * 50, "v double")
     row = drift_report(ref, cur, ["v"]).collect()[0]
     assert row.psi == 0.0 and row.ks == 0.0  # all mass in bin 0 both sides
+
+
+def test_drift_report_multi_column_shares_scans(spark):
+    """The multi-column report folds every column into one wide agg per
+    side: the plan must contain exactly 3 scans of the inputs (ref
+    stats + ref bins + cur bins) however many columns are requested,
+    and an empty current side yields NULL ks (try_divide), not an ANSI
+    DIVIDE_BY_ZERO."""
+    import numpy as np
+
+    from pystreams_spark.operators.drift import drift_report
+
+    rng = np.random.RandomState(7)
+    ref = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in rng.normal(0, 1, (500, 3))],
+        "a double, b double, c double",
+    )
+    cur = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in rng.normal(0.2, 1, (500, 3))],
+        "a double, b double, c double",
+    )
+    rep = drift_report(ref, cur, ["a", "b", "c"])
+    rows = {r.column: r for r in rep.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(rows[c].n_ref == 500 and rows[c].n_cur == 500 for c in rows)
+    # scan count: LocalTableScan appears once per distinct input scan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("LocalTableScan")
+    assert n_scans <= 3, f"expected ≤3 input scans for 3 columns, saw {n_scans}"
+
+    empty = cur.filter(F.lit(False))
+    row = drift_report(ref, empty, ["a"]).collect()[0]
+    assert row.n_cur == 0 and row.ks is None  # guarded division
+
+
+def test_drift_monitor_rejects_empty_reference(spark, tmp_path):
+    import pytest as _pytest
+
+    from pystreams_spark.streaming.drift_monitor import DriftMonitor
+
+    empty = spark.createDataFrame([], "v double")
+    with _pytest.raises(ValueError, match="no non-NULL values"):
+        DriftMonitor(str(tmp_path / "m"), empty, ["v"])
+    all_null = spark.createDataFrame([(None,), (None,)], "v double")
+    with _pytest.raises(ValueError, match="\\['v'\\]"):
+        DriftMonitor(str(tmp_path / "m2"), all_null, ["v"])
+
+
+def test_semantic_dedup_string_cluster_column(spark):
+    """A string cluster column must work (hashed, not cast): same label
+    → same cluster id; pairs only form within a label."""
+    from pystreams_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], "news"),
+        (2, [1.0, 0.001], "news"),      # near-dup of 1, same topic
+        (3, [1.0, 0.0], "forum"),       # identical vector, other topic
+        (4, [0.0, 1.0], "news"),
+        (5, [1.0, 0.0], None),          # NULL topic: unclusterable, kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, topic string"
+    )
+    pairs = semantic_dedup_pairs(
+        df, threshold=0.99, cluster_col="topic"
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    survivors = {
+        r.vec_id
+        for r in semantic_dedup(df, 0.99, cluster_col="topic").collect()
+    }
+    assert survivors == {1, 3, 4, 5}
