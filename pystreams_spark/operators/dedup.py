@@ -126,6 +126,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_table(
+    df: DataFrame, n: int, text_col: str, id_col: str, blocks: list
+) -> DataFrame:
+    """(id, blocks…, _sh: array<long>, _sz) — the checkpointed shingle
+    table both inverted-index variants candidate-generate and verify
+    against. Checkpointing means every downstream branch reads the
+    materialized blocks instead of re-running the tokenize→hash kernel
+    (2.3x measured at sf0.1, and at scale it halves the Python-worker
+    load)."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            *blocks,
+            hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"),
+        )
+        .withColumn("_sz", F.size("_sh"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _verify_jaccard_pairs(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    """Exact Jaccard for each candidate (id_a, id_b) from the FULL
+    shingle arrays — candidate generation may have seen only a subset
+    of the postings (prefix / df-capped), the verify never does. The
+    candidate frame rides ``broadcast_if_small``, so the corpus-sized
+    shingle table is probed in place instead of shuffling by id."""
+    sa = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh").alias("_sa"),
+        F.col("_sz").alias("_sza"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh").alias("_sb"),
+        F.col("_sz").alias("_szb"),
+    )
+    j = broadcast_if_small(cand).join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (
+        F.col("_sza").cast("double") + F.col("_szb").cast("double") - inter
+    )
+    return (
+        j.withColumn("jaccard", F.round(inter / union, round_to))
+        # threshold the ROUNDED value, like ngram_jaccard_pairs — raw
+        # would disagree with the brute-force baseline (and the DuckDB
+        # oracle) exactly at rounding-boundary pairs
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_cond(blocks: list):
+    cond = F.col("id_a") < F.col("id_b")
+    for c in blocks:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    return cond
+
+
+def _hot_shingle_keys(
+    sh: DataFrame, posts: DataFrame, blocks: list, max_df: int | float
+) -> DataFrame:
+    """(blocks…, _h) of shingles whose per-block document frequency
+    exceeds ``max_df`` (absolute count, or fraction of the block's doc
+    count). The df aggregation is the only posting-sized job — a
+    partial-agg'd groupBy whose shuffle carries distinct (block,
+    shingle) keys; its hot survivors are boilerplate-few."""
+    dfreq = posts.groupBy(*blocks, "_h").agg(F.count(F.lit(1)).alias("_df"))
+    if isinstance(max_df, float):
+        if not 0.0 < max_df <= 1.0:
+            raise ValueError(
+                f"max_df as a fraction must be in (0, 1], got {max_df}"
+            )
+        per_block = sh.groupBy(*blocks).agg(F.count(F.lit(1)).alias("_nb"))
+        if blocks:
+            dfreq = dfreq.join(broadcast_if_small(per_block), blocks)
+        else:
+            dfreq = dfreq.crossJoin(F.broadcast(per_block))
+        return dfreq.filter(
+            F.col("_df") > F.ceil(F.lit(max_df) * F.col("_nb"))
+        ).select(*blocks, "_h")
+    return dfreq.filter(F.col("_df") > int(max_df)).select(*blocks, "_h")
+
+
 def ngram_jaccard_pairs_inverted(
     df: DataFrame,
     threshold: float,
@@ -134,6 +224,7 @@ def ngram_jaccard_pairs_inverted(
     id_col: str = "doc_id",
     block_cols: tuple = (),
     round_to: int = 6,
+    max_df: int | float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted index — same output as
     ``ngram_jaccard_pairs`` (for threshold > 0), radically cheaper.
@@ -145,18 +236,48 @@ def ngram_jaccard_pairs_inverted(
     instead of |docs|² — the standard IR trick that survives 100 TB.
     Measured at sf0.1: 272 s (brute force) → seconds (inverted).
 
-    The shingle table is checkpointed before the self-join: both join
-    sides read the materialized blocks instead of re-running the
-    tokenize→hash kernel (2.3x measured at sf0.1, and at scale it
-    halves the Python-worker load).
+    ``max_df`` is the hot-shingle guard for boilerplate-heavy corpora,
+    where one shingle shared by 1M docs would alone emit 10¹² join
+    rows: shingles with document frequency above the cap (an absolute
+    count, or a fraction of the block's doc count) are EXCLUDED from
+    candidate generation, and every surviving candidate is then scored
+    on its FULL shingle sets — so each reported pair's Jaccard is still
+    exact. What the cap sacrifices is pairs whose every shared shingle
+    is hot: a pair similar only through boilerplate can be missed. For
+    guaranteed-exact output above the threshold at bounded cost, use
+    ``ngram_jaccard_pairs_prefix`` instead. For candidate-cost
+    triage before picking a cap, see ``shingle_df_profile``.
     """
     blocks = list(block_cols)
-    sh = ensure_parallelism(df).select(
-        F.col(id_col),
-        *blocks,
-        hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"),
-    ).withColumn("_sz", F.size("_sh")).localCheckpoint(eager=True)
+    sh = _shingle_table(df, n, text_col, id_col, blocks)
     posts = sh.select(id_col, *blocks, "_sz", F.explode("_sh").alias("_h"))
+
+    if max_df is not None:
+        # hot shingles are FEW by definition (df above the cap), so the
+        # exclusion is a broadcast ANTI-join against the hot-key set —
+        # the posting table itself never shuffles for the guard
+        hot_keys = _hot_shingle_keys(sh, posts, blocks, max_df)
+        posts = posts.join(
+            broadcast_if_small(hot_keys), [*blocks, "_h"], "left_anti"
+        )
+        a = posts.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+            "_h",
+        )
+        b = posts.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+            "_h",
+        )
+        cand = (
+            a.join(b, on="_h")
+            .filter(_pair_cond(blocks))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _verify_jaccard_pairs(sh, cand, id_col, threshold, round_to)
+
     a = posts.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"_ba_{c}") for c in blocks],
@@ -169,12 +290,9 @@ def ngram_jaccard_pairs_inverted(
         F.col("_sz").alias("_szb"),
         "_h",
     )
-    cond = F.col("id_a") < F.col("id_b")
-    for c in blocks:
-        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
     shared = (
         a.join(b, on="_h")
-        .filter(cond)
+        .filter(_pair_cond(blocks))
         .groupBy("id_a", "id_b", "_sza", "_szb")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -188,6 +306,128 @@ def ngram_jaccard_pairs_inverted(
         # oracle) exactly at rounding-boundary pairs
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple = (),
+    round_to: int = 6,
+    hot_df: int | float = 0.05,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri et
+    al. 2006 / Bayardo et al. 2007 "AllPairs" — public set-similarity-
+    join literature): same output as ``ngram_jaccard_pairs`` for any
+    threshold τ > 0, with the hot-shingle df² blowup structurally
+    removed rather than capped.
+
+    Why it stays exact: under a GLOBAL total order on shingles, two
+    sets with |A∩B| ≥ α must share an element among each set's first
+    |X| − α + 1 elements; J(A,B) ≥ τ implies |A∩B| ≥ ⌈τ·|X|⌉ for both
+    endpoints, so indexing only each doc's first
+    |X| − ⌈τ·|X|⌉ + 1 shingles finds every qualifying pair — for ANY
+    total order. The order used here is (is_hot, hash): shingles whose
+    per-block df exceeds ``hot_df`` sort LAST, so a boilerplate shingle
+    enters a doc's prefix only when the doc is itself nearly all
+    boilerplate — the join cost becomes Σ df_prefix², dominated by
+    rare shingles. Candidates are then scored on their full sets
+    (``_verify_jaccard_pairs``), so a false candidate costs one array
+    intersect, never a wrong answer.
+
+    Using hot-membership instead of full df-rank for the order is the
+    key cost saving: the hot set is boilerplate-few and broadcasts, so
+    the prefix is built by array ops on the checkpointed shingle table
+    — no posting-table join, no per-doc regroup. Total cost: one df
+    aggregation (partial-agg'd, distinct (block, shingle) keys), the
+    prefix self-join, and the broadcast verify probe. Prefer this over
+    ``ngram_jaccard_pairs_inverted`` whenever τ ≳ 0.3 or the corpus
+    carries boilerplate; at very low τ the prefix approaches the whole
+    set and the plain inverted index (optionally df-capped) costs the
+    same with fewer stages."""
+    if not threshold > 0.0:
+        raise ValueError(
+            "ngram_jaccard_pairs_prefix requires threshold > 0 "
+            "(prefix filtering has no pruning power at τ = 0)"
+        )
+    blocks = list(block_cols)
+    sh = _shingle_table(df, n, text_col, id_col, blocks)
+    posts = sh.select(id_col, *blocks, F.explode("_sh").alias("_h"))
+    hot = _hot_shingle_keys(sh, posts, blocks, hot_df).groupBy(*blocks).agg(
+        F.collect_list("_h").alias("_hot")
+    )
+    if blocks:
+        shx = sh.join(F.broadcast(hot), blocks, "left")
+    else:
+        # global agg: always exactly one row, even with zero hot keys
+        shx = sh.crossJoin(F.broadcast(hot))
+    empty = F.array().cast("array<bigint>")
+    hot_arr = F.coalesce(F.col("_hot"), empty)
+    # global (is_hot, hash) order: sorted cold shingles, then sorted hot
+    ordered = F.concat(
+        F.array_sort(F.array_except("_sh", hot_arr)),
+        F.array_sort(F.array_intersect("_sh", hot_arr)),
+    )
+    # prefix length |X| − ⌈τ·|X|⌉ + 1
+    plen = (
+        F.col("_sz") - F.ceil(F.lit(float(threshold)) * F.col("_sz")) + 1
+    ).cast("int")
+    pre = shx.select(
+        id_col,
+        *blocks,
+        F.explode(F.slice(ordered, F.lit(1), plen)).alias("_h"),
+    )
+    a = pre.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        "_h",
+    )
+    b = pre.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        "_h",
+    )
+    cand = (
+        a.join(b, on="_h")
+        .filter(_pair_cond(blocks))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verify_jaccard_pairs(sh, cand, id_col, threshold, round_to)
+
+
+def shingle_df_profile(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Document-frequency histogram of shingles in log₂ buckets, with
+    each bucket's Σ df² — the inverted-index join-row bill. Run this
+    before picking ``max_df``: the top buckets' pair_cost column IS the
+    boilerplate blowup the cap removes."""
+    posts = (
+        ensure_parallelism(df)
+        .select(hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
+        .select(F.explode("_sh").alias("_h"))
+    )
+    dfreq = posts.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    bucket = F.least(
+        F.floor(F.log2(F.col("_df").cast("double"))).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    return (
+        dfreq.groupBy(bucket.alias("df_bucket_log2"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.max("_df").alias("max_df"),
+            F.sum(F.col("_df") * F.col("_df")).alias("pair_cost"),
+        )
+        .orderBy("df_bucket_log2")
     )
 
 

@@ -1198,13 +1198,16 @@ def word_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-gram-shingle Jaccard, blocked by
-    language. Executed via the inverted-index plan (cost Σ df², not
-    |docs|²); the oracle SQL states the naive all-pairs semantics and
-    both agree exactly for any threshold > 0."""
-    from .operators.dedup import ngram_jaccard_pairs_inverted
+    language. Executed via the PREFIX-FILTERED inverted index
+    (`ngram_jaccard_pairs_prefix`, AllPairs-style): candidate cost is
+    Σ df² over each doc's rarest-shingle prefix only, so a boilerplate
+    shingle shared corpus-wide cannot quadratically explode the join;
+    the oracle SQL states the naive all-pairs semantics and both agree
+    exactly for any threshold > 0 (prefix-filter guarantee)."""
+    from .operators.dedup import ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_inverted(
+    return ngram_jaccard_pairs_prefix(
         d, threshold=0.0999995, n=3, block_cols=("lang",)
     ).orderBy("id_a", "id_b")
 
@@ -6366,14 +6369,14 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per iteration: one node-keyed join + one groupBy, rank frame
     checkpointed so iteration k never replays iterations 1..k-1
     (`operators/graph.pagerank`). Top 20 by rank."""
-    from .operators.dedup import ngram_jaccard_pairs_inverted
+    from .operators.dedup import ngram_jaccard_pairs_prefix
     from .operators.graph import pagerank
 
     d = _t(spark, sf_dir, "documents")
     # lazy checkpoint: BOTH union branches read the pair list, which
     # would otherwise re-run the whole inverted-index join twice
     pairs = (
-        ngram_jaccard_pairs_inverted(
+        ngram_jaccard_pairs_prefix(
             d, threshold=0.0999995, n=3, block_cols=("lang",)
         )
         .select("id_a", "id_b")
@@ -6540,11 +6543,18 @@ def jaccard_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor). The number a curator reads before choosing the dedup
     threshold — a fat tail near 1.0 means true copies; mass near the
     floor is shingle noise. Executed on the inverted-index pair plan
-    (cost Σ df², not n²), same as `ngram_jaccard_neardup`."""
+    (cost Σ df², not n²), same as `ngram_jaccard_neardup`, with the
+    hot-shingle guard engaged: shingles present in > half a language's
+    documents are boilerplate by definition and are excluded from
+    candidate generation (each surviving pair still scores on its full
+    sets, so every reported jaccard is exact — see
+    `ngram_jaccard_pairs_inverted(max_df=...)`)."""
     from .operators.dedup import ngram_jaccard_pairs_inverted
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_inverted(d, threshold=0.02, n=3, block_cols=("lang",))
+    pairs = ngram_jaccard_pairs_inverted(
+        d, threshold=0.02, n=3, block_cols=("lang",), max_df=0.5
+    )
     return (
         pairs.groupBy(
             F.round(F.floor(F.col("jaccard") / 0.05) * 0.05, 2).alias("sim_bucket")

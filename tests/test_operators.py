@@ -489,6 +489,109 @@ def test_inverted_jaccard_equals_bruteforce(spark, sf_dir):
     assert inv == brute
 
 
+def _boilerplate_corpus(spark, n_docs=200):
+    """Every doc shares one boilerplate sentence (a 100%-df hot
+    shingle run) plus unique filler; three docs are genuine near-dups.
+    The old unguarded inverted join emits ≥ n²/2 rows for the
+    boilerplate shingles alone."""
+    boiler = "this page is copyright the example corporation all rights reserved"
+    rows = []
+    for i in range(n_docs):
+        filler = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, f"{filler} {boiler}"))
+    # planted near-dup trio: mostly-identical filler
+    shared = " ".join(f"dup{j}" for j in range(12))
+    for k, i in enumerate((n_docs, n_docs + 1, n_docs + 2)):
+        rows.append((i, f"{shared} tail{k} {boiler}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_prefix_jaccard_equals_bruteforce(spark, sf_dir):
+    from pystreams_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    brute = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.05, n=3).collect()
+    )
+    pre = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(docs, threshold=0.05, n=3).collect()
+    )
+    assert pre == brute
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold > 0"):
+        ngram_jaccard_pairs_prefix(docs, threshold=0.0)
+
+
+def test_prefix_jaccard_bounds_boilerplate_blowup(spark):
+    """On a 100%-df boilerplate corpus the prefix plan must (a) return
+    exactly the brute-force pairs and (b) generate candidate join rows
+    near the true pair count, not n²/2."""
+    from pystreams_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from pystreams_spark.plans.introspect import runtime_metrics
+
+    docs = _boilerplate_corpus(spark)
+    brute = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    )
+    assert len(brute) == 3  # the planted trio only
+    res = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in res.collect())
+    assert got == brute
+    # join-row bound: every SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin
+    # in the plan must emit far fewer rows than the ~20100 all-pairs floor
+    # the unguarded join pays for the boilerplate shingles alone
+    mets = runtime_metrics(res)
+    join_rows = [
+        m["value"]
+        for m in mets
+        if "Join" in m["operator"] and m["metric"] == "numOutputRows"
+    ]
+    assert join_rows, "expected join nodes with row metrics"
+    assert max(join_rows) < 4000, f"hot-shingle blowup not bounded: {join_rows}"
+
+
+def test_inverted_jaccard_max_df_guard(spark):
+    """With a df cap, reported pairs keep their EXACT jaccard (verify
+    runs on full sets) and boilerplate-only pairs are the only loss."""
+    from pystreams_spark.operators.dedup import ngram_jaccard_pairs_inverted
+
+    docs = _boilerplate_corpus(spark)
+    brute = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    )
+    for cap in (10, 0.05):  # absolute count and fraction-of-docs forms
+        capped = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs_inverted(
+                docs, threshold=0.5, n=3, max_df=cap
+            ).collect()
+        )
+        assert capped == brute, f"cap={cap}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        ngram_jaccard_pairs_inverted(docs, threshold=0.5, max_df=1.5)
+
+
+def test_shingle_df_profile_flags_boilerplate(spark):
+    from pystreams_spark.operators.dedup import shingle_df_profile
+
+    docs = _boilerplate_corpus(spark)
+    prof = shingle_df_profile(docs, n=3).collect()
+    top = max(prof, key=lambda r: r.df_bucket_log2)
+    # the boilerplate shingles sit in the top bucket with df≈203 and
+    # dominate the pair-cost column
+    assert top.max_df >= 200
+    assert top.pair_cost > sum(r.pair_cost for r in prof) * 0.9
+
+
 def test_simhash_similar_docs_close_hamming(spark):
     from pystreams_spark.operators.dedup import simhash
 
