@@ -206,6 +206,40 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def materialize(
+    df: DataFrame, checkpoint_dir: str | None = None, eager: bool = True
+) -> DataFrame:
+    """Cut the lineage of an iteration frame — the switch the iterative
+    operators (BPE training, connected components, PageRank, MinHash
+    signatures) thread through as ``checkpoint_dir``.
+
+    - ``checkpoint_dir=None`` → ``localCheckpoint``: fast, but blocks
+      are PINNED to the executors that computed them and are NOT
+      fault-tolerant — on a real cluster, losing one executor
+      mid-iteration kills the whole 30-iteration job. The right
+      default for local[] and short loops.
+    - ``checkpoint_dir=path`` → reliable ``checkpoint`` into that
+      directory (HDFS/S3/NFS on a cluster): iteration state survives
+      executor loss, the posture a 1000-executor, hours-long iterative
+      job needs. Costs a write+read of the frame per cut — frames at
+      the cut points are iteration-state-sized (word tables, rank
+      vectors, shrinking edge lists), not corpus-sized.
+
+    The directory is set once per SparkContext; passing a DIFFERENT
+    directory later re-points it (Spark keeps old checkpoint files
+    readable for already-materialized frames).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    # Spark appends a UUID subdir on setCheckpointDir, so compare the
+    # REQUESTED dir (tracked on the context), not getCheckpointDir()
+    if getattr(sc, "_pystreams_ckpt_dir", None) != str(checkpoint_dir):
+        sc.setCheckpointDir(str(checkpoint_dir))
+        sc._pystreams_ckpt_dir = str(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     """Adaptive broadcast: hint only when the frame is verifiably small.
 

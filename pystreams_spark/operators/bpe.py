@@ -120,6 +120,7 @@ def bpe_train(
     num_merges: int,
     text_col: str = "text",
     min_freq: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -128,15 +129,22 @@ def bpe_train(
     ``min_freq``.
 
     Driver traffic: exactly ONE row per iteration (the argmax). The
-    word table is localCheckpoint'ed per iteration so the lineage stays
+    word table is checkpointed per iteration so the lineage stays
     O(1) instead of stacking ``num_merges`` fold layers onto every
-    subsequent job (each checkpoint is a vocabulary-sized in-memory
+    subsequent job (each checkpoint is a vocabulary-sized
     materialization — cheap at any corpus scale). Checkpoints are EAGER
     on purpose: the argmax is a limit(1) job that may touch only a
     subset of partitions, which would leave a lazy checkpoint
     unmaterialized and silently re-stack the fold lineage.
+
+    ``checkpoint_dir``: by default the per-iteration cut is
+    ``localCheckpoint`` — executor-pinned, not fault-tolerant; on a
+    real cluster pass a reliable directory so a lost executor at merge
+    28/30 doesn't kill the whole training run (``io.materialize``).
     """
-    words = to_symbols(word_freqs(docs, text_col)).localCheckpoint(eager=True)
+    from ..io import materialize
+
+    words = materialize(to_symbols(word_freqs(docs, text_col)), checkpoint_dir)
     learned: list[dict] = []
     for rank in range(1, num_merges + 1):
         best = (
@@ -157,9 +165,10 @@ def bpe_train(
                 "weight": weight,
             }
         )
-        words = words.withColumn(
-            "syms", _merge_fold(F.col("syms"), left, right)
-        ).localCheckpoint(eager=True)
+        words = materialize(
+            words.withColumn("syms", _merge_fold(F.col("syms"), left, right)),
+            checkpoint_dir,
+        )
     return learned, words
 
 

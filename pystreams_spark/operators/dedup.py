@@ -32,7 +32,7 @@ from ..functions.text_kernels import (
     shingle_strings_udf,
     simhash_from_text_udf,
 )
-from ..io import broadcast_if_small, ensure_parallelism
+from ..io import broadcast_if_small, ensure_parallelism, materialize
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -598,7 +598,11 @@ def _cc_union_find_one_task(edges: DataFrame) -> DataFrame:
     return edges.coalesce(1).mapInPandas(uf, "node long, label long")
 
 
-def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+def _cc_alternating_stars(
+    edges: DataFrame,
+    max_rounds: int = 30,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Connected components of a LARGE edge list via alternating
     large-star / small-star contraction (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond", Algorithm 2).
@@ -625,13 +629,13 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             F.least("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    all_nodes = (
+    e = materialize(e, checkpoint_dir)
+    all_nodes = materialize(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        checkpoint_dir,
     )
     # convergence = unchanged edge set; one cheap aggregate per round
     # (count + order-independent XOR-of-hashes) instead of a set-compare
@@ -651,8 +655,8 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
                 F.least(F.col("_m"), F.col("u")).alias("v"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        large = materialize(large, checkpoint_dir)
         smin = large.groupBy("u").agg(F.min("v").alias("_m"))
         e = (
             large.join(smin, "u")
@@ -661,8 +665,8 @@ def _cc_alternating_stars(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
             .filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        e = materialize(e, checkpoint_dir)
         new_sig = tuple(e.agg(F.count("*"), F.bit_xor(F.xxhash64("u", "v"))).first())
         if new_sig == sig:
             break
@@ -682,6 +686,7 @@ def cc_keep_min(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     small_graph_edges: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over duplicate pairs → survivor set.
 
@@ -698,8 +703,8 @@ def cc_keep_min(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    edges = materialize(edges, checkpoint_dir)
     # propagate labels only over nodes that occur in edges — isolated
     # nodes are their own cluster and rejoin at the end. The per-round
     # frames then scale with |dup graph|, not |corpus| (dup graphs are
@@ -708,7 +713,7 @@ def cc_keep_min(
     if edges.count() <= small_graph_edges:
         labels = _cc_union_find_one_task(edges).localCheckpoint(eager=False)
     else:
-        labels = _cc_alternating_stars(edges)
+        labels = _cc_alternating_stars(edges, checkpoint_dir=checkpoint_dir)
     edge_labels = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
@@ -755,10 +760,10 @@ def minhash_candidates_fast(
     triples only. Verification runs array_intersect over 64-bit shingle
     hashes, not shingle strings. Measured at sf0.1: 6.9 s (ml-lib
     approxSimilarityJoin) → ~1.3 s, identical pair semantics."""
-    sh = (
+    sh = materialize(
         ensure_parallelism(df)
-        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
-        .localCheckpoint(eager=True)
+        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh")),
+        checkpoint_dir,
     )
     # materialize signatures once (id + k longs per doc — tiny): the
     # banded self-join has the kernel stage on BOTH sides, and the
@@ -905,6 +910,7 @@ def neardup_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate dedup: banded-MinHash candidates →
     exact-Jaccard verification of candidates only → connected components
@@ -915,31 +921,38 @@ def neardup_dedup(
     candidate pairs, and cluster resolution keeps one doc per duplicate
     group regardless of chain shape (a~b~c collapses to min(a,b,c) even
     when a≁c directly). Returns the surviving rows of ``df``.
+
+    ``checkpoint_dir``: reliable-checkpoint the shingle/signature
+    materializations and the CC iteration frames instead of
+    executor-pinned localCheckpoint (``io.materialize``) — the
+    fault-tolerant posture for cluster runs.
     """
     # One narrow kernel pass computes each doc's hashed shingle set;
     # the checkpointed frame feeds BOTH the band signatures (candidate
     # generation) and the exact-Jaccard verification — the text is
     # tokenized exactly once end-to-end.
-    sh = (
+    sh = materialize(
         ensure_parallelism(df)
-        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
-        .localCheckpoint(eager=True)
+        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh")),
+        checkpoint_dir,
     )
     # materialize the (tiny) signature table once — both sides of the
     # banded self-join and broadcast_if_small's materialization would
     # otherwise each re-run the minhash kernel stage (the reproducible
     # 30× r2 bench regression on this pipeline)
-    sigs = (
+    sigs = materialize(
         sh.filter(F.size("_sh") > 0)
         .select(
             F.col(id_col),
             _minhash_bands_udf(8, 2, seed)(F.col("_sh")).alias("_bands"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        checkpoint_dir,
     )
     cands = _banded_candidate_pairs(sigs, id_col=id_col)
     verified = _verify_pairs_jaccard(sh, sh, cands, threshold, id_col=id_col)
-    clusters = cc_keep_min(verified, df.select(id_col), id_col=id_col)
+    clusters = cc_keep_min(
+        verified, df.select(id_col), id_col=id_col, checkpoint_dir=checkpoint_dir
+    )
     survivors = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
     return df.join(survivors, id_col, "left_semi")
 

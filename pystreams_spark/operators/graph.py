@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import materialize
+
 __all__ = ["pagerank"]
 
 
@@ -76,9 +78,15 @@ def pagerank(
     dst_col: str = "dst",
     round_to: int = 8,
     small_graph_edges: int = 2_000_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over directed ``edges``; returns (node, rank) with
-    Σrank = 1. Nodes = every id appearing as src OR dst."""
+    Σrank = 1. Nodes = every id appearing as src OR dst.
+
+    ``checkpoint_dir``: reliable-checkpoint the per-iteration rank
+    frame (and the reused edge/node frames) into a cluster-visible
+    directory instead of executor-pinned localCheckpoint — see
+    ``io.materialize`` for the fault-tolerance tradeoff."""
     for c in (src_col, dst_col):
         t = dict(edges.dtypes)[c]
         if t not in ("tinyint", "smallint", "int", "bigint"):
@@ -93,8 +101,8 @@ def pagerank(
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    e = materialize(e, checkpoint_dir)
     n_edges = e.count()
     if n_edges == 0:
         raise ValueError("pagerank: empty graph")
@@ -105,8 +113,8 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    nodes = materialize(nodes, checkpoint_dir)
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
@@ -116,8 +124,8 @@ def pagerank(
     w_edges = (
         e.join(out_deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
-        .localCheckpoint(eager=True)
     )
+    w_edges = materialize(w_edges, checkpoint_dir)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
@@ -144,6 +152,6 @@ def pagerank(
                     * (F.coalesce(F.col("_in"), F.lit(0.0)) + F.col("_dm") / n_nodes)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = materialize(ranks, checkpoint_dir)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -592,6 +592,50 @@ def test_shingle_df_profile_flags_boilerplate(spark):
     assert top.pair_cost > sum(r.pair_cost for r in prof) * 0.9
 
 
+def test_reliable_checkpoint_paths_match_local(spark, sf_dir, tmp_path):
+    """Every iterative op accepts checkpoint_dir; the reliable path
+    (disk checkpoint, fault-tolerant) must produce bit-identical
+    results to the default localCheckpoint path, and must actually
+    write checkpoint files."""
+    import os
+
+    from pystreams_spark.operators.bpe import bpe_train
+    from pystreams_spark.operators.dedup import neardup_dedup
+    from pystreams_spark.operators.graph import pagerank
+
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+
+    merges_local, _ = bpe_train(docs, num_merges=5)
+    merges_rel, _ = bpe_train(docs, num_merges=5, checkpoint_dir=ckpt)
+    assert merges_rel == merges_local
+
+    surv_local = sorted(r.doc_id for r in neardup_dedup(docs).select("doc_id").collect())
+    surv_rel = sorted(
+        r.doc_id
+        for r in neardup_dedup(docs, checkpoint_dir=ckpt).select("doc_id").collect()
+    )
+    assert surv_rel == surv_local
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1), (5, 4)], "src long, dst long"
+    )
+    pr_local = {r.node: r.rank for r in pagerank(edges, num_iters=5).collect()}
+    # force the DISTRIBUTED join loop (small_graph_edges=0) so the
+    # per-iteration materialize is actually exercised on the reliable path
+    pr_rel = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, num_iters=5, small_graph_edges=0, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert pr_rel == pr_local
+
+    # the reliable path must have written checkpoint data
+    found = [f for _, _, fs in os.walk(ckpt) for f in fs]
+    assert found, "no checkpoint files written under checkpoint_dir"
+
+
 def test_simhash_similar_docs_close_hamming(spark):
     from pystreams_spark.operators.dedup import simhash
 
