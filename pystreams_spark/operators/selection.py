@@ -169,3 +169,45 @@ def mixture_weights(
         F.round(target, 6).alias("target_share"),
         F.round(F.try_divide(target, actual), 6).alias("weight"),
     )
+
+
+def unigram_surprisal_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    vocab_broadcast_max: int = 5_000_000,
+) -> DataFrame:
+    """Per-document mean unigram surprisal −ln p(w) under a
+    corpus-self-fit unigram model (the cheap stand-in for the KenLM
+    perplexity filters of CCNet/Gopher). Returns
+    (id, carry_cols…, surprisal).
+
+    Scale switch: the vocab (word, count) frame broadcasts onto the
+    token stream only while it is verifiably small
+    (``broadcast_if_small`` under ``vocab_broadcast_max``); above the
+    cap — a web-scale corpus's unigram vocabulary easily exceeds any
+    broadcast budget — the SAME plan falls back to a hash-partitioned
+    shuffle join on the word key. Pass ``vocab_broadcast_max=0`` to
+    force the shuffle form. No UDF anywhere — ln/avg are codegen'd.
+    """
+    from ..functions.text import tokens
+    from ..io import broadcast_if_small
+
+    toks = docs.select(
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.explode(tokens(text_col)).alias("word"),
+    )
+    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = broadcast_if_small(vocab, max_rows=vocab_broadcast_max)
+    tot = vocab.agg(F.sum("cnt").alias("n"))
+    return (
+        toks.join(vocab, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col(id_col), *[F.col(c) for c in carry_cols])
+        .agg(
+            F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))).alias(
+                "surprisal"
+            )
+        )
+    )

@@ -89,16 +89,24 @@ def annotate_recall_vs_exact(
     k: int,
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
+    min_avg_recall: float | None = None,
 ) -> DataFrame:
     """Self-check columns for approximate kNN: flag each approx row as
     in/out of the exact top-k and attach the per-query recall@k. A
     recall regression then changes visible row values in rows-only
     correctness checks instead of drifting silently. ``exact`` is tiny
     (n_queries × k) and broadcast — the check never reshuffles the
-    approx side."""
+    approx side.
+
+    ``min_avg_recall``: hard quality gate — the plan RAISES at
+    execution time (``assert_true``) when the mean recall@k over all
+    result rows falls below the floor, so a recall collapse fails the
+    job instead of merely annotating it. The gate windows over the
+    already-tiny annotated result (n_queries × k rows), never the
+    corpus."""
     hits = exact.select(query_id, corpus_id).withColumn("_hit", F.lit(1))
     w = Window.partitionBy(query_id)
-    return (
+    out = (
         approx.join(F.broadcast(hits), [query_id, corpus_id], "left")
         .withColumn("in_exact_topk", F.col("_hit").isNotNull())
         .withColumn(
@@ -109,6 +117,24 @@ def annotate_recall_vs_exact(
         )
         .drop("_hit")
     )
+    if min_avg_recall is not None:
+        # window must land in a projection (not allowed in WHERE), then
+        # the gate filters on the materialized column
+        out = out.withColumn(
+            "_avg_recall", F.avg("recall_at_k").over(Window.partitionBy())
+        )
+        chk = F.assert_true(
+            F.col("_avg_recall") >= float(min_avg_recall),
+            F.concat(
+                F.lit("ANN recall floor violated: avg recall_at_k "),
+                F.round(F.col("_avg_recall"), 4).cast("string"),
+                F.lit(f" < {min_avg_recall}"),
+            ),
+        )
+        # coalesce(assert_true(...), True): evaluates the gate on every
+        # row (filter is not prunable), passes all rows on success
+        out = out.filter(F.coalesce(chk, F.lit(True))).drop("_avg_recall")
+    return out
 
 
 def _with_ml_vector(df: DataFrame, array_col: str, out_col: str) -> DataFrame:

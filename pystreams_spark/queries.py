@@ -1422,7 +1422,7 @@ def knn_lsh_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5)
     approx = knn_lsh_fast(q, c, k=10)
     exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
-    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+    return annotate_recall_vs_exact(approx, exact, k=10, min_avg_recall=0.6).orderBy(
         "query_id", "dist", "vec_id"
     )
 
@@ -1445,7 +1445,7 @@ def knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5)
     approx = knn_ivf(q, c, k=10, n_probe=4)
     exact = knn_exact(q, c, k=10)
-    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+    return annotate_recall_vs_exact(approx, exact, k=10, min_avg_recall=0.15).orderBy(
         "query_id", F.desc("score"), "vec_id"
     )
 
@@ -3188,7 +3188,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5)
     approx = op(q, c, k=10, n_probe=4)
     exact = knn_exact(q, c, k=10)
-    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+    return annotate_recall_vs_exact(approx, exact, k=10, min_avg_recall=0.15).orderBy(
         "query_id", F.desc("score"), "vec_id"
     )
 
@@ -3213,7 +3213,7 @@ def knn_pq_adc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.filter(F.col("vec_id") >= 5)
     approx = knn_pq_adc(q, c, k=10)
     exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
-    return annotate_recall_vs_exact(approx, exact, k=10).orderBy(
+    return annotate_recall_vs_exact(approx, exact, k=10, min_avg_recall=0.05).orderBy(
         "query_id", "adc_dist", "vec_id"
     )
 
@@ -5675,28 +5675,16 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     document by its mean token surprisal -ln p(w), and report the
     per-language distribution plus how many docs a 4.0-nat threshold
     would flag. Spark-first: the vocab is a grouped count off one
-    explode scan and then BROADCASTS back onto the token stream (at web
-    scale: the standard trick is hash-partitioned vocab join — flip the
-    broadcast() off and the same plan shuffles); per-doc scores are one
-    grouped AVG. No UDF anywhere — ln/avg are codegen'd."""
-    from .functions.text import tokens
+    explode scan and joins back onto the token stream through
+    `operators/selection.unigram_surprisal_scores` — broadcast while
+    the vocab is verifiably small, hash-partitioned shuffle join above
+    the cap (a web-scale unigram vocabulary exceeds any broadcast
+    budget); per-doc scores are one grouped AVG. No UDF anywhere —
+    ln/avg are codegen'd."""
+    from .operators.selection import unigram_surprisal_scores
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang", F.explode(tokens("text")).alias("word")
-    )
-    vocab = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = vocab.agg(F.sum("cnt").alias("n"))
-    scored = (
-        toks.join(F.broadcast(vocab), "word")
-        .crossJoin(F.broadcast(tot))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.avg(-F.log(F.col("cnt").cast("double") / F.col("n"))).alias(
-                "surprisal"
-            )
-        )
-    )
+    scored = unigram_surprisal_scores(d, carry_cols=("lang",))
     return (
         scored.groupBy("lang")
         .agg(
@@ -6044,11 +6032,22 @@ def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup the paper's way: KMeans cells (driver-bounded Lloyd fit,
     broadcast assignment kernel — no shuffle) scope the pairwise pass.
-    Emits the above-threshold pairs with exact cosine scores."""
+    Emits the above-threshold pairs with exact cosine scores, behind a
+    hard validity gate: the plan raises if any reported score leaves
+    [threshold, 1] — a kernel normalization regression fails the job
+    instead of shipping wrong similarity values."""
     from .operators.similarity import semantic_dedup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(e, threshold=0.35, n_cells=8, seed=42).orderBy(
+    pairs = semantic_dedup_pairs(e, threshold=0.35, n_cells=8, seed=42)
+    chk = F.assert_true(
+        (F.col("score") >= 0.35) & (F.col("score") <= 1.000001),
+        F.concat(
+            F.lit("semantic_dedup_kmeans: invalid cosine score "),
+            F.col("score").cast("string"),
+        ),
+    )
+    return pairs.filter(F.coalesce(chk, F.lit(True))).orderBy(
         "cluster", "id_a", "id_b"
     )
 

@@ -592,6 +592,57 @@ def test_shingle_df_profile_flags_boilerplate(spark):
     assert top.pair_cost > sum(r.pair_cost for r in prof) * 0.9
 
 
+def test_ann_recall_floor_raises(spark, sf_dir):
+    """min_avg_recall must RAISE at execution when violated and pass
+    silently when met — a recall collapse fails the job, not just the
+    annotation."""
+    import pytest as _pytest
+
+    from pystreams_spark.operators.similarity import annotate_recall_vs_exact
+
+    exact = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, vec_id long"
+    )
+    good = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 2, 0.8)], "query_id long, vec_id long, score double"
+    )
+    bad = spark.createDataFrame(
+        [(0, 7, 0.9), (0, 8, 0.8)], "query_id long, vec_id long, score double"
+    )
+    ok = annotate_recall_vs_exact(good, exact, k=2, min_avg_recall=0.9).collect()
+    assert len(ok) == 2 and all(r.recall_at_k == 1.0 for r in ok)
+    with _pytest.raises(Exception, match="recall floor violated"):
+        annotate_recall_vs_exact(bad, exact, k=2, min_avg_recall=0.5).collect()
+
+
+def test_unigram_surprisal_vocab_join_switch(spark, sf_dir):
+    """Above the broadcast cap the vocab join must be a shuffle join
+    (no BroadcastHashJoin on the word key), with identical scores."""
+    from pystreams_spark.operators.selection import unigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents").limit(150)
+    bc = unigram_surprisal_scores(docs, carry_cols=("lang",))
+    sh = unigram_surprisal_scores(
+        docs, carry_cols=("lang",), vocab_broadcast_max=0
+    )
+    a = {r.doc_id: round(r.surprisal, 9) for r in bc.collect()}
+    b = {r.doc_id: round(r.surprisal, 9) for r in sh.collect()}
+    assert a == b and len(a) == 150
+
+    # plan assertion on the HINT, not the physical join: above the cap
+    # no broadcast hint may be planted on the vocab join (AQE may still
+    # convert at runtime from its own size estimate — which is exactly
+    # the adaptive behavior we want, and which it would not do at web
+    # scale). The 1-row total is always hinted, so count hints: the
+    # broadcast form carries 2 (vocab + total), the shuffle form 1.
+    def n_broadcast_hints(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("strategy=broadcast")
+
+    assert n_broadcast_hints(bc) == 2
+    assert n_broadcast_hints(sh) == 1
+
+
 def test_reliable_checkpoint_paths_match_local(spark, sf_dir, tmp_path):
     """Every iterative op accepts checkpoint_dir; the reliable path
     (disk checkpoint, fault-tolerant) must produce bit-identical
