@@ -156,12 +156,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_neardup_graph", "jaccard_similarity_histogram",
         "bpe_corpus_compression",
         # new in round 5
-        "pack_training_sequences_sorted", "drift_report_lineitem",
+        "pack_training_sequences_sorted", "events_value_drift",
         "knn_pq_refined", "doc_minhash_cardinality",
         "tokens_per_byte_by_lang", "source_lang_contingency",
         "dedup_survivor_quality_shift", "domain_balance_report",
         "zipf_fit_by_lang", "ann_ivf_recall_curve",
         "contamination_overlap_profile", "dup_rate_by_source",
+        "media_decode_report",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

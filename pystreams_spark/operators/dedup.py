@@ -760,10 +760,10 @@ def minhash_candidates_fast(
     triples only. Verification runs array_intersect over 64-bit shingle
     hashes, not shingle strings. Measured at sf0.1: 6.9 s (ml-lib
     approxSimilarityJoin) → ~1.3 s, identical pair semantics."""
-    sh = materialize(
+    sh = (
         ensure_parallelism(df)
-        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh")),
-        checkpoint_dir,
+        .select(F.col(id_col), hashed_shingles_udf(n)(F.col(text_col)).alias("_sh"))
+        .localCheckpoint(eager=True)
     )
     # materialize signatures once (id + k longs per doc — tiny): the
     # banded self-join has the kernel stage on BOTH sides, and the

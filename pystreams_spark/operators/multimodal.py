@@ -4,11 +4,19 @@ Payloads are opaque ``binary`` columns with a typed metadata struct —
 the parquet-native layout for 100 TB multimodal corpora (bytes stay
 columnar, metadata prunes without touching payloads).
 
-The actual codecs (PIL/ffmpeg/...) are NOT in this container, so the
-decode kernels are stubbed: ``decode_stub=True`` produces deterministic
-fake features (hash-derived), and the real import path raises
-NotImplementedError. Everything Spark-side — schema, Arrow batch shape,
-partitioning, UDF signatures — is real and tested.
+Decode tiers:
+
+- ``decode_media_features`` REALLY decodes the self-describing
+  uncompressed formats — WAV/RIFF PCM audio, BMP (24/32-bit
+  uncompressed), PPM (P6) — with numpy alone: header parse →
+  ``np.frombuffer`` → per-modality features (dims, mean RGB, grayscale
+  thumbnail; sample rate, duration, RMS, zero-crossing rate). This is
+  the production kernel shape (bytes→array→features inside an Arrow
+  batch), not a mock.
+- Compressed codecs (JPEG/PNG/MP4...) need PIL/ffmpeg, which are NOT
+  in this container: those payloads yield NULL features with a reason
+  (or raise, policy-switchable). ``decode_features``'s hash-stub path
+  remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -146,3 +154,223 @@ def media_stats(df: DataFrame, meta_col: str = "meta") -> DataFrame:
             "avg_duration_ms"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders — numpy-only, for the self-describing uncompressed formats
+# ---------------------------------------------------------------------------
+
+_FEATURE_FIELDS = (
+    "kind string, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, thumb array<float>, sample_rate int, n_channels int, "
+    "duration_ms bigint, rms double, zero_crossing_rate double, "
+    "decode_error string"
+)
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM parser: fmt chunk → sample layout, data chunk →
+    int16/uint8/int32 samples via np.frombuffer. Raises ValueError on
+    malformed headers or non-PCM encodings."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_fmt}) needs a codec")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM bit depth {bits}")
+    samples = np.frombuffer(data, dtype=dtype)
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    x = samples.astype(np.float64)
+    if bits == 8:
+        x = x - 128.0
+    scale = float(2 ** (bits - 1))
+    x = x / scale
+    n = len(x)
+    rms = float(np.sqrt((x * x).mean())) if n else 0.0
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    return {
+        "kind": "audio",
+        "sample_rate": int(sample_rate),
+        "n_channels": int(n_channels),
+        "duration_ms": int(n * 1000 / sample_rate) if sample_rate else 0,
+        "rms": round(rms, 6),
+        "zero_crossing_rate": round(zcr, 6),
+    }
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24/32-bit BMP → (H, W, 3) uint8 RGB array. BMP rows
+    are bottom-up and padded to 4-byte boundaries."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise ValueError("BMP core-header variant unsupported")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) needs a codec")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    row_stride = (width * bytes_pp + 3) & ~3
+    need = data_off + row_stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height, offset=data_off
+    ).reshape(height, row_stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        px = px[::-1]
+    # BMP stores BGR(A) — reorder to RGB
+    return px[:, :, 2::-1][:, :, :3].copy()
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6) → (H, W, 3) uint8 RGB array."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> with comments/whitespace
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def image_thumbnail(arr, grid: int = 4):
+    """Nearest-neighbor downsample to a grid×grid GRAYSCALE thumbnail,
+    flattened to grid² floats in [0,1] — the cheap content embedding
+    near-dup image screens bucket on."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(grid) * h // grid).clip(0, h - 1)
+    xs = (np.arange(grid) * w // grid).clip(0, w - 1)
+    gray = arr[ys][:, xs].astype(np.float64).mean(axis=2) / 255.0
+    return [float(v) for v in gray.ravel()]
+
+
+def _decode_one(payload: bytes, thumb_grid: int) -> dict:
+    """Magic-byte sniff → decoder → unified feature dict."""
+    out: dict = {
+        "kind": None, "width": None, "height": None,
+        "mean_r": None, "mean_g": None, "mean_b": None, "thumb": None,
+        "sample_rate": None, "n_channels": None, "duration_ms": None,
+        "rms": None, "zero_crossing_rate": None, "decode_error": None,
+    }
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out.update(_decode_wav(payload))
+        elif payload[:2] == b"BM" or payload[:2] == b"P6":
+            arr = _decode_bmp(payload) if payload[:2] == b"BM" else _decode_ppm(payload)
+            means = arr.astype("float64").reshape(-1, 3).mean(axis=0)
+            out.update(
+                kind="image",
+                width=int(arr.shape[1]),
+                height=int(arr.shape[0]),
+                mean_r=round(float(means[0]), 6),
+                mean_g=round(float(means[1]), 6),
+                mean_b=round(float(means[2]), 6),
+                thumb=image_thumbnail(arr, thumb_grid),
+            )
+        else:
+            raise NotImplementedError(
+                "compressed/unknown format — JPEG/PNG/MP4 decode requires "
+                "PIL/ffmpeg, not available in this container"
+            )
+    except (ValueError, NotImplementedError, IndexError) as exc:
+        out["kind"] = "undecodable"
+        out["decode_error"] = str(exc)
+    return out
+
+
+def decode_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    thumb_grid: int = 4,
+    on_undecodable: str = "keep",
+) -> DataFrame:
+    """REAL media decode over the binary column — numpy-only decoders
+    for WAV PCM / BMP / PPM payloads, producing per-modality features:
+    images → (width, height, mean RGB, grid² grayscale thumbnail),
+    audio → (sample rate, channels, duration, RMS, zero-crossing rate).
+
+    Payloads needing an external codec (JPEG/MP4/...) come back with
+    kind='undecodable' and the reason in ``decode_error`` —
+    ``on_undecodable='error'`` raises instead (strict-ingest mode).
+    Runs as mapInPandas: Arrow batches in, one numpy decode per payload
+    (decoding is inherently per-item; the batch amortizes dispatch).
+    The payload column is consumed inside the kernel and NOT carried
+    into the output, so downstream plans stay narrow.
+    """
+    import pandas as pd
+
+    keep = [f for f in df.schema.fields if f.name != payload_col]
+    keep_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in keep)
+    schema = f"{keep_ddl}, {_FEATURE_FIELDS}" if keep_ddl else _FEATURE_FIELDS
+    keep_names = [f.name for f in keep]
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = [
+                _decode_one(bytes(b) if b is not None else b"", thumb_grid)
+                for b in pdf[payload_col]
+            ]
+            fdf = pd.DataFrame(feats)
+            if on_undecodable == "error":
+                bad = fdf[fdf["kind"] == "undecodable"]
+                if len(bad):
+                    raise NotImplementedError(
+                        f"{len(bad)} undecodable payload(s); first error: "
+                        f"{bad['decode_error'].iloc[0]}"
+                    )
+            out = pd.concat(
+                [pdf[keep_names].reset_index(drop=True), fdf], axis=1
+            )
+            yield out
+
+    return df.mapInPandas(kernel, schema)

@@ -90,3 +90,57 @@ def pack_sequences(
     return tagged.mapInPandas(
         pack, f"{id_col} long, n_tokens long, bin_id long, bin_fill long"
     )
+
+
+def pack_sequences_contiguous(
+    df: DataFrame,
+    max_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic, partitioning-INDEPENDENT packing: documents in the
+    fixed global order (tokens desc, id) form contiguous bins at budget
+    multiples — ``bin_id = floor(cumsum_before / max_tokens)``. A
+    boundary-straddling document stays with the bin it started in, so a
+    bin's fill can exceed the budget by less than one document (and
+    under-fills never exceed one document either) — the semantics of
+    budget-aligned contiguous sharding, stated up front instead of the
+    NP-hard optimum.
+
+    Why it exists next to ``pack_sequences``: the FFD variant packs
+    tighter but namespaces bin ids by partition (output depends on
+    physical layout → rows-only checkable); this one's output is a pure
+    function of the data — same bins on any cluster, any partition
+    count, any engine — which makes it SQL-oracle-checkable and
+    reproducible run-to-run. The cumsum is the distributed two-pass
+    window-free form (``selection.ordered_cumsum``): one range shuffle
+    + broadcast offsets, no single-partition Window cliff; the
+    ``bin_fill`` column is one hash-partitioned window over narrow
+    (id, tokens, bin) rows.
+
+    Returns (id, n_tokens, bin_id, bin_fill).
+    """
+    from pyspark.sql import Window
+
+    from .selection import ordered_cumsum
+
+    base = df.select(
+        F.col(id_col), F.col(token_col).cast("long").alias("n_tokens")
+    )
+    cum = ordered_cumsum(
+        base,
+        [F.col("n_tokens").desc(), F.col(id_col)],
+        "n_tokens",
+        out_col="_cum",
+    )
+    binned = cum.withColumn(
+        "bin_id",
+        F.floor((F.col("_cum") - F.col("n_tokens")) / max_tokens).cast("long"),
+    )
+    fill = F.sum("n_tokens").over(Window.partitionBy("bin_id"))
+    return binned.select(
+        id_col,
+        "n_tokens",
+        "bin_id",
+        fill.cast("long").alias("bin_fill"),
+    )

@@ -786,6 +786,76 @@ def knn_pq_adc(
     )
 
 
+def knn_pq_refined(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    shortlist: int = 50,
+    m: int = 8,
+    n_codes: int = 16,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """PQ ANN with EXACT RE-RANKING (the standard two-stage serving
+    shape, Jégou et al. §V): ADC over compressed codes produces a
+    ``shortlist`` of candidates per query, then only those candidate
+    vectors are fetched at full precision and re-ranked by exact L2.
+    Recall@k becomes the ADC shortlist's recall@shortlist — far above
+    raw ADC@k — while full-precision distance work drops from |corpus|
+    to nq × shortlist.
+
+    Scale shape: the shortlist (nq × shortlist id pairs — KBs) rides
+    ``broadcast_if_small`` back onto the corpus scan, so candidate
+    vectors are fetched by a broadcast semi-probe, never a corpus
+    shuffle; the re-rank itself is nq × shortlist rows of Column
+    algebra. Returns (query_id, corpus_id, dist) — exact L2 on the
+    survivors."""
+    from ..functions.vector import as_double, dot, l2_norm
+
+    cand = knn_pq_adc(
+        queries,
+        corpus,
+        k=shortlist,
+        m=m,
+        n_codes=n_codes,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        seed=seed,
+        round_to=round_to,
+    ).select(query_id, corpus_id)
+    cvec = corpus.select(
+        F.col(corpus_id),
+        as_double(vec_col).alias("_cvec"),
+        l2_norm(vec_col).alias("_cnorm"),
+    )
+    qvec = queries.select(
+        F.col(query_id),
+        as_double(vec_col).alias("_qvec"),
+        l2_norm(vec_col).alias("_qnorm"),
+    )
+    fetched = cvec.join(broadcast_if_small(cand), corpus_id).join(
+        F.broadcast(qvec), query_id
+    )
+    dist = F.sqrt(
+        F.greatest(
+            F.col("_qnorm") * F.col("_qnorm")
+            - 2.0 * dot(F.col("_qvec"), F.col("_cvec"))
+            + F.col("_cnorm") * F.col("_cnorm"),
+            F.lit(0.0),
+        )
+    )
+    reranked = fetched.select(
+        query_id, corpus_id, F.round(dist, round_to).alias("dist")
+    )
+    return top_k_per_group(
+        reranked, [query_id], [F.asc("dist"), F.asc(corpus_id)], k=k
+    )
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup — cluster-scoped semantic deduplication
 # ---------------------------------------------------------------------------

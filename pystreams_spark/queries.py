@@ -1531,6 +1531,47 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_training_sequences_sorted",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY n_tokens DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tokens AS cum_before
+        FROM toks
+    ),
+    b AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS bin_id
+        FROM c
+    )
+    SELECT doc_id, n_tokens, bin_id,
+           CAST(SUM(n_tokens) OVER (PARTITION BY bin_id) AS BIGINT) AS bin_fill
+    FROM b ORDER BY doc_id
+    """,
+)
+def pack_training_sequences_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioning-INDEPENDENT sequence packing: global (tokens desc,
+    id) order, contiguous bins at 512-token budget multiples — the
+    output is a pure function of the data, so unlike the per-partition
+    FFD variant it is fully SQL-oracle-checkable and reproducible on
+    any cluster layout (`operators/packing.pack_sequences_contiguous`).
+    The cumsum is the window-free two-pass distributed form."""
+    from .functions.text import token_count
+    from .operators.packing import pack_sequences_contiguous
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return pack_sequences_contiguous(d, max_tokens=512).orderBy("doc_id")
+
+
+@query(
     "winnowing_fingerprints",
     oracle="""
     WITH g0 AS (
@@ -6450,27 +6491,31 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _drift_oracle_sql() -> str:
-    """DuckDB replication of drift_report(ref, cur, cols, 10) for the
-    discount-split lineitem drift query — generated per column from the
-    same fixed-width-bin / Laplace-smoothing recipe."""
+def _drift_oracle_for(
+    src_sql: str, ref_pred: str, cur_pred: str, cols: list[str]
+) -> str:
+    """DuckDB replication of drift_report(ref, cur, cols, 10) —
+    generated per column from the same fixed-width-bin /
+    Laplace-smoothing recipe, over any derived source table split by
+    two predicates."""
     per_col = """
     SELECT '{c}' AS "column", n_ref, n_cur, psi, ks FROM (
-      WITH stats AS (
+      WITH src AS ({src}),
+      stats AS (
         SELECT MIN(CAST({c} AS DOUBLE)) AS lo, MAX(CAST({c} AS DOUBLE)) AS hi
-        FROM lineitem WHERE l_discount <= 0.05
+        FROM src WHERE {ref}
       ),
       rb AS (
         SELECT CAST(LEAST(GREATEST(CASE WHEN (hi - lo) / 10 > 0
                  THEN FLOOR((CAST({c} AS DOUBLE) - lo) / ((hi - lo) / 10)) ELSE 0 END,
                0), 9) AS INT) AS bin, COUNT(*) AS n
-        FROM lineitem, stats WHERE l_discount <= 0.05 AND {c} IS NOT NULL GROUP BY 1
+        FROM src, stats WHERE ({ref}) AND {c} IS NOT NULL GROUP BY 1
       ),
       cb AS (
         SELECT CAST(LEAST(GREATEST(CASE WHEN (hi - lo) / 10 > 0
                  THEN FLOOR((CAST({c} AS DOUBLE) - lo) / ((hi - lo) / 10)) ELSE 0 END,
                0), 9) AS INT) AS bin, COUNT(*) AS n
-        FROM lineitem, stats WHERE l_discount > 0.05 AND {c} IS NOT NULL GROUP BY 1
+        FROM src, stats WHERE ({cur}) AND {c} IS NOT NULL GROUP BY 1
       ),
       bins AS (SELECT CAST(unnest(range(10)) AS INT) AS bin),
       j AS (
@@ -6491,8 +6536,23 @@ def _drift_oracle_sql() -> str:
              ROUND(MAX(cdf_diff), 6) AS ks
       FROM w
     )"""
-    cols = ["l_extendedprice", "l_quantity", "l_tax"]
-    return "\nUNION ALL\n".join(per_col.format(c=c) for c in cols) + '\nORDER BY "column"'
+    return (
+        "\nUNION ALL\n".join(
+            per_col.format(c=c, src=src_sql, ref=ref_pred, cur=cur_pred)
+            for c in cols
+        )
+        + '\nORDER BY "column"'
+    )
+
+
+def _drift_oracle_sql() -> str:
+    """Discount-split lineitem drift oracle (the r4 original)."""
+    return _drift_oracle_for(
+        "SELECT * FROM lineitem",
+        "l_discount <= 0.05",
+        "l_discount > 0.05",
+        ["l_extendedprice", "l_quantity", "l_tax"],
+    )
 
 
 @query("lineitem_discount_drift", oracle=_drift_oracle_sql())
@@ -6511,6 +6571,35 @@ def lineitem_discount_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_report(
         ref, cur, ["l_extendedprice", "l_quantity", "l_tax"]
     ).orderBy("column")
+
+
+@query(
+    "events_value_drift",
+    oracle=_drift_oracle_for(
+        "SELECT event_type, CAST(value AS DOUBLE) AS value, "
+        "CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS event_hour FROM events",
+        "event_type = 'view'",
+        "event_type = 'purchase'",
+        ["value", "event_hour"],
+    ),
+)
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral drift between event populations: PSI + binned KS of
+    the value and hour-of-day distributions, view events as the
+    reference vs purchase events as the probe — the "does the paying
+    cohort behave differently" monitor. Exercises the scan-shared
+    multi-column drift_report (3 input scans total for any number of
+    columns) on a second table and a derived time column."""
+    from .operators.drift import drift_report
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("event_hour"),
+    )
+    ref = ev.filter(F.col("event_type") == "view")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return drift_report(ref, cur, ["value", "event_hour"]).orderBy("column")
 
 
 @query(
@@ -6560,4 +6649,721 @@ def jaccard_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("sim_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.K round-5 corpus analytics: source balance, dup rates, Zipf, quality
+# shift, contingency, token density
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokens_per_byte_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / SUM(n_chars), 6)
+             AS tokens_per_char,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def tokens_per_byte_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token density per language — the compression-rate proxy a
+    tokenizer team tracks per corpus slice (chars/token varies 2-4×
+    across languages and directly prices the token budget). ONE
+    grouped scan, all Column algebra."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            token_count("text").alias("n_tokens"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_chars"), 6
+            ).alias("tokens_per_char"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dup_rate_by_source",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, md5(text) AS h FROM documents
+    ),
+    dup_keys AS (
+        SELECT h FROM (SELECT h, COUNT(*) AS c FROM keyed GROUP BY h)
+        WHERE c > 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h IN (SELECT h FROM dup_keys)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           ROUND(AVG(CASE WHEN h IN (SELECT h FROM dup_keys)
+                          THEN 1.0 ELSE 0.0 END), 6) AS dup_rate
+    FROM keyed GROUP BY source ORDER BY source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the per-provider quality
+    signal a curation team reads before renegotiating a feed: which
+    sources ship copies of corpus-wide content. Dup keys (md5 groups
+    with >1 member, CORPUS-wide so cross-source copies count for both
+    sides) broadcast back onto the keyed scan; the text itself never
+    shuffles."""
+    from .io import broadcast_if_small
+
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select("source", F.md5(F.col("text")).alias("h"))
+    dup_keys = (
+        keyed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    flagged = keyed.join(
+        broadcast_if_small(dup_keys.withColumn("_dup", F.lit(1))), "h", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dup_docs"),
+            F.round(F.avg(F.col("_dup").isNotNull().cast("double")), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "dedup_survivor_quality_shift",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(text) AS h
+        FROM documents
+    ),
+    keep AS (
+        SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h
+    ),
+    survivors AS (
+        SELECT b.* FROM base b JOIN keep k
+        ON b.h = k.h AND b.doc_id = k.keep_id
+    )
+    SELECT b.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST((SELECT COUNT(*) FROM survivors s WHERE s.lang = b.lang)
+                AS BIGINT) AS n_after,
+           ROUND(AVG(CAST(b.n_tokens AS DOUBLE)), 6) AS avg_tokens_before,
+           ROUND((SELECT AVG(CAST(s.n_tokens AS DOUBLE)) FROM survivors s
+                  WHERE s.lang = b.lang), 6) AS avg_tokens_after,
+           ROUND(AVG(CAST(b.n_chars AS DOUBLE)), 6) AS avg_chars_before,
+           ROUND((SELECT AVG(CAST(s.n_chars AS DOUBLE)) FROM survivors s
+                  WHERE s.lang = b.lang), 6) AS avg_chars_after
+    FROM base b GROUP BY b.lang ORDER BY b.lang
+    """,
+)
+def dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup does to the corpus profile: per language, doc
+    counts and mean token/char lengths BEFORE vs AFTER min-id exact
+    dedup — the sanity report that catches a dedup pass eating one
+    language's long tail. Survivor pick is the md5-keyed min-id rule
+    (engine-portable); both profiles come from grouped aggregates of
+    the same single keyed scan."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        token_count("text").alias("n_tokens"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    surv = base.join(
+        keep,
+        (base.h == keep.h) & (base.doc_id == keep.keep_id),
+        "left_semi",
+    )
+    before = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias(
+            "avg_tokens_before"
+        ),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+            "avg_chars_before"
+        ),
+    )
+    after = surv.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias(
+            "avg_tokens_after"
+        ),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+            "avg_chars_after"
+        ),
+    )
+    return (
+        before.join(after, "lang")
+        .select(
+            "lang",
+            "n_before",
+            "n_after",
+            "avg_tokens_before",
+            "avg_tokens_after",
+            "avg_chars_before",
+            "avg_chars_after",
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "domain_balance_report",
+    oracle=f"""
+    WITH per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS group_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(group_tokens) AS total, COUNT(*) AS n_groups FROM per)
+    SELECT source, n_docs, group_tokens,
+           ROUND(CAST(group_tokens AS DOUBLE) / total, 6) AS actual_share,
+           ROUND(1.0 / n_groups, 6) AS target_share,
+           ROUND((1.0 / n_groups) / (CAST(group_tokens AS DOUBLE) / total), 6)
+             AS weight
+    FROM per, tot
+    ORDER BY source
+    """,
+)
+def domain_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain (source) rebalancing weights — same machinery as the
+    language mixture (`operators/selection.mixture_weights`) pointed at
+    the provider axis: which feeds dominate the token budget and the
+    up/downsampling weight that levels them."""
+    from .functions.text import token_count
+    from .operators.selection import mixture_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return mixture_weights(d, "source", "n_tokens").orderBy("source")
+
+
+@query(
+    "source_lang_contingency",
+    oracle="""
+    WITH obs AS (
+        SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM documents GROUP BY source, lang
+    ),
+    rt AS (SELECT source, SUM(o) AS r FROM obs GROUP BY source),
+    ct AS (SELECT lang, SUM(o) AS c FROM obs GROUP BY lang),
+    n AS (SELECT SUM(o) AS n FROM obs)
+    SELECT CAST(n.n AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS n_sources,
+           CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS n_langs,
+           CAST(((SELECT COUNT(*) FROM rt) - 1)
+              * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT) AS dof,
+           ROUND(SUM(POW(obs.o - rt.r * ct.c / n.n, 2)
+                     / (rt.r * ct.c / n.n)), 6) AS chi2
+    FROM obs JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n
+    GROUP BY n.n ORDER BY n_docs
+    """,
+)
+def source_lang_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of the source × language
+    contingency table — "do providers specialize by language?" is the
+    first stratification question a corpus audit asks. Observed cell
+    counts come from one grouped scan; marginals re-aggregate the
+    TINY cell table (|sources| × |langs| rows) and broadcast back, so
+    nothing beyond the first groupBy touches the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    obs = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rt = obs.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("n"), F.col("n_sources"), F.col("n_langs"))
+        .agg(F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"))
+        .select(
+            F.col("n").cast("long").alias("n_docs"),
+            "n_sources",
+            "n_langs",
+            ((F.col("n_sources") - 1) * (F.col("n_langs") - 1)).alias("dof"),
+            "chi2",
+        )
+        .orderBy("n_docs")
+    )
+
+
+@query(
+    "zipf_fit_by_lang",
+    oracle=f"""
+    WITH w AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    freq AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS f
+        FROM w GROUP BY lang, word
+    ),
+    ranked AS (
+        SELECT lang, f,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY f DESC, word) AS rnk
+        FROM freq
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words_used,
+           ROUND(regr_slope(ln(CAST(f AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(ln(CAST(f AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS fit_r2
+    FROM ranked WHERE rnk <= 300
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def zipf_fit_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: slope of ln(freq) on ln(rank) over
+    each language's top-300 words (natural text sits near −1; a flat
+    or erratic slope flags templated/generated content — a cheap
+    corpus-naturalness screen). Word counts are one explode+groupBy;
+    ranking windows over the per-language frequency table (vocab-sized,
+    partitioned by lang); the regression aggregates 300 rows per
+    language. Tie-break on word keeps ranks engine-identical."""
+    from .functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), "word")
+    ranked = freq.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 300
+    )
+    lf = F.log(F.col("f").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words_used"),
+            F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+            F.round(F.regr_r2(lf, lr), 6).alias("fit_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "doc_minhash_cardinality",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+                 i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, lang,
+               CAST(len(sh) AS BIGINT) AS exact_distinct,
+               list_sort(list_distinct(list_transform(sh,
+                 x -> ('0x' || substr(md5(x), 1, 12))::BIGINT
+                        / 281474976710656.0))) AS hs
+        FROM s
+    ),
+    est AS (
+        SELECT doc_id, lang, exact_distinct,
+               CASE WHEN len(hs) < 24 THEN CAST(len(hs) AS DOUBLE)
+                    ELSE 23.0 / hs[24] END AS kmv_raw
+        FROM h
+    )
+    SELECT doc_id, lang, exact_distinct,
+           ROUND(kmv_raw, 4) AS kmv_est,
+           ROUND(ABS(kmv_raw - exact_distinct) / exact_distinct, 4)
+             AS rel_err
+    FROM est ORDER BY doc_id
+    """,
+)
+def doc_minhash_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-shingle estimator per document
+    (Bar-Yossef et al. 2002 — the sketch family HLL generalizes),
+    deterministic via md5 hashing so the SKETCH ITSELF is
+    oracle-checkable — rare among sketches, and the point: the exact
+    count sits beside the estimate, so the oracle pins both the
+    estimator's arithmetic and its actual error. Everything is narrow
+    per-row array algebra (shingle → hash → sort → k-th minimum): no
+    shuffle, no UDF, embarrassingly parallel at any scale."""
+    from .functions.text import shingles
+
+    k = 24
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lit(281474976710656.0)  # 2^48 — 12 hex digits
+    hs = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.col("sh"),
+                lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast(
+                    "double"
+                )
+                / norm,
+            )
+        )
+    )
+    base = d.select(
+        "doc_id", "lang", shingles("text", 3).alias("sh")
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("sh").cast("long").alias("exact_distinct"),
+        hs.alias("hs"),
+    )
+    kmv_raw = F.when(
+        F.size("hs") < k, F.size("hs").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.element_at("hs", k))
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            "exact_distinct",
+            F.round(kmv_raw, 4).alias("kmv_est"),
+            F.round(
+                F.abs(kmv_raw - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "contamination_overlap_profile",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8))::BIGINT
+                 / 4294967296.0 AS frac,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len({_TOKS_SQL}) - 7, 1)),
+                 i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 7), ' ')
+               )) AS grams
+        FROM documents
+    ),
+    train_g AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM base WHERE frac < 0.9
+    ),
+    eval_g AS (
+        SELECT doc_id, unnest(grams) AS gram FROM base WHERE frac >= 0.9
+    ),
+    per_doc AS (
+        SELECT e.doc_id,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM eval_g e LEFT JOIN train_g t ON e.gram = t.gram
+        GROUP BY e.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, CAST(n_hit AS DOUBLE) / n_grams AS overlap
+        FROM per_doc
+    )
+    SELECT CASE WHEN overlap = 0 THEN '0_none'
+                WHEN overlap <= 0.1 THEN '1_low'
+                WHEN overlap <= 0.5 THEN '2_medium'
+                ELSE '3_high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(overlap), 6) AS avg_overlap
+    FROM scored GROUP BY 1 ORDER BY band
+    """,
+)
+def contamination_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination PROFILE: deterministic 90/10 train/eval
+    split (md5 membership), then for every eval document the fraction
+    of its distinct 8-gram spans that also occur anywhere in train —
+    bucketed into none/low/medium/high bands. The decontamination
+    op answers "drop these docs"; this answers the prior question of
+    HOW MUCH leakage exists and how it is distributed. Scale shape:
+    one distinct-gram table for train (the only big shuffle, gram keys
+    only), eval grams probe it with a left join; at web scale swap the
+    gram string for a 64-bit hash (kept as strings here so the whole
+    profile is engine-portable and oracle-checked)."""
+    from .functions.text import shingles
+
+    d = _t(spark, sf_dir, "documents")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split42"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    base = d.select(
+        "doc_id", frac.alias("frac"), shingles("text", 8).alias("grams")
+    )
+    train_g = (
+        base.filter(F.col("frac") < 0.9)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_g = base.filter(F.col("frac") >= 0.9).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    per_doc = (
+        eval_g.join(train_g, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("_hit").isNotNull().cast("long")).alias("n_hit"),
+        )
+    )
+    overlap = F.col("n_hit").cast("double") / F.col("n_grams")
+    band = (
+        F.when(overlap == 0, "0_none")
+        .when(overlap <= 0.1, "1_low")
+        .when(overlap <= 0.5, "2_medium")
+        .otherwise("3_high")
+    )
+    return (
+        per_doc.select(band.alias("band"), overlap.alias("overlap"))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+        )
+        .orderBy("band")
+    )
+
+
+@query("knn_pq_refined")  # two-stage ANN: compressed-code shortlist →
+# exact re-rank. KMeans codebooks are engine-seeded → no SQL oracle;
+# recall columns vs exact L2 top-k are the value-level self-check and the
+# min_avg_recall gate makes a recall collapse raise instead of drifting.
+def knn_pq_refined_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ + exact re-rank (`operators/similarity.knn_pq_refined`): ADC
+    over 8-byte codes shortlists 50 candidates/query, only those fetch
+    full-precision vectors (broadcast semi-probe, no corpus shuffle)
+    for exact L2 re-ranking. Recall@10 rises to the shortlist's
+    recall@50 — the standard serving topology for RAM-resident
+    billion-vector indexes."""
+    from .operators.similarity import (
+        annotate_recall_vs_exact,
+        knn_exact,
+        knn_pq_refined,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    approx = knn_pq_refined(q, c, k=10, shortlist=50)
+    exact = knn_exact(q, c, k=10, metric="l2", score_col="dist")
+    return annotate_recall_vs_exact(
+        approx, exact, k=10, min_avg_recall=0.3
+    ).orderBy("query_id", "dist", "vec_id")
+
+
+@query("ann_ivf_recall_curve")  # engine-seeded centroid sample → no SQL
+# oracle; the curve carries its own proof: candidate cells NEST as
+# n_probe grows, so recall must be non-decreasing — violated ⇒ the plan
+# raises (assert_true), making the rows-only verdict self-certifying.
+def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost calibration curve an ANN deployment is tuned
+    from: recall@10 of IVF search at n_probe ∈ {1,2,4,8} of 16 cells
+    against exact L2 top-k. Exact ground truth is computed ONCE and
+    re-probed per setting; each IVF pass touches ~n_probe/16 of the
+    corpus. The monotonicity gate (nested candidate sets ⇒
+    non-decreasing recall) runs over the 4-row curve."""
+    from functools import reduce
+
+    from .operators.similarity import knn_exact, knn_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    exact = (
+        knn_exact(q, c, k=10, metric="l2", score_col="dist")
+        .select("query_id", "vec_id")
+        .withColumn("_h", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for n_probe in (1, 2, 4, 8):
+        approx = knn_ivf(q, c, k=10, n_cells=16, n_probe=n_probe)
+        hit = approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
+        parts.append(
+            hit.agg(
+                F.lit(n_probe).alias("n_probe"),
+                F.count(F.lit(1)).alias("n_results"),
+                F.round(
+                    F.avg(F.col("_h").isNotNull().cast("double")), 4
+                ).alias("recall_at_10"),
+            )
+        )
+    curve = reduce(lambda a, b: a.unionByName(b), parts)
+    prev = F.lag("recall_at_10").over(Window.orderBy("n_probe"))
+    gated = curve.withColumn("_prev", prev)
+    chk = F.assert_true(
+        F.col("_prev").isNull()
+        | (F.col("recall_at_10") >= F.col("_prev") - 1e-9),
+        F.concat(
+            F.lit("IVF recall curve not monotonic at n_probe "),
+            F.col("n_probe").cast("string"),
+        ),
+    )
+    return (
+        gated.filter(F.coalesce(chk, F.lit(True)))
+        .drop("_prev")
+        .orderBy("n_probe")
+    )
+
+
+@query(
+    "media_decode_report",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(doc_id * 37 % 256 AS DOUBLE) END AS mean_r,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST(doc_id * 59 % 256 AS DOUBLE) END AS mean_g,
+               CASE WHEN doc_id % 2 = 1
+                    THEN (1000.0 + (doc_id % 7) * 1000.0) / 32768.0 END AS rms
+        FROM documents
+    )
+    SELECT lang, kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(mean_r), 6) AS avg_mean_r,
+           ROUND(AVG(mean_g), 6) AS avg_mean_g,
+           ROUND(AVG(rms), 6) AS avg_rms,
+           ROUND(AVG(CASE WHEN kind = 'audio' THEN 1.0 END), 6)
+             AS avg_zero_crossing_rate,
+           CAST(MAX(CASE WHEN kind = 'audio' THEN 12 END) AS BIGINT)
+             AS audio_duration_ms,
+           CAST(SUM(CASE WHEN kind NOT IN ('image','audio') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_undecodable
+    FROM m GROUP BY lang, kind ORDER BY lang, kind
+    """,
+)
+def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END proof the REAL media decoders decode: deterministic
+    payloads are synthesized per doc (even ids → a solid-color 8×8
+    24-bit BMP whose channel means are a pure function of the id; odd
+    ids → a 16-bit PCM square-wave WAV whose exact RMS is
+    amp/32768 and whose zero-crossing rate is exactly 1), run through
+    `operators/multimodal.decode_media_features` (numpy header parse +
+    frombuffer — no codec libs), and the DECODED features are
+    aggregated and matched against the oracle's closed-form arithmetic.
+    A header-parse or sample-math bug anywhere in the decoders breaks
+    the value hash. Payload bytes live only inside the two kernels —
+    the aggregate runs on narrow decoded columns."""
+    import pandas as pd
+
+    from .operators.multimodal import decode_media_features
+
+    def synth(batches):
+        import struct
+
+        def bmp(r, g, b):
+            w = h = 8
+            row = bytes([b, g, r]) * w  # BGR, rows already 4-byte aligned
+            pixels = row * h
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+            )
+            header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+            return header + info + pixels
+
+        def wav(amp_int):
+            n, rate = 100, 8000
+            samples = struct.pack(
+                "<" + "h" * n, *[amp_int if i % 2 == 0 else -amp_int for i in range(n)]
+            )
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(samples)) + samples
+            )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    payloads.append(
+                        bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
+                    )
+                else:
+                    payloads.append(wav(1000 + (did % 7) * 1000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "payload": payloads}
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    media = d.mapInPandas(synth, "doc_id long, lang string, payload binary")
+    decoded = decode_media_features(media)
+    return (
+        decoded.groupBy("lang", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("mean_r"), 6).alias("avg_mean_r"),
+            F.round(F.avg("mean_g"), 6).alias("avg_mean_g"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.avg("zero_crossing_rate"), 6).alias(
+                "avg_zero_crossing_rate"
+            ),
+            F.max("duration_ms").alias("audio_duration_ms"),
+            F.sum((~F.col("kind").isin("image", "audio")).cast("long")).alias(
+                "n_undecodable"
+            ),
+        )
+        .orderBy("lang", "kind")
     )

@@ -592,6 +592,36 @@ def test_shingle_df_profile_flags_boilerplate(spark):
     assert top.pair_cost > sum(r.pair_cost for r in prof) * 0.9
 
 
+def test_pack_contiguous_invariants_and_partition_independence(spark, sf_dir):
+    """Contiguous packing: deterministic across partition layouts, and
+    every bin's fill within one document of the 512 budget (overflow
+    only by the straddling doc; underflow only at the last bin)."""
+    from pystreams_spark.functions.text import token_count
+    from pystreams_spark.operators.packing import pack_sequences_contiguous
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count("text"))
+        .select("doc_id", "n_tokens")
+    )
+    a = pack_sequences_contiguous(d, 512).collect()
+    b = pack_sequences_contiguous(d.repartition(3), 512).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    by_bin: dict = {}
+    for r in a:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    max_doc = max(r.n_tokens for r in a)
+    last_bin = max(by_bin)
+    for bin_id, rows in by_bin.items():
+        fill = sum(r.n_tokens for r in rows)
+        assert fill == rows[0].bin_fill
+        assert fill < 512 + max_doc  # overflow bounded by one document
+        if bin_id != last_bin:
+            # a non-final bin spans its full budget window
+            assert fill >= 512 - max_doc
+
+
 def test_ann_recall_floor_raises(spark, sf_dir):
     """min_avg_recall must RAISE at execution when violated and pass
     silently when met — a recall collapse fails the job, not just the

@@ -138,6 +138,18 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # row passes each kernel exactly once. At ingest scale the
         # encoded table would be a stored artifact, splitting the plan.
         "knn_pq_adc": 2,
+        # two-stage serving: the PQ encode+probe pipeline (2) feeds the
+        # exact re-rank, whose candidate fetch is pure Column algebra —
+        # no additional kernel, but the shortlist's 2 survive in-plan
+        "knn_pq_refined": 2,
+        # the calibration curve runs FOUR IVF settings by design
+        # (n_probe 1/2/4/8), each a deliberate assign+probe kernel pair
+        # over ~n_probe/16 of the corpus; nothing is re-evaluated —
+        # the 4 branches are 4 intentional measurements in one union
+        "ann_ivf_recall_curve": 8,
+        # payload synthesis kernel + the real decode kernel — a
+        # deliberate two-stage pipeline, each row passing each once
+        "media_decode_report": 2,
     }
 
     for name, fn in QUERIES.items():
