@@ -348,3 +348,49 @@ def portable_winnow_fps_udf(k: int = 5, w: int = 8, base: int = 257):
         return pd.Series(out)
 
     return F.pandas_udf(kernel, "array<long>")
+
+
+def kmv_cardinality_udf(n: int = 3, k: int = 24, hex_digits: int = 12):
+    """pandas UDF: text → struct(exact_distinct, kmv_est, rel_err) —
+    the whole KMV distinct-shingle estimate in one vectorized pass.
+
+    Hashing is md5 (first ``hex_digits`` hex chars → [0,1) fraction),
+    so the sketch is bit-identical to a SQL replication (engine-
+    portable — the DuckDB oracle checks the ESTIMATE, not just the
+    exact count). The interpreted-HOF Column form (transform + md5 +
+    conv per element) measured ~5x slower at sf0.1 — same lesson as
+    the winnowing kernel: per-element Column lambdas don't codegen.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    scale = float(16 ** hex_digits)
+
+    def kernel(texts):
+        flat, n_sh = _doc_shingles(texts.to_numpy(dtype=object), n)
+        offsets = np.concatenate(([0], np.cumsum(n_sh)))
+        ex_out = np.empty(len(n_sh), dtype=np.int64)
+        est_out = np.empty(len(n_sh), dtype=np.float64)
+        rel_out = np.empty(len(n_sh), dtype=np.float64)
+        for i in range(len(n_sh)):
+            sh = dict.fromkeys(flat[offsets[i] : offsets[i + 1]])
+            hs = sorted(
+                {
+                    int(hashlib.md5(s.encode("utf-8")).hexdigest()[:hex_digits], 16)
+                    / scale
+                    for s in sh
+                }
+            )
+            exact = len(sh)
+            est = float(len(hs)) if len(hs) < k else (k - 1) / hs[k - 1]
+            ex_out[i] = exact
+            est_out[i] = round(est, 4)
+            rel_out[i] = round(abs(est - exact) / exact, 4)
+        return pd.DataFrame(
+            {"exact_distinct": ex_out, "kmv_est": est_out, "rel_err": rel_out}
+        )
+
+    return F.pandas_udf(
+        kernel, "exact_distinct bigint, kmv_est double, rel_err double"
+    )

@@ -7031,48 +7031,21 @@ def doc_minhash_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic via md5 hashing so the SKETCH ITSELF is
     oracle-checkable — rare among sketches, and the point: the exact
     count sits beside the estimate, so the oracle pins both the
-    estimator's arithmetic and its actual error. Everything is narrow
-    per-row array algebra (shingle → hash → sort → k-th minimum): no
-    shuffle, no UDF, embarrassingly parallel at any scale."""
-    from .functions.text import shingles
+    estimator's arithmetic and its actual error. The whole sketch runs
+    in ONE vectorized Arrow kernel over the text column (the
+    interpreted-HOF Column form — transform + md5 + conv per shingle —
+    measured ~5x slower; same lesson as the winnowing kernel): no
+    shuffle, embarrassingly parallel at any scale."""
+    from .functions.text_kernels import kmv_cardinality_udf
 
-    k = 24
     d = _t(spark, sf_dir, "documents")
-    norm = F.lit(281474976710656.0)  # 2^48 — 12 hex digits
-    hs = F.array_sort(
-        F.array_distinct(
-            F.transform(
-                F.col("sh"),
-                lambda x: F.conv(F.substring(F.md5(x), 1, 12), 16, 10).cast(
-                    "double"
-                )
-                / norm,
-            )
-        )
-    )
-    base = d.select(
-        "doc_id", "lang", shingles("text", 3).alias("sh")
-    ).select(
-        "doc_id",
-        "lang",
-        F.size("sh").cast("long").alias("exact_distinct"),
-        hs.alias("hs"),
-    )
-    kmv_raw = F.when(
-        F.size("hs") < k, F.size("hs").cast("double")
-    ).otherwise(F.lit(float(k - 1)) / F.element_at("hs", k))
     return (
-        base.select(
+        d.select(
             "doc_id",
             "lang",
-            "exact_distinct",
-            F.round(kmv_raw, 4).alias("kmv_est"),
-            F.round(
-                F.abs(kmv_raw - F.col("exact_distinct"))
-                / F.col("exact_distinct"),
-                4,
-            ).alias("rel_err"),
+            kmv_cardinality_udf(n=3, k=24)(F.col("text")).alias("_s"),
         )
+        .select("doc_id", "lang", "_s.exact_distinct", "_s.kmv_est", "_s.rel_err")
         .orderBy("doc_id")
     )
 
@@ -7127,7 +7100,7 @@ def contamination_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     only), eval grams probe it with a left join; at web scale swap the
     gram string for a 64-bit hash (kept as strings here so the whole
     profile is engine-portable and oracle-checked)."""
-    from .functions.text import shingles
+    from .functions.text_kernels import shingle_strings_udf
 
     d = _t(spark, sf_dir, "documents")
     frac = (
@@ -7140,8 +7113,13 @@ def contamination_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         ).cast("long")
         / F.lit(4294967296.0)
     )
+    # gram construction via the vectorized Arrow kernel — the
+    # interpreted-HOF Column form measured ~6x slower here (same
+    # lesson as the r4 winnowing rewrite)
     base = d.select(
-        "doc_id", frac.alias("frac"), shingles("text", 8).alias("grams")
+        "doc_id",
+        frac.alias("frac"),
+        shingle_strings_udf(8)(F.col("text")).alias("grams"),
     )
     train_g = (
         base.filter(F.col("frac") < 0.9)
