@@ -112,9 +112,14 @@ def _side_bin_counts(
             width > 0.0,
             F.floor((F.col(col).cast("double") - F.col(f"_lo_{i}")) / width),
         ).otherwise(F.lit(0))
-        b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+        # the isNotNull gate is load-bearing: greatest()/otherwise(0)
+        # both swallow NULL inputs into bin 0, which would count NULL
+        # values as data (and diverge from the oracle's IS NOT NULL)
+        b = F.when(
+            F.col(col).isNotNull(),
+            F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)),
+        ).cast("int")
         for j in range(n_bins):
-            # NULL values yield NULL bin → the when() never fires
             aggs.append(
                 F.count(F.when(b == j, F.lit(1))).alias(f"_n_{i}_{j}")
             )

@@ -325,6 +325,10 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
     except (ValueError, NotImplementedError, IndexError) as exc:
         out["kind"] = "undecodable"
         out["decode_error"] = str(exc)
+    except Exception as exc:  # struct.error on truncated chunks, etc. —
+        # one corrupt payload must not fail a 100 TB ingest task
+        out["kind"] = "undecodable"
+        out["decode_error"] = f"{type(exc).__name__}: {exc}"
     return out
 
 

@@ -6604,6 +6604,12 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "jaccard_similarity_histogram",
+    # The oracle models the SAME df-capped semantics the Spark plan
+    # runs (max_df=0.5): a pair enters the histogram only if it shares
+    # at least one COLD shingle (per-language df ≤ ceil(0.5 × the
+    # language's doc count)); its jaccard is then exact over the full
+    # sets. Without the cold-witness clause the two sides compute
+    # different functions the moment a boilerplate shingle appears.
     oracle=r"""
     WITH s AS (
         SELECT doc_id, lang,
@@ -6613,11 +6619,28 @@ def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                )) AS sh
         FROM documents
     ),
+    nb AS (SELECT lang, COUNT(*) AS n_docs FROM s GROUP BY lang),
+    dfreq AS (
+        SELECT lang, gram, COUNT(*) AS df
+        FROM (SELECT lang, unnest(sh) AS gram FROM s) GROUP BY lang, gram
+    ),
+    cold AS (
+        SELECT d.lang, d.gram FROM dfreq d JOIN nb USING (lang)
+        WHERE d.df <= CEIL(0.5 * nb.n_docs)
+    ),
+    sc AS (
+        SELECT s.doc_id, s.lang, s.sh,
+               COALESCE(ARRAY_AGG(c.gram), []) AS cold_sh
+        FROM s LEFT JOIN (SELECT lang, gram FROM cold) c
+          ON s.lang = c.lang AND list_contains(s.sh, c.gram)
+        GROUP BY s.doc_id, s.lang, s.sh
+    ),
     p AS (
         SELECT ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
-        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        FROM sc a JOIN sc b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.cold_sh, b.cold_sh)) > 0
+          AND ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.02
     )
     SELECT ROUND(FLOOR(j / 0.05) * 0.05, 2) AS sim_bucket,
@@ -6636,7 +6659,9 @@ def jaccard_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are boilerplate by definition and are excluded from
     candidate generation (each surviving pair still scores on its full
     sets, so every reported jaccard is exact — see
-    `ngram_jaccard_pairs_inverted(max_df=...)`)."""
+    `ngram_jaccard_pairs_inverted(max_df=...)`). The oracle replicates
+    the SAME capped semantics (cold-shared-shingle witness clause), so
+    the parity check holds even on boilerplate-bearing corpora."""
     from .operators.dedup import ngram_jaccard_pairs_inverted
 
     d = _t(spark, sf_dir, "documents")
@@ -6794,8 +6819,12 @@ def dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and mean token/char lengths BEFORE vs AFTER min-id exact
     dedup — the sanity report that catches a dedup pass eating one
     language's long tail. Survivor pick is the md5-keyed min-id rule
-    (engine-portable); both profiles come from grouped aggregates of
-    the same single keyed scan."""
+    (engine-portable); both profiles aggregate the SAME materialized
+    keyed frame (eager localCheckpoint — three plan branches reference
+    it, and an un-cut lineage would re-run the tokenize+md5 pass per
+    branch). A language whose every doc duplicates content elsewhere
+    keeps its row with n_after=0 and NULL after-averages (left join) —
+    the 'dedup ate this language' case the report exists to catch."""
     from .functions.text import token_count
 
     d = _t(spark, sf_dir, "documents")
@@ -6805,7 +6834,7 @@ def dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("n_chars"),
         token_count("text").alias("n_tokens"),
         F.md5(F.col("text")).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
     surv = base.join(
         keep,
@@ -6831,11 +6860,11 @@ def dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        before.join(after, "lang")
+        before.join(after, "lang", "left")
         .select(
             "lang",
             "n_before",
-            "n_after",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
             "avg_tokens_before",
             "avg_tokens_after",
             "avg_chars_before",
@@ -7115,12 +7144,14 @@ def contamination_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # gram construction via the vectorized Arrow kernel — the
     # interpreted-HOF Column form measured ~6x slower here (same
-    # lesson as the r4 winnowing rewrite)
+    # lesson as the r4 winnowing rewrite). Lazy checkpoint: BOTH the
+    # train and eval branches read this frame, which would otherwise
+    # run the shingle kernel twice over the corpus.
     base = d.select(
         "doc_id",
         frac.alias("frac"),
         shingle_strings_udf(8)(F.col("text")).alias("grams"),
-    )
+    ).localCheckpoint(eager=False)
     train_g = (
         base.filter(F.col("frac") < 0.9)
         .select(F.explode("grams").alias("gram"))
@@ -7253,7 +7284,8 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 2 = 0
                     THEN CAST(doc_id * 59 % 256 AS DOUBLE) END AS mean_g,
                CASE WHEN doc_id % 2 = 1
-                    THEN (1000.0 + (doc_id % 7) * 1000.0) / 32768.0 END AS rms
+                    THEN ROUND((1000.0 + (doc_id % 7) * 1000.0) / 32768.0, 6)
+               END AS rms
         FROM documents
     )
     SELECT lang, kind,

@@ -164,14 +164,26 @@ def test_real_decoder_rejects_malformed_gracefully(spark):
     undecodable rows (with reasons), never crash the batch."""
     from pystreams_spark.operators.multimodal import decode_media_features
 
+    import struct
+
+    # ≥44 bytes overall, but the fmt chunk body is cut off mid-struct:
+    # unpack_from raises struct.error (NOT ValueError) — must degrade,
+    # not kill the task
+    cut_fmt = (
+        b"RIFF" + struct.pack("<I", 44) + b"WAVE"
+        + b"JUNK" + struct.pack("<I", 20) + b"\x00" * 20
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
     rows = [
         (1, _bmp_bytes()[:30]),              # truncated BMP header
         (2, _wav_bytes()[:40]),              # truncated WAV
         (3, b"P6\n2 2\n255\n\x00"),          # truncated PPM pixels
         (4, _bmp_bytes()),                   # one good row in the batch
+        (5, cut_fmt),                        # struct.error path
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r.media_id: r for r in decode_media_features(df).collect()}
     assert out[4].kind == "image"
-    assert all(out[i].kind == "undecodable" for i in (1, 2, 3))
-    assert all(out[i].decode_error for i in (1, 2, 3))
+    assert all(out[i].kind == "undecodable" for i in (1, 2, 3, 5))
+    assert all(out[i].decode_error for i in (1, 2, 3, 5))
+    assert "error" in out[5].decode_error.lower()

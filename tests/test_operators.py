@@ -2044,6 +2044,21 @@ def test_drift_report_multi_column_shares_scans(spark):
     assert row.n_cur == 0 and row.ks is None  # guarded division
 
 
+def test_drift_report_ignores_nulls(spark):
+    """NULL values must NOT fall into bin 0: identical non-NULL
+    distributions with extra NULLs on one side score zero drift, and
+    n_ref counts only non-NULL rows (matches the oracle's IS NOT
+    NULL)."""
+    from pystreams_spark.operators.drift import drift_report
+
+    vals = [(float(x),) for x in range(10)]
+    ref = spark.createDataFrame(vals + [(None,)] * 5, "v double")
+    cur = spark.createDataFrame(vals, "v double")
+    row = drift_report(ref, cur, ["v"]).collect()[0]
+    assert row.n_ref == 10 and row.n_cur == 10
+    assert row.psi == 0.0 and row.ks == 0.0
+
+
 def test_drift_monitor_rejects_empty_reference(spark, tmp_path):
     import pytest as _pytest
 
