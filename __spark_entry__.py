@@ -162,7 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivor_quality_shift", "domain_balance_report",
         "zipf_fit_by_lang", "ann_ivf_recall_curve",
         "contamination_overlap_profile", "dup_rate_by_source",
-        "media_decode_report",
+        "media_decode_report", "minhash_banding_calibration",
+        "unicode_normalization_report",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

@@ -292,3 +292,77 @@ def compact_parquet(
     df = spark.read.parquet(src_dir)
     df.repartition(n).write.mode("overwrite").parquet(dst_dir)
     return n
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    dst_dir: str,
+    order_cols: list | None = None,
+    max_shard_bytes: int = 64 * 1024 * 1024,
+) -> dict:
+    """Export a DataFrame as size-capped JSONL shards + a manifest —
+    the delivery format a training pipeline actually consumes (each
+    shard a standalone `shard=N/part-*.txt` of JSON lines under the
+    byte cap, plus `_MANIFEST.json` with per-shard row/byte counts).
+
+    Shard assignment is DETERMINISTIC contiguous packing: rows in
+    ``order_cols`` order (default: the first column) are cut at byte-
+    budget multiples via the window-free two-pass cumsum
+    (`operators/selection.ordered_cumsum`) — same shards on any
+    cluster layout, and a boundary-straddling row overflows its shard
+    by at most one row, never splits. The JSON serialization is
+    engine-side ``to_json(struct(*))`` (codegen'd, no Python).
+
+    Returns the manifest dict {"shards": [{shard, n_rows, bytes}…],
+    "total_rows", "total_bytes"} — written via the Hadoop FS API so
+    s3a/hdfs destinations work like local paths.
+    """
+    import json
+
+    from pyspark.sql import functions as F
+
+    from .operators.selection import ordered_cumsum
+
+    order = order_cols or [df.columns[0]]
+    ser = df.select(
+        *[F.col(c) for c in order],
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("_line"),
+    ).withColumn("_bytes", F.length("_line") + 1)
+    cum = ordered_cumsum(
+        ser, [F.col(c) for c in order], "_bytes", out_col="_cum"
+    )
+    sharded = cum.withColumn(
+        "shard",
+        F.floor((F.col("_cum") - F.col("_bytes")) / max_shard_bytes).cast("long"),
+    )
+    (
+        sharded.select("_line", "shard")
+        .withColumnRenamed("_line", "value")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .text(dst_dir)
+    )
+    stats = [
+        r.asDict()
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_bytes").cast("long").alias("bytes"),
+        )
+        .orderBy("shard")
+        .collect()
+    ]
+    manifest = {
+        "shards": stats,
+        "total_rows": int(sum(s["n_rows"] for s in stats)),
+        "total_bytes": int(sum(s["bytes"] for s in stats)),
+        "max_shard_bytes": int(max_shard_bytes),
+    }
+    spark = df.sparkSession
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dst_dir + "/_MANIFEST.json")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(path, True)
+    out.write(bytearray(json.dumps(manifest, indent=1).encode()))
+    out.close()
+    return manifest

@@ -101,3 +101,52 @@ def profile(
         wide.select(F.explode(pairs).alias("p"))
         .select("p.column", "p.metric", "p.value_num", "p.value_str")
     )
+
+
+def nfc_normalization_report(
+    df, text_col: str = "text", group_cols: tuple = ("lang",)
+):
+    """Unicode-normalization audit: per group, how many documents are
+    not NFC-normal and how many characters NFC composition saves — the
+    first cleaning decision of a multilingual corpus (decomposed
+    accents double key sizes and split dedup groups). One struct
+    kernel emits all per-doc signals (a string-returning NFC UDF
+    referenced from several expressions would be re-inlined by
+    CollapseProject and normalize each document repeatedly); one tiny
+    grouped aggregate follows. Engine-portable: Python unicodedata and
+    DuckDB nfc_normalize implement the same Unicode standard, so the
+    audit is SQL-oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    def _kernel(texts):
+        import unicodedata
+
+        import pandas as pd
+
+        lens, nlens, changed = [], [], []
+        for t in texts:
+            t = t or ""
+            n = unicodedata.normalize("NFC", t)
+            lens.append(len(t))
+            nlens.append(len(n))
+            changed.append(n != t)
+        return pd.DataFrame({"len": lens, "nlen": nlens, "changed": changed})
+
+    sig = F.pandas_udf(_kernel, "len int, nlen int, changed boolean")
+    groups = list(group_cols)
+    base = df.select(*groups, sig(F.col(text_col)).alias("_s")).select(
+        *groups, "_s.len", "_s.nlen", "_s.changed"
+    )
+    return (
+        base.groupBy(*groups)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("changed").cast("long")).alias("n_not_nfc"),
+            F.sum((F.col("len") != F.col("nlen")).cast("long")).alias(
+                "n_len_changed"
+            ),
+            F.sum(F.col("len") - F.col("nlen")).cast("long").alias(
+                "chars_saved"
+            ),
+        )
+    )

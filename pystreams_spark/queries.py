@@ -7377,3 +7377,71 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "kind")
     )
+
+
+@query(
+    "minhash_banding_calibration",
+    oracle="""
+    WITH j AS (
+        SELECT unnest(generate_series(1, 19)) * 0.05 AS jaccard
+    )
+    SELECT ROUND(jaccard, 2) AS jaccard,
+           ROUND(1 - POW(1 - POW(jaccard, 2), 8), 6) AS p_candidate_b8_r2,
+           ROUND(1 - POW(1 - POW(jaccard, 1), 4), 6) AS p_candidate_b4_r1
+    FROM j ORDER BY jaccard
+    """,
+)
+def minhash_banding_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S-curve a banding configuration IS: candidate probability
+    P = 1 − (1 − j^r)^b as a function of true Jaccard j, for the two
+    configurations this repo's near-dup stack ships (b=8, r=2 — the
+    neardup_dedup pipeline; b=4, r=1 — minhash_candidates_fast /
+    MinHashLSH num_hash_tables=4). This is the table a curator reads
+    to pick (b, r) for a target threshold: the curve's inflection
+    ≈ (1/b)^(1/r). Pure closed-form Column math — the oracle pins the
+    engine's arithmetic; the banding tests pin the EMPIRICAL rates
+    against these probabilities."""
+    j = (
+        spark.range(1, 20)
+        .select((F.col("id") * 0.05).alias("j"))
+    )
+    return (
+        j.select(
+            F.round("j", 2).alias("jaccard"),
+            F.round(
+                1 - F.pow(1 - F.pow("j", F.lit(2)), F.lit(8)), 6
+            ).alias("p_candidate_b8_r2"),
+            F.round(
+                1 - F.pow(1 - F.pow("j", F.lit(1)), F.lit(4)), 6
+            ).alias("p_candidate_b4_r1"),
+        )
+        .orderBy("jaccard")
+    )
+
+
+@query(
+    "unicode_normalization_report",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nfc_normalize(text) != text
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_not_nfc,
+           CAST(SUM(CASE WHEN length(nfc_normalize(text)) != length(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_changed,
+           CAST(SUM(length(text) - length(nfc_normalize(text))) AS BIGINT)
+             AS chars_saved
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def unicode_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization audit — the first cleaning decision of a
+    multilingual corpus: how many documents are not NFC-normal
+    (decomposed accents, compatibility forms), and how many characters
+    NFC composition saves. Both engines implement the same Unicode
+    standard (Python unicodedata vs DuckDB nfc_normalize), so the
+    audit itself is oracle-checked. One vectorized kernel pass, one
+    tiny grouped agg."""
+    from .operators.profile import nfc_normalization_report
+
+    d = _t(spark, sf_dir, "documents")
+    return nfc_normalization_report(d).orderBy("lang")

@@ -471,3 +471,57 @@ def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
     assert round(back.agg(F.sum("o_totalprice")).collect()[0][0], 2) == round(
         src.agg(F.sum("o_totalprice")).collect()[0][0], 2
     )
+
+
+def test_export_jsonl_shards_capped_and_complete(spark, sf_dir, tmp_path):
+    """Sharded JSONL export: every input row appears exactly once as a
+    JSON line, each shard stays within one row of the byte cap, shard
+    assignment is partition-layout independent, and the manifest
+    matches what landed on disk."""
+    import json
+    import os
+
+    from pystreams_spark.io import export_jsonl_shards, load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    dst = str(tmp_path / "shards")
+    cap = 64 * 1024
+    manifest = export_jsonl_shards(docs, dst, max_shard_bytes=cap)
+
+    n_docs = docs.count()
+    assert manifest["total_rows"] == n_docs
+    assert len(manifest["shards"]) >= 2  # the cap actually sharded
+
+    # read back: every doc_id exactly once, valid JSON
+    seen = {}
+    max_line = 0
+    for root, _, files in os.walk(dst):
+        for f in files:
+            if not f.endswith(".txt"):
+                continue
+            shard = int(root.split("shard=")[-1])
+            for line in open(os.path.join(root, f)):
+                rec = json.loads(line)
+                seen[rec["doc_id"]] = shard
+                max_line = max(max_line, len(line))
+    assert len(seen) == n_docs
+
+    # per-shard byte caps: overflow bounded by one row
+    by_shard = {s["shard"]: s for s in manifest["shards"]}
+    for shard, s in by_shard.items():
+        assert s["bytes"] < cap + max_line
+    # disk agrees with the manifest row counts
+    from collections import Counter
+
+    disk_counts = Counter(seen.values())
+    assert {k: v for k, v in disk_counts.items()} == {
+        s["shard"]: s["n_rows"] for s in manifest["shards"]
+    }
+
+    # determinism across partition layouts
+    m2 = export_jsonl_shards(
+        docs.repartition(7), str(tmp_path / "shards2"), max_shard_bytes=cap
+    )
+    assert m2["shards"] == manifest["shards"]

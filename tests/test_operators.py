@@ -2044,6 +2044,62 @@ def test_drift_report_multi_column_shares_scans(spark):
     assert row.n_cur == 0 and row.ks is None  # guarded division
 
 
+def test_nfc_report_detects_decomposed_text(spark):
+    """Planted NFD strings (decomposed accents) must be counted; NFC
+    text passes clean; NULL text counts as empty."""
+    import unicodedata
+
+    from pystreams_spark.operators.profile import nfc_normalization_report
+
+    nfd = unicodedata.normalize("NFD", "café déjà vu")   # e + U+0301 …
+    assert nfd != "café déjà vu"
+    rows = [
+        ("fr", nfd),
+        ("fr", "café déjà vu"),      # already NFC
+        ("en", "plain ascii"),
+        ("en", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r for r in nfc_normalization_report(df).collect()}
+    assert out["fr"].n_docs == 2 and out["fr"].n_not_nfc == 1
+    assert out["fr"].n_len_changed == 1
+    assert out["fr"].chars_saved == 3  # three combining marks composed
+    assert out["en"].n_not_nfc == 0 and out["en"].chars_saved == 0
+
+
+def test_minhash_banding_curve_matches_empirical_rate(spark):
+    """The published S-curve P=1-(1-j^r)^b must predict the EMPIRICAL
+    banded-candidate rate: for pairs at controlled Jaccard, the b=8,r=2
+    banding's hit rate falls inside a tolerance of the formula."""
+    from pystreams_spark.operators.dedup import minhash_banded_candidates
+    from pystreams_spark.queries import QUERIES
+
+    curve = {
+        float(r.jaccard): r.p_candidate_b8_r2
+        for r in QUERIES["minhash_banding_calibration"](spark, "ignored").collect()
+    }
+    # controlled-similarity corpus: doc pairs sharing a tunable token
+    # fraction. 40 shared + 10 unique each side → J = 40/60 ≈ 0.65
+    rows = []
+    for p in range(60):
+        shared = [f"s{p}w{j}" for j in range(40)]
+        a = shared + [f"a{p}u{j}" for j in range(10)]
+        b = shared + [f"b{p}u{j}" for j in range(10)]
+        rows.append((2 * p, " ".join(a)))
+        rows.append((2 * p + 1, " ".join(b)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_banded_candidates(docs, n=3).select("id_a", "id_b").collect()
+    }
+    planted = {(2 * p, 2 * p + 1) for p in range(60)}
+    rate = len(cands & planted) / len(planted)
+    # shingle-level overlap of the planted pairs ≈ 0.61; curve there
+    # predicts ~0.95; allow generous sampling tolerance on 60 pairs
+    predicted = curve[0.6]
+    assert abs(rate - predicted) < 0.25, (rate, predicted)
+
+
 def test_drift_report_ignores_nulls(spark):
     """NULL values must NOT fall into bin 0: identical non-NULL
     distributions with extra NULLs on one side score zero drift, and
