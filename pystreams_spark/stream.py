@@ -466,6 +466,82 @@ class Stream:
             mixture_weights(self.df, group_col, token_col, target_shares)
         )
 
+    def pack_sequences(
+        self,
+        max_tokens: int,
+        token_col: str = "n_tokens",
+        id_col: str = "doc_id",
+        contiguous: bool = False,
+    ) -> "Stream":
+        """Assign docs to fixed-token-budget training bins.
+        ``contiguous=False`` → per-partition first-fit-decreasing
+        (tightest fill, partition-namespaced ids);
+        ``contiguous=True`` → deterministic partitioning-independent
+        budget-aligned bins (reproducible / oracle-checkable)
+        (operators/packing)."""
+        from .operators.packing import pack_sequences, pack_sequences_contiguous
+
+        fn = pack_sequences_contiguous if contiguous else pack_sequences
+        return Stream(fn(self.df, max_tokens, token_col, id_col))
+
+    def surprisal_scores(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        carry_cols: Sequence[str] = (),
+    ) -> "Stream":
+        """Per-doc mean unigram surprisal under a corpus-self-fit LM —
+        the CCNet/KenLM-style quality signal
+        (operators/selection.unigram_surprisal_scores; vocab broadcast
+        under a cap, hash-join above)."""
+        from .operators.selection import unigram_surprisal_scores
+
+        return Stream(
+            unigram_surprisal_scores(self.df, text_col, id_col, carry_cols)
+        )
+
+    def drift_against(
+        self, reference: "Stream | DataFrame", columns: Sequence[str]
+    ) -> "Stream":
+        """PSI + binned-KS drift of this data vs a reference
+        (operators/drift.drift_report — 3 input scans total however
+        many columns)."""
+        from .operators.drift import drift_report
+
+        ref = reference.df if isinstance(reference, Stream) else reference
+        return Stream(drift_report(ref, self.df, columns))
+
+    def decode_media(
+        self, payload_col: str = "payload", **kwargs
+    ) -> "Stream":
+        """REAL numpy decode of WAV/BMP/PPM payloads → typed features;
+        compressed formats degrade per row with a reason
+        (operators/multimodal.decode_media_features)."""
+        from .operators.multimodal import decode_media_features
+
+        return Stream(decode_media_features(self.df, payload_col, **kwargs))
+
+    def nfc_report(
+        self, text_col: str = "text", group_cols: tuple = ("lang",)
+    ) -> "Stream":
+        """Unicode NFC-normalization audit per group
+        (operators/profile.nfc_normalization_report)."""
+        from .operators.profile import nfc_normalization_report
+
+        return Stream(nfc_normalization_report(self.df, text_col, group_cols))
+
+    def export_jsonl(
+        self,
+        dst_dir: str,
+        order_cols: list | None = None,
+        max_shard_bytes: int = 64 * 1024 * 1024,
+    ) -> dict:
+        """Terminal: write size-capped JSONL shards + manifest
+        (io.export_jsonl_shards); returns the manifest dict."""
+        from .io import export_jsonl_shards
+
+        return export_jsonl_shards(self.df, dst_dir, order_cols, max_shard_bytes)
+
     # -- keyed ops (§2.D) ----------------------------------------------------
     def group_by(self, *keys: Column | str):
         return self.df.groupBy(*keys)

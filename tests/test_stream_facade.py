@@ -356,3 +356,45 @@ def test_validate_and_resample_facade_sugar(spark, sf_dir):
     pdf = out.df.toPandas()
     assert {"user_id", "bucket", "raw", "ffill", "interp"} <= set(pdf.columns)
     assert len(pdf) > 0 and pdf["interp"].notna().all()
+
+
+def test_facade_r5_sugar(spark, sf_dir, tmp_path):
+    """The r5 operator sugar: packing, surprisal, drift, NFC audit,
+    media decode, JSONL export — each routes to its operator and
+    returns the documented shape."""
+    from pystreams_spark import Stream, load_table
+
+    docs = Stream(
+        load_table(spark, sf_dir, "documents").limit(80).withColumn(
+            "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        )
+    )
+    packed = docs.pack_sequences(512, contiguous=True).collect()
+    assert {r.bin_id for r in packed} and all(r.bin_fill > 0 for r in packed)
+
+    scored = docs.surprisal_scores(carry_cols=("lang",)).collect()
+    assert len(scored) == 80 and all(r.surprisal > 0 for r in scored)
+
+    li = Stream(load_table(spark, sf_dir, "lineitem"))
+    low = Stream(li.df.filter(F.col("l_discount") <= 0.05))
+    high = Stream(li.df.filter(F.col("l_discount") > 0.05))
+    drift = {r.column: r for r in high.drift_against(low, ["l_quantity"]).collect()}
+    assert "l_quantity" in drift and drift["l_quantity"].psi is not None
+
+    nfc = docs.nfc_report().collect()
+    assert all(r.n_not_nfc == 0 for r in nfc)  # fixture is NFC-clean
+
+    manifest = docs.map(F.col("doc_id"), F.col("text")).export_jsonl(
+        str(tmp_path / "out"), max_shard_bytes=32 * 1024
+    )
+    assert manifest["total_rows"] == 80 and manifest["shards"]
+
+    from tests.test_multimodal import _bmp_bytes
+
+    media = Stream(
+        spark.createDataFrame(
+            [(1, _bmp_bytes(rgb=(9, 18, 27)))], "media_id long, payload binary"
+        )
+    )
+    dec = media.decode_media().collect()[0]
+    assert dec.kind == "image" and dec.mean_r == 9.0
