@@ -163,7 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit_by_lang", "ann_ivf_recall_curve",
         "contamination_overlap_profile", "dup_rate_by_source",
         "media_decode_report", "minhash_banding_calibration",
-        "unicode_normalization_report",
+        "unicode_normalization_report", "curation_pipeline_funnel",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

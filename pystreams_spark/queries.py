@@ -7445,3 +7445,130 @@ def unicode_normalization_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return nfc_normalization_report(d).orderBy("lang")
+
+
+@query(
+    "curation_pipeline_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               {_QUALITY_SQL} AS quality,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8))::BIGINT
+                 / 4294967296.0 AS frac,
+               md5(text) AS h
+        FROM documents
+    ),
+    train AS (SELECT * FROM base WHERE frac < 0.9),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM train GROUP BY h),
+    dedup AS (
+        SELECT t.* FROM train t JOIN keep k
+          ON t.h = k.h AND t.doc_id = k.keep_id
+    ),
+    eval_g AS (
+        SELECT DISTINCT gram FROM (
+            SELECT unnest(list_distinct(list_transform(
+                     generate_series(1, GREATEST(len({_TOKS_SQL}) - 7, 1)),
+                     i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 7), ' ')
+                   ))) AS gram
+            FROM base WHERE frac >= 0.9
+        ) WHERE gram != ''
+    ),
+    flagged AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT d.doc_id, unnest(list_distinct(list_transform(
+                     generate_series(1, GREATEST(len(list_filter(string_split_regex(d.text, '\\s+'), x -> x != '')) - 7, 1)),
+                     i -> array_to_string(list_slice(list_filter(string_split_regex(d.text, '\\s+'), x -> x != ''), i, i + 7), ' ')
+                   ))) AS gram
+            FROM dedup d
+        ) g JOIN eval_g e ON g.gram = e.gram
+    ),
+    clean AS (
+        SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    qual AS (SELECT * FROM clean WHERE quality >= 0.5),
+    budgeted AS (
+        SELECT * FROM (
+            SELECT q.*, SUM(n_tokens) OVER (
+                ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens AS cum_before FROM qual q
+        ) WHERE cum_before < 20000
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               COALESCE(SUM(n_tokens), 0) AS n_tokens FROM base
+        UNION ALL SELECT '1_train_split', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM train
+        UNION ALL SELECT '2_exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM dedup
+        UNION ALL SELECT '3_decontaminated', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM clean
+        UNION ALL SELECT '4_quality', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM qual
+        UNION ALL SELECT '5_token_budget', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM budgeted
+    ) ORDER BY stage
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE funnel report — per stage,
+    surviving docs and tokens: raw → deterministic train split (md5) →
+    exact dedup (min-id) → benchmark decontamination (8-gram overlap
+    vs the held-out split) → quality floor → token-budget selection
+    (quality-ranked, distributed prefix sum). Composes five operator
+    families end-to-end and oracle-checks the whole composition — the
+    number a curation run reports per stage. Each stage builds on the
+    previous frame; the heavy inputs (keyed/dedup frames) are shared
+    via the plan, and stage counts are tiny aggregates."""
+    from .functions.text import quality_score, token_count
+    from .operators.decontaminate import decontaminate
+    from .operators.dedup import exact_dedup
+    from .operators.selection import select_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split42"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        ).alias("frac"),
+    ).localCheckpoint(eager=True)
+
+    train = base.filter(F.col("frac") < 0.9)
+    eval_set = base.filter(F.col("frac") >= 0.9).select("doc_id", "text")
+    dedup = exact_dedup(train)
+    # three stage branches read `clean` — without the cut each would
+    # replay the dedup window and both decontamination gram kernels
+    clean = decontaminate(dedup, eval_set, n=8).localCheckpoint(eager=False)
+    qual = clean.filter(F.col("quality") >= 0.5)
+    budgeted = select_token_budget(
+        qual, [F.desc("quality"), F.asc("doc_id")], "n_tokens", 20000
+    )
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    out = (
+        stage("0_raw", base)
+        .unionByName(stage("1_train_split", train))
+        .unionByName(stage("2_exact_dedup", dedup))
+        .unionByName(stage("3_decontaminated", clean))
+        .unionByName(stage("4_quality", qual))
+        .unionByName(stage("5_token_budget", budgeted))
+    )
+    return out.orderBy("stage")
