@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_overlap_profile", "dup_rate_by_source",
         "media_decode_report", "minhash_banding_calibration",
         "unicode_normalization_report", "curation_pipeline_funnel",
+        "linear_quality_classifier", "bigram_lm_quality",
+        "dsir_selection_report", "curriculum_stage_report",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

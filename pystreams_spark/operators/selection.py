@@ -171,6 +171,170 @@ def mixture_weights(
     )
 
 
+def bigram_surprisal_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    alpha: float = 0.5,
+    vocab_broadcast_max: int = 5_000_000,
+) -> DataFrame:
+    """Per-document mean bigram surprisal −ln p(w₂|w₁) under a
+    corpus-self-fit add-α bigram model — one step up the CCNet/KenLM
+    quality-filter ladder from ``unigram_surprisal_scores`` (a bigram LM
+    catches word-salad documents whose unigram frequencies look normal).
+    Returns (id, carry_cols…, bigram_surprisal); documents with fewer
+    than 2 tokens produce no row.
+
+    Model: p(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V) with V = the
+    context vocabulary size (distinct w₁ observed) — the documented
+    smoothing denominator, computable from the bigram count table alone.
+
+    Scale shape: ONE corpus scan builds the (doc, w₁, bigram) occurrence
+    stream; the bigram count table comes off it with a grouped count,
+    the context count table is DERIVED from the bigram table (a
+    vocabulary-sized regroup, never a second corpus pass), and both join
+    back broadcast-while-small / hash-partitioned above the cap, exactly
+    like the unigram path. No UDF — ln/avg are codegen'd.
+    """
+    from ..functions.text import tokens
+    from ..io import broadcast_if_small
+
+    w = tokens(text_col)
+    occ = (
+        docs.select(F.col(id_col), *[F.col(c) for c in carry_cols], w.alias("w"))
+        # Spark's sequence(1, 0) counts DOWN (not empty) — guard short docs
+        .filter(F.size("w") >= 2)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("w"), i),
+                            F.element_at(F.col("w"), i + 1),
+                        ).alias("bg"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(F.col(id_col), *[F.col(c) for c in carry_cols], "o.w1", "o.bg")
+    )
+    # materialize the bigram table ONCE; the context table and vocab
+    # size derive from it (vocabulary-sized regroups, never a second
+    # corpus pass). The broadcast hint goes only on the JOIN inputs —
+    # hinting the frame the regroup reads would be a no-op that logs a
+    # HintErrorLogger warning per run.
+    mat12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
+        eager=True
+    )
+    # w1 is the text before the separator space — exact, since
+    # whitespace tokens cannot contain whitespace
+    c1 = mat12.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1")).agg(
+        F.sum("c12").alias("c1")
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    c12 = (
+        F.broadcast(mat12)
+        if mat12.count() <= vocab_broadcast_max
+        else mat12
+    )
+    c1 = broadcast_if_small(c1, max_rows=vocab_broadcast_max)
+    a = F.lit(float(alpha))
+    p = (F.col("c12") + a) / (F.col("c1") + a * F.col("v"))
+    return (
+        occ.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy(F.col(id_col), *[F.col(c) for c in carry_cols])
+        .agg(F.avg(-F.log(p)).alias("bigram_surprisal"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: Sequence[str] = (),
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every ``raw``
+    document by how target-like its hashed unigram features are,
+    log w(doc) = Σ_tokens ln( p_target(bucket) / p_raw(bucket) ),
+    with add-α smoothed bucket distributions fit on each corpus. A
+    pipeline resamples raw docs ∝ exp(log_weight) (or keeps the top
+    slice) to shift the pretraining mixture toward the target domain.
+    Returns (id, carry_cols…, n_tokens, log_weight).
+
+    Scale shape: the feature space is FIXED (``n_buckets``) no matter
+    the corpus size — both distributions collapse to ``n_buckets``-row
+    count tables (one grouped count per corpus), their smoothed
+    log-ratio is a broadcast table built on ``spark.range(n_buckets)``
+    (buckets with zero counts get the smoothing mass, never NULL), and
+    scoring is one more raw-corpus scan joined against that broadcast.
+    The md5 bucket hash is engine-portable, so the whole pass is
+    oracle-checkable."""
+    from .quality_model import hashed_feature_bucket
+
+    spark = raw.sparkSession
+
+    def _bucketed(df: DataFrame, *extra: Column) -> DataFrame:
+        from ..functions.text import tokens
+
+        return df.select(
+            *extra, F.explode(tokens(text_col)).alias("word")
+        ).select(*[c for c in extra], hashed_feature_bucket("word", n_buckets))
+
+    def _counts(df: DataFrame, cnt_name: str) -> DataFrame:
+        return _bucketed(df).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(cnt_name)
+        )
+
+    a = float(alpha)
+    tc = _counts(target, "tc")
+    rc = _counts(raw, "rc")
+    # totals are 1-row frames; the ratio table is n_buckets rows
+    t_tot = tc.agg(F.sum("tc").alias("tn"))
+    r_tot = rc.agg(F.sum("rc").alias("rn"))
+    ratio = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(t_tot))
+        .crossJoin(F.broadcast(r_tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + a)
+                    / (F.col("tn") + a * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + a)
+                    / (F.col("rn") + a * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    occ = _bucketed(raw, F.col(id_col), *[F.col(c) for c in carry_cols])
+    return (
+        occ.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col(id_col), *[F.col(c) for c in carry_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("log_ratio").alias("log_weight"),
+        )
+    )
+
+
 def unigram_surprisal_scores(
     docs: DataFrame,
     text_col: str = "text",

@@ -7572,3 +7572,279 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("5_token_budget", budgeted))
     )
     return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# §2.K model-based selection (r5, second batch): fastText-style hashed
+# linear quality classifier, bigram-LM surprisal filter, DSIR importance
+# resampling, curriculum staging over the distributed prefix sum.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "linear_quality_classifier",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 64 AS bucket
+        FROM (
+            SELECT doc_id, source, unnest({_TOKS_SQL}) AS word FROM documents
+        )
+    ),
+    wt AS (
+        SELECT range AS bucket,
+               ((range * 37 + 11) % 101 - 50) / 100.0 AS weight
+        FROM range(64)
+    ),
+    sc AS (
+        SELECT doc_id, source,
+               1.0 / (1.0 + exp(-AVG(weight))) AS score
+        FROM occ JOIN wt USING (bucket)
+        GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(MIN(score), 6) AS min_score,
+           ROUND(MAX(score), 6) AS max_score,
+           CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet/DCLM-style pipelines): score every document with a hashed
+    bag-of-words linear model — md5-portable feature hash into 64
+    buckets, a broadcast (bucket → weight) model table, sigmoid of the
+    mean feature weight — and report the per-source score distribution
+    plus how many docs a 0.5 keep-threshold retains. The weight vector
+    here is the deterministic ``demo_weights`` stand-in (exact integer
+    arithmetic, reproducible in any engine); a trained model scores
+    through the IDENTICAL plan: one corpus scan, one broadcast join,
+    one grouped mean (operators/quality_model.py). Docs with zero
+    tokens have no features and produce no row."""
+    from .operators.quality_model import demo_weights, score_linear_model
+
+    d = _t(spark, sf_dir, "documents")
+    scored = score_linear_model(
+        d, demo_weights(spark, 64), n_buckets=64, carry_cols=("source",)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+            F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, lang, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+        FROM (
+            SELECT doc_id, lang, w,
+                   unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+    ),
+    c12 AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM occ GROUP BY bg
+    ),
+    c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1,
+               CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    sc AS (
+        SELECT o.doc_id, o.lang,
+               AVG(-ln((c.c12 + 0.5) / (c1.c1 + 0.5 * v.v)))
+                 AS bigram_surprisal
+        FROM occ o JOIN c12 c USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY o.doc_id, o.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(bigram_surprisal), 6) AS avg_surprisal,
+           ROUND(MIN(bigram_surprisal), 6) AS min_surprisal,
+           ROUND(MAX(bigram_surprisal), 6) AS max_surprisal,
+           CAST(SUM(CASE WHEN bigram_surprisal > 3.45 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged
+    FROM sc GROUP BY lang ORDER BY lang
+    """,
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality filtering, bigram edition — one rung above
+    ``unigram_surprisal_filter`` on the CCNet/KenLM ladder: score each
+    doc by mean −ln p(w₂|w₁) under a corpus-self-fit add-0.5 bigram
+    model (word-salad docs score high even when their unigram mix looks
+    normal), reported per language with a 3.45-nat flag count. One corpus
+    scan builds the bigram occurrence stream; the count tables are
+    vocabulary-sized and join back broadcast-while-small
+    (operators/selection.bigram_surprisal_scores). Docs with <2 tokens
+    have no bigrams and are excluded by construction."""
+    from .operators.selection import bigram_surprisal_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scored = bigram_surprisal_scores(d, carry_cols=("lang",))
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("bigram_surprisal"), 6).alias("avg_surprisal"),
+            F.round(F.min("bigram_surprisal"), 6).alias("min_surprisal"),
+            F.round(F.max("bigram_surprisal"), 6).alias("max_surprisal"),
+            F.sum((F.col("bigram_surprisal") > 3.45).cast("long")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "dsir_selection_report",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 256
+                 AS bucket
+        FROM (
+            SELECT doc_id, source, unnest({_TOKS_SQL}) AS word FROM documents
+        )
+    ),
+    t AS (
+        SELECT bucket, COUNT(*) AS tc FROM b WHERE source = 'src0'
+        GROUP BY bucket
+    ),
+    r AS (
+        SELECT bucket, COUNT(*) AS rc FROM b WHERE source <> 'src0'
+        GROUP BY bucket
+    ),
+    tt AS (SELECT SUM(tc) AS tn FROM t),
+    rt AS (SELECT SUM(rc) AS rn FROM r),
+    ratio AS (
+        SELECT g.range AS bucket,
+               ln((COALESCE(t.tc, 0) + 1.0) / (tt.tn + 256.0))
+             - ln((COALESCE(r.rc, 0) + 1.0) / (rt.rn + 256.0)) AS log_ratio
+        FROM range(256) g
+        LEFT JOIN t ON g.range = t.bucket
+        LEFT JOIN r ON g.range = r.bucket
+        CROSS JOIN tt CROSS JOIN rt
+    ),
+    sc AS (
+        SELECT b.doc_id, b.source, SUM(log_ratio) AS lw
+        FROM b JOIN ratio USING (bucket)
+        WHERE b.source <> 'src0'
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(lw), 6) AS avg_log_weight,
+           ROUND(MIN(lw), 6) AS min_log_weight,
+           ROUND(MAX(lw), 6) AS max_log_weight,
+           CAST(SUM(CASE WHEN lw > -5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): treat source 'src0' as the
+    target domain, every other source as the raw pool, and weight each
+    raw document by Σ_tokens ln(p_target/p_raw) over 256 md5-hashed
+    unigram feature buckets (add-1 smoothed). The report gives each raw
+    source's weight distribution and how many of its docs lean
+    target-like (log-weight above a −5.0 selection threshold) — the resampling input. The feature
+    space is fixed-size regardless of corpus scale: both distributions
+    are 256-row count tables, the log-ratio table broadcasts, and the
+    raw corpus is scanned twice (fit + score), never shuffled by text
+    (operators/selection.dsir_log_weights)."""
+    from .operators.selection import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    scored = dsir_log_weights(raw, target, n_buckets=256, carry_cols=("source",))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("log_weight"), 6).alias("avg_log_weight"),
+            F.round(F.min("log_weight"), 6).alias("min_log_weight"),
+            F.round(F.max("log_weight"), 6).alias("max_log_weight"),
+            F.sum((F.col("log_weight") > -5.0).cast("long")).alias(
+                "n_target_like"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "curriculum_stage_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_QUALITY_SQL} AS q,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, q, tok,
+               SUM(tok) OVER (ORDER BY q DESC, doc_id) AS cum
+        FROM t
+    )
+    SELECT CAST(FLOOR((cum - tok) / 5000.0) AS BIGINT) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS stage_tokens,
+           ROUND(AVG(q), 6) AS avg_quality,
+           ROUND(MIN(q), 6) AS min_quality
+    FROM c GROUP BY stage ORDER BY stage
+    """,
+)
+def curriculum_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: order the corpus best-quality-first
+    (tie-break doc_id) and cut it into consecutive 5000-token training
+    stages — stage 0 is the cleanest slice, later stages progressively
+    noisier, the schedule a curriculum-learning run feeds the trainer.
+    The global running token total rides the distributed two-pass
+    prefix sum (operators/selection.ordered_cumsum: one range shuffle +
+    KB-sized offsets — NO single-task global window), so the plan holds
+    at any corpus size; a doc belongs to the stage its first token lands
+    in. Reports each stage's size and quality envelope."""
+    from .functions.text import quality_score, token_count
+    from .operators.selection import ordered_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_count("text").alias("tok"),
+    )
+    cum = ordered_cumsum(base, [F.desc("q"), F.asc("doc_id")], "tok", out_col="cum")
+    return (
+        cum.select(
+            F.floor((F.col("cum") - F.col("tok")) / F.lit(5000.0))
+            .cast("long")
+            .alias("stage"),
+            "tok",
+            "q",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("stage_tokens"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.min("q"), 6).alias("min_quality"),
+        )
+        .orderBy("stage")
+    )

@@ -500,6 +500,62 @@ class Stream:
             unigram_surprisal_scores(self.df, text_col, id_col, carry_cols)
         )
 
+    def bigram_surprisal(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        carry_cols: Sequence[str] = (),
+    ) -> "Stream":
+        """Per-doc mean bigram surprisal under a corpus-self-fit add-α
+        bigram LM — catches word-salad docs whose unigram mix looks
+        normal (operators/selection.bigram_surprisal_scores)."""
+        from .operators.selection import bigram_surprisal_scores
+
+        return Stream(
+            bigram_surprisal_scores(self.df, text_col, id_col, carry_cols)
+        )
+
+    def score_quality_model(
+        self,
+        weights: "Stream | DataFrame",
+        n_buckets: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        carry_cols: Sequence[str] = (),
+    ) -> "Stream":
+        """fastText-style hashed linear classifier scoring: sigmoid of
+        the mean (bucket → weight) model weight over the doc's
+        md5-hashed tokens (operators/quality_model.score_linear_model;
+        model broadcast while small)."""
+        from .operators.quality_model import score_linear_model
+
+        w = weights.df if isinstance(weights, Stream) else weights
+        return Stream(
+            score_linear_model(
+                self.df, w, n_buckets, text_col, id_col, carry_cols
+            )
+        )
+
+    def dsir_against(
+        self,
+        target: "Stream | DataFrame",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        carry_cols: Sequence[str] = (),
+        n_buckets: int = 256,
+    ) -> "Stream":
+        """DSIR importance log-weights of this (raw) corpus against a
+        target-domain corpus (operators/selection.dsir_log_weights) —
+        the resampling signal for domain-targeted data selection."""
+        from .operators.selection import dsir_log_weights
+
+        t = target.df if isinstance(target, Stream) else target
+        return Stream(
+            dsir_log_weights(
+                self.df, t, text_col, id_col, carry_cols, n_buckets
+            )
+        )
+
     def drift_against(
         self, reference: "Stream | DataFrame", columns: Sequence[str]
     ) -> "Stream":

@@ -2155,3 +2155,100 @@ def test_semantic_dedup_string_cluster_column(spark):
         for r in semantic_dedup(df, 0.99, cluster_col="topic").collect()
     }
     assert survivors == {1, 3, 4, 5}
+
+
+def test_linear_model_scoring_exact(spark):
+    """score_linear_model must equal the hand-computed sigmoid of the
+    mean hashed-bucket weight, and zero-token docs produce no row."""
+    import hashlib
+    import math
+
+    from pystreams_spark.operators.quality_model import (
+        demo_weights,
+        score_linear_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.score
+        for r in score_linear_model(
+            docs, demo_weights(spark, 16), n_buckets=16
+        ).collect()
+    }
+    assert set(out) == {1, 3}  # the empty doc has no features
+
+    wmap = {j: ((j * 37 + 11) % 101 - 50) / 100.0 for j in range(16)}
+
+    def py_score(words):
+        b = [
+            int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 16
+            for w in words
+        ]
+        m = sum(wmap[j] for j in b) / len(b)
+        return 1.0 / (1.0 + math.exp(-m))
+
+    assert abs(out[1] - py_score(["alpha", "beta", "alpha"])) < 1e-12
+    assert abs(out[3] - py_score(["gamma"])) < 1e-12
+
+
+def test_bigram_surprisal_flags_word_salad(spark):
+    """A scrambled doc over the SAME unigrams as the corpus must score
+    strictly higher bigram surprisal than the predictable docs — the
+    signal a unigram LM cannot see. Docs with <2 tokens are excluded."""
+    from pystreams_spark.operators.selection import bigram_surprisal_scores
+
+    rows = [(i, "a b a b a b a b") for i in range(10)]
+    rows.append((99, "b b a a b a a b"))  # same unigram mix, salad order
+    rows.append((100, "a"))  # single token: no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.bigram_surprisal for r in bigram_surprisal_scores(docs).collect()}
+    assert 100 not in out
+    assert all(out[99] > out[i] for i in range(10))
+
+
+def test_bigram_surprisal_vocab_join_switch(spark, sf_dir):
+    """Above the broadcast cap the bigram/context joins must not carry
+    broadcast hints (only the 1-row V stays hinted), with identical
+    scores — same contract as the unigram path."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.selection import bigram_surprisal_scores
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    bc = bigram_surprisal_scores(docs)
+    sh = bigram_surprisal_scores(docs, vocab_broadcast_max=0)
+    a = {r.doc_id: round(r.bigram_surprisal, 9) for r in bc.collect()}
+    b = {r.doc_id: round(r.bigram_surprisal, 9) for r in sh.collect()}
+    assert a == b and len(a) == 120
+
+    def n_broadcast_hints(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return plan.count("strategy=broadcast")
+
+    assert n_broadcast_hints(bc) == 3  # c12 + c1 + the 1-row V
+    assert n_broadcast_hints(sh) == 1  # only V
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """A raw doc written in the target domain's vocabulary must get a
+    strictly higher DSIR log-weight than one from a disjoint
+    vocabulary, and n_tokens must count the doc's tokens."""
+    from pystreams_spark.operators.selection import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(i, "spark shuffle partition join agg") for i in range(8)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark join shuffle agg partition join"),
+            (2, "banana apple cherry mango papaya kiwi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_log_weights(raw, target, n_buckets=64).collect()}
+    assert out[1].n_tokens == 6 and out[2].n_tokens == 6
+    assert out[1].log_weight > out[2].log_weight
+    assert out[1].log_weight > 0 > out[2].log_weight

@@ -398,3 +398,24 @@ def test_facade_r5_sugar(spark, sf_dir, tmp_path):
     )
     dec = media.decode_media().collect()[0]
     assert dec.kind == "image" and dec.mean_r == 9.0
+
+
+def test_facade_model_selection_sugar(spark, sf_dir):
+    """The model-based-selection sugar added late in r5: bigram LM
+    surprisal, hashed linear classifier scoring, DSIR weighting — each
+    routes to its operator and returns the documented shape."""
+    from pystreams_spark import Stream, load_table
+    from pystreams_spark.operators.quality_model import demo_weights
+
+    docs = Stream(load_table(spark, sf_dir, "documents").limit(60))
+
+    bs = docs.bigram_surprisal(carry_cols=("lang",)).collect()
+    assert len(bs) == 60 and all(r.bigram_surprisal > 0 for r in bs)
+
+    sc = docs.score_quality_model(demo_weights(spark, 64), 64).collect()
+    assert len(sc) == 60 and all(0.0 < r.score < 1.0 for r in sc)
+
+    target = Stream(docs.df.filter(F.col("source") == "src0"))
+    raw = Stream(docs.df.filter(F.col("source") != "src0"))
+    w = raw.dsir_against(target).collect()
+    assert len(w) > 0 and all(r.n_tokens > 0 for r in w)
