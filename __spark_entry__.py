@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalization_report", "curation_pipeline_funnel",
         "linear_quality_classifier", "bigram_lm_quality",
         "dsir_selection_report", "curriculum_stage_report",
+        "temperature_mixture_weights", "length_bucketing_report",
+        "oov_rate_report",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

@@ -121,6 +121,7 @@ def mixture_weights(
     group_col: str,
     token_col: str,
     target_shares: dict[str, float] | None = None,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Per-group resampling weights that reshape the corpus token
     mixture to a target distribution (uniform across groups unless
@@ -128,19 +129,46 @@ def mixture_weights(
     target_share(g) / actual_share(g). A weight > 1 means the group is
     under-represented (upsample / repeat epochs); < 1 means downsample.
 
+    ``alpha`` picks the temperature-scaled target instead (the XLM-R /
+    mT5 multilingual sampling rule): target_share(g) ∝ actual_share(g)^α
+    with 0 ≤ α ≤ 1 — α=1 keeps the natural mixture (all weights 1),
+    α=0 is the uniform target, and the standard α≈0.3 boosts
+    low-resource groups without letting them dominate. Mutually
+    exclusive with ``target_shares``.
+
     One grouped aggregate + a 1-row broadcast of the global totals —
     nothing here grows with corpus size except the single token scan.
     """
+    if alpha is not None and target_shares is not None:
+        raise ValueError(
+            "mixture_weights: pass either target_shares or alpha, not both"
+        )
+    if alpha is not None and not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"mixture_weights: alpha must be in [0, 1], got {alpha}")
+    # the grouped frame is KB-sized but its lineage is the full corpus
+    # scan; it feeds 2-3 consumers (totals, the α-power total, the
+    # output join) — cut the lineage so the corpus is scanned ONCE
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("group_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("group_tokens").alias("_total_tokens"),
         F.count(F.lit(1)).alias("_n_groups"),
     )
     out = per.crossJoin(F.broadcast(tot))
-    if target_shares is None:
+    if alpha is not None:
+        # Σ share^α over the tiny per-group frame; target ∝ share^α.
+        # try_divide + the POW of a NULL share keep zero-token groups
+        # NULL rather than ANSI-crashing, mirroring the plain path.
+        share = F.try_divide(F.col("group_tokens"), F.col("_total_tokens"))
+        pow_tot = (
+            out.select(F.pow(share, F.lit(float(alpha))).alias("_p"))
+            .agg(F.sum("_p").alias("_pow_total"))
+        )
+        out = out.crossJoin(F.broadcast(pow_tot))
+        target = F.try_divide(F.pow(share, F.lit(float(alpha))), F.col("_pow_total"))
+    elif target_shares is None:
         target = 1.0 / F.col("_n_groups")
     else:
         # an incomplete share dict would silently emit NULL weights for

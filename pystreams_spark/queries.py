@@ -7848,3 +7848,155 @@ def curriculum_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH per AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS group_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(group_tokens) AS total FROM per),
+    p AS (
+        SELECT per.*, CAST(group_tokens AS DOUBLE) / total AS share
+        FROM per, tot
+    ),
+    pt AS (SELECT SUM(pow(share, 0.3)) AS pow_total FROM p)
+    SELECT lang, n_docs, group_tokens,
+           ROUND(share, 6) AS actual_share,
+           ROUND(pow(share, 0.3) / pow_total, 6) AS target_share,
+           ROUND((pow(share, 0.3) / pow_total) / share, 6) AS weight
+    FROM p, pt
+    ORDER BY lang
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the XLM-R / mT5 rule):
+    target_share(lang) ∝ actual_share^α with α=0.3, boosting
+    low-resource languages without letting them dominate — the standard
+    compromise between the natural mixture (α=1) and uniform (α=0).
+    Same single-grouped-scan shape as the plain mixture op; the α-power
+    normalizer is one more 1-row broadcast off the KB-sized group frame
+    (`operators/selection.mixture_weights(alpha=0.3)`)."""
+    from .functions.text import token_count
+    from .operators.selection import mixture_weights
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("long").alias("n_tokens")
+    )
+    return mixture_weights(d, "lang", "n_tokens", alpha=0.3).orderBy("lang")
+
+
+@query(
+    "length_bucketing_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(len({_TOKS_SQL}) AS BIGINT) AS tok FROM documents
+    ),
+    b AS (
+        SELECT tok,
+               CAST(pow(2.0, ceil(log2(CAST(tok AS DOUBLE)))) AS BIGINT)
+                 AS bucket_top
+        FROM t WHERE tok > 0
+    )
+    SELECT bucket_top,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS real_tokens,
+           CAST(COUNT(*) * bucket_top AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(tok) AS DOUBLE) / (COUNT(*) * bucket_top), 6)
+             AS padding_waste
+    FROM b GROUP BY bucket_top ORDER BY bucket_top
+    """,
+)
+def length_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-shape planning for training/inference: bucket documents by
+    next-power-of-two token length and report how many tokens
+    fixed-shape batches would pad away per bucket (padding_waste = the
+    fraction of compute a bucketed loader burns on pad tokens — the
+    number that motivates sequence packing, and the complement to the
+    `pack_training_sequences*` ops). Pure Column algebra on one narrow
+    scan: pow/ceil/log2 are codegen'd; the groupBy keys are ~log₂(max
+    doc length) buckets, so the shuffle is a handful of rows per
+    partition at any corpus size. Zero-token docs have no batch shape
+    and are excluded."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    tok = token_count("text")
+    b = d.select(tok.alias("tok")).filter(F.col("tok") > 0).select(
+        "tok",
+        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("tok").cast("double"))))
+        .cast("long")
+        .alias("bucket_top"),
+    )
+    return (
+        b.groupBy("bucket_top")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket_top")).alias("padded_tokens"),
+            F.round(
+                1.0
+                - F.sum("tok").cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket_top")),
+                6,
+            ).alias("padding_waste"),
+        )
+        .orderBy("bucket_top")
+    )
+
+
+@query(
+    "oov_rate_report",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT DISTINCT word FROM tok WHERE lang = 'en'
+    )
+    SELECT t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.word = v.word
+    GROUP BY t.lang ORDER BY t.lang
+    """,
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocabulary health check: fit a reference vocabulary on
+    one slice (the 'en' documents — the slice a tokenizer was trained
+    on) and measure each language's out-of-vocabulary token rate
+    against it — the number that tells you a tokenizer will shatter
+    low-resource languages into bytes. One explode scan; the reference
+    vocab is a distinct-key frame that broadcasts while verifiably
+    small (`broadcast_if_small`) and degrades to a hash join at
+    web-scale vocabulary sizes; the OOV test is a left join's NULL
+    probe, counted per language."""
+    from .functions.text import tokens
+    from .io import broadcast_if_small
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens("text")).alias("word"))
+    vocab = broadcast_if_small(
+        tok.filter(F.col("lang") == "en").select("word").distinct(),
+        max_rows=5_000_000,
+    ).withColumnRenamed("word", "v_word")
+    return (
+        tok.join(vocab, tok.word == vocab.v_word, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("v_word").isNull().cast("long")).alias("n_oov"),
+            F.round(
+                F.sum(F.col("v_word").isNull().cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )

@@ -2252,3 +2252,29 @@ def test_dsir_prefers_target_like_docs(spark):
     assert out[1].n_tokens == 6 and out[2].n_tokens == 6
     assert out[1].log_weight > out[2].log_weight
     assert out[1].log_weight > 0 > out[2].log_weight
+
+
+def test_mixture_weights_temperature_alpha(spark):
+    """α=1 must reproduce the natural mixture (all weights 1); α=0 the
+    uniform target; α with target_shares or outside [0,1] must raise."""
+    import pytest as _pytest
+
+    from pystreams_spark.operators.selection import mixture_weights
+
+    df = spark.createDataFrame(
+        [("en", 900), ("de", 90), ("fr", 10)], "lang string, n_tokens long"
+    )
+    nat = {r.lang: r.weight for r in mixture_weights(df, "lang", "n_tokens", alpha=1.0).collect()}
+    assert all(abs(w - 1.0) < 1e-6 for w in nat.values())
+
+    uni = {r.lang: r.target_share for r in mixture_weights(df, "lang", "n_tokens", alpha=0.0).collect()}
+    assert all(abs(t - 1 / 3) < 1e-6 for t in uni.values())
+
+    # α=0.3 boosts the low-resource group, shrinks the dominant one
+    mid = {r.lang: r.weight for r in mixture_weights(df, "lang", "n_tokens", alpha=0.3).collect()}
+    assert mid["fr"] > 1.0 > mid["en"]
+
+    with _pytest.raises(ValueError, match="not both"):
+        mixture_weights(df, "lang", "n_tokens", target_shares={"en": 1.0}, alpha=0.3)
+    with _pytest.raises(ValueError, match="alpha"):
+        mixture_weights(df, "lang", "n_tokens", alpha=1.5)
