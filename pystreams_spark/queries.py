@@ -7598,7 +7598,7 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sc AS (
         SELECT doc_id, source,
-               1.0 / (1.0 + exp(-AVG(weight))) AS score
+               ROUND(1.0 / (1.0 + exp(-AVG(weight))), 6) AS score
         FROM occ JOIN wt USING (bucket)
         GROUP BY doc_id, source
     )
@@ -7630,6 +7630,10 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = score_linear_model(
         d, demo_weights(spark, 64), n_buckets=64, carry_cols=("source",)
     )
+    # doc-level rounding BEFORE the keep-threshold: a zero-mean-weight
+    # doc sits exactly on 0.5, and the raw double mean is not bit-stable
+    # across engines/partitionings — rounded, the boundary is exact
+    scored = scored.withColumn("score", F.round("score", 6))
     return (
         scored.groupBy("source")
         .agg(
@@ -7897,8 +7901,8 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     b AS (
         SELECT tok,
-               CAST(pow(2.0, ceil(log2(CAST(tok AS DOUBLE)))) AS BIGINT)
-                 AS bucket_top
+               CASE WHEN tok = 1 THEN 1
+                    ELSE 1::BIGINT << length(bin(tok - 1)) END AS bucket_top
         FROM t WHERE tok > 0
     )
     SELECT bucket_top,
@@ -7925,10 +7929,13 @@ def length_bucketing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     tok = token_count("text")
+    # integer-exact next power of two: float log2 overshoots at exact
+    # powers (Spark's ln(x)/ln(2) gives log2(2^29)=29.000000000000004 →
+    # a doubled bucket); 1 << bitlen(tok-1) never can
     b = d.select(tok.alias("tok")).filter(F.col("tok") > 0).select(
         "tok",
-        F.pow(F.lit(2.0), F.ceil(F.log2(F.col("tok").cast("double"))))
-        .cast("long")
+        F.when(F.col("tok") == 1, F.lit(1).cast("long"))
+        .otherwise(F.expr("shiftleft(cast(1 as bigint), length(bin(tok - 1)))"))
         .alias("bucket_top"),
     )
     return (

@@ -457,13 +457,15 @@ class Stream:
         group_col: str,
         token_col: str,
         target_shares: dict[str, float] | None = None,
+        alpha: float | None = None,
     ) -> "Stream":
-        """Per-group resampling weights toward a target token mixture
-        (operators/selection.mixture_weights)."""
+        """Per-group resampling weights toward a target token mixture;
+        ``alpha`` selects temperature-scaled α-sampling instead of
+        explicit shares (operators/selection.mixture_weights)."""
         from .operators.selection import mixture_weights
 
         return Stream(
-            mixture_weights(self.df, group_col, token_col, target_shares)
+            mixture_weights(self.df, group_col, token_col, target_shares, alpha)
         )
 
     def pack_sequences(
