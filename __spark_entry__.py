@@ -167,7 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_quality_classifier", "bigram_lm_quality",
         "dsir_selection_report", "curriculum_stage_report",
         "temperature_mixture_weights", "length_bucketing_report",
-        "oov_rate_report",
+        "oov_rate_report", "embedding_truncation_fidelity",
+        "embedding_outlier_report", "token_frequency_spectrum",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {
@@ -184,11 +185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # rows-only-by-nature entries with old verdicts (VERDICT r4 #9):
     # re-verify under r5 code since several gained guards late in r4.
+    # pruned late-r5 as new queries filled the window: count_min /
+    # heavy_hitters were driver-checked in r4 (freshest evidence) and
+    # seeded_random_tags is untouched engine-seeded rand since r3 —
+    # fresh oracle verdicts on never-checked queries outrank those
+    # re-checks; pca_embedding_spectrum (guards added late r4) stays.
     stale_rows_only = {
-        "approx_sketches", "hll_sketch_rollup", "count_min_user_events",
-        "heavy_hitters_events", "simhash_neardup_candidates",
+        "approx_sketches", "hll_sketch_rollup",
+        "simhash_neardup_candidates",
         "embedding_neardup_lsh", "seeded_sample_stats",
-        "stratified_sample_stats", "seeded_random_tags",
+        "stratified_sample_stats",
         "pack_training_sequences", "pca_embedding_spectrum",
         "minhash_neardup_candidates",
     }

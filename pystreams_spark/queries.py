@@ -8007,3 +8007,215 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "embedding_truncation_fidelity",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS pair_id,
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS eb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+    ),
+    ks AS (SELECT unnest([8, 16, 32, 64]) AS k),
+    scored AS (
+        SELECT k, pair_id,
+               list_sum(list_transform(list_zip(list_slice(ea, 1, k),
+                                                list_slice(eb, 1, k)),
+                        p -> p[1] * p[2]))
+               / (SQRT(list_sum(list_transform(list_slice(ea, 1, k),
+                                x -> x * x)))
+                  * SQRT(list_sum(list_transform(list_slice(eb, 1, k),
+                                  x -> x * x)))) AS cos_k,
+               list_sum(list_transform(list_zip(ea, eb), p -> p[1] * p[2]))
+               / (SQRT(list_sum(list_transform(ea, x -> x * x)))
+                  * SQRT(list_sum(list_transform(eb, x -> x * x)))) AS cos_full
+        FROM pairs CROSS JOIN ks
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ABS(cos_full - cos_k)), 6) AS avg_abs_delta,
+           ROUND(MAX(ABS(cos_full - cos_k)), 6) AS max_abs_delta,
+           ROUND(AVG(cos_k), 6) AS avg_cos_k
+    FROM scored GROUP BY k ORDER BY k
+    """,
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation fidelity report (the Matryoshka-embedding /
+    vector-DB cost question: how much similarity signal survives keeping
+    only the first k dims?): over a deterministic disjoint pairing
+    (vec 2i vs 2i+1), compare cosine at k ∈ {8,16,32,64} against the
+    full 64-dim cosine — avg/max absolute error and the mean truncated
+    similarity per k. Pure Column algebra (slice + zip_with fold dot
+    products, codegen'd); the pairing is an id-shifted self-join that a
+    bucketed layout turns shuffle-free, and each pair emits 4 tiny rows
+    → the groupBy moves KBs at any corpus size."""
+    from .functions.vector import as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pair_id"), as_double("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("pair_id"),
+                 as_double("embedding").alias("eb"))
+    pairs = a.join(b, "pair_id")
+    ks = spark.createDataFrame([(8,), (16,), (32,), (64,)], "k int")
+    scored = pairs.crossJoin(F.broadcast(ks)).select(
+        "k",
+        cosine(F.slice("ea", 1, F.col("k")), F.slice("eb", 1, F.col("k"))).alias("cos_k"),
+        cosine("ea", "eb").alias("cos_full"),
+    )
+    return (
+        scored.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("cos_full") - F.col("cos_k"))), 6).alias(
+                "avg_abs_delta"
+            ),
+            F.round(F.max(F.abs(F.col("cos_full") - F.col("cos_k"))), 6).alias(
+                "max_abs_delta"
+            ),
+            F.round(F.avg("cos_k"), 6).alias("avg_cos_k"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "embedding_outlier_report",
+    oracle="""
+    WITH flat AS (
+        SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+        FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    centroid AS (
+        SELECT label, pos, AVG(val) AS c FROM flat GROUP BY label, pos
+    ),
+    dist AS (
+        SELECT f.vec_id, f.label,
+               SQRT(SUM((f.val - c.c) * (f.val - c.c))) AS d
+        FROM flat f JOIN centroid c ON f.label = c.label AND f.pos = c.pos
+        GROUP BY f.vec_id, f.label
+    ),
+    stats AS (
+        SELECT label, AVG(d) AS mu, STDDEV_SAMP(d) AS sigma FROM dist
+        GROUP BY label
+    )
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(AVG(d.d), 6) AS avg_dist,
+           ROUND(MAX(d.d), 6) AS max_dist,
+           CAST(SUM(CASE WHEN (d.d - s.mu) / s.sigma > 2.0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+    FROM dist d JOIN stats s ON d.label = s.label
+    GROUP BY d.label ORDER BY d.label
+    """,
+)
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality outlier screen (mislabeled / corrupted vectors
+    before they poison retrieval or clustering): per-label centroid →
+    per-vector L2 distance to its centroid → per-label z-score, flagging
+    vectors more than 2σ out. The centroid pass is a posexplode +
+    (label, pos) partial agg — the centroid table is |labels|×dim rows
+    and joins back broadcast; per-vector distances are one more grouped
+    sum, and the final stats are label-sized. No kernel, no all-pairs
+    anything: cost is two narrow passes over the flattened corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id", "label", (F.col("pos") + 1).alias("pos"),
+        F.col("col").cast("double").alias("val"),
+    )
+    centroid = flat.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    from .io import broadcast_if_small
+
+    centroid = broadcast_if_small(centroid, max_rows=10_000_000)
+    dist = (
+        flat.join(centroid, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) ** 2)).alias("d"))
+    )
+    stats = dist.groupBy("label").agg(
+        F.avg("d").alias("mu"), F.stddev_samp("d").alias("sigma")
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("d"), 6).alias("avg_dist"),
+            F.round(F.max("d"), 6).alias("max_dist"),
+            F.sum(
+                ((F.col("d") - F.col("mu")) / F.col("sigma") > 2.0).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "token_frequency_spectrum",
+    oracle="""
+    WITH g AS (
+        SELECT substr(text, i, 3) AS gram
+        FROM documents, unnest(generate_series(1, length(text) - 2)) t(i)
+        WHERE length(text) >= 3
+    ),
+    vocab AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM vocab)
+    SELECT 1::BIGINT << (length(bin(cnt)) - 1) AS freq_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.n_types), 6)
+             AS type_share
+    FROM vocab CROSS JOIN tot
+    GROUP BY freq_bucket ORDER BY freq_bucket
+    """,
+)
+def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies spectrum over character trigrams (the
+    Good-Turing smoothing input, and the corpus-health curve tokenizer
+    work starts from): how many trigram types occur ~2^k times, bucketed
+    by power-of-two count. A bloated low-count tail signals OCR noise /
+    encoding damage; the high-count head is the boilerplate a char-level
+    tokenizer will merge first. Trigram types (not whitespace words) so
+    the spectrum has body on any corpus, including unsegmented scripts.
+    One narrow trigram explode -> type-count table (vocabulary-sized) ->
+    ~log2(max count)-row regroup; the global type total is a 1-row
+    broadcast. The bucket key uses integer bit-length arithmetic (never
+    float log2 -- exact at powers of two) on BOTH engines."""
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.filter(F.length("text") >= 3)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substring(F.col("text"), i, F.lit(3)),
+                )
+            ).alias("gram")
+        )
+    )
+    vocab = g.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = vocab.agg(F.count(F.lit(1)).alias("n_types_total"))
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr("shiftleft(cast(1 as bigint), length(bin(cnt)) - 1)").alias(
+                "freq_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.first("n_types_total"), 6
+            ).alias("type_share"),
+        )
+        .orderBy("freq_bucket")
+    )
