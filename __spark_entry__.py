@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture_weights", "length_bucketing_report",
         "oov_rate_report", "embedding_truncation_fidelity",
         "embedding_outlier_report", "token_frequency_spectrum",
+        "bm25_retrieval_top20", "winsorize_clip_report",
+        "temporal_split_report",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {
@@ -189,14 +191,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # heavy_hitters were driver-checked in r4 (freshest evidence) and
     # seeded_random_tags is untouched engine-seeded rand since r3 —
     # fresh oracle verdicts on never-checked queries outrank those
-    # re-checks; pca_embedding_spectrum (guards added late r4) stays.
+    # re-checks. The remaining stale entries are split: the ones the
+    # r4 verdict named (pca — guards added late r4) or whose operator
+    # lineage the r5 guard work touched (minhash/pack) rank ahead of
+    # the generic sketch re-checks, so window pressure sheds the least
+    # valuable re-checks first.
+    stale_priority = {
+        "pca_embedding_spectrum", "pack_training_sequences",
+        "minhash_neardup_candidates", "simhash_neardup_candidates",
+    }
     stale_rows_only = {
         "approx_sketches", "hll_sketch_rollup",
-        "simhash_neardup_candidates",
         "embedding_neardup_lsh", "seeded_sample_stats",
         "stratified_sample_stats",
-        "pack_training_sequences", "pca_embedding_spectrum",
-        "minhash_neardup_candidates",
     }
 
     def rank(name: str) -> int:
@@ -204,8 +211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 0
         if name in touched_r5:
             return 1
-        if name in stale_rows_only:
+        if name in stale_priority:
             return 2
+        if name in stale_rows_only:
+            return 3
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED)]

