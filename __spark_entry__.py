@@ -219,7 +219,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED)]
         if not any(checked_in):
-            return 3  # registered but never checked and not named above
+            # registered but never driver-checked and not (yet) listed
+            # in never_checked: rank WITH the never-checked tier — a
+            # forgotten listing must not cost a query its first verdict
+            # (nor silently displace the curated stale re-check slots)
+            return 0
         # newest round that checked it: older evidence ranks earlier
         newest = max(i for i, hit in enumerate(checked_in) if hit)
         return 4 + newest

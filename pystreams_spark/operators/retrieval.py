@@ -53,6 +53,9 @@ def bm25_scores(
         F.avg("dl").alias("avgdl"),
     )
     term_arr = F.array(*[F.lit(t) for t in terms])
+    # tf feeds BOTH the df aggregate and the scoring join: cut the
+    # lineage (it is tiny — matched (doc, term) rows only) so the
+    # postings explode + aggregation runs once, not twice
     tf = (
         base.select(
             F.col(id_col),
@@ -63,6 +66,7 @@ def bm25_scores(
         )
         .groupBy(F.col(id_col), "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))

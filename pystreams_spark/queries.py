@@ -8025,21 +8025,26 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_sum(list_transform(list_zip(list_slice(ea, 1, k),
                                                 list_slice(eb, 1, k)),
                         p -> p[1] * p[2]))
-               / (SQRT(list_sum(list_transform(list_slice(ea, 1, k),
-                                x -> x * x)))
-                  * SQRT(list_sum(list_transform(list_slice(eb, 1, k),
-                                  x -> x * x)))) AS cos_k,
+               / NULLIF(SQRT(list_sum(list_transform(list_slice(ea, 1, k),
+                                      x -> x * x)))
+                        * SQRT(list_sum(list_transform(list_slice(eb, 1, k),
+                                        x -> x * x))), 0) AS cos_k,
                list_sum(list_transform(list_zip(ea, eb), p -> p[1] * p[2]))
-               / (SQRT(list_sum(list_transform(ea, x -> x * x)))
-                  * SQRT(list_sum(list_transform(eb, x -> x * x)))) AS cos_full
+               / NULLIF(SQRT(list_sum(list_transform(ea, x -> x * x)))
+                        * SQRT(list_sum(list_transform(eb, x -> x * x))), 0)
+                 AS cos_full
         FROM pairs CROSS JOIN ks
     )
+    -- zero-norm slices cosine to NULL on both engines; keep only pairs
+    -- where both cosines exist so every stat sees the same pair set
     SELECT k,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            ROUND(AVG(ABS(cos_full - cos_k)), 6) AS avg_abs_delta,
            ROUND(MAX(ABS(cos_full - cos_k)), 6) AS max_abs_delta,
            ROUND(AVG(cos_k), 6) AS avg_cos_k
-    FROM scored GROUP BY k ORDER BY k
+    FROM scored
+    WHERE cos_k IS NOT NULL AND cos_full IS NOT NULL
+    GROUP BY k ORDER BY k
     """,
 )
 def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8066,6 +8071,11 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         "k",
         cosine(F.slice("ea", 1, F.col("k")), F.slice("eb", 1, F.col("k"))).alias("cos_k"),
         cosine("ea", "eb").alias("cos_full"),
+    )
+    # cosine() try_divides: a zero-norm slice is NULL — drop such pairs
+    # on BOTH engines so n_pairs/avg/max all see the same pair set
+    scored = scored.filter(
+        F.col("cos_k").isNotNull() & F.col("cos_full").isNotNull()
     )
     return (
         scored.groupBy("k")
@@ -8107,7 +8117,8 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            ROUND(AVG(d.d), 6) AS avg_dist,
            ROUND(MAX(d.d), 6) AS max_dist,
-           CAST(SUM(CASE WHEN (d.d - s.mu) / s.sigma > 2.0 THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN s.sigma > 0 AND (d.d - s.mu) / s.sigma > 2.0
+                         THEN 1 ELSE 0 END)
              AS BIGINT) AS n_outliers
     FROM dist d JOIN stats s ON d.label = s.label
     GROUP BY d.label ORDER BY d.label
@@ -8133,10 +8144,13 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import broadcast_if_small
 
     centroid = broadcast_if_small(centroid, max_rows=10_000_000)
+    # dist feeds BOTH the stats agg and the final join: cut the
+    # lineage so the posexplode + centroid join runs once, not twice
     dist = (
         flat.join(centroid, ["label", "pos"])
         .groupBy("vec_id", "label")
         .agg(F.sqrt(F.sum((F.col("val") - F.col("c")) ** 2)).alias("d"))
+        .localCheckpoint(eager=True)
     )
     stats = dist.groupBy("label").agg(
         F.avg("d").alias("mu"), F.stddev_samp("d").alias("sigma")
@@ -8148,8 +8162,15 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.avg("d"), 6).alias("avg_dist"),
             F.round(F.max("d"), 6).alias("max_dist"),
+            # try_divide: a zero-variance label (every 2-vector label,
+            # geometrically) or a singleton (sigma NULL) must yield 0
+            # outliers, not an ANSI DIVIDE_BY_ZERO / NULL count
             F.sum(
-                ((F.col("d") - F.col("mu")) / F.col("sigma") > 2.0).cast("long")
+                F.when(
+                    F.try_divide(F.col("d") - F.col("mu"), F.col("sigma"))
+                    > 2.0,
+                    1,
+                ).otherwise(0)
             ).alias("n_outliers"),
         )
         .orderBy("label")
@@ -8330,7 +8351,9 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     differ in final-ULP between engines; an unrounded cutoff makes the
     clip counts knife-edge). Two passes total: one percentile agg
     (sketch-based at scale; exact here for the oracle) and one
-    conditional-sum scan shared by both columns."""
+    conditional-sum scan shared by both columns (both columns' stats
+    compile into ONE global aggregate; the report rows unpack from the
+    1-row result with an explode)."""
     li = _t(spark, sf_dir, "lineitem")
     # ONE percentile buffer per column (array form), not one per
     # cutoff — measured 3.8 s -> 2.4 s at sf0.1 for the stats agg
@@ -8346,23 +8369,45 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.crossJoin(F.broadcast(cuts))
 
-    def one(col, lo, hi):
+    # both columns' clip stats compile into ONE global aggregate (a
+    # per-column groupBy union would scan lineitem once per column);
+    # the two report rows are then unpacked from the 1-row frame with
+    # an explode — a single scan end to end
+    def stats_for(col, lo, hi):
         c, l, h = F.col(col), F.col(lo), F.col(hi)
         clipped = F.least(F.greatest(c, l), h)
-        return j.groupBy(l.alias("p01"), h.alias("p99")).agg(
+        return [
+            F.first(l).alias(f"{col}_p01"),
+            F.first(h).alias(f"{col}_p99"),
+            F.sum((c < l).cast("long")).alias(f"{col}_nlo"),
+            F.sum((c > h).cast("long")).alias(f"{col}_nhi"),
+            F.round(F.avg(c), 6).alias(f"{col}_mb"),
+            F.round(F.avg(clipped), 6).alias(f"{col}_ma"),
+        ]
+
+    one_row = j.agg(
+        *stats_for("l_extendedprice", "ep_lo", "ep_hi"),
+        *stats_for("l_discount", "di_lo", "di_hi"),
+    )
+
+    def as_struct(col):
+        return F.struct(
             F.lit(col).alias("col"),
-            F.sum((c < l).cast("long")).alias("n_clipped_low"),
-            F.sum((c > h).cast("long")).alias("n_clipped_high"),
-            F.round(F.avg(c), 6).alias("mean_before"),
-            F.round(F.avg(clipped), 6).alias("mean_after"),
-        ).select(
-            "col", "p01", "p99", "n_clipped_low", "n_clipped_high",
-            "mean_before", "mean_after",
+            F.col(f"{col}_p01").alias("p01"),
+            F.col(f"{col}_p99").alias("p99"),
+            F.col(f"{col}_nlo").alias("n_clipped_low"),
+            F.col(f"{col}_nhi").alias("n_clipped_high"),
+            F.col(f"{col}_mb").alias("mean_before"),
+            F.col(f"{col}_ma").alias("mean_after"),
         )
 
     return (
-        one("l_extendedprice", "ep_lo", "ep_hi")
-        .unionByName(one("l_discount", "di_lo", "di_hi"))
+        one_row.select(
+            F.explode(
+                F.array(as_struct("l_extendedprice"), as_struct("l_discount"))
+            ).alias("r")
+        )
+        .select("r.*")
         .orderBy("col")
     )
 
@@ -8391,7 +8436,7 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.split, p.n_events, p.n_users, p.avg_value,
            c.n_overlap_users,
-           ROUND(CAST(c.n_overlap_users AS DOUBLE) / p.n_users, 6)
+           ROUND(CAST(c.n_overlap_users AS DOUBLE) / NULLIF(p.n_users, 0), 6)
              AS user_overlap_rate
     FROM per p CROSS JOIN crossu c
     ORDER BY p.split
@@ -8428,7 +8473,10 @@ def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "split", "n_events", "n_users", "avg_value", "n_overlap_users",
             F.round(
-                F.col("n_overlap_users").cast("double") / F.col("n_users"), 6
+                F.try_divide(
+                    F.col("n_overlap_users").cast("double"), F.col("n_users")
+                ),
+                6,
             ).alias("user_overlap_rate"),
         )
         .orderBy("split")

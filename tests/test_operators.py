@@ -2311,3 +2311,27 @@ def test_bm25_scores_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="non-empty"):
         bm25_scores(docs, [])
+
+
+def test_embedding_outlier_query_degenerate_labels(spark, tmp_path):
+    """Zero-variance labels (every 2-vector label, geometrically) and
+    singleton labels must yield n_outliers=0, not an ANSI
+    DIVIDE_BY_ZERO crash or a NULL count (r5 review finding)."""
+    import os
+
+    from pystreams_spark.queries import QUERIES
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [3.0, 0.0], 0),   # 2-vector label: sigma=0
+        (3, [5.0, 5.0], 1),                        # singleton: sigma=NULL
+        (4, [0.0, 0.0], 2), (5, [0.0, 0.0], 2), (6, [9.0, 9.0], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r.label: r for r in QUERIES["embedding_outlier_report"](spark, d).collect()}
+    assert out[0].n_outliers == 0 and out[1].n_outliers == 0
+    assert out[2].n_vecs == 3 and out[2].n_outliers is not None
