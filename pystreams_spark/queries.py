@@ -8481,3 +8481,60 @@ def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "customer_record_linkage",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.c_nationkey,
+               a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name) AS distance
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(SUM(CASE WHEN distance <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matches,
+           CAST(MIN(distance) AS BIGINT) AS min_distance,
+           ROUND(AVG(distance), 6) AS avg_distance
+    FROM pairs GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on structured records (Fellegi–Sunter
+    blocking): block customers by (nation, market segment), compare
+    names pairwise WITHIN blocks by edit distance, and report each
+    nation's candidate-pair volume and near-match count (distance ≤ 2 —
+    the merge queue a master-data pipeline reviews). The pair space is
+    Σ block², never n²; `operators/linkage.record_linkage` refuses
+    outright when a block exceeds its row cap (a hot block means the
+    blocking key is wrong). The report aggregates the FULL candidate
+    set so the oracle also certifies the pair-generation plumbing, not
+    just the matches."""
+    from .operators.linkage import record_linkage
+
+    c = _t(spark, sf_dir, "customer")
+    # max_distance=None keeps every candidate pair (the report shows
+    # pair volume too) AND keeps levenshtein a once-evaluated
+    # projection instead of a join-condition predicate
+    pairs = record_linkage(
+        c,
+        ["c_nationkey", "c_mktsegment"],
+        key_col="c_name",
+        id_col="c_custkey",
+        max_distance=None,
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidate_pairs"),
+            F.sum((F.col("distance") <= 2).cast("long")).alias("n_matches"),
+            F.min("distance").cast("long").alias("min_distance"),
+            F.round(F.avg("distance"), 6).alias("avg_distance"),
+        )
+        .orderBy("c_nationkey")
+    )

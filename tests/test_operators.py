@@ -2335,3 +2335,28 @@ def test_embedding_outlier_query_degenerate_labels(spark, tmp_path):
     out = {r.label: r for r in QUERIES["embedding_outlier_report"](spark, d).collect()}
     assert out[0].n_outliers == 0 and out[1].n_outliers == 0
     assert out[2].n_vecs == 3 and out[2].n_outliers is not None
+
+
+def test_record_linkage_blocked_pairs_and_hot_block_gate(spark):
+    """Linkage must only compare within blocks (no cross-block pairs),
+    order pairs id_a < id_b, and REFUSE a block over the row cap."""
+    import pytest as _pytest
+
+    from pystreams_spark.operators.linkage import record_linkage
+
+    df = spark.createDataFrame(
+        [
+            (1, "B1", "smith john"),
+            (2, "B1", "smith jon"),      # distance 1 to id 1
+            (3, "B1", "wilson amy"),
+            (4, "B2", "smith john"),     # same name, other block: no pair
+        ],
+        "rid long, blk string, name string",
+    )
+    out = record_linkage(df, ["blk"], "name", "rid", max_distance=1).collect()
+    assert [(r.id_a, r.id_b, r.distance) for r in out] == [(1, 2, 1)]
+
+    with _pytest.raises(ValueError, match="max_block_rows"):
+        record_linkage(df, ["blk"], "name", "rid", max_block_rows=2)
+    with _pytest.raises(ValueError, match="non-empty"):
+        record_linkage(df, [], "name", "rid")
