@@ -262,3 +262,83 @@ def test_remove_repeated_spans_matches_python_reference(spark):
             for r in remove_repeated_spans(df, n=n).collect()
         }
         assert got == reference(docs)
+
+
+# word alphabet kept tiny so bigram/BM25 corpora have real collisions
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=12
+)
+_corpus = st.lists(_words, min_size=1, max_size=25)
+
+
+@slow
+@given(docs=_corpus)
+def test_bigram_surprisal_matches_python_reference(spark, docs):
+    """bigram_surprisal_scores ≡ a direct python implementation of the
+    documented add-α model on random small corpora."""
+    import math
+    from collections import Counter
+
+    from pystreams_spark.operators.selection import bigram_surprisal_scores
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.bigram_surprisal
+        for r in bigram_surprisal_scores(df).collect()
+    }
+
+    bigrams = Counter()
+    for ws in docs:
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    c1 = Counter()
+    for (a, _), n in bigrams.items():
+        c1[a] += n
+    v = len(c1)
+    expected = {}
+    for i, ws in enumerate(docs):
+        if len(ws) < 2:
+            continue
+        s = [
+            -math.log((bigrams[(a, b)] + 0.5) / (c1[a] + 0.5 * v))
+            for a, b in zip(ws, ws[1:])
+        ]
+        expected[i] = sum(s) / len(s)
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
+
+
+@slow
+@given(docs=_corpus, terms=st.sets(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=3))
+def test_bm25_matches_python_reference(spark, docs, terms):
+    """bm25_scores ≡ a direct python implementation of the Lucene form
+    on random small corpora and term sets."""
+    import math
+    from collections import Counter
+
+    from pystreams_spark.operators.retrieval import bm25_scores
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, sorted(terms)).collect()}
+
+    n = len(docs)
+    dls = [len(ws) for ws in docs]
+    avgdl = sum(dls) / n
+    tf = {i: Counter(w for w in ws if w in terms) for i, ws in enumerate(docs)}
+    dfreq = Counter(t for i in tf for t in tf[i])
+    k1, b = 1.2, 0.75
+    expected = {}
+    for i, cnt in tf.items():
+        if not cnt:
+            continue
+        s = 0.0
+        for t, f in cnt.items():
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dls[i] / avgdl))
+        expected[i] = s
+    assert set(got) == set(expected)
+    for i in expected:
+        assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
