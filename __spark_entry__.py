@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outlier_report", "token_frequency_spectrum",
         "bm25_retrieval_top20", "winsorize_clip_report",
         "temporal_split_report", "customer_record_linkage",
+        "model_filtered_funnel",
     }
     # code-touched in round 5 (need re-verdicts under the new code)
     touched_r5 = {

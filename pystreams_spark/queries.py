@@ -8538,3 +8538,143 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "model_filtered_funnel",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(text) AS h
+        FROM documents
+    ),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+    dedup AS (
+        SELECT b.* FROM base b JOIN keep k
+          ON b.h = k.h AND b.doc_id = k.keep_id
+    ),
+    occ AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 64
+                 AS bucket
+        FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM dedup)
+    ),
+    wt AS (
+        SELECT range AS bucket,
+               ((range * 37 + 11) % 101 - 50) / 100.0 AS weight
+        FROM range(64)
+    ),
+    sc AS (
+        SELECT doc_id, ROUND(1.0 / (1.0 + exp(-AVG(weight))), 6) AS score
+        FROM occ JOIN wt USING (bucket) GROUP BY doc_id
+    ),
+    clf AS (
+        SELECT d.*, s.score FROM dedup d JOIN sc s USING (doc_id)
+        WHERE s.score >= 0.49
+    ),
+    bocc AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+        FROM (
+            SELECT doc_id, {_TOKS_SQL} AS w,
+                   unnest(generate_series(1, len({_TOKS_SQL}) - 1)) AS i
+            FROM clf WHERE len({_TOKS_SQL}) >= 2
+        )
+    ),
+    c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c12 FROM bocc GROUP BY bg),
+    c1 AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY 1
+    ),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
+    bsc AS (
+        SELECT o.doc_id,
+               ROUND(AVG(-ln((c.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS bs
+        FROM bocc o JOIN c12 c USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        GROUP BY o.doc_id
+    ),
+    lm AS (
+        SELECT c.* FROM clf c JOIN bsc USING (doc_id) WHERE bsc.bs <= 3.45
+    ),
+    budgeted AS (
+        SELECT * FROM (
+            SELECT l.*, SUM(n_tokens) OVER (
+                ORDER BY score DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) - n_tokens AS cum_before FROM lm l
+        ) WHERE cum_before < 10000
+    )
+    SELECT stage, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               COALESCE(SUM(n_tokens), 0) AS n_tokens FROM base
+        UNION ALL SELECT '1_exact_dedup', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM dedup
+        UNION ALL SELECT '2_classifier_floor', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM clf
+        UNION ALL SELECT '3_bigram_lm_ceiling', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM lm
+        UNION ALL SELECT '4_token_budget', COUNT(*), COALESCE(SUM(n_tokens), 0) FROM budgeted
+    ) ORDER BY stage
+    """,
+)
+def model_filtered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODEL-BASED curation funnel (the second-generation pipeline
+    next to `curation_pipeline_funnel`'s heuristic one): exact dedup →
+    hashed-linear-classifier keep floor (score ≥ 0.49) → bigram-LM
+    surprisal ceiling (≤ 3.45 nats, self-fit on the classifier
+    survivors — fit-on-what-you-keep, as a real pipeline refits its LM
+    after each cut) → best-scored-first 10k-token budget. Per-stage
+    doc+token survival, all four operator families composed in one
+    oracle-checked plan. Both model thresholds compare ROUNDED scores
+    (the r5 review lesson: raw double thresholds are knife-edge across
+    engines). Docs with <2 tokens have no bigram score and drop at the
+    LM stage — no score, no certification."""
+    from .functions.text import token_count
+    from .operators.quality_model import demo_weights, score_linear_model
+    from .operators.selection import (
+        bigram_surprisal_scores,
+        select_token_budget,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "text",
+        token_count("text").alias("n_tokens"),
+        F.md5("text").alias("h"),
+    ).localCheckpoint(eager=True)
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dedup = base.join(
+        keep,
+        (base.h == keep.h) & (base.doc_id == keep.keep_id),
+    ).select(base["*"]).localCheckpoint(eager=False)
+
+    sc = score_linear_model(dedup, demo_weights(spark, 64), n_buckets=64)
+    sc = sc.select("doc_id", F.round("score", 6).alias("score"))
+    clf = dedup.join(sc, "doc_id").filter(F.col("score") >= 0.49)
+    clf = clf.localCheckpoint(eager=False)
+
+    bs = bigram_surprisal_scores(clf).select(
+        "doc_id", F.round("bigram_surprisal", 6).alias("bs")
+    )
+    lm = clf.join(bs, "doc_id").filter(F.col("bs") <= 3.45)
+    lm = lm.localCheckpoint(eager=False)
+
+    budgeted = select_token_budget(
+        lm, [F.desc("score"), F.asc("doc_id")], "n_tokens", 10000
+    )
+
+    def stage(name, df):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    return (
+        stage("0_raw", base)
+        .unionByName(stage("1_exact_dedup", dedup))
+        .unionByName(stage("2_classifier_floor", clf))
+        .unionByName(stage("3_bigram_lm_ceiling", lm))
+        .unionByName(stage("4_token_budget", budgeted))
+        .orderBy("stage")
+    )
