@@ -8640,10 +8640,14 @@ def model_filtered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         F.md5("text").alias("h"),
     ).localCheckpoint(eager=True)
-    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    keep = (
+        base.groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select(F.col("h").alias("_kh"), "keep_id")
+    )
     dedup = base.join(
         keep,
-        (base.h == keep.h) & (base.doc_id == keep.keep_id),
+        (F.col("h") == F.col("_kh")) & (F.col("doc_id") == F.col("keep_id")),
     ).select(base["*"]).localCheckpoint(eager=False)
 
     sc = score_linear_model(dedup, demo_weights(spark, 64), n_buckets=64)
