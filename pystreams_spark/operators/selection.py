@@ -116,6 +116,62 @@ def select_token_budget(
     return cum.filter(F.col(cum_col) - F.col(token_col) < budget)
 
 
+def weighted_sample_key(
+    weight: Column, id_col: Column, seed: int = 42, round_to: int = 9
+) -> Column:
+    """Efraimidis–Spirakis A-Res priority for weighted sampling WITHOUT
+    replacement: key = ln(u) / w with u uniform in (0,1) — taking the
+    top-k keys draws each row with probability proportional to its
+    weight, in one pass, mergeable across partitions (the property that
+    makes weighted reservoir sampling distributable at all).
+
+    u is md5-derived (13 hex chars = 52 bits, exactly representable in
+    a double, +0.5 so u is never 0), so the draw is a pure function of
+    (id, seed): reproducible across runs, engines, and cluster sizes —
+    the same portability trick as ``shuffle_key``. The key is rounded
+    (default 9 decimals) so both engines order on the identical double;
+    callers must tie-break on the id."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", id_col, F.lit(f"ws{seed}"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4503599627370496.0)
+    # w ≤ 0 would invert the order (ln u < 0); NULL it out instead so
+    # zero/negative-weight rows are never drawn (and never ANSI-crash)
+    w = F.when(weight > 0, weight.cast("double"))
+    return F.round(F.log(u) / w, round_to)
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """k-row weighted sample without replacement (Efraimidis–Spirakis
+    2006): rows are drawn with probability ∝ ``weight_col``, determined
+    entirely by (id, seed) — the quality-weighted corpus draw a
+    curation pipeline uses to favor high-scoring documents while
+    keeping the tail reachable, reproducibly.
+
+    Scale shape: one narrow key projection + global top-k, which
+    Catalyst plans as TakeOrderedAndProject (per-partition k-heaps, the
+    driver merges |partitions|×k rows — no full sort at any corpus
+    size). Zero-/negative-weight rows get a NULL key and are excluded
+    before the heap."""
+    key = weighted_sample_key(F.col(weight_col), F.col(id_col), seed)
+    keyed = df.withColumn(key_col, key).filter(F.col(key_col).isNotNull())
+    return keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,

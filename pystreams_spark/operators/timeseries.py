@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_fill"]
+__all__ = ["resample_fill", "transition_counts"]
 
 
 def resample_fill(
@@ -108,4 +108,51 @@ def resample_fill(
         "raw",
         prev_v.alias("ffill"),
         F.round(F.coalesce(linear, prev_v, next_v), round_to).alias("interp"),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence,
+    state_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences: for each (from_state, to_state) adjacent pair within a
+    key's timeline, the count and the row-conditional probability
+    P(to | from) — the behavioral-analytics building block behind
+    "what do users do after X" and the sanity check behind synthetic
+    event generators.
+
+    ``order_cols`` must totally order events WITHIN a key (pass a
+    unique tie-break, e.g. ``[F.col("ts"), F.col("event_id")]``) or the
+    lag pairing is nondeterministic.
+
+    Scale shape: ONE shuffle on the key (the lag window), then a
+    partial-agg'd groupBy over (from, to) — states are few, so the
+    second shuffle carries ~|states|² rows per task. The probability
+    denominator comes from a window SUM over the tiny transition
+    frame, not a second corpus scan."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(key_col),
+            *[c for c in order_cols],
+            F.col(state_col).alias("to_state"),
+        )
+        .withColumn("from_state", F.lag("to_state").over(w))
+        .filter(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    denom = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(denom), round_to
+        ).alias("prob"),
     )

@@ -8682,3 +8682,281 @@ def model_filtered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("4_token_budget", budgeted))
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K round-5 batch 5: weighted sampling, privacy audit, associations,
+# transitions, robust outliers, containment near-dup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_sample_by_length",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+               ROUND(
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws42'), 1, 13))::BIGINT + 0.5)
+                    / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT * FROM keyed ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-doc weighted sample WITHOUT replacement, P(doc) ∝ n_chars —
+    Efraimidis–Spirakis A-Res (`operators/selection.weighted_sample`):
+    priority = ln(u)/w with u md5-derived from (doc_id, seed), so the
+    draw is a pure function of the ids — reproducible across engines
+    (which is what lets an oracle check a 'random' sample at all) and
+    across cluster sizes. Plan: narrow key projection →
+    TakeOrderedAndProject (per-partition k-heaps; no full sort at any
+    corpus size). The key is rounded to 9 decimals on both engines with
+    doc_id tie-breaks, so ordering is never a cross-engine ulp race."""
+    from .operators.selection import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    samp = weighted_sample(d, k=100, weight_col="n_chars", id_col="doc_id")
+    return samp.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        "sample_key",
+    ).orderBy(F.desc("sample_key"), F.asc("doc_id"))
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    WITH ec AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+               COUNT(DISTINCT c_acctbal) AS n_sensitive
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    fanned AS (
+        SELECT ec.*, k FROM ec CROSS JOIN (VALUES (2), (5), (10), (25)) AS ks(k)
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN class_size < k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_below,
+           CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+                AS BIGINT) AS n_rows_below,
+           ROUND(CAST(SUM(CASE WHEN class_size < k THEN class_size ELSE 0 END)
+                      AS DOUBLE) / SUM(class_size), 6) AS rows_below_frac,
+           CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN class_size < k AND n_sensitive < 2
+                         THEN class_size ELSE 0 END) AS BIGINT)
+             AS n_rows_below_l
+    FROM fanned GROUP BY k ORDER BY k
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit
+    (`operators/privacy.k_anonymity_profile`): with quasi-identifiers
+    (nation, market segment) and account balance as the sensitive
+    attribute, how many customers sit in equivalence classes smaller
+    than k — i.e. are re-identifiable from the quasi-identifiers alone
+    — and how many of those also fail 2-diversity (everyone in the
+    class shares one balance: the homogeneity leak). ONE corpus
+    groupBy; each threshold is then a conditional sum over the tiny
+    class frame (fanned by k in-plan, not re-scanned)."""
+    from .operators.privacy import k_anonymity_profile
+
+    c = _t(spark, sf_dir, "customer")
+    return k_anonymity_profile(
+        c,
+        quasi_cols=("c_nationkey", "c_mktsegment"),
+        k_values=(2, 5, 10, 25),
+        sensitive_col="c_acctbal",
+        l_value=2,
+    )
+
+
+@query(
+    "part_pair_affinity",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT bk) AS n FROM b),
+    ic AS (
+        SELECT it, COUNT(*) AS ic FROM b GROUP BY it HAVING COUNT(*) >= 2
+    ),
+    kept AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM ic)),
+    small AS (
+        SELECT bk FROM (SELECT bk, COUNT(*) AS c FROM kept GROUP BY bk)
+        WHERE c <= 1000
+    ),
+    k2 AS (SELECT * FROM kept WHERE bk IN (SELECT bk FROM small)),
+    pairs AS (
+        SELECT a.it AS item_a, b2.it AS item_b, COUNT(*) AS pair_count
+        FROM k2 a JOIN k2 b2 ON a.bk = b2.bk AND a.it < b2.it
+        GROUP BY a.it, b2.it HAVING COUNT(*) >= 2
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.pair_count AS BIGINT) AS pair_count,
+           CAST(ca.ic AS BIGINT) AS count_a,
+           CAST(cb.ic AS BIGINT) AS count_b,
+           ROUND(GREATEST(CAST(p.pair_count AS DOUBLE) / ca.ic,
+                          CAST(p.pair_count AS DOUBLE) / cb.ic), 6)
+             AS confidence,
+           ROUND(CAST(p.pair_count AS DOUBLE) * (SELECT n FROM nb)
+                 / (CAST(ca.ic AS DOUBLE) * cb.ic), 6) AS lift
+    FROM pairs p
+    JOIN ic ca ON p.item_a = ca.it
+    JOIN ic cb ON p.item_b = cb.it
+    ORDER BY item_a, item_b
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order baskets
+    (`operators/assoc.pair_cooccurrence`, Apriori 2-itemsets): parts
+    co-ordered ≥2 times, with confidence and lift. The two structural
+    guards are what survive scale: items below support are pruned from
+    baskets BEFORE pairing (broadcast semi-join — a pair can't be
+    frequent unless both items are), and any residual mega-basket is
+    excluded by the size cap, so the per-basket m² pair explosion is
+    bounded by construction, not by fixture luck."""
+    from .operators.assoc import pair_cooccurrence
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pair_cooccurrence(
+        li,
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+        max_basket_size=1000,
+    ).orderBy("item_a", "item_b")
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS to_state,
+               LAG(event_type) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_state
+        FROM events
+    ),
+    c AS (
+        SELECT from_state, to_state, COUNT(*) AS n
+        FROM seq WHERE from_state IS NOT NULL
+        GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_state), 6) AS prob
+    FROM c ORDER BY from_state, to_state
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior
+    (`operators/timeseries.transition_counts`): P(next event type |
+    current), from per-user event timelines ordered by (ts, event_id).
+    ONE shuffle on user_id for the lag window; the (from, to) aggregate
+    then carries ~|event_types|² rows. The conditional-probability
+    denominator is a window SUM over that tiny matrix — never a second
+    corpus scan."""
+    from .operators.timeseries import transition_counts
+
+    e = _t(spark, sf_dir, "events")
+    return transition_counts(
+        e,
+        key_col="user_id",
+        order_cols=[F.col("ts"), F.col("event_id")],
+        state_col="event_type",
+    ).orderBy("from_state", "to_state")
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS median
+        FROM events GROUP BY event_type
+    ),
+    j AS (
+        SELECT e.event_type, e.value, m.median
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               ROUND(quantile_cont(abs(value - median), 0.5), 6) AS mad
+        FROM j GROUP BY event_type
+    ),
+    z AS (
+        SELECT j.event_type, j.median, m2.mad,
+               CASE WHEN m2.mad > 0
+                    THEN ROUND(abs(j.value - j.median)
+                               / (1.4826 * m2.mad), 6)
+               END AS zscore
+        FROM j JOIN mad m2 USING (event_type)
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(median) AS median, MAX(mad) AS mad,
+           CAST(SUM(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           ROUND(AVG(CASE WHEN zscore > 3.0 THEN 1.0 ELSE 0.0 END), 6)
+             AS outlier_frac,
+           ROUND(MAX(zscore), 6) AS max_abs_z
+    FROM z GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type outlier screen on `value`
+    (`operators/profile.robust_outlier_report`): modified z-score
+    |x−median|/(1.4826·MAD) > 3.0 — the anomaly check a mean/stddev
+    screen fails at, because outliers inflate the stddev they're
+    measured against while median and MAD have 50% breakdown. Three
+    grouped passes by construction (each order statistic needs the
+    last one's result), tiny stats frames broadcast back; median and
+    MAD round to 6 on BOTH engines before the z division so the
+    threshold compare is never a cross-engine knife-edge."""
+    from .operators.profile import robust_outlier_report
+
+    e = _t(spark, sf_dir, "events")
+    return robust_outlier_report(
+        e, value_col="value", group_cols=["event_type"], z_threshold=3.0
+    )
+
+
+@query(
+    "containment_neardup_pairs",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / LEAST(len(a.sh), len(b.sh)), 6) AS containment
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / LEAST(len(a.sh), len(b.sh)), 6) >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote/subset-inclusion detection by exact 3-gram CONTAINMENT
+    |A∩B|/min(|A|,|B|) ≥ 0.3, blocked by language
+    (`operators/dedup.ngram_containment_pairs`) — the asymmetric
+    near-dup measure Jaccard structurally under-scores: a short doc
+    quoted whole inside a long one has J ≈ |A|/|B| but C = 1. Rides
+    the same inverted-index plan as the Jaccard family (cost Σ df²,
+    candidates = shared-shingle pairs, scored from counts + set sizes
+    — no verify join needed when uncapped); the oracle states the
+    naive all-pairs semantics."""
+    from .operators.dedup import ngram_containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        d, threshold=0.3, n=3, block_cols=("lang",)
+    ).orderBy("id_a", "id_b")

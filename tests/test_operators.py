@@ -2360,3 +2360,191 @@ def test_record_linkage_blocked_pairs_and_hot_block_gate(spark):
         record_linkage(df, ["blk"], "name", "rid", max_block_rows=2)
     with _pytest.raises(ValueError, match="non-empty"):
         record_linkage(df, [], "name", "rid")
+
+
+def test_weighted_sample_favors_heavy_weights(spark):
+    from pystreams_spark.operators.selection import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, k=20, weight_col="w", id_col="doc_id")
+    picked = {r.doc_id for r in got.collect()}
+    # all 10 heavy rows (1000x the weight of the tail) must be drawn;
+    # E[missing one] < 1e-3 under A-Res, so this is deterministic for
+    # the fixed seed — and the sample itself is a pure fn of (id, seed)
+    assert set(range(10)) <= picked
+    assert len(picked) == 20
+    again = {r.doc_id for r in weighted_sample(
+        df.repartition(7), k=20, weight_col="w", id_col="doc_id"
+    ).collect()}
+    assert again == picked  # partitioning-independent
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pystreams_spark.operators.selection import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 2.0), (4, 1.0)], "doc_id long, w double"
+    )
+    got = weighted_sample(df, k=10, weight_col="w", id_col="doc_id")
+    assert {r.doc_id for r in got.collect()} == {3, 4}
+
+
+def test_k_anonymity_profile_hand_computed(spark):
+    from pystreams_spark.operators.privacy import k_anonymity_profile
+
+    # classes: (a: 3 rows, 1 distinct sensitive), (b: 1 row), (c: 2 rows)
+    rows = [
+        ("a", "x", 1), ("a", "x", 1), ("a", "x", 1),
+        ("b", "x", 2),
+        ("c", "y", 3), ("c", "y", 4),
+    ]
+    df = spark.createDataFrame(rows, "qi1 string, qi2 string, sens long")
+    out = {
+        r.k: r
+        for r in k_anonymity_profile(
+            df, ["qi1", "qi2"], k_values=(2, 5), sensitive_col="sens"
+        ).collect()
+    }
+    assert out[2].n_classes == 3
+    assert out[2].n_classes_below == 1        # only the size-1 class
+    assert out[2].n_rows_below == 1
+    assert out[2].min_class_size == 1
+    assert out[2].n_rows_below_l == 1         # size-1 class has 1 value
+    assert out[5].n_classes_below == 3
+    assert out[5].n_rows_below == 6
+    # class a (3 rows, homogeneous) + class b fail l=2; class c passes
+    assert out[5].n_rows_below_l == 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k_values"):
+        k_anonymity_profile(df, ["qi1"], k_values=(1,))
+
+
+def test_pair_cooccurrence_hand_computed(spark):
+    from pystreams_spark.operators.assoc import pair_cooccurrence
+
+    # baskets: {1,2,3}, {1,2}, {1,2}, {3}, {4} — item 4 infrequent
+    rows = [
+        (10, 1), (10, 2), (10, 3),
+        (20, 1), (20, 2),
+        (30, 1), (30, 2),
+        (40, 3),
+        (50, 4),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in pair_cooccurrence(df, "bk", "it", min_support=2).collect()
+    }
+    assert set(out) == {(1, 2)}  # (1,3)/(2,3) count 1; 4 pruned
+    r = out[(1, 2)]
+    assert r.pair_count == 3 and r.count_a == 3 and r.count_b == 3
+    assert r.confidence == 1.0
+    # lift = 3 * 5 baskets / (3*3)
+    assert abs(r.lift - 15.0 / 9.0) < 1e-6
+
+
+def test_pair_cooccurrence_mega_basket_gate(spark):
+    from pystreams_spark.operators.assoc import pair_cooccurrence
+    import pyspark.sql.functions as F
+
+    # one mega-basket with 100 items (all frequent via a twin basket)
+    rows = [(1, i) for i in range(100)] + [(2, i) for i in range(100)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    capped = pair_cooccurrence(
+        df, "bk", "it", min_support=2, max_basket_size=10
+    )
+    assert capped.count() == 0  # both baskets excluded -> no pairs
+    open_ = pair_cooccurrence(
+        df, "bk", "it", min_support=2, max_basket_size=None
+    )
+    assert open_.count() == 100 * 99 // 2
+
+
+def test_transition_counts_hand_computed(spark):
+    import pyspark.sql.functions as F
+    from pystreams_spark.operators.timeseries import transition_counts
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+    ]
+    df = spark.createDataFrame(rows, "uid long, seq long, st string")
+    out = {
+        (r.from_state, r.to_state): r
+        for r in transition_counts(
+            df, "uid", [F.col("seq")], "st"
+        ).collect()
+    }
+    assert out[("a", "b")].n == 3 and out[("a", "b")].prob == 1.0
+    assert out[("b", "a")].n == 1 and out[("b", "a")].prob == 1.0
+    assert set(out) == {("a", "b"), ("b", "a")}
+
+
+def test_robust_outliers_planted_and_degenerate(spark):
+    from pystreams_spark.operators.profile import robust_outlier_report
+
+    normal = [("g", float(v)) for v in range(1, 100)]  # 1..99, median 50
+    planted = [("g", 10000.0)]
+    constant = [("c", 7.0)] * 20
+    df = spark.createDataFrame(
+        normal + planted + constant, "grp string, value double"
+    )
+    out = {r.grp: r for r in robust_outlier_report(
+        df, "value", ["grp"], z_threshold=3.5
+    ).collect()}
+    g = out["g"]
+    assert g.n == 100 and g.n_outliers == 1  # only the planted point
+    assert g.median == 50.5 and g.mad == 25.0
+    # degenerate group: MAD 0 -> NULL z, zero outliers, no ANSI crash
+    c = out["c"]
+    assert c.mad == 0.0 and c.n_outliers == 0 and c.max_abs_z is None
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    from pystreams_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, short), (2, filler + " " + short), (3, "other text entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.9, n=3).collect()
+    }
+    assert cont[(1, 2)] == 1.0  # doc 1 fully contained in doc 2
+    jac = ngram_jaccard_pairs(df, threshold=0.5, n=3).collect()
+    assert not jac  # Jaccard can't see the inclusion at any useful tau
+
+
+def test_containment_capped_matches_uncapped_scores(spark):
+    from pystreams_spark.operators.dedup import ngram_containment_pairs
+
+    # every doc shares the same boilerplate prefix; real inclusion pair
+    # (1,2) must survive the df-cap with an EXACT full-set score
+    boiler = "common header line for all docs"
+    body = " ".join(f"t{i}" for i in range(30))
+    rows = [
+        (1, boiler + " " + body),
+        (2, boiler + " " + body + " extra tail tokens here"),
+        (3, boiler + " something else entirely different words"),
+        (4, boiler + " yet another unrelated document body text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(df, threshold=0.5, n=3).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.containment
+        for r in ngram_containment_pairs(
+            df, threshold=0.5, n=3, max_df=3
+        ).collect()
+    }
+    assert (1, 2) in capped
+    for pair, score in capped.items():
+        assert score == full[pair]  # capped scores stay exact
