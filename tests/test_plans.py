@@ -541,3 +541,14 @@ def test_runtime_metrics_dsir_shuffles_buckets_not_text(spark, sf_dir):
     shuffled = metric_total(m, "shufflebyteswritten")
     assert shuffled > 0
     assert shuffled < text_bytes / 4, (shuffled, text_bytes)
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    """The A-Res weighted draw must stay a TakeOrderedAndProject
+    (per-partition k-heaps) — a full sort here would turn a cheap
+    reproducible sample into a corpus-wide range shuffle."""
+    from pystreams_spark.operators.selection import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    df = weighted_sample(d, k=50, weight_col="n_chars", id_col="doc_id")
+    assert has_take_ordered(df)
