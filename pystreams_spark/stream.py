@@ -600,6 +600,73 @@ class Stream:
 
         return export_jsonl_shards(self.df, dst_dir, order_cols, max_shard_bytes)
 
+    def sample_weighted(
+        self, k: int, weight_col: str, id_col: str = "doc_id", seed: int = 42
+    ) -> "Stream":
+        """k-row weighted sample WITHOUT replacement, P(row) ∝ weight —
+        reproducible (md5-keyed Efraimidis–Spirakis; TakeOrdered, no
+        full sort) (operators/selection.weighted_sample)."""
+        from .operators.selection import weighted_sample
+
+        return Stream(weighted_sample(self.df, k, weight_col, id_col, seed))
+
+    def k_anonymity(
+        self,
+        quasi_cols: Sequence[str],
+        k_values: Sequence[int] = (2, 5, 10),
+        sensitive_col: str | None = None,
+    ) -> "Stream":
+        """Pre-release privacy audit: rows in quasi-identifier classes
+        below each k (+ l-diversity with a sensitive column)
+        (operators/privacy.k_anonymity_profile)."""
+        from .operators.privacy import k_anonymity_profile
+
+        return Stream(
+            k_anonymity_profile(self.df, quasi_cols, k_values, sensitive_col)
+        )
+
+    def pair_affinity(
+        self, basket_col: str, item_col: str, min_support: int = 2, **kwargs
+    ) -> "Stream":
+        """Frequent item pairs + confidence/lift (Apriori 2-itemsets,
+        broadcast prefilter + mega-basket cap)
+        (operators/assoc.pair_cooccurrence)."""
+        from .operators.assoc import pair_cooccurrence
+
+        return Stream(
+            pair_cooccurrence(self.df, basket_col, item_col, min_support, **kwargs)
+        )
+
+    def transitions(
+        self, key_col: str, order_cols: Sequence, state_col: str
+    ) -> "Stream":
+        """First-order Markov transition matrix over per-key ordered
+        state sequences (operators/timeseries.transition_counts)."""
+        from .operators.timeseries import transition_counts
+
+        return Stream(transition_counts(self.df, key_col, order_cols, state_col))
+
+    def outliers_robust(
+        self,
+        value_col: str,
+        group_cols: Sequence[str],
+        z_threshold: float = 3.5,
+    ) -> "Stream":
+        """Per-group modified-z-score (median/MAD) outlier report
+        (operators/profile.robust_outlier_report)."""
+        from .operators.profile import robust_outlier_report
+
+        return Stream(
+            robust_outlier_report(self.df, value_col, group_cols, z_threshold)
+        )
+
+    def dedup_containment(self, threshold: float, n: int = 3, **kwargs) -> "Stream":
+        """n-gram containment pairs |A∩B|/min(|A|,|B|) — quote/subset
+        inclusion Jaccard misses (operators/dedup.ngram_containment_pairs)."""
+        from .operators.dedup import ngram_containment_pairs
+
+        return Stream(ngram_containment_pairs(self.df, threshold, n, **kwargs))
+
     # -- keyed ops (§2.D) ----------------------------------------------------
     def group_by(self, *keys: Column | str):
         return self.df.groupBy(*keys)

@@ -419,3 +419,38 @@ def test_facade_model_selection_sugar(spark, sf_dir):
     raw = Stream(docs.df.filter(F.col("source") != "src0"))
     w = raw.dsir_against(target).collect()
     assert len(w) > 0 and all(r.n_tokens > 0 for r in w)
+
+
+def test_facade_r5_batch5_sugar(spark, sf_dir):
+    """The batch-5 sugar: weighted sampling, k-anonymity, pair mining,
+    transitions, robust outliers, containment — each routes to its
+    operator and returns the documented shape."""
+    from pystreams_spark import Stream, load_table
+
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    samp = docs.sample_weighted(10, "n_chars").collect()
+    assert len(samp) == 10 and all(r.sample_key is not None for r in samp)
+
+    cust = Stream(load_table(spark, sf_dir, "customer"))
+    ka = cust.k_anonymity(
+        ["c_nationkey", "c_mktsegment"], k_values=(2, 10),
+        sensitive_col="c_acctbal",
+    ).collect()
+    assert [r.k for r in ka] == [2, 10]
+    assert all(r.n_rows_below <= r.n_classes * 10 for r in ka)
+
+    li = Stream(load_table(spark, sf_dir, "lineitem"))
+    pairs = li.pair_affinity("l_orderkey", "l_partkey").collect()
+    assert all(r.pair_count >= 2 and r.lift > 0 for r in pairs)
+
+    ev = Stream(load_table(spark, sf_dir, "events"))
+    tm = ev.transitions("user_id", [F.col("ts"), F.col("event_id")],
+                        "event_type").collect()
+    assert tm and abs(sum(r.prob for r in tm
+                          if r.from_state == tm[0].from_state) - 1.0) < 1e-4
+
+    out = ev.outliers_robust("value", ["event_type"]).collect()
+    assert out and all(r.mad is not None for r in out)
+
+    cont = docs.dedup_containment(0.3, block_cols=("lang",)).collect()
+    assert all(r.containment >= 0.3 for r in cont)
