@@ -61,15 +61,30 @@ def pair_cooccurrence(
     )
     # n_baskets: the denominator of lift's expected co-occurrence
     n_baskets = b.select("_bk").distinct().count()
-    item_counts = b.groupBy("_it").agg(F.count(F.lit(1)).alias("_ic"))
-    frequent = item_counts.filter(F.col("_ic") >= min_support)
-    kept = b.join(
-        broadcast_if_small(frequent.select("_it")), "_it", "left_semi"
+    # `frequent` feeds three consumers (the kept prune and both count
+    # ratio joins) — materialize/hint it ONCE; its projections below
+    # inherit the broadcast hint instead of re-running the groupBy and
+    # re-checkpointing per consumer
+    frequent = broadcast_if_small(
+        b.groupBy("_it")
+        .agg(F.count(F.lit(1)).alias("_ic"))
+        .filter(F.col("_ic") >= min_support)
     )
+    kept = b.join(frequent.select("_it"), "_it", "left_semi")
     if max_basket_size is not None:
-        sizes = kept.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bs"))
-        small = sizes.filter(F.col("_bs") <= int(max_basket_size)).select("_bk")
-        kept = kept.join(broadcast_if_small(small), "_bk", "left_semi")
+        # anti-join against the OVER-cap baskets: mega-baskets are few
+        # by the guard's own premise, so the exclusion set broadcasts —
+        # the complement (≈ every basket id) never materializes
+        big = (
+            kept.groupBy("_bk")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") > int(max_basket_size))
+            .select("_bk")
+        )
+        kept = kept.join(broadcast_if_small(big), "_bk", "left_anti")
+    # the self-join reads `kept` twice and (with the cap) its lineage
+    # holds a second aggregation over itself — cut it once
+    kept = kept.localCheckpoint(eager=True)
     lhs = kept.select("_bk", F.col("_it").alias("item_a"))
     rhs = kept.select("_bk", F.col("_it").alias("item_b"))
     pairs = (
@@ -79,11 +94,11 @@ def pair_cooccurrence(
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= min_support)
     )
-    ca = broadcast_if_small(
-        frequent.select(F.col("_it").alias("item_a"), F.col("_ic").alias("count_a"))
+    ca = frequent.select(
+        F.col("_it").alias("item_a"), F.col("_ic").alias("count_a")
     )
-    cb = broadcast_if_small(
-        frequent.select(F.col("_it").alias("item_b"), F.col("_ic").alias("count_b"))
+    cb = frequent.select(
+        F.col("_it").alias("item_b"), F.col("_ic").alias("count_b")
     )
     out = pairs.join(ca, "item_a").join(cb, "item_b")
     conf = F.greatest(

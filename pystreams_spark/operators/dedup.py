@@ -147,18 +147,31 @@ def _shingle_table(
     )
 
 
-def _verify_jaccard_pairs(
+def _pair_score(metric: str, inter, sza, szb):
+    """(column, name) for a set-overlap metric from intersection size
+    and the two set sizes — the single point where the Jaccard and
+    containment variants actually differ."""
+    if metric == "jaccard":
+        return inter / (sza + szb - inter), "jaccard"
+    if metric == "containment":
+        return inter / F.least(sza, szb), "containment"
+    raise ValueError(f"unknown set-overlap metric {metric!r}")
+
+
+def _verify_pairs_fullset(
     sh: DataFrame,
     cand: DataFrame,
     id_col: str,
     threshold: float,
     round_to: int,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Exact Jaccard for each candidate (id_a, id_b) from the FULL
-    shingle arrays — candidate generation may have seen only a subset
-    of the postings (prefix / df-capped), the verify never does. The
-    candidate frame rides ``broadcast_if_small``, so the corpus-sized
-    shingle table is probed in place instead of shuffling by id."""
+    """Exact overlap score for each candidate (id_a, id_b) from the
+    FULL shingle arrays — candidate generation may have seen only a
+    subset of the postings (prefix / df-capped), the verify never does.
+    The candidate frame rides ``broadcast_if_small``, so the
+    corpus-sized shingle table is probed in place instead of shuffling
+    by id."""
     sa = sh.select(
         F.col(id_col).alias("id_a"),
         F.col("_sh").alias("_sa"),
@@ -171,16 +184,94 @@ def _verify_jaccard_pairs(
     )
     j = broadcast_if_small(cand).join(sa, "id_a").join(sb, "id_b")
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    union = (
-        F.col("_sza").cast("double") + F.col("_szb").cast("double") - inter
+    score, out_col = _pair_score(
+        metric, inter, F.col("_sza").cast("double"), F.col("_szb").cast("double")
     )
     return (
-        j.withColumn("jaccard", F.round(inter / union, round_to))
+        j.withColumn(out_col, F.round(score, round_to))
         # threshold the ROUNDED value, like ngram_jaccard_pairs — raw
         # would disagree with the brute-force baseline (and the DuckDB
         # oracle) exactly at rounding-boundary pairs
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", out_col)
+    )
+
+
+def _verify_jaccard_pairs(
+    sh: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    threshold: float,
+    round_to: int,
+) -> DataFrame:
+    return _verify_pairs_fullset(sh, cand, id_col, threshold, round_to, "jaccard")
+
+
+def _shared_shingle_candidates(
+    posts: DataFrame, blocks: list, id_col: str
+) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing ≥1 posting key within a
+    block — the candidate self-join every inverted-index variant
+    (capped Jaccard, containment, prefix) builds from its own posting
+    frame."""
+    a = posts.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        "_h",
+    )
+    b = posts.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        "_h",
+    )
+    return (
+        a.join(b, on="_h")
+        .filter(_pair_cond(blocks))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _shared_shingle_counts(
+    posts: DataFrame, blocks: list, id_col: str
+) -> DataFrame:
+    """(id_a, id_b, _sza, _szb, _c) — shared-shingle counts per pair,
+    for the uncapped paths that score straight from counts + set sizes
+    (no verify join needed: every posting participated)."""
+    a = posts.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_sz").alias("_sza"),
+        "_h",
+    )
+    b = posts.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_sz").alias("_szb"),
+        "_h",
+    )
+    return (
+        a.join(b, on="_h")
+        .filter(_pair_cond(blocks))
+        .groupBy("id_a", "id_b", "_sza", "_szb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def _score_shared_counts(
+    shared: DataFrame, threshold: float, round_to: int, metric: str
+) -> DataFrame:
+    score, out_col = _pair_score(
+        metric,
+        F.col("_c").cast("double"),
+        F.col("_sza").cast("double"),
+        F.col("_szb").cast("double"),
+    )
+    return (
+        shared.withColumn(out_col, F.round(score, round_to))
+        # threshold the ROUNDED value — see _verify_pairs_fullset
+        .filter(F.col(out_col) >= threshold)
+        .select("id_a", "id_b", out_col)
     )
 
 
@@ -260,53 +351,13 @@ def ngram_jaccard_pairs_inverted(
         posts = posts.join(
             broadcast_if_small(hot_keys), [*blocks, "_h"], "left_anti"
         )
-        a = posts.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-            "_h",
+        cand = _shared_shingle_candidates(posts, blocks, id_col)
+        return _verify_pairs_fullset(
+            sh, cand, id_col, threshold, round_to, "jaccard"
         )
-        b = posts.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(c).alias(f"_bb_{c}") for c in blocks],
-            "_h",
-        )
-        cand = (
-            a.join(b, on="_h")
-            .filter(_pair_cond(blocks))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        return _verify_jaccard_pairs(sh, cand, id_col, threshold, round_to)
 
-    a = posts.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-        F.col("_sz").alias("_sza"),
-        "_h",
-    )
-    b = posts.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
-        F.col("_sz").alias("_szb"),
-        "_h",
-    )
-    shared = (
-        a.join(b, on="_h")
-        .filter(_pair_cond(blocks))
-        .groupBy("id_a", "id_b", "_sza", "_szb")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    jac = F.col("_c").cast("double") / (
-        F.col("_sza").cast("double") + F.col("_szb").cast("double") - F.col("_c").cast("double")
-    )
-    return (
-        shared.withColumn("jaccard", F.round(jac, round_to))
-        # threshold the ROUNDED value, like ngram_jaccard_pairs — raw
-        # would disagree with the brute-force baseline (and the DuckDB
-        # oracle) exactly at rounding-boundary pairs
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    shared = _shared_shingle_counts(posts, blocks, id_col)
+    return _score_shared_counts(shared, threshold, round_to, "jaccard")
 
 
 def ngram_jaccard_pairs_prefix(
@@ -380,23 +431,8 @@ def ngram_jaccard_pairs_prefix(
         *blocks,
         F.explode(F.slice(ordered, F.lit(1), plen)).alias("_h"),
     )
-    a = pre.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-        "_h",
-    )
-    b = pre.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
-        "_h",
-    )
-    cand = (
-        a.join(b, on="_h")
-        .filter(_pair_cond(blocks))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    return _verify_jaccard_pairs(sh, cand, id_col, threshold, round_to)
+    cand = _shared_shingle_candidates(pre, blocks, id_col)
+    return _verify_pairs_fullset(sh, cand, id_col, threshold, round_to, "jaccard")
 
 
 def ngram_containment_pairs(
@@ -444,68 +480,13 @@ def ngram_containment_pairs(
         posts = posts.join(
             broadcast_if_small(hot_keys), [*blocks, "_h"], "left_anti"
         )
-        a = posts.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-            "_h",
-        )
-        b = posts.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(c).alias(f"_bb_{c}") for c in blocks],
-            "_h",
-        )
-        cand = (
-            a.join(b, on="_h")
-            .filter(_pair_cond(blocks))
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        sa = sh.select(
-            F.col(id_col).alias("id_a"),
-            F.col("_sh").alias("_sa"),
-            F.col("_sz").alias("_sza"),
-        )
-        sb = sh.select(
-            F.col(id_col).alias("id_b"),
-            F.col("_sh").alias("_sb"),
-            F.col("_sz").alias("_szb"),
-        )
-        j = broadcast_if_small(cand).join(sa, "id_a").join(sb, "id_b")
-        inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-        cont = inter / F.least("_sza", "_szb").cast("double")
-        return (
-            j.withColumn("containment", F.round(cont, round_to))
-            .filter(F.col("containment") >= threshold)
-            .select("id_a", "id_b", "containment")
+        cand = _shared_shingle_candidates(posts, blocks, id_col)
+        return _verify_pairs_fullset(
+            sh, cand, id_col, threshold, round_to, "containment"
         )
 
-    a = posts.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-        F.col("_sz").alias("_sza"),
-        "_h",
-    )
-    b = posts.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
-        F.col("_sz").alias("_szb"),
-        "_h",
-    )
-    shared = (
-        a.join(b, on="_h")
-        .filter(_pair_cond(blocks))
-        .groupBy("id_a", "id_b", "_sza", "_szb")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    cont = F.col("_c").cast("double") / F.least("_sza", "_szb").cast("double")
-    return (
-        shared.withColumn("containment", F.round(cont, round_to))
-        # threshold the ROUNDED value (same boundary rule as the
-        # Jaccard family — raw doubles disagree across engines exactly
-        # at rounding-boundary pairs)
-        .filter(F.col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
-    )
+    shared = _shared_shingle_counts(posts, blocks, id_col)
+    return _score_shared_counts(shared, threshold, round_to, "containment")
 
 
 def shingle_df_profile(

@@ -189,12 +189,8 @@ def robust_outlier_report(
 
     joined = df.join(broadcast_if_small(med), gc)
     dev = F.abs(F.col(value_col) - F.col("median"))
-    with_mad = (
-        joined.groupBy(*gc, "median")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.percentile(dev, F.lit(0.5)), round_to).alias("mad"),
-        )
+    with_mad = joined.groupBy(*gc).agg(
+        F.round(F.percentile(dev, F.lit(0.5)), round_to).alias("mad")
     )
     scored = joined.join(
         broadcast_if_small(with_mad.select(*gc, "mad")), gc

@@ -615,14 +615,17 @@ class Stream:
         quasi_cols: Sequence[str],
         k_values: Sequence[int] = (2, 5, 10),
         sensitive_col: str | None = None,
+        l_value: int = 2,
     ) -> "Stream":
         """Pre-release privacy audit: rows in quasi-identifier classes
-        below each k (+ l-diversity with a sensitive column)
-        (operators/privacy.k_anonymity_profile)."""
+        below each k (+ l-diversity at ``l_value`` with a sensitive
+        column) (operators/privacy.k_anonymity_profile)."""
         from .operators.privacy import k_anonymity_profile
 
         return Stream(
-            k_anonymity_profile(self.df, quasi_cols, k_values, sensitive_col)
+            k_anonymity_profile(
+                self.df, quasi_cols, k_values, sensitive_col, l_value
+            )
         )
 
     def pair_affinity(
