@@ -117,3 +117,81 @@ def pair_cooccurrence(
         F.round(conf, round_to).alias("confidence"),
         F.round(lift, round_to).alias("lift"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church &
+    Hanks 1990): adjacent word pairs whose co-occurrence beats the
+    independence assumption — PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with
+    all probabilities from the bigram stream. The vocabulary-building
+    step that finds multi-word expressions ("new york", "machine
+    learning") worth single tokens.
+
+    ``min_count`` is the standard noise floor — a hapax pair has
+    spuriously maximal PMI — and also the cost guard: the scored frame
+    is the FILTERED bigram table, and the marginals stay
+    vocabulary-sized. Scale shape: ONE corpus scan to the bigram
+    stream, one grouped count (shuffle keys = distinct bigrams, not
+    corpus rows), marginals derived from the count table (never a
+    second corpus pass), broadcast-while-small joins back, and top-k
+    (when requested) plans as TakeOrdered."""
+    from ..functions.text import tokens
+    from ..io import ensure_parallelism
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    w = tokens(text_col)
+    occ = (
+        ensure_parallelism(df)
+        .select(w.alias("w"))
+        # Spark's sequence(1, 0) counts DOWN (not empty) — guard short docs
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("w"), i).alias("w1"),
+                        F.element_at(F.col("w"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("o")
+        )
+        .select("o.w1", "o.w2")
+    )
+    # the bigram count table feeds the marginals AND the scored output —
+    # materialize once (vocabulary-sized)
+    c12 = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("pair_count").alias("_c1"))
+    c2 = c12.groupBy("w2").agg(F.sum("pair_count").alias("_c2"))
+    n = c12.agg(F.sum("pair_count").alias("_n"))
+    scored = (
+        c12.filter(F.col("pair_count") >= int(min_count))
+        .join(broadcast_if_small(c1), "w1")
+        .join(broadcast_if_small(c2), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    pmi = F.log(
+        F.col("pair_count").cast("double")
+        * F.col("_n").cast("double")
+        / (F.col("_c1").cast("double") * F.col("_c2").cast("double"))
+    )
+    out = scored.select(
+        "w1",
+        "w2",
+        F.col("pair_count").cast("long").alias("pair_count"),
+        F.round(pmi, round_to).alias("pmi"),
+    )
+    if top_k is not None:
+        return out.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))
+    return out

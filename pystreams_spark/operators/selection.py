@@ -172,6 +172,35 @@ def weighted_sample(
     return keyed.orderBy(F.col(key_col).desc(), F.col(id_col).asc()).limit(k)
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: Sequence[str],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Stratified weighted sample: up to k rows PER GROUP, drawn with
+    probability ∝ ``weight_col`` within each group (independent A-Res
+    draws per stratum — the 'k best-weighted docs per language, but
+    random enough to keep the tail reachable' selection).
+
+    Same md5-keyed priority as ``weighted_sample``, ranked per group
+    via row_number — one shuffle on the group key, local k-cut per
+    group, no global sort. Groups smaller than k return whole."""
+    key = weighted_sample_key(F.col(weight_col), F.col(id_col), seed)
+    keyed = df.withColumn(key_col, key).filter(F.col(key_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(key_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     group_col: str,

@@ -8960,3 +8960,140 @@ def containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         d, threshold=0.3, n=3, block_cols=("lang",)
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "source_content_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT source, array_to_string(list_slice(w, i, i + 4), ' ') AS g
+        FROM (
+            SELECT source, w,
+                   unnest(generate_series(1, GREATEST(len(w) - 4, 1))) AS i
+            FROM toks
+        )
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(ta.n AS BIGINT) AS n_grams_a,
+           CAST(tb.n AS BIGINT) AS n_grams_b,
+           ROUND(CAST(s.n_shared AS DOUBLE) / ta.n, 6) AS frac_of_a,
+           ROUND(CAST(s.n_shared AS DOUBLE) / tb.n, 6) AS frac_of_b
+    FROM shared s
+    JOIN tot ta ON s.source_a = ta.source
+    JOIN tot tb ON s.source_b = tb.source
+    ORDER BY source_a, source_b
+    """,
+)
+def source_content_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which providers ship each other's content: the source×source
+    matrix of shared distinct 5-gram shingles with each side's overlap
+    fraction (`operators/dedup.cross_source_shingle_overlap`). Exact-dup
+    matrices read zero here (providers re-chunk and lightly edit);
+    shingle overlap is what actually catches a resold crawl. Key-only
+    shuffles throughout — the text never moves — and the per-gram pair
+    bill is bounded by |sources|², which is tens, not millions."""
+    from .operators.dedup import cross_source_shingle_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return cross_source_shingle_overlap(d, n=5).orderBy(
+        "source_a", "source_b"
+    )
+
+
+@query(
+    "pmi_collocations_top30",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKS_SQL} AS w FROM documents
+    ),
+    occ AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM (
+            SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks WHERE len(w) >= 2
+        )
+    ),
+    c12 AS (
+        SELECT w1, w2, COUNT(*) AS pair_count FROM occ GROUP BY w1, w2
+    ),
+    c1 AS (SELECT w1, SUM(pair_count) AS c1 FROM c12 GROUP BY w1),
+    c2 AS (SELECT w2, SUM(pair_count) AS c2 FROM c12 GROUP BY w2),
+    n AS (SELECT SUM(pair_count) AS n FROM c12)
+    SELECT c12.w1, c12.w2, CAST(c12.pair_count AS BIGINT) AS pair_count,
+           ROUND(ln(CAST(c12.pair_count AS DOUBLE) * CAST(n.n AS DOUBLE)
+                    / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6)
+             AS pmi
+    FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+    WHERE c12.pair_count >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+)
+def pmi_collocations_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information over
+    adjacent word pairs (`operators/assoc.pmi_collocations`, Church &
+    Hanks 1990) — the multi-word-expression miner a tokenizer team runs
+    before deciding what deserves a single token. min_count=5 is both
+    the hapax-PMI noise floor and the cost guard; marginals and N
+    derive from the one bigram count table (never a second corpus
+    pass); top-k plans as TakeOrdered."""
+    from .operators.assoc import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, top_k=30)
+
+
+@query(
+    "weighted_sample_per_lang",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+               ROUND(
+                 ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws7'), 1, 13))::BIGINT + 0.5)
+                    / 4503599627370496.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS sample_key
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id
+        ) AS rn
+        FROM keyed
+    )
+    SELECT doc_id, lang, weight, sample_key
+    FROM ranked WHERE rn <= 20
+    ORDER BY lang, sample_key DESC, doc_id
+    """,
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified weighted sample: up to 20 docs PER LANGUAGE, drawn
+    ∝ n_chars (`operators/selection.weighted_sample_per_group`) — the
+    per-stratum variant of the A-Res draw, for building balanced
+    eval slices without losing weight-proportionality inside each
+    group. One shuffle on the group key, local k-cut, no global
+    sort; the draw stays a pure function of (doc_id, seed)."""
+    from .operators.selection import weighted_sample_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    samp = weighted_sample_per_group(
+        d, k=20, weight_col="n_chars", group_cols=["lang"],
+        id_col="doc_id", seed=7,
+    )
+    return samp.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("weight"),
+        "sample_key",
+    ).orderBy("lang", F.desc("sample_key"), F.asc("doc_id"))

@@ -670,6 +670,46 @@ class Stream:
 
         return Stream(ngram_containment_pairs(self.df, threshold, n, **kwargs))
 
+    def sample_weighted_per_group(
+        self,
+        k: int,
+        weight_col: str,
+        group_cols: Sequence[str],
+        id_col: str = "doc_id",
+        seed: int = 42,
+    ) -> "Stream":
+        """Up to k rows PER GROUP, drawn ∝ weight within each stratum
+        (operators/selection.weighted_sample_per_group)."""
+        from .operators.selection import weighted_sample_per_group
+
+        return Stream(
+            weighted_sample_per_group(
+                self.df, k, weight_col, group_cols, id_col, seed
+            )
+        )
+
+    def source_overlap(
+        self, n: int = 5, source_col: str = "source", **kwargs
+    ) -> "Stream":
+        """source×source shared-shingle matrix — the resold-content
+        audit (operators/dedup.cross_source_shingle_overlap)."""
+        from .operators.dedup import cross_source_shingle_overlap
+
+        return Stream(
+            cross_source_shingle_overlap(self.df, n, source_col, **kwargs)
+        )
+
+    def collocations(
+        self, min_count: int = 5, top_k: int | None = None, **kwargs
+    ) -> "Stream":
+        """PMI collocation mining over adjacent word pairs
+        (operators/assoc.pmi_collocations)."""
+        from .operators.assoc import pmi_collocations
+
+        return Stream(
+            pmi_collocations(self.df, min_count=min_count, top_k=top_k, **kwargs)
+        )
+
     # -- keyed ops (§2.D) ----------------------------------------------------
     def group_by(self, *keys: Column | str):
         return self.df.groupBy(*keys)

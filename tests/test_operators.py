@@ -2548,3 +2548,75 @@ def test_containment_capped_matches_uncapped_scores(spark):
     assert (1, 2) in capped
     for pair, score in capped.items():
         assert score == full[pair]  # capped scores stay exact
+
+
+def test_cross_source_overlap_planted_resale(spark):
+    from pystreams_spark.operators.dedup import cross_source_shingle_overlap
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, "A", shared + " " + " ".join(f"a{i}" for i in range(10))),
+        (2, "B", shared + " " + " ".join(f"b{i}" for i in range(10))),
+        (3, "C", " ".join(f"c{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.source_a, r.source_b): r
+        for r in cross_source_shingle_overlap(
+            df, n=5, source_col="source"
+        ).collect()
+    }
+    # only A-B share content: the 4 complete 5-grams of the shared span
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert r.n_shared == 4
+    assert r.n_grams_a == 14 and r.n_grams_b == 14  # 18 tokens -> 14 grams
+    assert abs(r.frac_of_a - 4 / 14) < 1e-6
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from pystreams_spark.operators.assoc import pmi_collocations
+    import pytest as _pytest
+
+    # "a b" always adjacent; c/d never adjacent to each other
+    rows = [("a b c", ), ("a b d",), ("c a b",), ("d a b",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = {
+        (r.w1, r.w2): r
+        for r in pmi_collocations(df, min_count=2, top_k=None).collect()
+    }
+    # bigrams: (a,b)x4, (b,c)x1, (b,d)x1, (c,a)x1, (d,a)x1 -> N=8
+    assert set(out) == {("a", "b")}  # only pair with count >= 2
+    r = out[("a", "b")]
+    # c1(a)=4 (a as w1), c2(b)=4 (b as w2): pmi = ln(4*8/(4*4)) = ln 2
+    assert r.pair_count == 4
+    assert abs(r.pmi - round(math.log(2.0), 6)) < 1e-9
+    with _pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(df, min_count=0)
+
+
+def test_weighted_sample_per_group_cap_and_bias(spark):
+    from pystreams_spark.operators.selection import weighted_sample_per_group
+
+    rows = [(i, "g1", 1000.0 if i < 5 else 1.0) for i in range(100)] + [
+        (100 + i, "g2", 1.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, w double")
+    got = weighted_sample_per_group(
+        df, k=10, weight_col="w", group_cols=["grp"], id_col="doc_id"
+    ).collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, set()).add(r.doc_id)
+    assert len(by_grp["g1"]) == 10
+    assert set(range(5)) <= by_grp["g1"]  # heavy rows all drawn
+    assert by_grp["g2"] == {100, 101, 102}  # under-k group returns whole
+    again = weighted_sample_per_group(
+        df.repartition(7), k=10, weight_col="w", group_cols=["grp"],
+        id_col="doc_id",
+    ).collect()
+    assert {(r.grp, r.doc_id) for r in again} == {
+        (r.grp, r.doc_id) for r in got
+    }

@@ -454,3 +454,21 @@ def test_facade_r5_batch5_sugar(spark, sf_dir):
 
     cont = docs.dedup_containment(0.3, block_cols=("lang",)).collect()
     assert all(r.containment >= 0.3 for r in cont)
+
+
+def test_facade_r5_batch6_sugar(spark, sf_dir):
+    """Batch-6 sugar: stratified weighted sampling, source-overlap
+    matrix, PMI collocations."""
+    from pystreams_spark import Stream, load_table
+
+    docs = Stream(load_table(spark, sf_dir, "documents"))
+    per = docs.sample_weighted_per_group(5, "n_chars", ["lang"]).collect()
+    from collections import Counter
+
+    assert all(c <= 5 for c in Counter(r.lang for r in per).values())
+
+    ov = docs.source_overlap(n=5).collect()
+    assert all(r.source_a < r.source_b and r.n_shared >= 1 for r in ov)
+
+    col = docs.collocations(min_count=5, top_k=10).collect()
+    assert len(col) == 10 and all(r.pair_count >= 5 for r in col)
