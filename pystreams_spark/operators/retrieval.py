@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -84,4 +84,81 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_terms_hit"),
             F.sum(contrib).alias("score"),
         )
+    )
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    alpha: float = 0.01,
+    top_k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Distinctive vocabulary per group by log-odds-ratio z-score with a
+    uniform Dirichlet prior (Monroe, Colaresi & Quinn 2008, "Fightin'
+    Words") — what words characterize THIS group against the rest of
+    the corpus. The corpus-comparison tool that beats raw TF-IDF for
+    group contrast: the prior shrinks rare-word noise and the variance
+    term downweights small counts, so the top terms are reliably
+    over-represented, not just locally frequent.
+
+    δ = ln(y_gw + α) − ln(n_g + αV − y_gw − α)
+      − [ln(y_rw + α) − ln(n_r + αV − y_rw − α)]   (r = rest of corpus)
+    z = δ / sqrt(1/(y_gw + α) + 1/(y_rw + α))
+
+    Output: top ``top_k`` terms per group by z (desc, word tie-break),
+    with counts and the rounded z. Scale shape: ONE corpus scan to the
+    (group, word) count table (shuffle keys = distinct group×word, not
+    tokens); the word marginals, group totals, vocabulary size, and
+    grand total all DERIVE from that table; rest-counts are subtraction,
+    never a second scan. Per-group top-k is a local k-cut after one
+    group-key shuffle of the vocabulary-sized scored frame."""
+    from ..functions.text import tokens
+    from ..io import broadcast_if_small, ensure_parallelism
+
+    cgw = (
+        ensure_parallelism(docs)
+        .select(F.col(group_col).alias("_g"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("_g", "w")
+        .agg(F.count(F.lit(1)).alias("_ygw"))
+        .localCheckpoint(eager=True)
+    )
+    cw = cgw.groupBy("w").agg(F.sum("_ygw").alias("_yw"))
+    ng = cgw.groupBy("_g").agg(F.sum("_ygw").alias("_ng"))
+    glob = cgw.agg(
+        F.sum("_ygw").alias("_n"), F.count_distinct(F.col("w")).alias("_v")
+    )
+    j = (
+        cgw.join(broadcast_if_small(cw), "w")
+        .join(broadcast_if_small(ng), "_g")
+        .crossJoin(F.broadcast(glob))
+    )
+    a = F.lit(float(alpha))
+    ygw = F.col("_ygw").cast("double")
+    yrw = (F.col("_yw") - F.col("_ygw")).cast("double")
+    n_g = F.col("_ng").cast("double")
+    n_r = (F.col("_n") - F.col("_ng")).cast("double")
+    av = a * F.col("_v").cast("double")
+    delta = (
+        F.log(ygw + a)
+        - F.log(n_g + av - ygw - a)
+        - F.log(yrw + a)
+        + F.log(n_r + av - yrw - a)
+    )
+    z = delta / F.sqrt(1.0 / (ygw + a) + 1.0 / (yrw + a))
+    scored = j.select(
+        F.col("_g").alias(group_col),
+        F.col("w").alias("term"),
+        F.col("_ygw").cast("long").alias("count_in_group"),
+        (F.col("_yw") - F.col("_ygw")).cast("long").alias("count_in_rest"),
+        F.round(z, round_to).alias("log_odds_z"),
+    )
+    win = Window.partitionBy(group_col).orderBy(
+        F.desc("log_odds_z"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= int(top_k))
+        .drop("_rn")
     )

@@ -9097,3 +9097,154 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long").alias("weight"),
         "sample_key",
     ).orderBy("lang", F.desc("sample_key"), F.asc("doc_id"))
+
+
+@query(
+    "distinctive_terms_by_lang",
+    oracle=f"""
+    WITH occ AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS w FROM documents
+    ),
+    cgw AS (SELECT lang, w, COUNT(*) AS ygw FROM occ GROUP BY lang, w),
+    cw AS (SELECT w, SUM(ygw) AS yw FROM cgw GROUP BY w),
+    ng AS (SELECT lang, SUM(ygw) AS ng FROM cgw GROUP BY lang),
+    tots AS (SELECT SUM(ygw) AS n, COUNT(DISTINCT w) AS v FROM cgw),
+    sc AS (
+        SELECT c.lang, c.w,
+               CAST(c.ygw AS DOUBLE) AS ygw,
+               CAST(cw.yw - c.ygw AS DOUBLE) AS yrw,
+               CAST(ng.ng AS DOUBLE) AS n_g,
+               CAST(tots.n - ng.ng AS DOUBLE) AS n_r,
+               CAST(tots.v AS DOUBLE) AS v
+        FROM cgw c JOIN cw USING (w) JOIN ng USING (lang) CROSS JOIN tots
+    ),
+    z AS (
+        SELECT lang, w AS term,
+               CAST(ygw AS BIGINT) AS count_in_group,
+               CAST(yrw AS BIGINT) AS count_in_rest,
+               ROUND((ln(ygw + 0.01) - ln(n_g + 0.01 * v - ygw - 0.01)
+                      - ln(yrw + 0.01) + ln(n_r + 0.01 * v - yrw - 0.01))
+                     / sqrt(1.0 / (ygw + 0.01) + 1.0 / (yrw + 0.01)), 6)
+                 AS log_odds_z
+        FROM sc
+    )
+    SELECT lang, term, count_in_group, count_in_rest, log_odds_z
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY log_odds_z DESC, term
+        ) AS rn FROM z
+    )
+    WHERE rn <= 10
+    ORDER BY lang, log_odds_z DESC, term
+    """,
+)
+def distinctive_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 distinctive terms per language by Dirichlet-prior
+    log-odds z-score (`operators/retrieval.distinctive_terms`, Monroe
+    et al. 2008 "Fightin' Words") — the corpus-comparison answer to
+    'what characterizes THIS slice against the rest', with the prior
+    shrinking hapax noise and the variance term downweighting small
+    counts (the two failure modes of raw TF-IDF contrast). One corpus
+    scan to the (lang, word) count table; every marginal derives from
+    it; rest-counts are subtraction, never a second scan."""
+    from .operators.retrieval import distinctive_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return distinctive_terms(d, group_col="lang", top_k=10).orderBy(
+        "lang", F.desc("log_odds_z"), "term"
+    )
+
+
+@query(
+    "classifier_calibration_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, text, {_TOKS_SQL} AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(t.tok), 1, 15))::BIGINT % 64 AS bucket
+        FROM (SELECT doc_id, unnest(w) AS tok FROM toks) t
+    ),
+    weights AS (
+        SELECT j AS bucket, ((j * 37 + 11) % 101 - 50) / 100.0 AS weight
+        FROM generate_series(0, 63) AS s(j)
+    ),
+    sc AS (
+        SELECT o.doc_id,
+               ROUND(1.0 / (1.0 + exp(-AVG(w.weight))), 6) AS score
+        FROM occ o JOIN weights w USING (bucket) GROUP BY o.doc_id
+    ),
+    q AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality FROM toks
+    ),
+    joined AS (
+        SELECT sc.doc_id, sc.score, q.quality
+        FROM sc JOIN q USING (doc_id)
+    ),
+    cuts AS (
+        SELECT list_transform(
+                 quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                       0.6, 0.7, 0.8, 0.9]),
+                 x -> ROUND(x, 6)) AS c
+        FROM joined
+    ),
+    binned AS (
+        SELECT j.score, j.quality,
+               1 + len(list_filter(cuts.c, x -> j.score > x)) AS score_bin
+        FROM joined j CROSS JOIN cuts
+    )
+    SELECT CAST(score_bin AS INT) AS score_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 6) AS avg_score,
+           ROUND(AVG(quality), 6) AS avg_quality
+    FROM binned GROUP BY score_bin ORDER BY score_bin
+    """,
+)
+def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-quality calibration: documents bucketed by classifier-score
+    decile CUTOFFS (quantile boundaries from one agg — deliberately NOT
+    a global ntile window, which would plan a single-partition sort
+    exchange), with each bin's mean model score vs mean heuristic
+    quality. The monotonicity of avg_quality across bins is the
+    'does the model's ordering agree with the independent heuristic'
+    check run before trusting a classifier to gate a corpus. Scores
+    and cutoffs round to 6 on BOTH engines before the bin compare."""
+    from .functions.text import quality_score
+    from .operators.quality_model import demo_weights, score_linear_model
+
+    d = _t(spark, sf_dir, "documents")
+    sc = score_linear_model(d, demo_weights(spark, 64), n_buckets=64).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    joined = (
+        d.select("doc_id", quality_score("text").alias("quality"))
+        .join(sc, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    cuts = joined.agg(
+        F.transform(
+            F.percentile(
+                F.col("score"),
+                F.array(*[F.lit(x / 10.0) for x in range(1, 10)]),
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("c")
+    )
+    binned = joined.crossJoin(F.broadcast(cuts)).select(
+        "score",
+        "quality",
+        (
+            1
+            + F.size(F.filter(F.col("c"), lambda x: F.col("score") > x))
+        ).alias("score_bin"),
+    )
+    return (
+        binned.groupBy(F.col("score_bin").cast("int").alias("score_bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+        .orderBy("score_bin")
+    )

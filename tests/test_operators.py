@@ -2620,3 +2620,22 @@ def test_weighted_sample_per_group_cap_and_bias(spark):
     assert {(r.grp, r.doc_id) for r in again} == {
         (r.grp, r.doc_id) for r in got
     }
+
+
+def test_distinctive_terms_planted_marker(spark):
+    from pystreams_spark.operators.retrieval import distinctive_terms
+
+    base = "the quick brown fox jumps over lazy dog again and"
+    rows = [(i, "A", base + " zebra zebra zebra") for i in range(10)] + [
+        (100 + i, "B", base) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    out = distinctive_terms(df, group_col="grp", top_k=3).collect()
+    top_a = [r for r in out if r.grp == "A"]
+    # the planted marker must rank first for A with exact counts
+    assert top_a[0].term == "zebra"
+    assert top_a[0].count_in_group == 30 and top_a[0].count_in_rest == 0
+    assert top_a[0].log_odds_z > 0
+    # no B term can out-z the planted marker (B has no exclusive word)
+    top_b = [r for r in out if r.grp == "B"]
+    assert all(r.log_odds_z < top_a[0].log_odds_z for r in top_b)
