@@ -147,6 +147,13 @@ def distinctive_terms(
         + F.log(n_r + av - yrw - a)
     )
     z = delta / F.sqrt(1.0 / (ygw + a) + 1.0 / (yrw + a))
+    # degenerate corpora have no defined contrast: with a single group
+    # there is no rest population (n_r = 0 → ln 0), and with a
+    # single-word vocabulary a group's whole mass is the word itself
+    # (n_g + αV − y_gw − α = α(V−1) = 0). NULL the score instead of
+    # emitting ±inf/NaN — a NULL ranks last and reads as "no contrast
+    # measurable", which is the truth
+    z = F.when((n_r > 0.0) & (F.col("_v") >= 2), z)
     scored = j.select(
         F.col("_g").alias(group_col),
         F.col("w").alias("term"),

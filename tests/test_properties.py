@@ -342,3 +342,94 @@ def test_bm25_matches_python_reference(spark, docs, terms):
     assert set(got) == set(expected)
     for i in expected:
         assert abs(got[i] - expected[i]) < 1e-9, (i, got[i], expected[i])
+
+
+@slow
+@given(docs=_corpus)
+def test_pmi_collocations_matches_python_reference(spark, docs):
+    """pmi_collocations ≡ a direct python implementation of
+    PMI = ln(c12·N / (c1·c2)) over adjacent pairs, at min_count=1."""
+    import math
+    from collections import Counter
+
+    from pystreams_spark.operators.assoc import pmi_collocations
+
+    rows = [(" ".join(ws),) for ws in docs]
+    df = spark.createDataFrame(rows, "text string")
+    got = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in pmi_collocations(df, min_count=1, top_k=None).collect()
+    }
+
+    c12 = Counter()
+    for ws in docs:
+        for x, y in zip(ws, ws[1:]):
+            c12[(x, y)] += 1
+    if not c12:
+        assert got == {}
+        return
+    c1 = Counter()
+    c2 = Counter()
+    for (x, y), c in c12.items():
+        c1[x] += c
+        c2[y] += c
+    n = sum(c12.values())
+    expected = {
+        (x, y): (c, round(math.log(c * n / (c1[x] * c2[y])), 6))
+        for (x, y), c in c12.items()
+    }
+    assert got == expected
+
+
+@slow
+@given(docs=_corpus)
+def test_distinctive_terms_matches_python_reference(spark, docs):
+    """distinctive_terms ≡ a direct python implementation of the
+    Monroe et al. log-odds z on random two-group corpora (top_k wide
+    open so every (group, word) row is compared)."""
+    import math
+    from collections import Counter
+
+    from pystreams_spark.operators.retrieval import distinctive_terms
+
+    rows = [
+        (i, "g" + str(i % 2), " ".join(ws)) for i, ws in enumerate(docs) if ws
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    got = {
+        (r.grp, r.term): (r.count_in_group, r.count_in_rest, r.log_odds_z)
+        for r in distinctive_terms(df, group_col="grp", top_k=10**6).collect()
+    }
+
+    cgw = Counter()
+    for i, g, text in rows:
+        for w in text.split():
+            cgw[(g, w)] += 1
+    cw = Counter()
+    ng = Counter()
+    for (g, w), c in cgw.items():
+        cw[w] += c
+        ng[g] += c
+    n = sum(cgw.values())
+    v = len(cw)
+    a = 0.01
+    expected = {}
+    for (g, w), ygw in cgw.items():
+        yrw = cw[w] - ygw
+        n_g, n_r = ng[g], n - ng[g]
+        if n_r <= 0 or v < 2:
+            # the operator NULLs the score when there is no rest
+            # population or no second word to contrast against
+            expected[(g, w)] = (ygw, yrw, None)
+            continue
+        delta = (
+            math.log(ygw + a)
+            - math.log(n_g + a * v - ygw - a)
+            - math.log(yrw + a)
+            + math.log(n_r + a * v - yrw - a)
+        )
+        z = delta / math.sqrt(1.0 / (ygw + a) + 1.0 / (yrw + a))
+        expected[(g, w)] = (ygw, yrw, round(z, 6))
+    assert got == expected
