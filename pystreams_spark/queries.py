@@ -9248,3 +9248,76 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("score_bin")
     )
+
+
+@query(
+    "neardup_components_report",
+    oracle="""
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), sizes AS (
+        SELECT component_id, COUNT(*) AS component_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, c.component_id,
+           CAST(z.component_size AS BIGINT) AS component_size
+    FROM comp c JOIN sizes z USING (component_id)
+    ORDER BY doc_id
+    """,
+)
+def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup cluster MAP itself: every document in a Jaccard-0.35
+    component of size > 1, with its component id (= the component's min
+    doc_id, the survivor) and size — what a curation team inspects
+    before trusting the keep rule (a 300-member 'component' usually
+    means the threshold is too low). Direct driver-grade evidence for
+    the CC operator's LABELS: the oracle states transitive closure as a
+    recursive CTE, the engine computes it via `cc_keep_min`'s adaptive
+    union-find / alternating-stars over PREFIX-FILTERED exact-Jaccard
+    pairs (exact for any τ>0 — no banding-recall caveat needed here)."""
+    from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3)
+    labels = cc_keep_min(pairs, d.select("doc_id"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    from .io import broadcast_if_small
+
+    return (
+        labels.join(
+            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            "cluster_id",
+        )
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("component_id"),
+            F.col("component_size").cast("long").alias("component_size"),
+        )
+        .orderBy("doc_id")
+    )
