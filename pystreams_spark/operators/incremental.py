@@ -1,0 +1,79 @@
+"""Mergeable aggregation state — the incremental-maintenance pattern
+behind every production metrics pipeline at 100 TB: summarize each
+arriving batch into a tiny per-group state, MERGE states instead of
+ever rescanning history (SURVEY.md §2.K scale posture; the batch
+analog of what HLL rollups do for distinct counts).
+
+The state tuple (n, sum, sum_sq, min, max) is a commutative monoid:
+merging batch states in any order and any grouping equals the state of
+the concatenated data — exactly (counts and integer sums are exact;
+the float moments are sums, so merge-order only permutes additions the
+same way partial aggregation already does). ``finalize_stats`` derives
+mean/stddev at read time; history never gets rescanned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stats_state", "merge_stats", "finalize_stats"]
+
+
+def stats_state(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """One partial-agg scan of a batch → per-group mergeable state
+    (n, sum, sum_sq, min, max). KB-sized per batch at any corpus size;
+    store it, never the batch."""
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sum_sq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_stats(*states: DataFrame) -> DataFrame:
+    """Merge any number of state frames into one — a union of tiny
+    frames plus one grouped fold. Associative and commutative, so
+    nightly/hourly/backfill states compose in any order."""
+    if not states:
+        raise ValueError("merge_stats needs at least one state frame")
+    group_cols = [c for c in states[0].columns
+                  if c not in ("n", "sum", "sum_sq", "min", "max")]
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*group_cols).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum").alias("sum"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+
+
+def finalize_stats(state: DataFrame, round_to: int = 6) -> DataFrame:
+    """Derive (mean, stddev_pop) from the state at read time. The
+    stddev comes from the documented state formula
+    sqrt((sum_sq − sum²/n)/n) — stated explicitly so an oracle can
+    reproduce it bit-for-bit from the same exact sums."""
+    n = F.col("n").cast("double")
+    s = F.col("sum").cast("double")
+    sq = F.col("sum_sq").cast("double")
+    var = (sq - s * s / n) / n
+    return state.select(
+        *[c for c in state.columns if c not in ("n", "sum", "sum_sq", "min", "max")],
+        F.col("n"),
+        F.col("sum"),
+        F.col("min"),
+        F.col("max"),
+        F.round(s / n, round_to).alias("mean"),
+        # clamp tiny negative float residue before the sqrt
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("stddev"),
+    )

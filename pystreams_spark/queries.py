@@ -9321,3 +9321,55 @@ def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "incremental_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum,
+           CAST(MIN(n_tokens) AS BIGINT) AS min,
+           CAST(MAX(n_tokens) AS BIGINT) AS max,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean,
+           ROUND(sqrt(GREATEST(
+             (CAST(SUM(n_tokens * n_tokens) AS DOUBLE)
+              - CAST(SUM(n_tokens) AS DOUBLE) * CAST(SUM(n_tokens) AS DOUBLE)
+                / COUNT(*)) / COUNT(*), 0.0)), 6) AS stddev
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def incremental_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance
+    (`operators/incremental.stats_state/merge_stats/finalize_stats`):
+    the corpus arrives as three md5-hash batches, each summarized to a
+    tiny per-language mergeable state; the published stats come from
+    MERGING states, never from rescanning history. The oracle states
+    the from-scratch full-table aggregate — so the driver's value hash
+    certifies the monoid property (fold over batches ≡ recompute) on
+    exact integer sums, with mean/stddev derived from the state
+    formula identically on both engines."""
+    from .functions.text import token_count
+    from .operators.incremental import finalize_stats, merge_stats, stats_state
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("inc"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 3
+    )
+    d = d.withColumn("_b", bucket)
+    states = [
+        stats_state(d.filter(F.col("_b") == i), ["lang"], "n_tokens")
+        for i in range(3)
+    ]
+    return finalize_stats(merge_stats(*states)).orderBy("lang")

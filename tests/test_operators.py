@@ -2639,3 +2639,29 @@ def test_distinctive_terms_planted_marker(spark):
     # no B term can out-z the planted marker (B has no exclusive word)
     top_b = [r for r in out if r.grp == "B"]
     assert all(r.log_odds_z < top_a[0].log_odds_z for r in top_b)
+
+
+def test_mergeable_stats_monoid(spark):
+    """merge(fold over any batching) == state of the whole — and the
+    merge is order-insensitive."""
+    from pystreams_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats,
+        stats_state,
+    )
+
+    rows = [(i, "g" + str(i % 2), float(i * 7 % 23)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    whole = {r.grp: r for r in finalize_stats(
+        stats_state(df, ["grp"], "v")
+    ).collect()}
+    b0 = stats_state(df.filter("id % 3 = 0"), ["grp"], "v")
+    b1 = stats_state(df.filter("id % 3 = 1"), ["grp"], "v")
+    b2 = stats_state(df.filter("id % 3 = 2"), ["grp"], "v")
+    merged = {r.grp: r for r in finalize_stats(
+        merge_stats(b2, b0, b1)  # deliberately out of order
+    ).collect()}
+    assert set(merged) == set(whole)
+    for g in whole:
+        for f in ("n", "sum", "min", "max", "mean", "stddev"):
+            assert getattr(merged[g], f) == getattr(whole[g], f), (g, f)
