@@ -130,6 +130,24 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
 
 
+def adjacent_token_pairs(text: Column | str) -> Column:
+    """array<struct<w1,w2>> of ADJACENT whitespace-token pairs — the
+    bigram stream both the bigram LM (selection.py) and PMI collocation
+    mining (assoc.py) explode. Empty array for docs with <2 tokens:
+    Spark's ``sequence(1, 0)`` counts DOWN (not empty, unlike DuckDB),
+    so the short-doc guard lives here, once."""
+    w = tokens(text)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.struct(
+            F.element_at(w, i).alias("w1"),
+            F.element_at(w, i + 1).alias("w2"),
+        ),
+    )
+    empty = F.array().cast("array<struct<w1:string,w2:string>>")
+    return F.when(F.size(w) >= 2, pairs).otherwise(empty)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (distinct), the MinHash input unit."""
     toks = tokens(F.col(text) if isinstance(text, str) else text)

@@ -141,28 +141,14 @@ def pmi_collocations(
     corpus rows), marginals derived from the count table (never a
     second corpus pass), broadcast-while-small joins back, and top-k
     (when requested) plans as TakeOrdered."""
-    from ..functions.text import tokens
+    from ..functions.text import adjacent_token_pairs
     from ..io import ensure_parallelism
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
-    w = tokens(text_col)
     occ = (
         ensure_parallelism(df)
-        .select(w.alias("w"))
-        # Spark's sequence(1, 0) counts DOWN (not empty) — guard short docs
-        .filter(F.size("w") >= 2)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("w"), i).alias("w1"),
-                        F.element_at(F.col("w"), i + 1).alias("w2"),
-                    ),
-                )
-            ).alias("o")
-        )
+        .select(F.explode(adjacent_token_pairs(text_col)).alias("o"))
         .select("o.w1", "o.w2")
     )
     # the bigram count table feeds the marginals AND the scored output —

@@ -27,25 +27,43 @@ def stats_state(
 ) -> DataFrame:
     """One partial-agg scan of a batch → per-group mergeable state
     (n, sum, sum_sq, min, max). KB-sized per batch at any corpus size;
-    store it, never the batch."""
+    store it, never the batch.
+
+    NULL values are ignored CONSISTENTLY: ``n`` counts non-NULL values
+    (not rows), matching the NULL-skipping sum/min/max — otherwise a
+    nullable column silently skews every derived mean/stddev. The
+    squares accumulate in DOUBLE: squaring in the input's integer type
+    overflows per-row (an int value > 46340 ANSI-crashes; a long
+    sum of squares wraps at corpus scale), while integer-valued doubles
+    add exactly below 2^53 and degrade gracefully, not wrongly, above."""
     v = F.col(value_col)
+    vd = v.cast("double")
     return df.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(v).cast("long").alias("n"),
         F.sum(v).alias("sum"),
-        F.sum(v * v).alias("sum_sq"),
+        F.sum(vd * vd).alias("sum_sq"),
         F.min(v).alias("min"),
         F.max(v).alias("max"),
     )
 
 
-def merge_stats(*states: DataFrame) -> DataFrame:
+def merge_stats(
+    *states: DataFrame, group_cols: Sequence[str] | None = None
+) -> DataFrame:
     """Merge any number of state frames into one — a union of tiny
     frames plus one grouped fold. Associative and commutative, so
-    nightly/hourly/backfill states compose in any order."""
+    nightly/hourly/backfill states compose in any order.
+
+    Pass ``group_cols`` explicitly (same value given to
+    ``stats_state``) when any group column is itself named like a
+    state field ('n', 'sum', 'sum_sq', 'min', 'max') — the default
+    infers the group keys by excluding those reserved names, which
+    would silently aggregate a colliding group column away."""
     if not states:
         raise ValueError("merge_stats needs at least one state frame")
-    group_cols = [c for c in states[0].columns
-                  if c not in ("n", "sum", "sum_sq", "min", "max")]
+    if group_cols is None:
+        group_cols = [c for c in states[0].columns
+                      if c not in ("n", "sum", "sum_sq", "min", "max")]
     u = states[0]
     for s in states[1:]:
         u = u.unionByName(s)

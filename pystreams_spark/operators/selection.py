@@ -310,32 +310,21 @@ def bigram_surprisal_scores(
     back broadcast-while-small / hash-partitioned above the cap, exactly
     like the unigram path. No UDF — ln/avg are codegen'd.
     """
-    from ..functions.text import tokens
+    from ..functions.text import adjacent_token_pairs
     from ..io import broadcast_if_small
 
-    w = tokens(text_col)
     occ = (
-        docs.select(F.col(id_col), *[F.col(c) for c in carry_cols], w.alias("w"))
-        # Spark's sequence(1, 0) counts DOWN (not empty) — guard short docs
-        .filter(F.size("w") >= 2)
+        docs.select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(adjacent_token_pairs(text_col)).alias("o"),
+        )
         .select(
             F.col(id_col),
             *[F.col(c) for c in carry_cols],
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.struct(
-                        F.element_at(F.col("w"), i).alias("w1"),
-                        F.concat_ws(
-                            " ",
-                            F.element_at(F.col("w"), i),
-                            F.element_at(F.col("w"), i + 1),
-                        ).alias("bg"),
-                    ),
-                )
-            ).alias("o"),
+            F.col("o.w1").alias("w1"),
+            F.concat_ws(" ", "o.w1", "o.w2").alias("bg"),
         )
-        .select(F.col(id_col), *[F.col(c) for c in carry_cols], "o.w1", "o.bg")
     )
     # materialize the bigram table ONCE; the context table and vocab
     # size derive from it (vocabulary-sized regroups, never a second

@@ -2665,3 +2665,25 @@ def test_mergeable_stats_monoid(spark):
     for g in whole:
         for f in ("n", "sum", "min", "max", "mean", "stddev"):
             assert getattr(merged[g], f) == getattr(whole[g], f), (g, f)
+
+
+def test_mergeable_stats_nulls_and_int_overflow(spark):
+    """NULL values are skipped consistently (n counts values, not
+    rows), and int-typed columns don't ANSI-overflow on the square."""
+    from pystreams_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats,
+        stats_state,
+    )
+
+    df = spark.createDataFrame(
+        [("g", None), ("g", 2.0), ("g", 2.0)], "grp string, v double"
+    )
+    r = finalize_stats(stats_state(df, ["grp"], "v")).collect()[0]
+    assert r.n == 2 and r.mean == 2.0 and r.stddev == 0.0
+
+    # 50000^2 > 2^31-1: squaring in the input int type would crash ANSI
+    big = spark.createDataFrame([("g", 50000), ("g", 50000)], "grp string, v int")
+    s = stats_state(big, ["grp"], "v")
+    out = finalize_stats(merge_stats(s, group_cols=["grp"])).collect()[0]
+    assert out.n == 2 and out.mean == 50000.0 and out.stddev == 0.0
