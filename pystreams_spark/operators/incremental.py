@@ -88,7 +88,11 @@ def finalize_stats(state: DataFrame, round_to: int = 6) -> DataFrame:
     return state.select(
         *[c for c in state.columns if c not in ("n", "sum", "sum_sq", "min", "max")],
         F.col("n"),
-        F.col("sum"),
+        # float sums carry merge-order ulp noise (addition is not
+        # associative — the same order-dependence partial aggregation
+        # has); round the PUBLISHED sum so any merge order reports the
+        # identical artifact. Integer sums pass through unchanged.
+        F.round(F.col("sum"), round_to).alias("sum"),
         F.col("min"),
         F.col("max"),
         F.round(s / n, round_to).alias("mean"),

@@ -39,3 +39,70 @@ def top_k_per_group(
         .filter(F.col(rank_col) <= k)
         .drop(rank_col)
     )
+
+
+def pareto_frontier(
+    df: DataFrame,
+    dims: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Skyline / Pareto frontier (Börzsönyi et al. 2001): rows not
+    DOMINATED on the given dimensions — b dominates a when b is at
+    least as good on every dim and strictly better on one. ``dims`` is
+    [(col, 'min'|'max'), ...]. The multi-criteria answer top-k can't
+    give ("cheapest AND largest" has no single ranking); ties on every
+    dim keep both rows.
+
+    Scale shape — the standard two-phase distributed skyline:
+    1. LOCAL prune: an Arrow kernel drops rows dominated within their
+       own batch (sound: local domination implies global). Frontiers
+       are tiny for correlated data, so this is the 100 TB → KB cut.
+    2. EXACT finish: the surviving candidate set self-joins on the
+       dominance predicate (broadcast — candidates are frontier-sized)
+       and dominated stragglers fall to a left_anti. No global sort,
+       no corpus shuffle; the corpus is read exactly once."""
+    import numpy as np
+
+    if not dims:
+        raise ValueError("pareto_frontier needs at least one (col, dir) dim")
+    for c, d in dims:
+        if d not in ("min", "max"):
+            raise ValueError(f"direction for {c!r} must be 'min' or 'max', got {d!r}")
+    cols = [c for c, _ in dims]
+    signs = np.array([1.0 if d == "min" else -1.0 for _, d in dims])
+
+    def local_prune(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arr = pdf[cols].to_numpy(dtype=float) * signs
+            order = np.lexsort(arr.T[::-1])
+            keep = np.ones(len(arr), dtype=bool)
+            frontier: list = []
+            for idx in order:
+                p = arr[idx]
+                dominated = any(
+                    (q <= p).all() and (q < p).any() for q in frontier
+                )
+                keep[idx] = not dominated
+                if not dominated:
+                    frontier.append(p)
+            yield pdf[keep]
+
+    cand = df.mapInPandas(local_prune, df.schema).localCheckpoint(eager=True)
+
+    from ..io import broadcast_if_small
+
+    other = broadcast_if_small(
+        cand.select(*[F.col(c).alias(f"_o_{c}") for c in cols]).distinct()
+    )
+    at_least_as_good = F.lit(True)
+    strictly_better = F.lit(False)
+    for (c, d) in dims:
+        o = F.col(f"_o_{c}")
+        if d == "min":
+            at_least_as_good = at_least_as_good & (o <= F.col(c))
+            strictly_better = strictly_better | (o < F.col(c))
+        else:
+            at_least_as_good = at_least_as_good & (o >= F.col(c))
+            strictly_better = strictly_better | (o > F.col(c))
+    return cand.join(other, at_least_as_good & strictly_better, "left_anti")

@@ -9373,3 +9373,43 @@ def incremental_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3)
     ]
     return finalize_stats(merge_stats(*states)).orderBy("lang")
+
+
+@query(
+    "part_price_size_skyline",
+    oracle="""
+    SELECT a.p_partkey, a.p_name, a.p_size,
+           ROUND(a.p_retailprice, 2) AS p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part b
+        WHERE b.p_retailprice <= a.p_retailprice
+          AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY p_partkey
+    """,
+)
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (`operators/topk.pareto_frontier`): the parts no
+    other part beats on BOTH price (lower better) and size (higher
+    better) — the multi-criteria shortlist a single ORDER BY cannot
+    express. The oracle states the naive NOT EXISTS dominance; the
+    engine runs the two-phase distributed skyline (per-batch Arrow
+    prune → broadcast dominance anti-join over the frontier-sized
+    candidates), reading the corpus exactly once."""
+    from .operators.topk import pareto_frontier
+
+    p = _t(spark, sf_dir, "part")
+    return (
+        pareto_frontier(
+            p, dims=[("p_retailprice", "min"), ("p_size", "max")]
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_size",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+        )
+        .orderBy("p_partkey")
+    )

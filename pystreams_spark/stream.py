@@ -670,6 +670,13 @@ class Stream:
 
         return Stream(ngram_containment_pairs(self.df, threshold, n, **kwargs))
 
+    def frontier(self, dims: Sequence) -> "Stream":
+        """Skyline / Pareto frontier over [(col, 'min'|'max'), ...]
+        dims (operators/topk.pareto_frontier)."""
+        from .operators.topk import pareto_frontier
+
+        return Stream(pareto_frontier(self.df, dims))
+
     def sample_weighted_per_group(
         self,
         k: int,

@@ -1,0 +1,66 @@
+"""Streaming incremental-stats maintainer: fold every micro-batch into
+the mergeable (n, sum, sum_sq, min, max) state of
+`operators/incremental` and publish aggregate stats WITHOUT ever
+rescanning history — the streaming face of the metrics-pipeline monoid
+(and the lambda-architecture killer: one code path serves batch
+backfills and the live stream, because the state merge is the same
+function).
+
+Design, mirroring `streaming/neardup_ingest` / `drift_monitor`:
+
+- each micro-batch collapses to its per-group state with ONE
+  partial-agg scan (`stats_state`) — KBs per batch at any rate;
+- the state lands in ``{state_dir}/state/epoch=<id>`` with idempotent
+  overwrite per epoch, so Structured Streaming's replay-on-recovery
+  semantics yield exactly-once states without a custom log;
+- ``current(spark)`` publishes: read ALL epoch states (tiny frames),
+  `merge_stats`, `finalize_stats` — cost scales with the number of
+  epochs, not the data, and a compaction pass can fold old epochs into
+  one without changing any result (associativity).
+
+Use with ``stream.writeStream.foreachBatch(m.foreach_batch())``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.incremental import finalize_stats, merge_stats, stats_state
+
+__all__ = ["StatsMaintainer"]
+
+
+class StatsMaintainer:
+    def __init__(
+        self,
+        state_dir: str,
+        group_cols: Sequence[str],
+        value_col: str,
+    ):
+        self.state_dir = state_dir.rstrip("/")
+        self.group_cols = list(group_cols)
+        self.value_col = value_col
+
+    def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        state = stats_state(batch, self.group_cols, self.value_col)
+        # idempotent per-epoch overwrite: a replayed epoch rewrites the
+        # same partition with the same content (the batch is
+        # deterministic under replay), so recovery cannot double-count
+        state.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.state_dir}/state/epoch={int(epoch_id)}"
+        )
+
+    def foreach_batch(self):
+        return self.process_batch
+
+    def current(self, spark: SparkSession, round_to: int = 6) -> DataFrame:
+        """The published stats: merge every epoch's state and finalize.
+        Reads only state frames (KBs/epoch) — history is never
+        rescanned."""
+        all_states = spark.read.parquet(f"{self.state_dir}/state").drop("epoch")
+        return finalize_stats(
+            merge_stats(all_states, group_cols=self.group_cols),
+            round_to=round_to,
+        )

@@ -2687,3 +2687,39 @@ def test_mergeable_stats_nulls_and_int_overflow(spark):
     s = stats_state(big, ["grp"], "v")
     out = finalize_stats(merge_stats(s, group_cols=["grp"])).collect()[0]
     assert out.n == 2 and out.mean == 50000.0 and out.stddev == 0.0
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from pystreams_spark.operators.topk import pareto_frontier
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20), float(rng.randint(0, 20)))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x int, y int, z double")
+    dims = [("x", "min"), ("y", "max"), ("z", "min")]
+    got = {r.id for r in pareto_frontier(df.repartition(7), dims).collect()}
+
+    def dominates(b, a):
+        ax, ay, az = a[1], a[2], a[3]
+        bx, by, bz = b[1], b[2], b[3]
+        return (bx <= ax and by >= ay and bz <= az
+                and (bx < ax or by > ay or bz < az))
+
+    expected = {a[0] for a in pts
+                if not any(dominates(b, a) for b in pts if b is not a)}
+    assert got == expected
+    # duplicated frontier points: neither strictly dominates -> both kept
+    dup = spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 1), (3, 5, 0)], "id long, x int, y int"
+    )
+    kept = {r.id for r in pareto_frontier(
+        dup, [("x", "min"), ("y", "max")]
+    ).collect()}
+    assert kept == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        pareto_frontier(df, [("x", "down")])

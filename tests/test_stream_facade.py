@@ -472,3 +472,18 @@ def test_facade_r5_batch6_sugar(spark, sf_dir):
 
     col = docs.collocations(min_count=5, top_k=10).collect()
     assert len(col) == 10 and all(r.pair_count >= 5 for r in col)
+
+
+def test_facade_frontier_sugar(spark, sf_dir):
+    from pystreams_spark import Stream, load_table
+
+    p = Stream(load_table(spark, sf_dir, "part"))
+    sky = p.frontier([("p_retailprice", "min"), ("p_size", "max")]).collect()
+    assert sky
+    # no row in the frontier dominates another
+    for a in sky:
+        for b in sky:
+            assert not (
+                b.p_retailprice <= a.p_retailprice and b.p_size >= a.p_size
+                and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+            )

@@ -810,3 +810,52 @@ def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
     q.awaitTermination(120)
     scores = sorted(r.psi for r in m2.history(spark).collect())
     assert len(scores) == 2 and scores[0] < 0.1 and scores[1] > 1.0
+
+
+def test_stats_maintainer_streaming_equals_batch(spark, tmp_path):
+    """StatsMaintainer: published stats after a real file stream equal
+    the from-scratch batch aggregate over the same data, and epoch
+    replay is idempotent."""
+    import os
+
+    from pystreams_spark.operators.incremental import (
+        finalize_stats,
+        stats_state,
+    )
+    from pystreams_spark.streaming.stats_maintainer import StatsMaintainer
+
+    rows = [(i, "g" + str(i % 3), float((i * 13) % 97)) for i in range(600)]
+    full = spark.createDataFrame(rows, "id long, grp string, v double")
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    full.filter("id < 200").coalesce(1).write.parquet(f"{src}/a")
+    full.filter("id >= 200 AND id < 400").coalesce(1).write.parquet(f"{src}/b")
+    full.filter("id >= 400").coalesce(1).write.parquet(f"{src}/c")
+
+    m = StatsMaintainer(str(tmp_path / "stats"), ["grp"], "v")
+    q = (
+        spark.readStream.schema("id long, grp string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(m.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.grp: r for r in m.current(spark).collect()}
+    want = {r.grp: r for r in finalize_stats(
+        stats_state(full, ["grp"], "v")
+    ).collect()}
+    assert set(got) == set(want)
+    for g in want:
+        for f in ("n", "sum", "min", "max", "mean", "stddev"):
+            assert getattr(got[g], f) == getattr(want[g], f), (g, f)
+
+    # replay idempotence: re-processing an epoch changes nothing
+    m.process_batch(full.filter("id < 200"), 0)
+    got2 = {r.grp: r for r in m.current(spark).collect()}
+    for g in want:
+        assert got2[g].n == want[g].n and got2[g].sum == want[g].sum
