@@ -96,6 +96,12 @@ def finalize_stats(state: DataFrame, round_to: int = 6) -> DataFrame:
         F.col("min"),
         F.col("max"),
         F.round(s / n, round_to).alias("mean"),
-        # clamp tiny negative float residue before the sqrt
-        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("stddev"),
+        # clamp tiny negative float residue before the sqrt; the n > 0
+        # gate keeps an all-NULL group's stddev NULL like its mean —
+        # greatest(NULL, 0.0) would otherwise claim zero dispersion
+        # for a group with no observed values
+        F.when(
+            F.col("n") > 0,
+            F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to),
+        ).alias("stddev"),
     )

@@ -68,24 +68,52 @@ def pareto_frontier(
         if d not in ("min", "max"):
             raise ValueError(f"direction for {c!r} must be 'min' or 'max', got {d!r}")
     cols = [c for c, _ in dims]
-    signs = np.array([1.0 if d == "min" else -1.0 for _, d in dims])
+    clash = [c for c in df.columns if c.startswith("_o_")]
+    if clash:
+        raise ValueError(
+            f"pareto_frontier reserves the '_o_' column prefix for its "
+            f"dominance join; rename {clash} first"
+        )
+    dirs = [d for _, d in dims]
 
     def local_prune(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            arr = pdf[cols].to_numpy(dtype=float) * signs
-            order = np.lexsort(arr.T[::-1])
-            keep = np.ones(len(arr), dtype=bool)
-            frontier: list = []
+            # per-dim arrays in their NATIVE dtype: int64 comparisons
+            # stay exact (casting everything to float64 collapses
+            # values beyond 2^53 and could wrongly drop a true
+            # frontier row). Floats are only used for the SCAN ORDER,
+            # where precision affects prune efficiency, never
+            # soundness: pruning via an already-dominated frontier
+            # member is still sound by transitivity.
+            vals = [pdf[c].to_numpy() for c in cols]
+            keys = []
+            for (c, d) in reversed(dims):
+                k = pdf[c].to_numpy().astype(float)
+                keys.append(k if d == "min" else -k)
+            order = np.lexsort(keys)
+            keep = np.ones(len(pdf), dtype=bool)
+            frontier_idx: list[int] = []
+            fi = np.empty(0, dtype=int)
             for idx in order:
-                p = arr[idx]
-                dominated = any(
-                    (q <= p).all() and (q < p).any() for q in frontier
-                )
+                dominated = False
+                if len(fi):
+                    at_least = np.ones(len(fi), dtype=bool)
+                    strict = np.zeros(len(fi), dtype=bool)
+                    for d, v in zip(dirs, vals):
+                        fv = v[fi]
+                        if d == "min":
+                            at_least &= fv <= v[idx]
+                            strict |= fv < v[idx]
+                        else:
+                            at_least &= fv >= v[idx]
+                            strict |= fv > v[idx]
+                    dominated = bool((at_least & strict).any())
                 keep[idx] = not dominated
                 if not dominated:
-                    frontier.append(p)
+                    frontier_idx.append(idx)
+                    fi = np.array(frontier_idx)
             yield pdf[keep]
 
     cand = df.mapInPandas(local_prune, df.schema).localCheckpoint(eager=True)

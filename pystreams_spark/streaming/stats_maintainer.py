@@ -33,6 +33,8 @@ __all__ = ["StatsMaintainer"]
 
 
 class StatsMaintainer:
+    _RESERVED = ("epoch", "n", "sum", "sum_sq", "min", "max")
+
     def __init__(
         self,
         state_dir: str,
@@ -42,15 +44,35 @@ class StatsMaintainer:
         self.state_dir = state_dir.rstrip("/")
         self.group_cols = list(group_cols)
         self.value_col = value_col
+        clash = [c for c in self.group_cols if c in self._RESERVED]
+        if clash:
+            raise ValueError(
+                f"StatsMaintainer: group column(s) {clash} collide with "
+                f"the state-field / partition names {self._RESERVED} — "
+                "alias them before maintaining stats (the same reserved-"
+                "name rule merge_stats enforces)"
+            )
+
+    def _fs_and_path(self, spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs, p
 
     def process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        # idempotent per-epoch commit: a COMPLETED epoch partition
+        # (_SUCCESS present) is never rewritten — a replayed epoch
+        # carries identical content, so skipping equals rewriting and
+        # removes the delete-then-rewrite window a concurrent
+        # ``current()`` could otherwise read through (an incomplete
+        # partition, no _SUCCESS, is rewritten)
+        spark = batch.sparkSession
+        part = f"{self.state_dir}/state/epoch={int(epoch_id)}"
+        fs, p = self._fs_and_path(spark, part + "/_SUCCESS")
+        if fs.exists(p):
+            return
         state = stats_state(batch, self.group_cols, self.value_col)
-        # idempotent per-epoch overwrite: a replayed epoch rewrites the
-        # same partition with the same content (the batch is
-        # deterministic under replay), so recovery cannot double-count
-        state.coalesce(1).write.mode("overwrite").parquet(
-            f"{self.state_dir}/state/epoch={int(epoch_id)}"
-        )
+        state.coalesce(1).write.mode("overwrite").parquet(part)
 
     def foreach_batch(self):
         return self.process_batch
@@ -58,7 +80,16 @@ class StatsMaintainer:
     def current(self, spark: SparkSession, round_to: int = 6) -> DataFrame:
         """The published stats: merge every epoch's state and finalize.
         Reads only state frames (KBs/epoch) — history is never
-        rescanned."""
+        rescanned. Raises a clear ValueError before the first epoch has
+        committed (there is no state to publish yet — poll after the
+        stream's first trigger)."""
+        fs, p = self._fs_and_path(spark, f"{self.state_dir}/state")
+        if not fs.exists(p):
+            raise ValueError(
+                f"StatsMaintainer: no committed state under "
+                f"{self.state_dir}/state yet — current() is only "
+                "meaningful after the first micro-batch commits"
+            )
         all_states = spark.read.parquet(f"{self.state_dir}/state").drop("epoch")
         return finalize_stats(
             merge_stats(all_states, group_cols=self.group_cols),

@@ -2723,3 +2723,26 @@ def test_pareto_frontier_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="direction"):
         pareto_frontier(df, [("x", "down")])
+
+
+def test_pareto_frontier_exact_beyond_float53(spark):
+    """int64 dims beyond 2^53 must compare exactly in the local prune:
+    a float64 cast would collapse 2^53 and 2^53+1 and wrongly drop a
+    true frontier row."""
+    from pystreams_spark.operators.topk import pareto_frontier
+
+    big = 2**53
+    df = spark.createDataFrame(
+        [(1, big, 5), (2, big + 1, 3)], "id long, a long, b long"
+    )
+    kept = {r.id for r in pareto_frontier(
+        df.coalesce(1), [("a", "min"), ("b", "min")]
+    ).collect()}
+    # neither dominates: row 1 is better on a (exactly), row 2 on b
+    assert kept == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="_o_"):
+        pareto_frontier(
+            df.withColumnRenamed("b", "_o_a"), [("a", "min")]
+        )

@@ -854,8 +854,19 @@ def test_stats_maintainer_streaming_equals_batch(spark, tmp_path):
         for f in ("n", "sum", "min", "max", "mean", "stddev"):
             assert getattr(got[g], f) == getattr(want[g], f), (g, f)
 
-    # replay idempotence: re-processing an epoch changes nothing
-    m.process_batch(full.filter("id < 200"), 0)
+    # replay idempotence: a COMPLETED epoch partition is never
+    # rewritten — even replaying it with different data is a no-op,
+    # so recovery can neither double-count nor clobber
+    m.process_batch(full.limit(5), 0)
     got2 = {r.grp: r for r in m.current(spark).collect()}
     for g in want:
         assert got2[g].n == want[g].n and got2[g].sum == want[g].sum
+
+    # current() before any commit refuses with a clear error
+    import pytest as _pytest
+
+    m3 = StatsMaintainer(str(tmp_path / "empty"), ["grp"], "v")
+    with _pytest.raises(ValueError, match="no committed state"):
+        m3.current(spark)
+    with _pytest.raises(ValueError, match="reserved|collide"):
+        StatsMaintainer(str(tmp_path / "x"), ["epoch"], "v")
