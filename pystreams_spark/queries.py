@@ -9413,3 +9413,54 @@ def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "neardup_graph_triangle_census",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) - 2, 1)),
+                 i -> array_to_string(list_slice(list_filter(string_split_regex(text, '\\s+'), x -> x != ''), i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), tri AS (
+        SELECT COUNT(*) AS t
+        FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e1.u = e3.u AND e2.v = e3.v
+    ), deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+        ) GROUP BY node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(d) / 2 AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+           ROUND(3.0 * (SELECT t FROM tri) / SUM(d * (d - 1) / 2), 6)
+             AS clustering
+    FROM deg
+    """,
+)
+def neardup_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesion of the near-dup graph (`operators/graph.triangle_census`):
+    triangles + global clustering coefficient over the Jaccard-0.35
+    pair graph. High clustering = dup components are near-cliques (the
+    threshold cuts cleanly); many edges with low clustering = chains of
+    borderline pairs (threshold too loose) — the one-number diagnostic
+    read next to `neardup_components_report`. Ordered-edge triangle
+    join finds each triangle exactly once; cost is the wedge count,
+    never |V|³."""
+    from .operators.dedup import ngram_jaccard_pairs_prefix
+    from .operators.graph import triangle_census
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3)
+    return triangle_census(pairs)

@@ -2746,3 +2746,23 @@ def test_pareto_frontier_exact_beyond_float53(spark):
         pareto_frontier(
             df.withColumnRenamed("b", "_o_a"), [("a", "min")]
         )
+
+
+def test_triangle_census_hand_computed(spark):
+    from pystreams_spark.operators.graph import triangle_census
+
+    # K3 on {1,2,3} plus a pendant edge 3-4: 1 triangle,
+    # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5, clustering 3/5
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    r = triangle_census(edges).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 4, 1, 5)
+    assert r.clustering == 0.6
+    # triangle-free graph: clustering 0; empty wedge case stays NULL
+    path = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    r2 = triangle_census(path).collect()[0]
+    assert r2.n_triangles == 0 and r2.clustering == 0.0
+    single = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r3 = triangle_census(single).collect()[0]
+    assert r3.n_wedges == 0 and r3.clustering is None
