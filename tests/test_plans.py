@@ -552,3 +552,23 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     df = weighted_sample(d, k=50, weight_col="n_chars", id_col="doc_id")
     assert has_take_ordered(df)
+
+
+def test_runtime_metrics_source_overlap_shuffles_keys_not_text(spark, sf_dir):
+    """RUNTIME proof of cross_source_shingle_overlap's scale claim: the
+    distinct/pair machinery shuffles 8-byte kernel gram keys, never the
+    document text — measured shuffle bytes stay well below the text
+    volume."""
+    from pystreams_spark.operators.dedup import cross_source_shingle_overlap
+    from pystreams_spark.plans.introspect import metric_total, runtime_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_bytes = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    m = runtime_metrics(cross_source_shingle_overlap(docs, n=5))
+    shuffled = metric_total(m, "shufflebyteswritten")
+    assert shuffled > 0
+    # ~125 grams/doc at 8B+overhead vs ~640B of text/doc: the gram-key
+    # shuffle is comparable in ROWS but each row is a (src, int64) pair;
+    # the claim is it never degenerates to shuffling gram STRINGS
+    # (~40B each) or the text — stay under half the text volume
+    assert shuffled < text_bytes / 2, (shuffled, text_bytes)

@@ -433,3 +433,94 @@ def test_distinctive_terms_matches_python_reference(spark, docs):
         z = delta / math.sqrt(1.0 / (ygw + a) + 1.0 / (yrw + a))
         expected[(g, w)] = (ygw, yrw, round(z, 6))
     assert got == expected
+
+
+@slow
+@given(
+    basket_items=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 6)),
+        min_size=0,
+        max_size=60,
+    )
+)
+def test_pair_cooccurrence_matches_python_reference(spark, basket_items):
+    """pair_cooccurrence ≡ a direct python implementation (supports,
+    confidence, lift) on random basket tables at min_support=2."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pystreams_spark.operators.assoc import pair_cooccurrence
+
+    if not basket_items:
+        return
+    df = spark.createDataFrame(basket_items, "bk long, it long")
+    got = {
+        (r.item_a, r.item_b): (
+            r.pair_count, r.count_a, r.count_b,
+            round(r.confidence, 6), round(r.lift, 6),
+        )
+        for r in pair_cooccurrence(df, "bk", "it", min_support=2).collect()
+    }
+
+    baskets: dict = {}
+    for bk, it in set(basket_items):
+        baskets.setdefault(bk, set()).add(it)
+    n_baskets = len(baskets)
+    ic = Counter(it for items in baskets.values() for it in items)
+    frequent = {it for it, c in ic.items() if c >= 2}
+    pc = Counter()
+    for items in baskets.values():
+        kept = sorted(it for it in items if it in frequent)
+        for a, b in combinations(kept, 2):
+            pc[(a, b)] += 1
+    expected = {}
+    for (a, b), c in pc.items():
+        if c < 2:
+            continue
+        conf = max(c / ic[a], c / ic[b])
+        lift = c * n_baskets / (ic[a] * ic[b])
+        expected[(a, b)] = (c, ic[a], ic[b], round(conf, 6), round(lift, 6))
+    assert got == expected
+
+
+@slow
+@given(
+    raw_edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_triangle_census_matches_python_reference(spark, raw_edges):
+    """triangle_census ≡ a direct python count of triangles/wedges on
+    random graphs."""
+    from itertools import combinations
+
+    from pystreams_spark.operators.graph import triangle_census
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    r = triangle_census(df).collect()[0]
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = sum(
+        1
+        for trio in combinations(sorted(adj), 3)
+        if (trio[0], trio[1]) in edges
+        and (trio[1], trio[2]) in edges
+        and (trio[0], trio[2]) in edges
+    )
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == len(edges)
+    assert r.n_triangles == tris
+    assert r.n_wedges == wedges
+    if wedges:
+        assert r.clustering == round(3.0 * tris / wedges, 6)
+    else:
+        assert r.clustering is None
