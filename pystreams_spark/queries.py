@@ -9464,3 +9464,113 @@ def neardup_graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3)
     return triangle_census(pairs)
+
+
+@query(
+    "user_journey_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS s3,
+               LAG(event_type, 1) OVER w AS s2,
+               LAG(event_type, 2) OVER w AS s1
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE s1 IS NOT NULL
+    GROUP BY s1, s2, s3
+    ORDER BY n DESC, s1, s2, s3
+    LIMIT 20
+    """,
+)
+def user_journey_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys — the higher-order companion to
+    `event_transition_matrix`: a first-order Markov matrix cannot see
+    that view→click→purchase and view→click→error diverge AFTER the
+    same first transition; journey n-grams can. One shuffle on user_id
+    (both lags share the window), then a partial-agg'd count over the
+    ~|types|³ path space and a TakeOrdered top-k."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("s3"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.lag("event_type", 2).over(w).alias("s1"),
+    ).filter(F.col("s1").isNotNull())
+    return (
+        seq.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "s1", "s2", "s3")
+        .limit(20)
+    )
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+        GROUP BY e.user_id
+    ),
+    lat AS (
+        SELECT p.user_id,
+               date_diff('second', s.t0, p.t1) / 3600.0 AS hours
+        FROM p JOIN s USING (user_id)
+    )
+    SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup_users,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s), 6) AS conversion_rate,
+           ROUND(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           ROUND(MAX(hours), 6) AS max_hours
+    FROM lat
+    """,
+)
+def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, first signup → first subsequent
+    purchase, reported as conversion rate + latency percentiles — the
+    'how long does activation take' readout the funnel query's step
+    counts don't give. Two per-user MIN aggregates (each one shuffle on
+    user_id) and a broadcast join; latencies are computed in exact
+    epoch seconds on both engines before the hour division."""
+    e = _t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    from .io import broadcast_if_small
+
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(broadcast_if_small(s), "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    lat = p.select(
+        (
+            (
+                F.unix_timestamp("t1") - F.unix_timestamp("t0")
+            ).cast("double")
+            / 3600.0
+        ).alias("hours")
+    )
+    n_signups = s.count()
+    return lat.agg(
+        F.lit(int(n_signups)).cast("long").alias("n_signup_users"),
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.lit(float(n_signups)), 6
+        ).alias("conversion_rate"),
+        F.round(F.percentile(F.col("hours"), F.lit(0.5)), 6).alias("p50_hours"),
+        F.round(F.percentile(F.col("hours"), F.lit(0.9)), 6).alias("p90_hours"),
+        F.round(F.max("hours"), 6).alias("max_hours"),
+    )
