@@ -130,13 +130,24 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0.0, best["lang"]).otherwise(F.lit("und"))
 
 
-def adjacent_token_pairs(text: Column | str) -> Column:
-    """array<struct<w1,w2>> of ADJACENT whitespace-token pairs — the
-    bigram stream both the bigram LM (selection.py) and PMI collocation
-    mining (assoc.py) explode. Empty array for docs with <2 tokens:
-    Spark's ``sequence(1, 0)`` counts DOWN (not empty, unlike DuckDB),
-    so the short-doc guard lives here, once."""
-    w = tokens(text)
+def adjacent_token_pairs(toks: Column | str) -> Column:
+    """array<struct<w1,w2>> of ADJACENT token pairs — the bigram stream
+    both the bigram LM (selection.py) and PMI collocation mining
+    (assoc.py) explode. Empty array for docs with <2 tokens: Spark's
+    ``sequence(1, 0)`` counts DOWN (not empty, unlike DuckDB), so the
+    short-doc guard lives here, once.
+
+    ``toks`` MUST be an already-tokenized ``array<string>`` column —
+    ideally a projected attribute (``.select(tokens(text).alias("_toks"))``
+    then consume ``F.col("_toks")``). HOF lambdas are INTERPRETED with
+    no common-subexpression elimination, so an inline ``tokens(text)``
+    expression here re-runs the regex split for EVERY element_at — an
+    O(tokens²)-per-doc plan with 4 ``split()`` copies (the 5d161bd
+    regression: bigram_lm_quality 2.1 s → 12.1 s). Catalyst's
+    CollapseProject keeps the two-select structure because the non-cheap
+    producer is referenced 4× by the consumer; ``test_plans`` asserts
+    ONE ``split(`` in the optimized plan (W_REPEATED_EXPR lint)."""
+    w = F.col(toks) if isinstance(toks, str) else toks
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(w) - 1),
         lambda i: F.struct(

@@ -141,14 +141,18 @@ def pmi_collocations(
     corpus rows), marginals derived from the count table (never a
     second corpus pass), broadcast-while-small joins back, and top-k
     (when requested) plans as TakeOrdered."""
-    from ..functions.text import adjacent_token_pairs
+    from ..functions.text import adjacent_token_pairs, tokens
     from ..io import ensure_parallelism
 
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    # tokenize ONCE behind a projected attribute (see
+    # adjacent_token_pairs docstring — inline tokens() in the HOF is
+    # O(tokens²)/doc)
     occ = (
         ensure_parallelism(df)
-        .select(F.explode(adjacent_token_pairs(text_col)).alias("o"))
+        .select(tokens(text_col).alias("_toks"))
+        .select(F.explode(adjacent_token_pairs(F.col("_toks"))).alias("o"))
         .select("o.w1", "o.w2")
     )
     # the bigram count table feeds the marginals AND the scored output —

@@ -310,14 +310,25 @@ def bigram_surprisal_scores(
     back broadcast-while-small / hash-partitioned above the cap, exactly
     like the unigram path. No UDF — ln/avg are codegen'd.
     """
-    from ..functions.text import adjacent_token_pairs
-    from ..io import broadcast_if_small
+    from ..functions.text import adjacent_token_pairs, tokens
+    from ..io import broadcast_if_small, ensure_parallelism
 
+    # tokenize ONCE behind a projected attribute — inlining tokens()
+    # into the pair-building HOF re-splits per element (O(tokens²)/doc,
+    # the 5d161bd regression; see adjacent_token_pairs docstring).
+    # ensure_parallelism: the documents source is often one parquet
+    # file → this narrow heavy scan would otherwise run on ONE task.
     occ = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col),
             *[F.col(c) for c in carry_cols],
-            F.explode(adjacent_token_pairs(text_col)).alias("o"),
+            tokens(text_col).alias("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry_cols],
+            F.explode(adjacent_token_pairs(F.col("_toks"))).alias("o"),
         )
         .select(
             F.col(id_col),

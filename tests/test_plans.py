@@ -418,6 +418,46 @@ def test_plan_linter_flags_and_clears(spark, sf_dir):
     assert lint(two_kernels, python_stage_budget=2) == []
 
 
+def test_lint_repeated_expensive_expr_and_bigram_plan(spark, sf_dir):
+    """W_REPEATED_EXPR: a re-seeded copy of the 5d161bd O(tokens²) trap
+    (tokens(text) inlined into the pair-building HOF → 4 split() copies,
+    no CSE inside interpreted lambdas) must be flagged; the FIXED
+    bigram/PMI operators must (a) lint clean and (b) evaluate the text
+    split exactly ONCE in their optimized plans."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.text import adjacent_token_pairs, tokens
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.assoc import pmi_collocations
+    from pystreams_spark.operators.selection import bigram_surprisal_scores
+    from pystreams_spark.plans import lint
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # seeded regression: inline tokens() straight into the HOF consumer
+    bad = docs.select(
+        "doc_id", F.explode(adjacent_token_pairs(tokens("text"))).alias("o")
+    )
+    codes = {f["code"] for f in lint(bad)}
+    assert "W_REPEATED_EXPR" in codes, lint(bad)
+
+    # fixed operators: clean lint, ONE split(text…) in the optimized plan
+    for out in (
+        bigram_surprisal_scores(docs),
+        pmi_collocations(docs, min_count=2),
+    ):
+        assert [f for f in lint(out) if f["code"] == "W_REPEATED_EXPR"] == []
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        # bigram: the occ branch feeds the final plan → exactly one
+        # split(text…). PMI: the corpus scan ran inside the eager
+        # localCheckpoint, so the returned plan reads a LogicalRDD and
+        # shows zero — either way, never more than one.
+        n_text_splits = len(re.findall(r"split\(text#", opt))
+        assert n_text_splits <= 1, (n_text_splits, opt[:2000])
+
+
 def test_aqe_skew_join_engages_at_runtime(spark):
     """AQE's skew-join mitigation must actually fire on a skewed
     shuffle join — the runtime backstop behind `operators/skew.py`'s
