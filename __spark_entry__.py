@@ -138,68 +138,77 @@ R3_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r05.json (the driver's 50-query round-5
+# window — 47 oracle-PASS + 3 declared rows-only). R1 ∪ … ∪ R5 covers
+# 207 of the 210 queries registered through r5.
+R5_DRIVER_CHECKED = {
+    "ann_ivf_recall_curve", "bigram_lm_quality", "bm25_retrieval_top20",
+    "bpe_corpus_compression", "classifier_calibration_curve",
+    "containment_neardup_pairs", "contamination_overlap_profile",
+    "curation_pipeline_funnel", "curriculum_stage_report",
+    "customer_k_anonymity", "customer_record_linkage",
+    "dedup_survivor_quality_shift", "distinctive_terms_by_lang",
+    "doc_minhash_cardinality", "domain_balance_report",
+    "dsir_selection_report", "dup_rate_by_source",
+    "embedding_outlier_report", "embedding_truncation_fidelity",
+    "event_transition_matrix", "events_value_drift",
+    "events_value_outliers", "incremental_token_stats",
+    "jaccard_similarity_histogram", "knn_pq_refined",
+    "length_bucketing_report", "linear_quality_classifier",
+    "lineitem_discount_drift", "media_decode_report",
+    "minhash_banding_calibration", "model_filtered_funnel",
+    "neardup_components_report", "oov_rate_report", "orders_profile",
+    "pack_training_sequences_sorted", "pagerank_neardup_graph",
+    "part_pair_affinity", "part_price_size_skyline",
+    "pmi_collocations_top30", "source_content_overlap",
+    "source_lang_contingency", "temperature_mixture_weights",
+    "temporal_split_report", "token_frequency_spectrum",
+    "tokens_per_byte_by_lang", "unicode_normalization_report",
+    "weighted_sample_by_length", "weighted_sample_per_lang",
+    "winsorize_clip_report", "zipf_fit_by_lang",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
-    the most fresh evidence: (0) queries never driver-checked — the 5
-    late-r4 additions that overflowed the r4 window plus anything new in
-    round 5, (1) queries whose code paths changed in round 5 (the
-    semantic-dedup cluster-key fix, the df-capped inverted Jaccard
-    lineage, the drift_report rewrite, the unigram-vocab join switch,
-    the ANN recall floors), (2) the rows-only-by-nature entries the r4
-    verdict asked to re-verify under r5 code, (3+) stale tiers by age of
-    last driver verdict (r1-only oldest … r4 freshest)."""
+    the most fresh evidence: (0) queries never driver-checked — the 3
+    r5 additions that landed at window positions 50-52 plus anything new
+    in round 6, (1) queries whose code paths changed in round 6 (the
+    adjacent_token_pairs O(tokens²) fix and its consumers), (2) the
+    re-checks the r5 verdict called out — pca (asked since r4) and the
+    r5-touched ANN/dedup set whose re-verdicts never landed because the
+    r5 window filled with first-timers, (3) generic stale rows-only,
+    (4+) staleness tiers by age of last driver verdict (r1-only oldest
+    … r5 freshest)."""
 
     never_checked = {
-        # late-r4 additions that overflowed the r4 window (VERDICT r4 #1)
-        "orders_profile", "lineitem_discount_drift",
-        "pagerank_neardup_graph", "jaccard_similarity_histogram",
-        "bpe_corpus_compression",
-        # new in round 5
-        "pack_training_sequences_sorted", "events_value_drift",
-        "knn_pq_refined", "doc_minhash_cardinality",
-        "tokens_per_byte_by_lang", "source_lang_contingency",
-        "dedup_survivor_quality_shift", "domain_balance_report",
-        "zipf_fit_by_lang", "ann_ivf_recall_curve",
-        "contamination_overlap_profile", "dup_rate_by_source",
-        "media_decode_report", "minhash_banding_calibration",
-        "unicode_normalization_report", "curation_pipeline_funnel",
-        "linear_quality_classifier", "bigram_lm_quality",
-        "dsir_selection_report", "curriculum_stage_report",
-        "temperature_mixture_weights", "length_bucketing_report",
-        "oov_rate_report", "embedding_truncation_fidelity",
-        "embedding_outlier_report", "token_frequency_spectrum",
-        "bm25_retrieval_top20", "winsorize_clip_report",
-        "temporal_split_report", "customer_record_linkage",
-        "model_filtered_funnel",
+        # landed at r5 window positions 50-52 (VERDICT r5 missing #4)
+        "neardup_graph_triangle_census", "user_journey_trigrams",
+        "signup_to_purchase_latency",
+        # new in round 6 also rank 0 via the fall-through below
     }
-    # code-touched in round 5 (need re-verdicts under the new code)
-    touched_r5 = {
-        # cluster keys now hashed (non-integral label columns supported)
-        "semantic_dedup_by_label", "semantic_dedup_kmeans",
-        # inverted-index Jaccard gained the hot-shingle df-cap lineage
-        "ngram_jaccard_neardup",
-        # unigram surprisal: hash-partitioned vocab switch added
-        "unigram_surprisal_filter",
-        # ANN recall floors now raise on violation
-        "knn_pq_adc", "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
-        # reliable-checkpoint switch threaded through iterative ops
-        "bpe_learned_merges", "neardup_dedup_pipeline",
+    # code-touched in round 6 (need re-verdicts under the new code):
+    # the 5d161bd O(tokens²) bigram fix changed the occ lineage of the
+    # bigram LM, the model funnel that composes it, and PMI.
+    touched_r6 = {
+        "bigram_lm_quality", "model_filtered_funnel",
+        "pmi_collocations_top30",
     }
-    # rows-only-by-nature entries with old verdicts (VERDICT r4 #9):
-    # re-verify under r5 code since several gained guards late in r4.
-    # pruned late-r5 as new queries filled the window: count_min /
-    # heavy_hitters were driver-checked in r4 (freshest evidence) and
-    # seeded_random_tags is untouched engine-seeded rand since r3 —
-    # fresh oracle verdicts on never-checked queries outrank those
-    # re-checks. The remaining stale entries are split: the ones the
-    # r4 verdict named (pca — guards added late r4) or whose operator
-    # lineage the r5 guard work touched (minhash/pack) rank ahead of
-    # the generic sketch re-checks, so window pressure sheds the least
-    # valuable re-checks first.
+    # VERDICT r5 #2: pca_embedding_spectrum re-check was requested by
+    # the r4 verdict and has been displaced twice; the rest are the
+    # r5-code-touched set whose latest driver verdicts predate the r5
+    # changes (recall floors, cluster-key hashing, df-cap lineage,
+    # checkpoint switch) — local parity covers them, the driver record
+    # should catch up.
     stale_priority = {
-        "pca_embedding_spectrum", "pack_training_sequences",
-        "minhash_neardup_candidates", "simhash_neardup_candidates",
+        "pca_embedding_spectrum",
+        "knn_pq_adc", "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
+        "semantic_dedup_by_label", "semantic_dedup_kmeans",
+        "ngram_jaccard_neardup", "unigram_surprisal_filter",
+        "bpe_learned_merges", "neardup_dedup_pipeline",
+        "pack_training_sequences", "minhash_neardup_candidates",
+        "simhash_neardup_candidates",
     }
     stale_rows_only = {
         "approx_sketches", "hll_sketch_rollup",
@@ -210,7 +219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r5:
+        if name in touched_r6:
             return 1
         if name in stale_priority:
             return 2
@@ -218,7 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 3
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
-            R3_DRIVER_CHECKED, R4_DRIVER_CHECKED)]
+            R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
