@@ -310,8 +310,16 @@ def export_jsonl_shards(
     budget multiples via the window-free two-pass cumsum
     (`operators/selection.ordered_cumsum`) — same shards on any
     cluster layout, and a boundary-straddling row overflows its shard
-    by at most one row, never splits. The JSON serialization is
-    engine-side ``to_json(struct(*))`` (codegen'd, no Python).
+    by at most one row, never splits. Byte accounting uses
+    ``octet_length`` (UTF-8 encoded bytes, +1 for the newline), so the
+    cap and manifest reflect real on-disk bytes for non-ASCII text —
+    ``length`` would count CHARACTERS and let multi-byte shards blow
+    past the cap. ``order_cols`` need not be unique: the serialized
+    line itself is appended as a tie-break, making the order total
+    over distinct rows (identical full-duplicate rows are mutually
+    interchangeable — any assignment is byte-identical output). The
+    JSON serialization is engine-side ``to_json(struct(*))``
+    (codegen'd, no Python).
 
     Returns the manifest dict {"shards": [{shard, n_rows, bytes}…],
     "total_rows", "total_bytes"} — written via the Hadoop FS API so
@@ -327,9 +335,15 @@ def export_jsonl_shards(
     ser = df.select(
         *[F.col(c) for c in order],
         F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("_line"),
-    ).withColumn("_bytes", F.length("_line") + 1)
+    ).withColumn("_bytes", F.octet_length("_line") + 1)
     cum = ordered_cumsum(
-        ser, [F.col(c) for c in order], "_bytes", out_col="_cum"
+        ser,
+        # _line tie-break: totally orders distinct rows even when
+        # order_cols tie, so the cumsum (and shard cut points) are
+        # partition-layout independent
+        [*[F.col(c) for c in order], F.col("_line")],
+        "_bytes",
+        out_col="_cum",
     )
     sharded = cum.withColumn(
         "shard",

@@ -950,11 +950,13 @@ def semantic_dedup_pairs(
 
     ``cluster_col=None`` runs the built-in KMeans cells (the paper's
     recipe); passing an existing column (e.g. a label / topic / domain)
-    makes the op fully deterministic and SQL-oracle-checkable. Integral
-    cluster columns keep their value in the output ``cluster`` column;
-    non-integral ones (string topics/domains, …) are deterministically
-    encoded via ``xxhash64`` of their string form — same value → same
-    64-bit cluster id, no Spark-4-ANSI CAST_INVALID_INPUT.
+    makes the op fully deterministic and SQL-oracle-checkable. The
+    output ``cluster`` column carries the ORIGINAL key value — long for
+    integral clusters (and KMeans cells), the string form otherwise.
+    No hash stands between the key and the pairing scope, so two
+    distinct clusters can never silently merge (the r5 xxhash64
+    encoding risked exactly that on a 64-bit collision — ADVICE r5);
+    Spark hash-partitions the shuffle on any key type natively.
 
     Execution: ONE shuffle (hash by cluster), then a per-cluster numpy
     kernel that scores the cluster's m×d matrix against itself in row
@@ -978,17 +980,16 @@ def semantic_dedup_pairs(
     # a NULL cluster key carries no locality information — such rows
     # cannot be paired (dropped from the pair scan; semantic_dedup then
     # KEEPS them, the conservative choice for unclusterable rows).
-    # Integral cluster types pass through; anything else (string labels,
-    # …) is encoded as xxhash64 of its string form — NULLs are filtered
-    # BEFORE hashing so they stay unclusterable instead of colliding
-    # into xxhash64's null-input value.
+    # Integral cluster types pass through as long; anything else
+    # (string labels, …) keeps its STRING form — the grouping key is
+    # always the original value, never a hash (collision-free scoping).
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     cdt = base.schema[cl].dataType
     if isinstance(cdt, (ByteType, ShortType, IntegerType, LongType)):
-        ckey = F.col(cl).cast("long")
+        ckey, ctype = F.col(cl).cast("long"), "long"
     else:
-        ckey = F.xxhash64(F.col(cl).cast("string"))
+        ckey, ctype = F.col(cl).cast("string"), "string"
     sel = (
         base.filter(F.col(cl).isNotNull())
         .select(
@@ -1025,9 +1026,10 @@ def semantic_dedup_pairs(
             out_a.append(ids[lo + ia])
             out_b.append(ids[ib])
             out_s.append(s[ia, ib])
+        n_out = sum(map(len, out_a))
         return pd.DataFrame(
             {
-                "cluster": np.full(sum(map(len, out_a)), key[0], dtype=np.int64),
+                "cluster": [key[0]] * n_out,
                 "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
                 "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
                 "score": np.concatenate(out_s) if out_s else np.array([], dtype=np.float64),
@@ -1035,7 +1037,7 @@ def semantic_dedup_pairs(
         )
 
     return sel.groupBy("cluster").applyInPandas(
-        kernel, "cluster long, id_a long, id_b long, score double"
+        kernel, f"cluster {ctype}, id_a long, id_b long, score double"
     )
 
 

@@ -13,10 +13,19 @@ Design, mirroring `streaming/neardup_ingest` / `drift_monitor`:
 - the state lands in ``{state_dir}/state/epoch=<id>`` with idempotent
   overwrite per epoch, so Structured Streaming's replay-on-recovery
   semantics yield exactly-once states without a custom log;
-- ``current(spark)`` publishes: read ALL epoch states (tiny frames),
+- ``current(spark)`` publishes: read the COMMITTED epoch states (tiny
+  frames; an epoch counts only once its `_SUCCESS` marker exists, so a
+  mid-write first attempt is never read partially or double-counted),
   `merge_stats`, `finalize_stats` — cost scales with the number of
   epochs, not the data, and a compaction pass can fold old epochs into
   one without changing any result (associativity).
+
+Exactly-once requires a REPLAYABLE source (file stream, Kafka): the
+_SUCCESS skip in `process_batch` assumes a replayed epoch_id carries
+identical content, which Structured Streaming guarantees only when the
+source can replay the same offsets. A non-replayable source (e.g.
+`socket`) degrades to at-least-once-per-epoch with the replayed rows
+LOST (the skip discards them) — don't use one here.
 
 Use with ``stream.writeStream.foreachBatch(m.foreach_batch())``.
 """
@@ -78,11 +87,18 @@ class StatsMaintainer:
         return self.process_batch
 
     def current(self, spark: SparkSession, round_to: int = 6) -> DataFrame:
-        """The published stats: merge every epoch's state and finalize.
-        Reads only state frames (KBs/epoch) — history is never
+        """The published stats: merge every COMMITTED epoch's state and
+        finalize. Reads only state frames (KBs/epoch) — history is never
         rescanned. Raises a clear ValueError before the first epoch has
         committed (there is no state to publish yet — poll after the
-        stream's first trigger)."""
+        stream's first trigger).
+
+        Commit filter: only ``epoch=N`` partitions containing a
+        ``_SUCCESS`` marker are read. A blanket ``read.parquet(state/)``
+        could list a FIRST-ATTEMPT epoch directory mid-write (part
+        files visible, _SUCCESS not yet committed) and transiently
+        double-count or read partial state; enumerating committed
+        epochs closes that window (ADVICE r5)."""
         fs, p = self._fs_and_path(spark, f"{self.state_dir}/state")
         if not fs.exists(p):
             raise ValueError(
@@ -90,7 +106,28 @@ class StatsMaintainer:
                 f"{self.state_dir}/state yet — current() is only "
                 "meaningful after the first micro-batch commits"
             )
-        all_states = spark.read.parquet(f"{self.state_dir}/state").drop("epoch")
+        committed = []
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            marker = status.getPath().toString() + "/_SUCCESS"
+            fs2, mp = self._fs_and_path(spark, marker)
+            if fs2.exists(mp):
+                committed.append(status.getPath().toString())
+        if not committed:
+            raise ValueError(
+                f"StatsMaintainer: no committed (_SUCCESS) epoch under "
+                f"{self.state_dir}/state yet — current() is only "
+                "meaningful after the first micro-batch commits"
+            )
+        # basePath keeps the epoch partition column derivable; the
+        # explicit path list reads ONLY committed partitions
+        all_states = (
+            spark.read.option("basePath", f"{self.state_dir}/state")
+            .parquet(*committed)
+            .drop("epoch")
+        )
         return finalize_stats(
             merge_stats(all_states, group_cols=self.group_cols),
             round_to=round_to,

@@ -525,3 +525,52 @@ def test_export_jsonl_shards_capped_and_complete(spark, sf_dir, tmp_path):
         docs.repartition(7), str(tmp_path / "shards2"), max_shard_bytes=cap
     )
     assert m2["shards"] == manifest["shards"]
+
+
+def test_export_jsonl_shards_utf8_bytes_and_ties(spark, tmp_path):
+    """ADVICE r5: byte accounting must be UTF-8 octets, not characters —
+    a multi-byte corpus packed by character count blows the cap ~3x.
+    And a non-unique order column must still shard deterministically
+    (the serialized line tie-break)."""
+    import json
+    import os
+
+    from pystreams_spark.io import export_jsonl_shards
+
+    # 3-byte CJK chars: octet_length = 3x length. 200 rows x ~1.5 KB.
+    rows = [(i % 7, "世界和平" * 120 + str(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp int, text string")
+    dst = str(tmp_path / "utf8_shards")
+    cap = 64 * 1024
+    # order col 'grp' has heavy ties on purpose
+    manifest = export_jsonl_shards(df, dst, order_cols=["grp"], max_shard_bytes=cap)
+
+    # manifest bytes == real on-disk bytes (the character-count bug
+    # under-measured 3x and the manifest disagreed with disk)
+    disk_bytes = 0
+    max_line = 0
+    for root, _, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".txt"):
+                p = os.path.join(root, f)
+                disk_bytes += os.path.getsize(p)
+                for line in open(p, "rb"):
+                    max_line = max(max_line, len(line))
+    assert manifest["total_bytes"] == disk_bytes
+    for s in manifest["shards"]:
+        assert s["bytes"] < cap + max_line  # one-row overflow bound holds in BYTES
+
+    # tie-heavy order col: still deterministic across layouts
+    m2 = export_jsonl_shards(
+        df.repartition(11), str(tmp_path / "utf8_shards2"),
+        order_cols=["grp"], max_shard_bytes=cap,
+    )
+    assert m2["shards"] == manifest["shards"]
+    # and every row landed exactly once
+    seen = set()
+    for root, _, files in os.walk(dst):
+        for f in files:
+            if f.endswith(".txt"):
+                for line in open(os.path.join(root, f), encoding="utf-8"):
+                    seen.add(json.loads(line)["text"])
+    assert len(seen) == 200

@@ -1531,6 +1531,30 @@ def test_semantic_dedup_zero_vector_and_cluster_gate(spark):
         ).collect()
 
 
+def test_semantic_dedup_string_cluster_keeps_original_value(spark):
+    """A string cluster column scopes pairing by its ORIGINAL value (no
+    hash in between — two distinct topics can never merge) and the
+    output `cluster` column carries that value back verbatim
+    (ADVICE r5: the xxhash64 encoding risked silent 64-bit-collision
+    merges and lost the readable key)."""
+    from pystreams_spark.operators.similarity import semantic_dedup_pairs
+
+    # identical vectors across DIFFERENT topics: pairs must stay
+    # within-topic even though the vectors alone would all pair
+    rows = [
+        (0, [1.0] * 8, "news"), (1, [1.0] * 8, "news"),
+        (2, [1.0] * 8, "code"), (3, [1.0] * 8, "code"),
+        (4, [1.0] * 8, None),  # NULL cluster: unclusterable, never paired
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, topic string"
+    )
+    pairs = semantic_dedup_pairs(df, threshold=0.9, cluster_col="topic")
+    assert dict(pairs.dtypes)["cluster"] == "string"
+    got = {(r.cluster, r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {("news", 0, 1), ("code", 2, 3)}
+
+
 # ---------------------------------------------------------------------------
 # Distributed PCA (operators/pca.py)
 # ---------------------------------------------------------------------------

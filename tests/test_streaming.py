@@ -862,11 +862,29 @@ def test_stats_maintainer_streaming_equals_batch(spark, tmp_path):
     for g in want:
         assert got2[g].n == want[g].n and got2[g].sum == want[g].sum
 
+    # an IN-FLIGHT epoch (part files present, _SUCCESS not committed)
+    # is invisible to current() — no transient double-count / partial
+    # read through the mid-write window (ADVICE r5)
+    inflight = str(tmp_path / "stats" / "state" / "epoch=99")
+    stats_state(full, ["grp"], "v").coalesce(1).write.parquet(inflight)
+    os.remove(os.path.join(inflight, "_SUCCESS"))
+    got3 = {r.grp: r for r in m.current(spark).collect()}
+    for g in want:
+        assert got3[g].n == want[g].n and got3[g].sum == want[g].sum
+
     # current() before any commit refuses with a clear error
     import pytest as _pytest
 
     m3 = StatsMaintainer(str(tmp_path / "empty"), ["grp"], "v")
     with _pytest.raises(ValueError, match="no committed state"):
         m3.current(spark)
+    # a state dir that exists but holds ONLY uncommitted epochs also
+    # refuses (nothing is published mid-write)
+    m4 = StatsMaintainer(str(tmp_path / "onlyinflight"), ["grp"], "v")
+    fly = str(tmp_path / "onlyinflight" / "state" / "epoch=0")
+    stats_state(full, ["grp"], "v").coalesce(1).write.parquet(fly)
+    os.remove(os.path.join(fly, "_SUCCESS"))
+    with _pytest.raises(ValueError, match="no committed"):
+        m4.current(spark)
     with _pytest.raises(ValueError, match="reserved|collide"):
         StatsMaintainer(str(tmp_path / "x"), ["epoch"], "v")
