@@ -139,6 +139,24 @@ def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     return spark.read.json(path, schema=schema, **options)
 
 
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — spec-level Python DataSource (formats/avro.py):
+    the ``spark-avro`` JVM module is absent offline, so the container
+    format is implemented from the public Avro spec and verified
+    against the ``org.apache.avro`` reference classes bundled in
+    Spark's own classpath (tests/test_avro.py, both directions)."""
+    from .formats.avro import read_avro as _ra
+
+    return _ra(spark, path)
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Avro sink (two-phase commit, null|deflate codec) — see read_avro."""
+    from .formats.avro import write_avro as _wa
+
+    _wa(df, path, codec=codec)
+
+
 def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     """ORC source (built-in, self-describing like parquet): same
     pushdown/pruning behavior, ACID-table interop on Hive-flavored

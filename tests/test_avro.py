@@ -1,0 +1,222 @@
+"""Avro source/sink (formats/avro.py — spec-level implementation, no
+spark-avro module). The strongest evidence here is the JVM
+differential: Spark's own classpath bundles org.apache.avro
+(avro-1.12.1.jar), so files written by OUR pure-Python writer are read
+back with the APACHE reference implementation via py4j, and files
+written by the reference implementation are read with our reader —
+byte-level interop in both directions, not just self-roundtrip."""
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pystreams_spark.formats.avro import (
+    avro_to_spark,
+    read_avro,
+    spark_to_avro,
+    write_avro,
+)
+from pystreams_spark.io import load_table
+
+
+def _typed_df(spark):
+    rows = [
+        (
+            1,
+            "hello world",
+            3.5,
+            True,
+            bytearray(b"\x00\x01"),
+            [1, 2, 3],
+            {"a": 1.0, "b": None},
+            (42, "nested"),
+            datetime.date(2024, 2, 29),
+            datetime.datetime(2024, 2, 29, 12, 34, 56, 789012),
+            None,
+        ),
+        (
+            2,
+            "wörld ünïcode 世界",
+            -0.25,
+            False,
+            bytearray(b""),
+            [],
+            {},
+            (0, None),
+            datetime.date(1969, 12, 31),
+            datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+            "present",
+        ),
+    ]
+    schema = (
+        "id long, s string, d double, b boolean, raw binary, "
+        "arr array<int>, m map<string,double>, "
+        "st struct<k:long,v:string>, dt date, ts timestamp, opt string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_avro_roundtrip_typed(spark, tmp_path):
+    df = _typed_df(spark)
+    dst = str(tmp_path / "typed")
+    write_avro(df, dst)
+    back = read_avro(spark, dst)
+    # schema fidelity (modulo per-field nullability, which our writer
+    # widens to nullable like spark-avro does)
+    assert [f.name for f in back.schema.fields] == [f.name for f in df.schema.fields]
+    assert dict(back.dtypes) == dict(df.dtypes)
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra.asDict(recursive=True) == rb.asDict(recursive=True), (ra, rb)
+
+
+def test_avro_roundtrip_documents_both_codecs(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    for codec in ("deflate", "null"):
+        dst = str(tmp_path / f"docs_{codec}")
+        write_avro(docs, dst, codec=codec)
+        back = read_avro(spark, dst)
+        assert back.count() == docs.count()
+        # full-content equality via checksum of every column
+        cols = [F.col(c).cast("string") for c in docs.columns]
+        chk = lambda d: d.select(
+            F.sum(F.crc32(F.concat_ws("\x01", *cols))).alias("c")
+        ).collect()[0].c
+        assert chk(back) == chk(docs)
+    # deflate actually compresses
+    size = lambda p: sum(
+        os.path.getsize(os.path.join(p, f))
+        for f in os.listdir(p)
+        if f.endswith(".avro")
+    )
+    assert size(str(tmp_path / "docs_deflate")) < 0.8 * size(str(tmp_path / "docs_null"))
+
+
+def test_avro_read_parallelism_one_partition_per_file(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").repartition(5)
+    dst = str(tmp_path / "many")
+    write_avro(docs, dst)
+    n_files = len([f for f in os.listdir(dst) if f.endswith(".avro")])
+    assert n_files == 5
+    back = read_avro(spark, dst)
+    assert back.rdd.getNumPartitions() == n_files
+
+
+def test_avro_jvm_reads_our_files(spark, tmp_path):
+    """Differential A: the Apache reference reader (bundled
+    avro-1.12.1.jar, via py4j) must parse our writer's output and see
+    identical values."""
+    df = _typed_df(spark)
+    dst = str(tmp_path / "ours")
+    write_avro(df, dst, codec="deflate")
+
+    jvm = spark._jvm
+    jrecs = []
+    for name in sorted(f for f in os.listdir(dst) if f.endswith(".avro")):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(dst, name)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            # GenericRecord.toString() is the Avro JSON encoding
+            jrecs.append(json.loads(reader.next().toString()))
+        reader.close()
+    assert len(jrecs) == df.count()
+    by_id = {r["id"]: r for r in jrecs}
+    assert by_id[1]["s"] == "hello world"
+    assert by_id[1]["arr"] == [1, 2, 3]
+    assert by_id[1]["st"] == {"k": 42, "v": "nested"}
+    assert by_id[1]["m"]["a"] == 1.0 and by_id[1]["m"]["b"] is None
+    assert by_id[1]["opt"] is None and by_id[2]["opt"] == "present"
+    assert by_id[2]["s"] == "wörld ünïcode 世界"
+    # logicals survive as their underlying encodings
+    assert by_id[1]["dt"] == (datetime.date(2024, 2, 29) - datetime.date(1970, 1, 1)).days
+    # our writer encodes naive session timestamps as-written; the JVM
+    # reader reports the raw long — the microsecond field must survive
+    assert by_id[1]["ts"] % 1_000_000 == 789012
+
+
+def test_avro_we_read_jvm_files(spark, tmp_path):
+    """Differential B: a file written by the Apache reference WRITER
+    (GenericDatumWriter via py4j, deflate codec) must decode through
+    our reader into the same rows."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "jrec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": ["null", "string"], "default": None},
+                {"name": "score", "type": "double"},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    path = str(tmp_path / "jvm.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    for i in range(250):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i)
+        rec.put("name", None if i % 10 == 0 else f"name-{i}")
+        rec.put("score", i / 8.0)
+        tags = jvm.java.util.ArrayList()
+        for t in range(i % 3):
+            tags.add(f"t{t}")
+        rec.put("tags", tags)
+        writer.append(rec)
+    writer.close()
+
+    back = read_avro(spark, path)
+    assert dict(back.dtypes) == {
+        "id": "bigint", "name": "string", "score": "double",
+        "tags": "array<string>",
+    }
+    rows = {r.id: r for r in back.collect()}
+    assert len(rows) == 250
+    assert rows[0].name is None and rows[1].name == "name-1"
+    assert rows[17].score == 17 / 8.0
+    assert rows[2].tags == ["t0", "t1"] and rows[3].tags == []
+
+
+def test_avro_schema_translation_and_refusals(spark):
+    df = _typed_df(spark)
+    av = spark_to_avro(df.schema)
+    # canonical nullable unions, logical types present
+    f = {x["name"]: x for x in av["fields"]}
+    assert f["opt"]["type"] == ["null", "string"]
+    assert f["dt"]["type"] == ["null", {"type": "int", "logicalType": "date"}]
+    # roundtrip through avro_to_spark preserves the Spark types
+    assert avro_to_spark(av).simpleString() == df.schema.simpleString().replace(
+        "struct<k:bigint,v:string>", "struct<k:bigint,v:string>"
+    )
+    # refusals are loud and name the problem
+    from pyspark.sql import types as T
+
+    with pytest.raises(NotImplementedError, match="map keys"):
+        spark_to_avro(
+            T.StructType([T.StructField("m", T.MapType(T.LongType(), T.LongType()))])
+        )
+    with pytest.raises(NotImplementedError, match="general unions"):
+        avro_to_spark(["null", "string", "long"])
+    with pytest.raises(NotImplementedError, match="decimal"):
+        avro_to_spark({"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2})
+
+
+def test_avro_writer_two_phase_commit_no_temps_left(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    dst = str(tmp_path / "tpc")
+    write_avro(docs, dst)
+    names = os.listdir(dst)
+    assert all(not n.startswith(".tmp-") for n in names)
+    assert any(n.endswith(".avro") for n in names)
