@@ -932,6 +932,98 @@ def assign_kmeans_cells(
     return df.mapInPandas(kernel, schema)
 
 
+def kmeans_cells_deterministic(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Distributed Lloyd (KMeans) with ENGINE-PORTABLE determinism —
+    the oracle-checkable coarse quantizer (upgrades the driver-sampled
+    ``assign_kmeans_cells``, whose `limit(fit_cap)` sample order makes
+    centroids layout-dependent):
+
+    - seeds: the ``n_cells`` rows with the smallest
+      ``md5(CAST(id AS STRING))`` (hex order, id tie-break) — the
+      md5-portable seeding this repo uses wherever DuckDB must replay
+      engine randomness; cell index = rank in that order;
+    - each iteration assigns every point to
+      argmin over ``ROUND(Σ(xᵢ−cᵢ)², round_to)`` (ties → lowest cell)
+      and recomputes centroids as per-dimension ``ROUND(AVG, round_to)``
+      (empty cells keep their previous centroid). Rounding both the
+      distances and the centroids at every step absorbs float
+      summation-order differences across engines/layouts, the same
+      round-before-compare rule every float oracle in this repo uses.
+
+    Scale shape: seeding is a TakeOrdered(k); assignment is a NARROW
+    broadcast-centroid numpy kernel (no shuffle); the centroid update
+    is posexplode → groupBy(cell, dim) partial agg (shuffle rows =
+    k·d per map partition after combine) and a k×d driver collect.
+    Nothing corpus-sized ever moves. Returns df + ``out_col`` int."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (kernel batches are pandas)
+
+    from ..io import ensure_parallelism
+
+    spark = df.sparkSession
+    base = ensure_parallelism(df)
+    seed_rows = (
+        base.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centers = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in seed_rows]
+    )
+    k, d = centers.shape
+
+    def assign(centers_arr):
+        bc = spark.sparkContext.broadcast(centers_arr)
+        fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        schema = f"{fields}, {out_col} int"
+
+        def kernel(batches):
+            c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = np.empty((len(m), len(c)))
+                for j in range(len(c)):
+                    d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
+                out = pdf.copy()
+                # np.argmin takes the FIRST minimum — the lowest-cell
+                # tie-break the oracle's (dist, cell) ordering states
+                out[out_col] = np.round(d2, round_to).argmin(axis=1).astype(np.int32)
+                yield out
+
+        return base.mapInPandas(kernel, schema)
+
+    for _ in range(iters):
+        assigned = assign(centers)
+        rows = (
+            assigned.select(F.col(out_col), F.posexplode(F.col(vec_col)))
+            .groupBy(out_col, "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), round_to).alias("mv"))
+            .collect()
+        )
+        new_centers = centers.copy()  # empty cells keep previous centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r[0], {})[r[1]] = r[2]
+        for cell, dims in by_cell.items():
+            for pos, mv in dims.items():
+                new_centers[cell, pos] = mv
+        centers = new_centers
+    return assign(centers)
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     threshold: float,

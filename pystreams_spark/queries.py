@@ -6066,21 +6066,86 @@ def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("semantic_dedup_kmeans")  # engine-fit KMeans cells (seeded Lloyd on a
-# bounded driver sample) — cluster boundaries are engine-specific, so no SQL
-# oracle; `score` is the value-level self-check (exact cosine, verifiable per
-# pair) and the planted-duplicate pytest asserts recall of true near-dups.
+def _kmeans_oracle_sql(n_cells: int = 8, iters: int = 2, threshold: float = 0.35) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_cells_deterministic +
+    semantic_dedup_pairs: md5-ordered seeds, ``iters`` Lloyd rounds
+    with ROUND(dist,6) argmin (cell tie-break) and ROUND(avg,6)
+    centroids (empty cells keep the previous centroid via left join),
+    then within-cell cosine pairs — the same unroll technique as the
+    pagerank oracle."""
+    assign = """
+  a{i} AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT p.vec_id, p.v, s.cell,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+      FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
+  )"""
+    update = """
+  c{j} AS (
+    SELECT s.cell, COALESCE(m.v, s.v) AS v
+    FROM c{i} s LEFT JOIN (
+      SELECT cell, list(mv ORDER BY dim) AS v FROM (
+        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+          SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM a{i}
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ) m USING (cell)
+  )"""
+    ctes = [
+        """pts AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  )""",
+        f"""c0 AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell, v
+    FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+  )""",
+    ]
+    for i in range(iters):
+        ctes.append(assign.format(i=i).strip())
+        ctes.append(update.format(i=i, j=i + 1).strip())
+    ctes.append(assign.format(i=iters).strip())
+    return f"""
+WITH {", ".join(ctes)}
+SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(
+    list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+    / (CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
+            ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END
+       * CASE WHEN SQRT(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 1
+              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END),
+  6) AS score
+FROM a{iters} a JOIN a{iters} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE score >= {threshold}
+ORDER BY cluster, id_a, id_b
+"""
+
+
+@query("semantic_dedup_kmeans", oracle=_kmeans_oracle_sql())
+# r6 oracle upgrade (VERDICT r5 #6): cells are now the DETERMINISTIC
+# distributed Lloyd (md5-ordered seeds, rounded iterations) that DuckDB
+# replays via unrolled CTEs — the engine-seeded driver-sample variant this
+# replaced was rows-only by construction.
 def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup the paper's way: KMeans cells (driver-bounded Lloyd fit,
-    broadcast assignment kernel — no shuffle) scope the pairwise pass.
-    Emits the above-threshold pairs with exact cosine scores, behind a
-    hard validity gate: the plan raises if any reported score leaves
-    [threshold, 1] — a kernel normalization regression fails the job
-    instead of shipping wrong similarity values."""
-    from .operators.similarity import semantic_dedup_pairs
+    """SemDeDup the paper's way: KMeans cells scope the pairwise pass.
+    Cells come from `kmeans_cells_deterministic` (seeds = lowest
+    md5(vec_id), 2 Lloyd rounds with ROUND-6 distances/centroids) so the
+    clustering is a pure function of the data — layout-independent AND
+    SQL-replayable. Emits above-threshold within-cell pairs with exact
+    cosine scores, behind a hard validity gate: the plan raises if any
+    reported score leaves [threshold, 1] — a kernel normalization
+    regression fails the job instead of shipping wrong values."""
+    from .operators.similarity import (
+        kmeans_cells_deterministic,
+        semantic_dedup_pairs,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    pairs = semantic_dedup_pairs(e, threshold=0.35, n_cells=8, seed=42)
+    cells = kmeans_cells_deterministic(e, n_cells=8, iters=2)
+    pairs = semantic_dedup_pairs(cells, threshold=0.35, cluster_col="cell")
     chk = F.assert_true(
         (F.col("score") >= 0.35) & (F.col("score") <= 1.000001),
         F.concat(
