@@ -1350,10 +1350,19 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+    from .gates import gate_global
+
     corpus = e.unionByName(jitter)
     pairs = cosine_lsh_pairs(corpus, threshold=0.9)
-    return pairs.withColumn(
+    out = pairs.withColumn(
         "is_planted", F.col("id_b") == F.col("id_a") + 1_000_000
+    )
+    # r6 invariant gate: ALL 50 planted near-dups recovered — a banding
+    # /verify regression fails the job instead of shrinking the rows
+    return gate_global(
+        out,
+        F.sum(F.col("is_planted").cast("int")).over(Window.partitionBy()) == 50,
+        "embedding_neardup_lsh: planted-duplicate recall < 50/50",
     ).orderBy("id_a", "id_b")
 
 
@@ -1389,20 +1398,38 @@ def minhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel implementation with ml-lib MinHashLSH's width-1-band
     semantics; the pyspark.ml-backed ``minhash_candidates`` operator
     stays available for API parity and is unit-tested at small scale."""
+    from .gates import gate_rows
     from .operators.dedup import minhash_candidates_fast
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_candidates_fast(d, threshold=0.1).orderBy("id_a", "id_b")
+    out = minhash_candidates_fast(d, threshold=0.1)
+    # r6 invariant gate: a MinHash estimate is #{agreeing hashes}/k —
+    # it lives in [threshold, 1] by construction of the candidate
+    # filter; anything outside is a signature-kernel bug
+    return gate_rows(
+        out,
+        (F.col("est_jaccard") >= 0.1) & (F.col("est_jaccard") <= 1.0),
+        "minhash_candidates: est_jaccard outside [threshold, 1]",
+    ).orderBy("id_a", "id_b")
 
 
 @query("simhash_neardup_candidates")
 def simhash_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash band-collision candidates (engine-specific xxhash64 →
     rows-only)."""
+    from .gates import gate_rows
     from .operators.dedup import simhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_candidates(d).orderBy("id_a", "id_b")
+    out = simhash_candidates(d)  # 4 bands × 16 bits
+    # r6 invariant gate: a shared 16-bit band bounds the signature
+    # hamming distance by the other 48 bits — more means the banding
+    # or the XOR/bit_count self-check column regressed
+    return gate_rows(
+        out,
+        (F.col("hamming") >= 0) & (F.col("hamming") <= 48),
+        "simhash_candidates: hamming outside the 48-bit band bound",
+    ).orderBy("id_a", "id_b")
 
 
 @query("knn_lsh_approx")
@@ -1524,10 +1551,26 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import token_count
     from .operators.packing import pack_sequences
 
+    from .gates import gate_rows
+
     d = _t(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count("text")
     )
-    return pack_sequences(d, max_tokens=512).orderBy("doc_id")
+    out = pack_sequences(d, max_tokens=512)
+    # r6 invariant gates: no bin over budget (oversized docs get a
+    # singleton bin whose fill may exceed 512 — those are exactly the
+    # rows where n_tokens alone exceeds the budget), every doc's own
+    # tokens fit inside its bin's fill
+    out = gate_rows(
+        out,
+        (F.col("bin_fill") <= 512) | (F.col("n_tokens") > 512),
+        "pack: bin fill exceeds max_tokens for a packable doc",
+    )
+    return gate_rows(
+        out,
+        F.col("n_tokens") <= F.col("bin_fill"),
+        "pack: doc tokens exceed its bin fill",
+    ).orderBy("doc_id")
 
 
 @query(
@@ -2467,11 +2510,32 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100 TB posture: HLL count-distinct and
     t-digest-style quantiles (approximate → rows-only; unit tests bound
     the error vs exact)."""
+    from .gates import gate_rows
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    out = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
+        # r6 self-check columns + gates: the sketches' error contracts
+        # are enforced in-plan against exact values computed in the
+        # SAME partial-agg pass (no extra scan)
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
+    )
+    out = gate_rows(
+        out,
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        / F.col("exact_orders")
+        <= 0.1,  # 5x the configured 2% rsd
+        "approx_sketches: HLL count-distinct off by >10%",
+    )
+    return gate_rows(
+        out,
+        F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
+        / F.col("exact_median_price")
+        <= 0.05,
+        "approx_sketches: approx median off by >5%",
     ).orderBy("l_returnflag")
 
 
@@ -2629,26 +2693,52 @@ def seeded_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (reproducible within Spark, but the RNG
     is engine-specific → rows-only). Used for sketch calibration and
     dev-loop subsetting at scale."""
+    from .gates import binomial_bound, gate_rows
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    out = (
         li.sample(fraction=0.1, seed=42)
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("l_returnflag")
+        .join(F.broadcast(totals), "l_returnflag")
     )
+    # r6 invariant gate: sampled count within 6σ of Binomial(n, 0.1) —
+    # an RNG/fraction regression fails the job (~1e-9 false-alarm/group)
+    return gate_rows(
+        out,
+        F.abs(F.col("n_sampled") - 0.1 * F.col("n_total"))
+        <= binomial_bound(F.col("n_total"), 0.1),
+        "seeded_sample_stats: sample size outside 6-sigma Binomial band",
+    ).orderBy("l_returnflag")
 
 
 @query("stratified_sample_stats")
 def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling (sampleBy): per-stratum fractions — the tool
     for class-balanced training subsets."""
+    from .gates import binomial_bound, gate_rows
+
+    fracs = {"A": 0.2, "N": 0.05, "R": 0.2}
     li = _t(spark, sf_dir, "lineitem")
-    sampled = li.sampleBy("l_returnflag", {"A": 0.2, "N": 0.05, "R": 0.2}, seed=42)
-    return (
+    sampled = li.sampleBy("l_returnflag", fracs, seed=42)
+    totals = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_total"))
+    frac_map = F.create_map(*[x for k, v in fracs.items() for x in (F.lit(k), F.lit(v))])
+    out = (
         sampled.groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("l_returnflag")
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("_p", frac_map[F.col("l_returnflag")])
     )
+    # r6 invariant gate: per-stratum 6σ Binomial band (see
+    # seeded_sample_stats) — a per-stratum fraction regression fails
+    return gate_rows(
+        out,
+        F.abs(F.col("n_sampled") - F.col("_p") * F.col("n_total"))
+        <= F.lit(6.0) * F.sqrt(F.col("n_total") * F.col("_p") * (1 - F.col("_p")))
+        + 1.0,
+        "stratified_sample_stats: stratum sample outside 6-sigma band",
+    ).drop("_p").orderBy("l_returnflag")
 
 
 # ---------------------------------------------------------------------------
@@ -3742,12 +3832,33 @@ def heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     flattens it to a '|'-joined scalar (array is already sorted →
     deterministic) because the driver's rows-only canonicalizer cannot
     sort list-valued cells (r3 ERR)."""
+    from .gates import gate_rows
     from .operators.skew import heavy_hitters
 
     ev = _t(spark, sf_dir, "events")
+    hh = heavy_hitters(ev, ["user_id", "event_type"], support=0.05)
+    # r6 invariant gate: the sketch's ONE hard guarantee is no false
+    # negatives — every value whose EXACT share exceeds the support
+    # must be reported. Exact hot sets cost one groupBy per column
+    # (collect_set over ≤1/support values each).
+    n_rows = ev.count()
+    exact_hot = None
+    for c in ("user_id", "event_type"):
+        eh = (
+            ev.groupBy(F.col(c).cast("string").alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 0.05 * n_rows)
+            .agg(F.collect_set("_v").alias("exact_hot"))
+            .select(F.lit(c).alias("column"), "exact_hot")
+        )
+        exact_hot = eh if exact_hot is None else exact_hot.unionByName(eh)
+    gated = gate_rows(
+        hh.join(F.broadcast(exact_hot), "column"),
+        F.size(F.array_except(F.col("exact_hot"), F.col("hot_values"))) == 0,
+        "heavy_hitters: a truly-hot value above support was NOT reported",
+    )
     return (
-        heavy_hitters(ev, ["user_id", "event_type"], support=0.05)
-        .select(
+        gated.select(
             "column", F.concat_ws("|", F.col("hot_values")).alias("hot_values")
         )
         .orderBy("column")
@@ -3788,8 +3899,10 @@ def seeded_random_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded rand()/randn() (§2.H): deterministic within an engine,
     engine-specific RNG → rows-only. The reproducibility unit test pins
     run-to-run stability (what seeded sampling pipelines rely on)."""
+    from .gates import gate_rows
+
     o = _t(spark, sf_dir, "orders")
-    return (
+    out = (
         o.select(
             "o_orderkey",
             F.round(F.rand(seed=42), 6).alias("u"),
@@ -3801,8 +3914,25 @@ def seeded_random_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("g"), 4).alias("avg_gauss"),
         )
-        .orderBy("split")
     )
+    # r6 invariant gates: the train share must sit within 6σ of 0.8
+    # (Binomial), and each split's Gaussian mean within 6σ of 0
+    # (CLT: σ = 1/√n) — a uniform/normal RNG regression fails the job
+    from .gates import gate_global
+
+    total = F.sum("n").over(Window.partitionBy())
+    expect = F.when(F.col("split") == "train", 0.8).otherwise(0.2)
+    out = gate_global(
+        out,
+        F.abs(F.col("n") - expect * total)
+        <= F.lit(6.0) * F.sqrt(total * expect * (1 - expect)) + 1.0,
+        "seeded_random_tags: split share outside 6-sigma band",
+    )
+    return gate_rows(
+        out,
+        F.abs(F.col("avg_gauss")) <= F.lit(6.0) / F.sqrt(F.col("n")),
+        "seeded_random_tags: Gaussian mean outside 6-sigma band",
+    ).orderBy("split")
 
 
 @query(
@@ -3890,18 +4020,21 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = total.crossJoin(
         ev.agg(F.count_distinct("user_id").alias("_ex"))
     ).select("event_type", "est_users", F.col("_ex").alias("exact_users"))
-    return (
-        per_row.unionByName(total)
-        .withColumn(
-            "rel_err_ok",
-            (
-                F.abs(F.col("est_users") - F.col("exact_users"))
-                / F.col("exact_users")
-            )
-            < 0.05,
+    from .gates import gate_rows
+
+    out = per_row.unionByName(total).withColumn(
+        "rel_err_ok",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            / F.col("exact_users")
         )
-        .orderBy("event_type")
+        < 0.05,
     )
+    # r6 invariant gate: the 5% HLL error contract is ENFORCED, not
+    # just annotated — a sketch regression fails the job
+    return gate_rows(
+        out, F.col("rel_err_ok"), "hll_sketch_rollup: relative error >= 5%"
+    ).orderBy("event_type")
 
 
 @query("count_min_user_events")
@@ -3928,14 +4061,23 @@ def count_min_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound = int(math.ceil(math.e / width * n_total))
     est = cms_estimate_udf(spark, cms, depth)
     exact = hashed.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (
+    from .gates import gate_rows
+
+    out = (
         exact.select(
             "user_id", "exact_n", est(F.col("h")).alias("cms_est")
         )
         .withColumn("overcount", F.col("cms_est") - F.col("exact_n"))
         .withColumn("within_bound", F.col("overcount") <= F.lit(bound))
-        .orderBy("user_id")
     )
+    # r6 invariant gates: CMS NEVER undercounts (hard guarantee) and
+    # stays within the e/width overcount bound (w.h.p. contract)
+    out = gate_rows(
+        out, F.col("overcount") >= 0, "count_min: sketch undercounted a key"
+    )
+    return gate_rows(
+        out, F.col("within_bound"), f"count_min: overcount exceeds bound {bound}"
+    ).orderBy("user_id")
 
 
 @query(
@@ -6008,15 +6150,31 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol-array fold (`operators/bpe.bpe_train`)."""
     from .operators.bpe import bpe_train
 
+    from .gates import gate_rows
+
     d = _t(spark, sf_dir, "documents")
     merges, _ = bpe_train(d, num_merges=15)
-    return spark.createDataFrame(
+    out = spark.createDataFrame(
         [
             (m["rank"], m["left"], m["right"], m["merged"], m["weight"])
             for m in merges
         ],
         "rank int, left_sym string, right_sym string, merged string, weight long",
-    ).orderBy("rank")
+    )
+    # r6 invariant gates: every merge was observed (weight ≥ 1), the
+    # merged symbol is the pair concatenation, ranks are contiguous
+    out = gate_rows(
+        out,
+        (F.col("weight") >= 1)
+        & (F.col("merged") == F.concat("left_sym", "right_sym")),
+        "bpe_learned_merges: merge row violates weight/concat invariant",
+    )
+    w_rank = Window.partitionBy().orderBy("rank")
+    return gate_rows(
+        out.withColumn("_rn", F.row_number().over(w_rank)),
+        F.col("rank") == F.col("_rn"),
+        "bpe_learned_merges: ranks not contiguous from 1",
+    ).drop("_rn").orderBy("rank")
 
 
 # ---------------------------------------------------------------------------
@@ -6196,17 +6354,22 @@ def pca_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("idx") + 1).alias("component"))
         .agg(F.var_pop("v").alias("proj_var"))
     )
-    return (
-        spec.join(proj_var, "component")
-        .select(
-            "component",
-            F.round("eigenvalue", 6).alias("eigenvalue"),
-            F.round("explained_ratio", 6).alias("explained_ratio"),
-            F.round("cum_ratio", 6).alias("cum_ratio"),
-            F.round(F.col("proj_var") / F.col("eigenvalue"), 3).alias("var_match"),
-        )
-        .orderBy("component")
+    from .gates import gate_rows
+
+    out = spec.join(proj_var, "component").select(
+        "component",
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+        F.round("explained_ratio", 6).alias("explained_ratio"),
+        F.round("cum_ratio", 6).alias("cum_ratio"),
+        F.round(F.col("proj_var") / F.col("eigenvalue"), 3).alias("var_match"),
     )
+    # r6 invariant gate: the distributed projected variance must
+    # reproduce the driver-eigh eigenvalue — var_match pinned to 1.0
+    return gate_rows(
+        out,
+        (F.col("var_match") >= 0.999) & (F.col("var_match") <= 1.001),
+        "pca_embedding_spectrum: projected variance != eigenvalue",
+    ).orderBy("component")
 
 
 # ---------------------------------------------------------------------------
@@ -6364,10 +6527,22 @@ def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     per subword (`operators/bpe.segment_corpus_report`). Segmentation
     runs on the vocabulary-sized word table; the corpus is touched
     exactly twice (train count + report explode)."""
+    from .gates import gate_rows
     from .operators.bpe import segment_corpus_report
 
     d = _t(spark, sf_dir, "documents")
-    return segment_corpus_report(d, num_merges=15, group_col="lang").orderBy("lang")
+    out = segment_corpus_report(d, num_merges=15, group_col="lang")
+    # r6 invariant gates: a word is ≥1 subword, a subword ≥1 char, and
+    # 15 merges can only COARSEN the char-level segmentation
+    # (subwords ≤ chars) — violating any means the merge application
+    # or the count aggregation regressed
+    return gate_rows(
+        out,
+        (F.col("subwords_per_word") >= 1.0)
+        & (F.col("chars_per_subword") >= 1.0)
+        & (F.col("n_subwords") <= F.col("n_chars")),
+        "bpe_corpus_compression: segmentation counts violate invariants",
+    ).orderBy("lang")
 
 
 _PAGERANK_ORACLE = r"""WITH
