@@ -888,3 +888,115 @@ def test_stats_maintainer_streaming_equals_batch(spark, tmp_path):
         m4.current(spark)
     with _pytest.raises(ValueError, match="reserved|collide"):
         StatsMaintainer(str(tmp_path / "x"), ["epoch"], "v")
+
+
+def test_skyline_maintainer_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """SkylineMaintainer: the frontier after replaying `part` as a file
+    stream equals the from-scratch batch pareto_frontier — the
+    streaming face of the part_price_size_skyline analytic (skyline
+    fold property: skyline(A ∪ B) = skyline(skyline(A) ∪ B)). Replay
+    of a committed epoch is a no-op, and a mid-stream current() is a
+    VALID frontier of the data seen so far (prefix soundness)."""
+    import os
+
+    from pystreams_spark.operators.topk import pareto_frontier
+    from pystreams_spark.streaming.skyline_maintainer import SkylineMaintainer
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1
+    parts.filter("p_partkey % 3 = 0").coalesce(1).write.parquet(f"{src}/a")
+    parts.filter("p_partkey % 3 = 1").coalesce(1).write.parquet(f"{src}/b")
+    parts.filter("p_partkey % 3 = 2").coalesce(1).write.parquet(f"{src}/c")
+
+    dims = [("p_retailprice", "min"), ("p_size", "max")]
+    m = SkylineMaintainer(str(tmp_path / "sky"), dims)
+    q = (
+        spark.readStream.schema(parts.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(m.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = _collect_sorted(m.current(spark), ["p_partkey", "p_retailprice", "p_size"])
+    want = _collect_sorted(
+        pareto_frontier(parts, dims), ["p_partkey", "p_retailprice", "p_size"]
+    )
+    assert got == want and len(want) > 0
+
+    # replaying a committed epoch is a no-op — even with DIFFERENT data
+    m.process_batch(parts.limit(1), 0)
+    assert _collect_sorted(
+        m.current(spark), ["p_partkey", "p_retailprice", "p_size"]
+    ) == want
+
+    # every committed epoch is a sound frontier of SOME prefix: no
+    # frontier row is dominated by another row of the full corpus
+    cur = m.current(spark).alias("a")
+    other = parts.alias("b")
+    dominated = cur.join(
+        other,
+        (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") >= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") > F.col("a.p_size"))
+        ),
+        "left_semi",
+    )
+    assert dominated.count() == 0
+
+    # current() before any commit refuses loudly
+    m2 = SkylineMaintainer(str(tmp_path / "empty"), dims)
+    with pytest.raises(ValueError, match="no committed"):
+        m2.current(spark)
+
+
+def test_quality_stats_maintainer_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """The r5 batch text-quality analytics run UNCHANGED inside a
+    streaming fold: StatsMaintainer over quality_score(text) per lang,
+    fed by a documents file stream, publishes exactly the batch
+    aggregate — Column-algebra text ops compose with foreachBatch with
+    no streaming-specific code."""
+    import os
+
+    from pystreams_spark.functions.text import quality_score
+    from pystreams_spark.operators.incremental import finalize_stats, stats_state
+    from pystreams_spark.streaming.stats_maintainer import StatsMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("q")
+    )
+    src = str(tmp_path / "docs_in")
+    os.makedirs(src)
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(f"{src}/a")
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(f"{src}/b")
+
+    m = StatsMaintainer(str(tmp_path / "qstats"), ["lang"], "q")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(m.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.lang: r for r in m.current(spark).collect()}
+    want = {
+        r.lang: r
+        for r in finalize_stats(stats_state(docs, ["lang"], "q")).collect()
+    }
+    assert set(got) == set(want) and len(want) >= 3
+    for g in want:
+        for f in ("n", "sum", "min", "max", "mean", "stddev"):
+            assert getattr(got[g], f) == getattr(want[g], f), (g, f)
