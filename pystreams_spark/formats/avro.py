@@ -414,8 +414,11 @@ def _make_encoder(sc: object):
         ep_utc = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
 
         def enc_ts(v, out: bytearray):
-            ep = ep_naive if v.tzinfo is None else ep_utc
-            _enc_long(round((v - ep).total_seconds() * 1_000_000), out)
+            # exact integer µs from timedelta components — total_seconds()
+            # is a float and drops microseconds beyond ±2^53 µs (~±285 y)
+            delta = v - (ep_naive if v.tzinfo is None else ep_utc)
+            us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+            _enc_long(us, out)
 
         return enc_ts
     if isinstance(t, (dict, list)):
