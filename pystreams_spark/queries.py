@@ -2513,16 +2513,41 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .gates import gate_rows
 
     li = _t(spark, sf_dir, "lineitem")
-    out = li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.count(F.lit(1)).alias("n"),
-        # r6 self-check columns + gates: the sketches' error contracts
-        # are enforced in-plan against exact values computed in the
-        # SAME partial-agg pass (no extra scan)
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_price"),
     )
+    # r6 self-check: HLL vs exact count-distinct — computed in its OWN
+    # aggregation and joined back (3 rows). Mixing a DISTINCT aggregate
+    # into the sketch agg rewrites the plan through Expand with the
+    # percentile buffers keyed per (flag, orderkey) — measured
+    # 0.7 s → 16.8 s at sf0.1; two separate aggs are both sub-second.
+    exact = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders")
+    )
+    agg = agg.join(F.broadcast(exact), "l_returnflag")
+    # percentile_approx's actual guarantee is on RANK error
+    # (≤ 1/accuracy): the exact CDF at the estimate must sit at
+    # 0.5 ± slack. One conditional aggregate over a broadcast of the
+    # 3-row estimates — no value buffering anywhere.
+    cdf = (
+        li.join(
+            F.broadcast(agg.select("l_returnflag", "approx_median_price")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.avg(
+                    (F.col("l_extendedprice") <= F.col("approx_median_price"))
+                    .cast("double")
+                ),
+                4,
+            ).alias("cdf_at_median")
+        )
+    )
+    out = agg.join(F.broadcast(cdf), "l_returnflag")
     out = gate_rows(
         out,
         F.abs(F.col("approx_orders") - F.col("exact_orders"))
@@ -2532,10 +2557,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return gate_rows(
         out,
-        F.abs(F.col("approx_median_price") - F.col("exact_median_price"))
-        / F.col("exact_median_price")
-        <= 0.05,
-        "approx_sketches: approx median off by >5%",
+        F.abs(F.col("cdf_at_median") - 0.5) <= 0.01,
+        "approx_sketches: median estimate violates the rank-error bound",
     ).orderBy("l_returnflag")
 
 
