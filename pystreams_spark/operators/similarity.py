@@ -958,13 +958,18 @@ def kmeans_cells_deterministic(
       summation-order differences across engines/layouts, the same
       round-before-compare rule every float oracle in this repo uses.
 
-    Scale shape: seeding is a TakeOrdered(k); assignment is a NARROW
-    broadcast-centroid numpy kernel (no shuffle); the centroid update
-    is posexplode → groupBy(cell, dim) partial agg (shuffle rows =
-    k·d per map partition after combine) and a k×d driver collect.
-    Nothing corpus-sized ever moves. Returns df + ``out_col`` int."""
+    Scale shape: seeding is a TakeOrdered(k); every pass is a NARROW
+    broadcast-centroid numpy kernel (no shuffle anywhere). Each Lloyd
+    iteration FUSES assignment and the centroid update into one scan:
+    the kernel emits per-partition (cell, count, Σvector) partials —
+    k·|partitions| rows of d+2 numbers, the map-side-combine shape —
+    and the driver reduces them to the new k×d centroids (exactly
+    sum/count per dimension, so the result is identical to a
+    groupBy(cell).avg, while skipping the posexplode shuffle the
+    unfused form would pay). Nothing corpus-sized ever moves. Returns
+    df + ``out_col`` int."""
     import numpy as np
-    import pandas as pd  # noqa: F401 (kernel batches are pandas)
+    import pandas as pd
 
     from ..io import ensure_parallelism
 
@@ -981,47 +986,65 @@ def kmeans_cells_deterministic(
     )
     k, d = centers.shape
 
-    def assign(centers_arr):
+    def _assign_batch(m, c):
+        d2 = np.empty((len(m), len(c)))
+        for j in range(len(c)):
+            d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
+        # np.argmin takes the FIRST minimum — the lowest-cell tie-break
+        # the oracle's (dist, cell) ordering states
+        return np.round(d2, round_to).argmin(axis=1)
+
+    def partials(centers_arr):
+        """One fused scan: per-partition (cell, n, sum per dim)."""
         bc = spark.sparkContext.broadcast(centers_arr)
-        fields = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        schema = f"{fields}, {out_col} int"
+        schema = "cell int, n long, s array<double>"
 
         def kernel(batches):
             c = bc.value
+            counts = np.zeros(len(c), dtype=np.int64)
+            sums = np.zeros_like(c)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d2 = np.empty((len(m), len(c)))
-                for j in range(len(c)):
-                    d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
-                out = pdf.copy()
-                # np.argmin takes the FIRST minimum — the lowest-cell
-                # tie-break the oracle's (dist, cell) ordering states
-                out[out_col] = np.round(d2, round_to).argmin(axis=1).astype(np.int32)
-                yield out
+                cells = _assign_batch(m, c)
+                counts += np.bincount(cells, minlength=len(c))
+                np.add.at(sums, cells, m)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"cell": nz.astype(np.int32), "n": counts[nz], "s": list(sums[nz])}
+            )
 
-        return base.mapInPandas(kernel, schema)
+        return base.mapInPandas(kernel, schema).collect()
 
     for _ in range(iters):
-        assigned = assign(centers)
-        rows = (
-            assigned.select(F.col(out_col), F.posexplode(F.col(vec_col)))
-            .groupBy(out_col, "pos")
-            .agg(F.round(F.avg(F.col("col").cast("double")), round_to).alias("mv"))
-            .collect()
-        )
+        agg_n = np.zeros(k, dtype=np.int64)
+        agg_s = np.zeros((k, d))
+        for r in partials(centers):
+            agg_n[r["cell"]] += r["n"]
+            agg_s[r["cell"]] += np.asarray(r["s"])
         new_centers = centers.copy()  # empty cells keep previous centroid
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(r[0], {})[r[1]] = r[2]
-        for cell, dims in by_cell.items():
-            for pos, mv in dims.items():
-                new_centers[cell, pos] = mv
+        nz = agg_n > 0
+        new_centers[nz] = np.round(agg_s[nz] / agg_n[nz, None], round_to)
         centers = new_centers
-    return assign(centers)
+
+    bc = spark.sparkContext.broadcast(centers)
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, {out_col} int"
+
+    def assign_kernel(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = pdf.copy()
+            out[out_col] = _assign_batch(m, c).astype(np.int32)
+            yield out
+
+    return base.mapInPandas(assign_kernel, schema)
 
 
 def semantic_dedup_pairs(
