@@ -9837,3 +9837,153 @@ def signup_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(F.col("hours"), F.lit(0.9)), 6).alias("p90_hours"),
         F.round(F.max("hours"), 6).alias("max_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.K corpus-balance analytics (r6): inequality + distribution drift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_gini_by_lang",
+    oracle=f"""
+    WITH lens AS (
+        SELECT lang, doc_id,
+               CAST(len({_TOKS_SQL}) AS DOUBLE) AS L
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, L,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY L, doc_id) AS i
+        FROM lens
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(L) AS BIGINT) AS total_tokens,
+           ROUND(2.0 * SUM(i * L) / (COUNT(*) * SUM(L))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked GROUP BY lang ORDER BY lang
+    """,
+)
+def token_gini_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token counts within each
+    language — the corpus-balance inequality audit (a lang whose token
+    mass concentrates in few giant docs behaves very differently in
+    training than its doc count suggests). Standard rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted counts,
+    doc_id tie-break for determinism. Scale shape: ONE corpus scan to
+    (lang, L), one hash shuffle on lang with an in-partition sort for
+    the rank window (never a global window), then a per-lang agg."""
+    from .functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(
+        "lang", "doc_id", token_count("text").cast("double").alias("L")
+    )
+    w = Window.partitionBy("lang").orderBy("L", "doc_id")
+    ranked = lens.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("L").cast("long").alias("total_tokens"),
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("L"))
+                / (F.count(F.lit(1)) * F.sum("L"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "length_ks_by_source",
+    oracle=f"""
+    WITH lens AS (
+        SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS L
+        FROM documents
+    ),
+    grid AS (SELECT DISTINCT L FROM lens),
+    srcs AS (SELECT source, COUNT(*) AS n_s FROM lens GROUP BY source),
+    n_g AS (SELECT COUNT(*) AS n FROM lens),
+    sc AS (
+        SELECT source, L, COUNT(*) AS c FROM lens GROUP BY source, L
+    ),
+    gc AS (SELECT L, COUNT(*) AS c FROM lens GROUP BY L),
+    cells AS (
+        SELECT s.source, g.L, s.n_s, COALESCE(sc.c, 0) AS c_s, gc.c AS c_g
+        FROM srcs s CROSS JOIN grid g
+        LEFT JOIN sc ON sc.source = s.source AND sc.L = g.L
+        JOIN gc ON gc.L = g.L
+    ),
+    ecdf AS (
+        SELECT source, L, n_s,
+            SUM(c_s) OVER (PARTITION BY source ORDER BY L) AS cum_s,
+            SUM(c_g) OVER (PARTITION BY source ORDER BY L) AS cum_g
+        FROM cells
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           ROUND(MAX(ABS(CAST(cum_s AS DOUBLE) / n_s
+                         - CAST(cum_g AS DOUBLE) / (SELECT n FROM n_g))), 6)
+             AS ks_stat
+    FROM ecdf GROUP BY source ORDER BY source
+    """,
+)
+def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov distance between each source's document-length
+    distribution and the GLOBAL one — the exact-sup drift audit the
+    binned PSI monitors approximate (sup over the full ECDF cannot hide
+    a shift between bin edges). Per source: KS = max over observed
+    lengths of |F_source − F_global|.
+
+    Scale shape: the corpus collapses to the (source × distinct-length)
+    count table in one scan; the source×grid lattice is |sources|·|grid|
+    rows (lengths are bounded — bucket first if a corpus somehow has
+    millions of distinct lengths), ECDFs are per-source rank windows
+    over that lattice (hash shuffle on source, never a global window),
+    and the global cumulative rides the same lattice rows."""
+    from .functions.text import token_count
+    from .io import broadcast_if_small
+
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select("source", token_count("text").alias("L"))
+    grid = lens.select("L").distinct()
+    srcs = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_g = lens.count()
+    sc = lens.groupBy("source", "L").agg(F.count(F.lit(1)).alias("c_s"))
+    gc = lens.groupBy("L").agg(F.count(F.lit(1)).alias("c_g"))
+    cells = (
+        srcs.crossJoin(broadcast_if_small(grid))
+        .join(broadcast_if_small(sc), ["source", "L"], "left")
+        .join(broadcast_if_small(gc), "L")
+        .select(
+            "source", "L", "n_s",
+            F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
+            "c_g",
+        )
+    )
+    w = Window.partitionBy("source").orderBy("L")
+    ecdf = cells.select(
+        "source", "n_s",
+        F.sum("c_s").over(w).alias("cum_s"),
+        F.sum("c_g").over(w).alias("cum_g"),
+    )
+    return (
+        ecdf.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_s").cast("double") / F.col("n_s")
+                        - F.col("cum_g").cast("double") / F.lit(float(n_g))
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )
