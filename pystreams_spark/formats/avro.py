@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -679,6 +680,58 @@ class AvroWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+class AvroStreamReader(DataSourceStreamReader):
+    """Micro-batch Avro landing-zone source: each offset is the SET of
+    files consumed so far (the same file-log model Spark's built-in
+    FileStreamSource keeps), so any (start, end) offset pair denotes
+    the same file delta forever — checkpoint recovery replays exactly.
+    One InputPartition per new file; ``max_files_per_batch`` caps how
+    many new files a trigger admits (the maxFilesPerTrigger analog —
+    applied when the OFFSET is minted, never in partitions(), which
+    would silently skip the capped remainder). Caveat: the cap paces
+    ``processingTime`` triggers; ``Trigger.AvailableNow`` snapshots
+    latestOffset ONCE, so a capped source under availableNow stops
+    after one batch by design — leave it unset there. Files must be
+    immutable once visible (the landing-zone contract — write
+    elsewhere, rename in)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro stream source requires a load path")
+        self.max_files = int(options.get("max_files_per_batch", 0)) or None
+        self._seen: set[str] = set()  # files already OFFERED in an offset
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def latestOffset(self):
+        # the cap applies HERE, when the offset is minted — capping in
+        # partitions() instead would mark files consumed without ever
+        # reading them (silent skip on the next delta)
+        current = set(_list_avro_files(self.path))
+        new = sorted(current - self._seen)
+        if self.max_files:
+            new = new[: self.max_files]
+        self._seen |= set(new)
+        return {"files": sorted(self._seen)}
+
+    def partitions(self, start, end):
+        # restart safety: fast-forward the in-memory offered-set from
+        # the checkpointed range so the next latestOffset() continues
+        # from the recovered position (same pattern as the synthetic
+        # events source in sources.py)
+        self._seen |= set(end["files"])
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [_AvroFilePartition(f) for f in new]
+
+    def read(self, partition):
+        yield from iter_avro_file(partition.file)
+
+    def commit(self, end):
+        pass  # files stay on disk; nothing to clean
+
+
 class AvroDataSource(DataSource):
     """``spark.read.format("pyavro").load(dir)`` /
     ``df.write.format("pyavro").option("path", dir).mode("append").save()``
@@ -706,6 +759,9 @@ class AvroDataSource(DataSource):
 
     def reader(self, schema):
         return AvroReader(self.options)
+
+    def streamReader(self, schema):
+        return AvroStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         return AvroWriter(self.options, schema)
