@@ -7,16 +7,18 @@ columnar, metadata prunes without touching payloads).
 Decode tiers:
 
 - ``decode_media_features`` REALLY decodes the self-describing
-  uncompressed formats — WAV/RIFF PCM audio, BMP (24/32-bit
-  uncompressed), PPM (P6) — with numpy alone: header parse →
+  formats — WAV/RIFF PCM audio, BMP (24/32-bit uncompressed), PPM
+  (P6), and (r6) PNG from the W3C spec (stdlib zlib inflate + scanline
+  unfilter; 8-bit gray/RGB/RGBA/palette, verified against Java
+  ImageIO both directions) — with numpy + stdlib alone: header parse →
   ``np.frombuffer`` → per-modality features (dims, mean RGB, grayscale
   thumbnail; sample rate, duration, RMS, zero-crossing rate). This is
   the production kernel shape (bytes→array→features inside an Arrow
   batch), not a mock.
-- Compressed codecs (JPEG/PNG/MP4...) need PIL/ffmpeg, which are NOT
-  in this container: those payloads yield NULL features with a reason
-  (or raise, policy-switchable). ``decode_features``'s hash-stub path
-  remains for plumbing tests.
+- Entropy-coded codecs (JPEG/MP3/MP4...) need PIL/ffmpeg, which are
+  NOT in this container: those payloads yield NULL features with a
+  reason (or raise, policy-switchable). ``decode_features``'s
+  hash-stub path remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -281,6 +283,124 @@ def _decode_ppm(payload: bytes):
     return arr.reshape(h, w, 3).copy()
 
 
+def _decode_png(payload: bytes):
+    """PNG (W3C/RFC 2083 spec) → (H, W, 3) uint8 RGB array — stdlib
+    ``zlib`` inflates IDAT, numpy + a per-row loop undo the five scanline
+    filters (None/Sub/Up/Average/Paeth; Sub/Average/Paeth are
+    pixel-sequential within a row by definition, so those rows cost a
+    Python loop over the stride — fine for the thumbnail/feature sizes
+    this ingest path decodes; a throughput image pipeline would hand
+    payloads to a codec lib). Supports 8-bit gray / gray+alpha /
+    RGB / RGBA / palette, non-interlaced; alpha is dropped, palette is
+    looked up. Same offline-spec move as ``formats/avro.py``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + length/type/CRC words
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data size mismatch")
+    bpp = channels
+    recon = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — whole-row vectorizable
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    px = recon.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[px[:, :, 0]].copy()
+    if channels in (1, 2):  # gray / gray+alpha → replicate to RGB
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder for an (H, W, 3) uint8 RGB array: filter-0
+    scanlines, one zlib IDAT — enough to produce spec-valid payloads
+    for tests/fixtures (the Java ImageIO differential reads them)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def image_thumbnail(arr, grid: int = 4):
     """Nearest-neighbor downsample to a grid×grid GRAYSCALE thumbnail,
     flattened to grid² floats in [0,1] — the cheap content embedding
@@ -305,8 +425,17 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
     try:
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             out.update(_decode_wav(payload))
-        elif payload[:2] == b"BM" or payload[:2] == b"P6":
-            arr = _decode_bmp(payload) if payload[:2] == b"BM" else _decode_ppm(payload)
+        elif (
+            payload[:2] == b"BM"
+            or payload[:2] == b"P6"
+            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+        ):
+            if payload[:2] == b"BM":
+                arr = _decode_bmp(payload)
+            elif payload[:2] == b"P6":
+                arr = _decode_ppm(payload)
+            else:
+                arr = _decode_png(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)
             out.update(
                 kind="image",
@@ -319,7 +448,7 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             )
         else:
             raise NotImplementedError(
-                "compressed/unknown format — JPEG/PNG/MP4 decode requires "
+                "compressed/unknown format — JPEG/MP3/MP4 decode requires "
                 "PIL/ffmpeg, not available in this container"
             )
     except (ValueError, NotImplementedError, IndexError) as exc:

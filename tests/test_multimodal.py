@@ -119,7 +119,8 @@ def test_real_decoders_extract_true_features(spark):
         (1, _wav_bytes()),
         (2, _bmp_bytes()),
         (3, _ppm_bytes()),
-        (4, b"\x89PNG\r\n\x1a\n fake compressed payload"),
+        (4, b"\xff\xd8\xff\xe0 fake JPEG payload"),  # entropy-coded: needs a codec lib
+        (5, b"\x89PNG\r\n\x1a\n no chunks"),  # PNG magic, malformed body
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r.media_id: r for r in decode_media_features(df).collect()}
@@ -141,8 +142,11 @@ def test_real_decoders_extract_true_features(spark):
     assert ppm.kind == "image" and (ppm.width, ppm.height) == (5, 3)
     assert (ppm.mean_r, ppm.mean_g, ppm.mean_b) == (10.0, 20.0, 30.0)
 
-    png = out[4]
-    assert png.kind == "undecodable" and "PIL/ffmpeg" in png.decode_error
+    jpg = out[4]
+    assert jpg.kind == "undecodable" and "PIL/ffmpeg" in jpg.decode_error
+    png = out[5]  # r6: PNG is now REALLY decoded — a malformed body gets
+    # a PNG-specific parse error, not the needs-a-codec excuse
+    assert png.kind == "undecodable" and "IHDR" in png.decode_error
     # payload column must NOT survive into the output (narrow plan)
     assert "payload" not in out[1].asDict()
 
@@ -187,3 +191,134 @@ def test_real_decoder_rejects_malformed_gracefully(spark):
     assert all(out[i].kind == "undecodable" for i in (1, 2, 3, 5))
     assert all(out[i].decode_error for i in (1, 2, 3, 5))
     assert "error" in out[5].decode_error.lower()
+
+
+def test_png_decode_differential_vs_java_imageio(spark):
+    """PNG decoder differential vs the Java ImageIO reference in
+    Spark's own JVM, BOTH directions: (a) ImageIO-encoded PNGs (whose
+    writer picks real scanline filters, exercising Sub/Up/Average/
+    Paeth unfiltering) decode to the exact pixels we set; (b) our
+    filter-0 encoder's output reads back identically through ImageIO."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_png, encode_png
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w = h = 23  # odd size: exercises row remainders
+
+    # deterministic non-trivial image: gradients + diagonal stripes so
+    # the ImageIO encoder has structure worth filtering
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack(
+        [
+            (rng * 7) % 256,
+            (rng // 3 + 11 * (rng % 5)) % 256,
+            ((rng % 13) * 19) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    # (a) ImageIO writes → we decode
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    pix = gw.new_array(jvm.int, w * h)
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    payload = bytes(baos.toByteArray())
+    got = _decode_png(payload)
+    assert got.shape == (h, w, 3)
+    assert (got == arr).all(), "pixels differ from what ImageIO encoded"
+
+    # (b) we encode → ImageIO reads
+    ours = encode_png(arr)
+    bais = jvm.java.io.ByteArrayInputStream(ours)
+    img2 = jvm.javax.imageio.ImageIO.read(bais)
+    assert img2.getWidth() == w and img2.getHeight() == h
+    back = gw.new_array(jvm.int, w * h)
+    img2.getRGB(0, 0, w, h, back, 0, w)
+    got2 = np.array([back[i] for i in range(w * h)], dtype=np.int64) & 0xFFFFFF
+    assert (got2 == flat).all(), "ImageIO read different pixels from our PNG"
+
+
+def test_png_variants_and_refusals(spark):
+    """Gray / palette / RGBA PNGs decode per spec; unsupported depths
+    and interlace refuse with the reason."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from pystreams_spark.operators.multimodal import _decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, channels, raw_rows, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + r for r in raw_rows)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # grayscale 2x2 → replicated RGB
+    g = png(2, 2, 0, 1, [bytes([10, 200]), bytes([0, 255])])
+    out = _decode_png(g)
+    assert out.shape == (2, 2, 3) and (out[0, 1] == [200, 200, 200]).all()
+
+    # palette 2x1
+    plte = chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+    p = png(2, 1, 3, 1, [bytes([1, 0])], extra=plte)
+    out = _decode_png(p)
+    assert (out[0, 0] == [0, 0, 255]).all() and (out[0, 1] == [255, 0, 0]).all()
+
+    # RGBA: alpha dropped
+    a = png(1, 1, 6, 4, [bytes([9, 8, 7, 128])])
+    assert (_decode_png(a)[0, 0] == [9, 8, 7]).all()
+
+    # refusals
+    with pytest.raises(ValueError, match="bit depth"):
+        bad = bytearray(g)
+        # IHDR depth byte: offset 8(sig)+8(len/type)+8(w,h) = 24
+        bad[24] = 16
+        _decode_png(bytes(bad))
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"JFIF....")
+
+
+def test_media_decode_report_includes_png(spark, sf_dir):
+    """decode_media_features: PNG payloads flow through the SAME kernel
+    as BMP/PPM and land as kind='image' with exact means."""
+    import numpy as np
+    import pandas as pd
+
+    from pystreams_spark.operators.multimodal import (
+        decode_media_features,
+        encode_png,
+    )
+
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[:, :, 0] = 100
+    arr[:, :, 1] = 150
+    arr[:, :, 2] = 200
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(arr)))], "id long, payload binary"
+    )
+    row = decode_media_features(df).collect()[0]
+    assert row.kind == "image" and row.width == 4 and row.height == 4
+    assert (row.mean_r, row.mean_g, row.mean_b) == (100.0, 150.0, 200.0)
+    assert row.decode_error is None
