@@ -9987,3 +9987,75 @@ def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS touch_ts
+        FROM events
+    )
+    SELECT COALESCE(touch_type, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS attributed_revenue,
+           ROUND(AVG(date_diff('second', touch_ts, ts) / 3600.0), 6)
+             AS avg_hours_to_convert
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: every purchase credits the
+    user's most recent PRIOR non-purchase event ('direct' when there is
+    none) — the marketing-analytics workhorse a sessionized event store
+    answers daily. One per-user event-time window (hash shuffle on
+    user_id, in-partition sort; last(..., ignorenulls) over an
+    unbounded-preceding frame), then a channel-sized aggregate.
+    Latencies in exact epoch seconds before the hour division, both
+    engines (same rule as signup_to_purchase_latency)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch_type"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("ts")),
+            ignorenulls=True,
+        ).over(w).alias("touch_ts"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch_type"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_revenue"),
+            F.round(
+                F.avg(
+                    (
+                        F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")
+                    ).cast("double")
+                    / 3600.0
+                ),
+                6,
+            ).alias("avg_hours_to_convert"),
+        )
+        .orderBy("channel")
+    )
