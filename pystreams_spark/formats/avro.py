@@ -33,8 +33,9 @@ restriction), union of [null, T] (nullable), enum (→ string), fixed
 (→ binary), logical date (int days) and timestamp-micros/millis
 (→ Spark timestamp). General (multi-branch) unions and decimals raise
 ``NotImplementedError`` with the offending path — loudly, not lossily.
-Codecs: ``null`` and ``deflate`` (snappy needs an absent C library and
-raises with that reason).
+Codecs: ``null``, ``deflate`` (zlib), ``bzip2`` (bz2), ``xz`` (lzma) —
+all stdlib; snappy/zstandard need absent C modules and raise with that
+reason.
 """
 
 from __future__ import annotations
@@ -502,14 +503,45 @@ def _read_header(f) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
+_WRITE_CODECS = ("null", "deflate", "bzip2", "xz")
+
+
 def _decompress(codec: str, payload: bytes) -> bytes:
     if codec == "null":
         return payload
     if codec == "deflate":
         return zlib.decompress(payload, -15)  # RFC-1951 raw deflate
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload, format=lzma.FORMAT_XZ)
     raise NotImplementedError(
-        f"avro: codec '{codec}' not supported offline (null/deflate are; "
-        "snappy needs the absent python-snappy C library)"
+        f"avro: codec '{codec}' not supported offline "
+        f"({'/'.join(_WRITE_CODECS)} are; snappy needs python-snappy, "
+        "zstandard needs the zstandard module — both absent)"
+    )
+
+
+def _compress(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        z = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return z.compress(payload) + z.flush()
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
+    raise NotImplementedError(
+        f"avro: write codec '{codec}' unsupported ({'/'.join(_WRITE_CODECS)})"
     )
 
 
@@ -548,9 +580,9 @@ def write_avro_file(
     output beats spec-suggested randomness for a data pipeline)."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in _WRITE_CODECS:
         raise NotImplementedError(
-            f"avro: write codec '{codec}' unsupported (null/deflate)"
+            f"avro: write codec '{codec}' unsupported ({'/'.join(_WRITE_CODECS)})"
         )
     enc = _make_encoder(avro_schema)
     schema_bytes = json.dumps(avro_schema).encode("utf-8")
@@ -580,10 +612,7 @@ def write_avro_file(
             nonlocal block, n_block
             if not n_block:
                 return
-            payload = bytes(block)
-            if codec == "deflate":
-                z = zlib.compressobj(6, zlib.DEFLATED, -15)
-                payload = z.compress(payload) + z.flush()
+            payload = _compress(codec, bytes(block))
             frame = bytearray()
             _enc_long(n_block, frame)
             _enc_long(len(payload), frame)

@@ -310,3 +310,64 @@ def test_avro_stream_offset_model_unit(tmp_path):
     assert [p.file for p in r2.partitions(o1, o2)] == [delta[0].file]
     o3 = r2.latestOffset()
     assert len(o3["files"]) == 3  # fast-forwarded, admits only the last
+
+
+def test_avro_bzip2_xz_codecs_jvm_differential(spark, tmp_path):
+    """bzip2 and xz are spec codecs with stdlib Python implementations
+    (bz2 / lzma) and JVM CodecFactory support on Spark's classpath —
+    differential both directions per codec."""
+    import json as _json
+
+    from pystreams_spark.formats.avro import iter_avro_file, write_avro_file
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record", "name": "c",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "body", "type": "string"},
+        ],
+    }
+    rows = [(i, ("repetitive payload " * 20) + str(i)) for i in range(300)]
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+
+    for codec, jfactory in (
+        ("bzip2", lambda: jvm.org.apache.avro.file.CodecFactory.bzip2Codec()),
+        ("xz", lambda: jvm.org.apache.avro.file.CodecFactory.xzCodec(6)),
+    ):
+        # ours -> JVM
+        ours = str(tmp_path / f"ours_{codec}.avro")
+        write_avro_file(ours, rows, schema, codec=codec)
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(ours), jvm.org.apache.avro.generic.GenericDatumReader()
+        )
+        assert reader.getMetaString("avro.codec") == codec
+        n = 0
+        while reader.hasNext():
+            rec = reader.next()
+            assert int(rec.get("id")) == n and str(rec.get("body")) == rows[n][1]
+            n += 1
+        reader.close()
+        assert n == len(rows)
+
+        # JVM -> ours
+        theirs = str(tmp_path / f"jvm_{codec}.avro")
+        writer = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+        )
+        writer.setCodec(jfactory())
+        writer.create(jschema, jvm.java.io.File(theirs))
+        for i, body in rows:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+            rec.put("id", i)
+            rec.put("body", body)
+            writer.append(rec)
+        writer.close()
+        got = list(iter_avro_file(theirs))
+        assert got == rows
+
+    # zstandard: readable error naming the absent module
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="zstandard"):
+        write_avro_file(str(tmp_path / "z.avro"), rows, schema, codec="zstandard")

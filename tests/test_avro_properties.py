@@ -89,7 +89,7 @@ def test_record_codec_roundtrip_identity(rows):
 
 
 @settings(max_examples=50, deadline=None)
-@given(st.lists(_row, min_size=1, max_size=50), st.sampled_from(["null", "deflate"]))
+@given(st.lists(_row, min_size=1, max_size=50), st.sampled_from(["null", "deflate", "bzip2", "xz"]))
 def test_container_file_roundtrip_any_block_split(rows, codec):
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "t.avro")
