@@ -8,7 +8,8 @@ Decode tiers:
 
 - ``decode_media_features`` REALLY decodes the self-describing
   formats — WAV/RIFF PCM audio, BMP (24/32-bit uncompressed), PPM
-  (P6), and (r6) PNG from the W3C spec (stdlib zlib inflate + scanline
+  (P6), baseline TIFF (r6: uncompressed strips, both byte orders),
+  and (r6) PNG from the W3C spec (stdlib zlib inflate + scanline
   unfilter; 8-bit gray/RGB/RGBA/palette, verified against Java
   ImageIO both directions) — with numpy + stdlib alone: header parse →
   ``np.frombuffer`` → per-modality features (dims, mean RGB, grayscale
@@ -372,6 +373,64 @@ def _decode_png(payload: bytes):
     return px[:, :, :3].copy()
 
 
+def _decode_tiff(payload: bytes):
+    """Baseline TIFF (Adobe TIFF 6.0 spec) → (H, W, 3) uint8 RGB —
+    uncompressed (Compression=1) strips only, 8 bits/sample, grayscale
+    or RGB(A), either byte order. TIFF is the scanned-document staple;
+    the uncompressed baseline is pure IFD parsing + ``np.frombuffer``
+    (LZW/JPEG-in-TIFF variants raise with the scheme named)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        base = ifd_off + 2 + 12 * i
+        tag, ttype = struct.unpack_from(bo + "HH", payload, base)
+        (count,) = struct.unpack_from(bo + "I", payload, base + 4)
+        size = _TYPE_SIZE.get(ttype)
+        if size is None:
+            continue  # rational/unknown types are irrelevant to pixel layout
+        total = size * count
+        off = base + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, base + 8)[0]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[ttype]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, off))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from None
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        scheme = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "deflate",
+                  32773: "PackBits"}.get(compression, str(compression))
+        raise ValueError(f"TIFF compression {scheme} needs a codec")
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1])
+    if any(b != 8 for b in bits[:spp]):
+        raise ValueError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts)
+    )
+    if len(data) < w * h * spp:
+        raise ValueError("truncated TIFF strip data")
+    px = np.frombuffer(data, np.uint8, w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if spp == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
+
+
 def encode_png(arr) -> bytes:
     """Minimal PNG encoder for an (H, W, 3) uint8 RGB array: filter-0
     scanlines, one zlib IDAT — enough to produce spec-valid payloads
@@ -429,13 +488,16 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             payload[:2] == b"BM"
             or payload[:2] == b"P6"
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
+            or payload[:4] in (b"II*\x00", b"MM\x00*")
         ):
             if payload[:2] == b"BM":
                 arr = _decode_bmp(payload)
             elif payload[:2] == b"P6":
                 arr = _decode_ppm(payload)
-            else:
+            elif payload[:1] == b"\x89":
                 arr = _decode_png(payload)
+            else:
+                arr = _decode_tiff(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)
             out.update(
                 kind="image",

@@ -322,3 +322,68 @@ def test_media_decode_report_includes_png(spark, sf_dir):
     assert row.kind == "image" and row.width == 4 and row.height == 4
     assert (row.mean_r, row.mean_g, row.mean_b) == (100.0, 150.0, 200.0)
     assert row.decode_error is None
+
+
+def test_tiff_decode_differential_vs_java_imageio(spark):
+    """Baseline-TIFF decoder differential: ImageIO (JDK's TIFF writer)
+    encodes a known image; our IFD parser must read back the exact
+    pixels — covering whichever strip layout and byte order the
+    reference writer picks. Compressed TIFF refuses with the scheme."""
+    import numpy as np
+    import pytest
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_tiff,
+        decode_media_features,
+    )
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 19, 11
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack(
+        [(rng * 5) % 256, (rng * 11 + 3) % 256, (rng * 29 + 7) % 256], axis=2
+    ).astype(np.uint8)
+
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    pix = gw.new_array(jvm.int, w * h)
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "tiff", baos), (
+        "JDK TIFF writer unavailable"
+    )
+    payload = bytes(baos.toByteArray())
+    got = _decode_tiff(payload)
+    assert got.shape == (h, w, 3)
+    assert (got == arr).all(), "pixels differ from what ImageIO encoded"
+
+    # the same payload flows through the kernel as kind='image'
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    row = decode_media_features(df).collect()[0]
+    assert row.kind == "image" and (row.width, row.height) == (w, h)
+
+    # compressed TIFF refuses with the scheme named (LZW header forged)
+    import struct
+
+    lzw = bytearray(payload)
+    # find the Compression tag (259) in the first IFD and set value 5
+    (ifd_off,) = struct.unpack_from("<I" if payload[:2] == b"II" else ">I", payload, 4)
+    bo = "<" if payload[:2] == b"II" else ">"
+    (n,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack_from(bo + "H", payload, base)
+        if tag == 259:
+            struct.pack_into(bo + "H", lzw, base + 8, 5)
+            break
+    with pytest.raises(ValueError, match="LZW"):
+        _decode_tiff(bytes(lzw))
