@@ -9,6 +9,7 @@ Decode tiers:
 - ``decode_media_features`` REALLY decodes the self-describing
   formats — WAV/RIFF PCM audio, BMP (24/32-bit uncompressed), PPM
   (P6), baseline TIFF (r6: uncompressed strips, both byte orders),
+  GIF87a/89a (r6: pure-Python LZW + interlace, first frame),
   and (r6) PNG from the W3C spec (stdlib zlib inflate + scanline
   unfilter; 8-bit gray/RGB/RGBA/palette, verified against Java
   ImageIO both directions) — with numpy + stdlib alone: header parse →
@@ -431,6 +432,176 @@ def _decode_tiff(payload: bytes):
     return px[:, :, :3].copy()  # RGB / RGBA (alpha dropped)
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW (GIF89a spec appendix): variable-width codes
+    (min+1 … 12 bits, LSB-first packing), CLEAR resets the table, EOI
+    ends the stream. Pure Python — dictionary coding, not entropy
+    coding, so no codec library is needed."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)  # EOI missing: tolerate, like most readers
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a (public spec) → (H, W, 3) uint8 RGB of the FIRST
+    frame: logical screen + color tables + LZW image data, Adam-style
+    4-pass interlace honored. Extensions (GCE/comment/application) are
+    skipped; animation frames beyond the first are ignored (a feature
+    pipeline wants one representative raster)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    packed = payload[10]
+    pos = 13
+    global_table = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_table = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _, _, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            table = global_table
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(chunks), min_code), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            px = idx[: w * h].reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(px)
+                deinter[order] = px
+                px = deinter
+            if int(px.max()) >= len(table):
+                raise ValueError("GIF color index out of range")
+            return table[px].copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF unexpected block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(arr) -> bytes:
+    """Minimal GIF89a encoder for an (H, W, 3) uint8 RGB array with
+    ≤256 distinct colors (exact palette; raises above that — this is a
+    test/fixture encoder, not a quantizer). Pixels are LZW-coded the
+    trivially-valid way: a CLEAR before every pixel code keeps the
+    dictionary empty and the code width fixed."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    colors, inverse = np.unique(
+        arr.reshape(-1, 3), axis=0, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif: {len(colors)} colors > 256")
+    # color table sizes are 2^(n+1), n in 0..7; LZW min code ≥ 2 and
+    # 2^min_code must cover the table
+    size_exp = max(1, (max(len(colors), 2) - 1).bit_length())
+    n = size_exp - 1
+    tbl_size = 1 << size_exp
+    min_code = max(2, size_exp)
+    table = np.zeros((tbl_size, 3), np.uint8)
+    table[: len(colors)] = colors
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    # CLEAR + pixel per symbol: dictionary never grows, width fixed
+    acc = nbits = 0
+    data = bytearray()
+    for sym in inverse:
+        for code in (clear, int(sym)):
+            acc |= code << nbits
+            nbits += code_size
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+    acc |= eoi << nbits
+    nbits += code_size
+    while nbits > 0:
+        data.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    subblocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        subblocks.append(len(chunk))
+        subblocks += chunk
+    subblocks.append(0)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (n & 7), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    out += subblocks
+    out.append(0x3B)
+    return bytes(out)
+
+
 def encode_png(arr) -> bytes:
     """Minimal PNG encoder for an (H, W, 3) uint8 RGB array: filter-0
     scanlines, one zlib IDAT — enough to produce spec-valid payloads
@@ -489,6 +660,7 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             or payload[:2] == b"P6"
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
             or payload[:4] in (b"II*\x00", b"MM\x00*")
+            or payload[:6] in (b"GIF87a", b"GIF89a")
         ):
             if payload[:2] == b"BM":
                 arr = _decode_bmp(payload)
@@ -496,6 +668,8 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
                 arr = _decode_ppm(payload)
             elif payload[:1] == b"\x89":
                 arr = _decode_png(payload)
+            elif payload[:3] == b"GIF":
+                arr = _decode_gif(payload)
             else:
                 arr = _decode_tiff(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)

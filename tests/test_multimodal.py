@@ -387,3 +387,105 @@ def test_tiff_decode_differential_vs_java_imageio(spark):
             break
     with pytest.raises(ValueError, match="LZW"):
         _decode_tiff(bytes(lzw))
+
+
+def test_gif_decode_differential_vs_java_imageio(spark):
+    """GIF decoder differential vs Java ImageIO (Spark's JVM), both
+    directions: (a) an ImageIO-written GIF (its real LZW encoder +
+    palette) must decode to the same pixels ImageIO itself reads back;
+    (b) our CLEAR-per-symbol encoder's output must read identically
+    through ImageIO."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_gif, encode_gif
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 17, 13
+    # indexed image so the GIF writer's palette is exact, not quantized
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_INDEXED
+    )
+    rng = np.arange(w * h).reshape(h, w)
+    vals = ((rng * 29) % 255).astype(np.int64)
+    rgb = (vals << 16) | (vals << 8) | vals  # grayscale: present in any palette
+    pix = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(rgb.ravel()):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "gif", baos)
+    payload = bytes(baos.toByteArray())
+
+    # reference = what ImageIO itself reads back from those bytes
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(payload))
+    ref = gw.new_array(jvm.int, w * h)
+    img2.getRGB(0, 0, w, h, ref, 0, w)
+    ref_px = np.array([ref[i] for i in range(w * h)], dtype=np.int64) & 0xFFFFFF
+
+    got = _decode_gif(payload)
+    assert got.shape == (h, w, 3)
+    got_rgb = (
+        (got[:, :, 0].astype(np.int64) << 16)
+        | (got[:, :, 1].astype(np.int64) << 8)
+        | got[:, :, 2].astype(np.int64)
+    ).ravel()
+    assert (got_rgb == ref_px).all(), "pixels differ from ImageIO's own read"
+
+    # (b) ours -> ImageIO
+    arr = np.stack([(rng * 3) % 200, (rng * 7) % 200, (rng * 11) % 200], axis=2).astype(np.uint8)
+    ours = encode_gif(arr)
+    img3 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(ours))
+    assert img3.getWidth() == w and img3.getHeight() == h
+    back = gw.new_array(jvm.int, w * h)
+    img3.getRGB(0, 0, w, h, back, 0, w)
+    want = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    got2 = np.array([back[i] for i in range(w * h)], dtype=np.int64) & 0xFFFFFF
+    assert (got2 == want).all(), "ImageIO read different pixels from our GIF"
+
+    # self-roundtrip closes the loop
+    assert (_decode_gif(ours) == arr).all()
+
+
+def test_gif_interlace_and_kernel_path(spark):
+    """Interlaced GIFs (4-pass row order) deinterlace correctly, and a
+    GIF payload flows through decode_media_features as kind='image'."""
+    import struct
+
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_gif,
+        decode_media_features,
+        encode_gif,
+    )
+
+    # build an interlaced variant of our own encoder's output: permute
+    # rows into pass order and set the interlace bit
+    h, w = 11, 5
+    arr = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        arr[y, :, 0] = 20 * y + 10
+    plain = bytearray(encode_gif(arr))
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    permuted = arr[order]
+    inter = bytearray(encode_gif(permuted))
+    # image descriptor packed byte: after 6(sig)+7(lsd)+3*tbl, at
+    # introducer+9; find 0x2C and set bit 6 of its packed field
+    i = inter.index(0x2C, 13)
+    inter[i + 9] |= 0x40
+    got = _decode_gif(bytes(inter))
+    assert (got == arr).all(), "deinterlace mismatch"
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_gif(arr)))], "id long, payload binary"
+    )
+    row = decode_media_features(df).collect()[0]
+    assert row.kind == "image" and (row.width, row.height) == (w, h)
