@@ -16,11 +16,12 @@ through the two-phase-commit DataSourceWriter (stage temp files,
 publish by atomic rename on commit) like any exactly-once sink.
 
 Scale shape: schema inference reads ONE file header (KBs) on the
-driver; data never touches the driver. Read parallelism = file count
-(at 100 TB, Avro corpora are many files; a single giant file is the
-degenerate case for every Avro reader — the sync-marker split scheme
-the Hadoop input format uses could be added per-block, but per-file
-matches what a landing zone produces). Decode is per-record Python — a
+driver; data never touches the driver. Batch read parallelism = byte
+ranges, not files: large container files are split at sync-marker
+boundaries (the Hadoop Avro input-format scheme — a block belongs to
+the split containing the start of its preceding sync marker), so one
+giant landing file scans with full cluster parallelism; small files
+stay one partition each. Decode is per-record Python — a
 deliberate trade: this path exists for INGESTION (read once, write
 parquet, query forever), not for hot-loop analytics. The JVM-side
 differential tests in ``tests/test_avro.py`` verify both directions
@@ -545,11 +546,36 @@ def _compress(codec: str, payload: bytes) -> bytes:
     )
 
 
-def iter_avro_file(path: str):
+def _check_file_schema(path: str, file_avro_schema: dict, expect) -> None:
+    """Raise loudly when a file's embedded schema differs from the one
+    the scan was planned with. Records decode with their OWN file's
+    schema and are assigned to output columns POSITIONALLY, so a
+    directory holding evolved/reordered schemas would silently put
+    values in the wrong columns — schema resolution is unsupported, so
+    mismatch is an error, never a guess."""
+    if expect is None:
+        return
+    got = avro_to_spark(file_avro_schema)
+    if got != expect:
+        gs, es = got.simpleString(), expect.simpleString()
+        detail = f"file declares {gs} but the scan expects {es}"
+        if gs == es:
+            detail += " (types match; nullability differs)"
+        raise ValueError(
+            f"avro: schema mismatch in {path}: {detail}. Positional decode "
+            "would misassign columns; reader/writer schema resolution is "
+            "unsupported — re-encode the file or load it separately."
+        )
+
+
+def iter_avro_file(path: str, expect_schema=None):
     """Yield (decoded tuple) records from one container file — block by
-    block; memory is one decompressed block, never the file."""
+    block; memory is one decompressed block, never the file.
+    ``expect_schema`` (a Spark StructType) rejects files whose embedded
+    schema drifted from the planned scan schema."""
     with open(path, "rb") as f:
         schema, codec, sync = _read_header(f)
+        _check_file_schema(path, schema, expect_schema)
         dec = _make_decoder(schema)
         while True:
             head = f.read(20)  # two varlongs are ≤10 bytes each
@@ -565,6 +591,66 @@ def iter_avro_file(path: str):
                 yield dec(block)
             if f.read(16) != sync:
                 raise ValueError(f"avro: sync marker mismatch in {path}")
+
+
+def iter_avro_blocks(path: str, lo: int, hi: int, expect_schema=None):
+    """Yield records from the blocks of ONE byte-range split of a
+    container file — the Hadoop Avro input-format scheme (spec-public:
+    every block is preceded by the 16-byte sync marker, so any split
+    can locate its first whole block by scanning forward for the
+    marker). Ownership rule: a block belongs to the split whose byte
+    range contains the START of its preceding sync marker, i.e. sync
+    start ∈ [max(lo, header_end) − 16, hi − 16). Contiguous splits of
+    one file therefore partition the blocks exactly — no block read
+    twice, none skipped — and a single giant landing-zone file scans
+    with full parallelism instead of one task. (A sync-byte collision
+    inside block data could fake a block start — the format accepts
+    that 2^-128/position risk, same as Hadoop's DataFileReader.sync.)
+    """
+    with open(path, "rb") as f:
+        schema, codec, sync = _read_header(f)
+        _check_file_schema(path, schema, expect_schema)
+        header_end = f.tell()
+        dec = _make_decoder(schema)
+        win_lo = max(lo, header_end) - 16
+        win_hi = hi - 16
+        if win_lo >= win_hi:
+            return  # split lies entirely inside the header / is empty
+        # scan forward from win_lo for the first sync marker (buffered,
+        # 15-byte overlap across chunk boundaries)
+        f.seek(win_lo)
+        base, buf, found = win_lo, b"", -1
+        while True:
+            chunk = f.read(1 << 20)
+            if not chunk:
+                return  # no block starts at/after win_lo
+            buf += chunk
+            i = buf.find(sync)
+            if i >= 0:
+                found = base + i
+                break
+            base += len(buf) - 15
+            buf = buf[-15:]
+        if found >= win_hi:
+            return  # first block beyond this split's range
+        f.seek(found + 16)
+        while True:
+            head = f.read(20)  # two varlongs are ≤10 bytes each
+            if not head:
+                return
+            c = _Cursor(head)
+            n_records = c.long()
+            n_bytes = c.long()
+            f.seek(c.pos - len(head), 1)
+            payload = _decompress(codec, f.read(n_bytes))
+            block = _Cursor(payload)
+            for _ in range(n_records):
+                yield dec(block)
+            next_sync_at = f.tell()
+            if f.read(16) != sync:
+                raise ValueError(f"avro: sync marker mismatch in {path}")
+            if next_sync_at >= win_hi:
+                return  # next block belongs to the next split
 
 
 def write_avro_file(
@@ -648,24 +734,53 @@ def _list_avro_files(path: str) -> list[str]:
 
 
 class _AvroFilePartition(InputPartition):
-    def __init__(self, file: str):
+    def __init__(self, file: str, lo: int = 0, hi: int | None = None):
         self.file = file
+        self.lo = lo
+        self.hi = hi  # None → whole file (stream source; no split)
 
 
 class AvroReader(DataSourceReader):
-    def __init__(self, options):
+    """Batch reader. Large files are split at sync boundaries into
+    multiple InputPartitions (``split_target_bytes``, default 32 MiB) so
+    a single giant container file reads with full cluster parallelism —
+    the degenerate one-file-one-task case is gone. Every partition
+    re-checks the file's embedded schema against the planned scan
+    schema and fails loudly on drift (positional decode must not
+    misassign evolved/reordered columns)."""
+
+    def __init__(self, options, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro source requires a load path")
+        self.split_bytes = int(options.get("split_target_bytes", 32 << 20))
+        if self.split_bytes < 1 << 10:
+            raise ValueError("avro: split_target_bytes must be ≥ 1 KiB")
+        self._schema = schema
 
     def partitions(self):
+        import os
+
         files = _list_avro_files(self.path)
         if not files:
             raise ValueError(f"avro: no .avro files under {self.path}")
-        return [_AvroFilePartition(f) for f in files]
+        parts: list[_AvroFilePartition] = []
+        for fp in files:
+            size = os.path.getsize(fp)
+            if size <= self.split_bytes:
+                parts.append(_AvroFilePartition(fp, 0, size))
+                continue
+            n_splits = -(-size // self.split_bytes)
+            step = -(-size // n_splits)  # even splits, last one short
+            for lo in range(0, size, step):
+                parts.append(_AvroFilePartition(fp, lo, min(lo + step, size)))
+        return parts
 
     def read(self, partition):
-        yield from iter_avro_file(partition.file)
+        yield from iter_avro_blocks(
+            partition.file, partition.lo, partition.hi,
+            expect_schema=self._schema,
+        )
 
 
 class _AvroCommit(WriterCommitMessage):
@@ -679,12 +794,19 @@ class AvroWriter(DataSourceWriter):
     atomic rename in commit(), clean temps in abort() — same
     exactly-once skeleton as sources.ManifestJsonWriter."""
 
-    def __init__(self, options, schema: T.StructType):
+    def __init__(self, options, schema: T.StructType, overwrite: bool = False):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("avro sink requires a save path")
         self.codec = options.get("codec", "deflate")
         self.avro_schema = spark_to_avro(schema)
+        self.overwrite = overwrite
+        # per-job token in the published names: a second append job can
+        # never os.replace() an earlier job's part files (ADVICE r6 —
+        # deterministic part-{i}.avro names silently destroyed data)
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator):
         import os
@@ -696,10 +818,20 @@ class AvroWriter(DataSourceWriter):
         return _AvroCommit(tmp, n)
 
     def commit(self, messages):
+        import glob
         import os
 
+        if self.overwrite:
+            # honor SaveMode.Overwrite: clear previously published parts
+            # only once every task of THIS job has staged successfully
+            # (temps are dot-prefixed, so the glob never touches them)
+            for old in glob.glob(os.path.join(self.path, "part-*.avro")):
+                os.remove(old)
         for i, m in enumerate(messages):
-            os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.avro"))
+            os.replace(
+                m.tmp_path,
+                os.path.join(self.path, f"part-{i:05d}-{self.token}.avro"),
+            )
 
     def abort(self, messages):
         import os
@@ -724,12 +856,13 @@ class AvroStreamReader(DataSourceStreamReader):
     immutable once visible (the landing-zone contract — write
     elsewhere, rename in)."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pyavro stream source requires a load path")
         self.max_files = int(options.get("max_files_per_batch", 0)) or None
         self._seen: set[str] = set()  # files already OFFERED in an offset
+        self._schema = schema  # drift in a landing file → loud failure
 
     def initialOffset(self):
         return {"files": []}
@@ -747,15 +880,19 @@ class AvroStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         # restart safety: fast-forward the in-memory offered-set from
-        # the checkpointed range so the next latestOffset() continues
-        # from the recovered position (same pattern as the synthetic
-        # events source in sources.py)
-        self._seen |= set(end["files"])
+        # BOTH ends of the checkpointed range. Folding only end['files']
+        # (pre-r7 bug, ADVICE r6) loses the recovered START position
+        # whenever the first post-restart latestOffset() mints a capped
+        # offset that is a subset of the checkpointed start — the
+        # start-only files then re-surface as "new" in a later offset
+        # and are read AGAIN (duplicate rows). start ∪ end is always a
+        # committed-or-offered set, so it is safe to fast-forward past.
+        self._seen |= set(start["files"]) | set(end["files"])
         new = sorted(set(end["files"]) - set(start["files"]))
         return [_AvroFilePartition(f) for f in new]
 
     def read(self, partition):
-        yield from iter_avro_file(partition.file)
+        yield from iter_avro_file(partition.file, expect_schema=self._schema)
 
     def commit(self, end):
         pass  # files stay on disk; nothing to clean
@@ -787,29 +924,37 @@ class AvroDataSource(DataSource):
         return dt
 
     def reader(self, schema):
-        return AvroReader(self.options)
+        return AvroReader(self.options, schema)
 
     def streamReader(self, schema):
-        return AvroStreamReader(self.options)
+        return AvroStreamReader(self.options, schema)
 
     def writer(self, schema, overwrite: bool):
-        return AvroWriter(self.options, schema)
+        return AvroWriter(self.options, schema, overwrite)
 
 
-def read_avro(spark, path: str):
-    """Avro source: one partition per file, schema inferred from the
-    first file's header (driver reads KBs, never data)."""
+def read_avro(spark, path: str, split_target_bytes: int = 32 << 20):
+    """Avro source: sync-marker byte-range splits per file (large files
+    scan in parallel), schema inferred from the first file's header
+    (driver reads KBs, never data); every partition validates its own
+    file's schema against the plan."""
     spark.dataSource.register(AvroDataSource)
-    return spark.read.format("pyavro").load(path)
+    return (
+        spark.read.format("pyavro")
+        .option("split_target_bytes", str(split_target_bytes))
+        .load(path)
+    )
 
 
-def write_avro(df, path: str, codec: str = "deflate") -> None:
-    """Avro sink (two-phase commit; ``codec`` null|deflate)."""
+def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> None:
+    """Avro sink (two-phase commit; ``codec`` null|deflate|bzip2|xz;
+    ``mode`` append|overwrite — appends accumulate per-job-token part
+    files, overwrite clears prior parts at commit time)."""
     df.sparkSession.dataSource.register(AvroDataSource)
     (
         df.write.format("pyavro")
         .option("path", path)
         .option("codec", codec)
-        .mode("append")
+        .mode(mode)
         .save()
     )

@@ -371,3 +371,139 @@ def test_avro_bzip2_xz_codecs_jvm_differential(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError, match="zstandard"):
         write_avro_file(str(tmp_path / "z.avro"), rows, schema, codec="zstandard")
+
+
+def test_avro_sync_marker_splits_exact_partition_of_blocks(tmp_path):
+    """Contiguous byte-range splits must partition the blocks of one
+    file EXACTLY (every record once) for any split granularity — the
+    sync-ownership rule from iter_avro_blocks, checked brute-force."""
+    from pystreams_spark.formats.avro import (
+        iter_avro_blocks,
+        iter_avro_file,
+        write_avro_file,
+    )
+
+    sc = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "body", "type": "string"},
+        ],
+    }
+    path = str(tmp_path / "multi.avro")
+    rows = [(i, f"row-{i} " + "x" * (i % 97)) for i in range(5000)]
+    # small blocks -> many sync markers to split between
+    write_avro_file(path, rows, sc, codec="deflate", block_rows=50)
+    size = os.path.getsize(path)
+    whole = list(iter_avro_file(path))
+    assert whole == rows
+    for n_splits in (1, 2, 3, 7, 16, 64):
+        step = -(-size // n_splits)
+        got = []
+        for lo in range(0, size, step):
+            got.extend(iter_avro_blocks(path, lo, min(lo + step, size)))
+        assert got == rows, f"n_splits={n_splits}: {len(got)} vs {len(rows)}"
+
+
+def test_avro_large_file_reads_with_parallelism(spark, tmp_path):
+    """A single multi-block container file must plan >1 InputPartition
+    under a small split target and still return identical rows."""
+    from pystreams_spark.formats.avro import AvroReader, write_avro_file
+
+    sc = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "i", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    dst = tmp_path / "big"
+    dst.mkdir()
+    rows = [(i, "payload " * 20 + str(i)) for i in range(20000)]
+    write_avro_file(str(dst / "one.avro"), rows, sc, codec="null", block_rows=256)
+
+    parts = AvroReader({"path": str(dst), "split_target_bytes": "65536"}).partitions()
+    assert len(parts) > 4, "giant file should split into many partitions"
+
+    from pystreams_spark.formats.avro import AvroDataSource
+
+    spark.dataSource.register(AvroDataSource)
+    back = (
+        spark.read.format("pyavro")
+        .option("split_target_bytes", "65536")
+        .load(str(dst))
+    )
+    assert back.rdd.getNumPartitions() == len(parts)
+    got = [(r.i, r.s) for r in back.orderBy("i").collect()]
+    assert got == rows
+
+
+def test_avro_append_accumulates_and_overwrite_clears(spark, tmp_path):
+    """ADVICE r6: append jobs must never clobber earlier part files
+    (per-job token in the published names), and mode=overwrite must
+    honor the flag by clearing prior parts at commit."""
+    df = _typed_df(spark)
+    dst = str(tmp_path / "acc")
+    write_avro(df, dst)
+    write_avro(df, dst)  # second append: accumulates, never replaces
+    assert read_avro(spark, dst).count() == 2 * df.count()
+
+    write_avro(df, dst, mode="overwrite")
+    assert read_avro(spark, dst).count() == df.count()
+
+
+def test_avro_schema_drift_raises_loudly(spark, tmp_path):
+    """A directory holding files with evolved/reordered schemas must
+    fail with a named error, not positionally misassign columns."""
+    from pystreams_spark.formats.avro import write_avro_file
+
+    land = tmp_path / "drift"
+    land.mkdir()
+    sc_a = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "i", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    sc_b = {  # reordered fields — positional decode would swap columns
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "s", "type": "string"}, {"name": "i", "type": "long"}],
+    }
+    write_avro_file(str(land / "a.avro"), [(1, "one")], sc_a)
+    write_avro_file(str(land / "b.avro"), [("two", 2)], sc_b)
+    with pytest.raises(Exception, match="schema mismatch"):
+        read_avro(spark, str(land)).collect()
+
+
+def test_avro_stream_restart_with_cap_never_rereads_committed(tmp_path):
+    """ADVICE r6 scenario: after a restart, the first latestOffset() of
+    a CAPPED source mints an offset that is a SUBSET of the checkpointed
+    start. The start-only files must still be fast-forwarded into _seen,
+    or they re-surface as 'new' later and are read twice."""
+    from pystreams_spark.formats.avro import AvroStreamReader, write_avro_file
+
+    sc = {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]}
+    land = tmp_path / "land"
+    land.mkdir()
+    for i in range(4):
+        write_avro_file(str(land / f"f{i}.avro"), [(i,)], sc)
+
+    # pre-restart history: an uncapped reader committed f0..f2
+    committed = {"files": sorted(str(land / f"f{i}.avro") for i in range(3))}
+
+    # restart: fresh reader, capped to 1 file/batch, empty _seen
+    r = AvroStreamReader({"path": str(land), "max_files_per_batch": "1"})
+    o1 = r.latestOffset()  # capped: subset of the checkpointed start
+    assert len(o1["files"]) == 1
+    # engine replays the recovered range first
+    r.partitions(committed, o1) if o1["files"][0] not in committed["files"] else None
+    # engine then plans the recovered-start -> o1 batch (possibly empty)
+    r.partitions(committed, {"files": sorted(set(committed["files"]) | set(o1["files"]))})
+    # every subsequent offset must offer ONLY f3 — never f1/f2 again
+    seen_new = set()
+    for _ in range(4):
+        prev = {"files": sorted(set(committed["files"]) | set(o1["files"]) | seen_new)}
+        nxt = r.latestOffset()
+        delta = set(nxt["files"]) - set(prev["files"])
+        assert not (delta & set(committed["files"])), f"re-read committed: {delta}"
+        seen_new |= delta
+    assert seen_new <= {str(land / "f3.avro")}
