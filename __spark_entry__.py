@@ -169,57 +169,63 @@ R5_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r06.json (the driver's 50-query round-6
+# window — 36 oracle-PASS + 14 gated rows-only, 0 mismatches). Cumulative
+# R1 ∪ … ∪ R6 covers all 213 queries registered through r6.
+R6_DRIVER_CHECKED = {
+    "acctbal_quartiles", "approx_sketches", "bigram_lm_quality",
+    "bpe_learned_merges", "centroid_classifier_confusion",
+    "data_quality_report", "dedup_docs_exact", "doc_quality_by_lang",
+    "dup_clusters_md5", "embedding_neardup_lsh", "embedding_neardup_pairs",
+    "embedding_norms_top20", "enumerate_top_orders", "hll_sketch_rollup",
+    "knn_exact_cosine", "knn_ivf_approx", "knn_ivf_kmeans",
+    "knn_lsh_approx", "knn_pq_adc", "last_touch_attribution",
+    "length_ks_by_source", "math_funcs_lineitem",
+    "minhash_neardup_candidates", "model_filtered_funnel",
+    "neardup_dedup_pipeline", "neardup_graph_triangle_census",
+    "ngram_jaccard_neardup", "order_gaps_lag", "orders_by_year_month",
+    "pack_training_sequences", "pca_embedding_spectrum",
+    "pmi_collocations_top30", "price_buckets_case", "price_moving_avg",
+    "seeded_sample_stats", "semantic_dedup_by_label",
+    "semantic_dedup_kmeans", "signup_to_purchase_latency",
+    "simhash_neardup_candidates", "stopword_ratio_by_lang",
+    "stratified_sample_stats", "string_funcs_parts", "token_gini_by_lang",
+    "token_stats_by_lang", "top_parts_per_brand", "udf_centered_prices",
+    "udf_map_batches_tokens", "udf_weighted_avg_discount",
+    "unigram_surprisal_filter", "user_journey_trigrams",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
-    the most fresh evidence: (0) queries never driver-checked — the 3
-    r5 additions that landed at window positions 50-52 plus anything new
-    in round 6, (1) queries whose code paths changed in round 6 (the
-    adjacent_token_pairs O(tokens²) fix and its consumers), (2) the
-    re-checks the r5 verdict called out — pca (asked since r4) and the
-    r5-touched ANN/dedup set whose re-verdicts never landed because the
-    r5 window filled with first-timers, (3) generic stale rows-only,
-    (4+) staleness tiers by age of last driver verdict (r1-only oldest
-    … r5 freshest)."""
+    the most fresh evidence: (0) queries never driver-checked (new in
+    round 7, plus the fall-through safety net), (1) queries whose code
+    paths changed in round 7, (2) the one re-check the r6 verdict
+    ranked first — embedding_quantization_report, the only oracle-backed
+    query whose latest driver verdict (r3, rows-only) predates its
+    oracle, so it should flip to oracle-PASS, (3) generic stale
+    rows-only, (4+) staleness tiers by age of last driver verdict —
+    the r2-era block (37 queries) is the oldest tier and fills the rest
+    of the r7 window, per the r6 verdict's rotation ask."""
 
-    never_checked = {
-        # landed at r5 window positions 50-52 (VERDICT r5 missing #4)
-        "neardup_graph_triangle_census", "user_journey_trigrams",
-        "signup_to_purchase_latency",
-        # new in round 6 also rank 0 via the fall-through below
+    never_checked: set[str] = {
+        # new in round 7 rank 0 via the fall-through below
     }
-    # code-touched in round 6 (need re-verdicts under the new code):
-    # the 5d161bd O(tokens²) bigram fix changed the occ lineage of the
-    # bigram LM, the model funnel that composes it, and PMI.
-    touched_r6 = {
-        "bigram_lm_quality", "model_filtered_funnel",
-        "pmi_collocations_top30",
-    }
-    # VERDICT r5 #2: pca_embedding_spectrum re-check was requested by
-    # the r4 verdict and has been displaced twice; the rest are the
-    # r5-code-touched set whose latest driver verdicts predate the r5
-    # changes (recall floors, cluster-key hashing, df-cap lineage,
-    # checkpoint switch) — local parity covers them, the driver record
-    # should catch up.
+    # code-touched in round 7 (need re-verdicts under the new code)
+    touched_r7: set[str] = set()
+    # VERDICT r6 next-round #1: embedding_quantization_report FIRST —
+    # its oracle landed after its only driver check (r3 rows-only);
+    # a fresh verdict should record hash_match: true.
     stale_priority = {
-        "pca_embedding_spectrum",
-        "knn_pq_adc", "knn_lsh_approx", "knn_ivf_approx", "knn_ivf_kmeans",
-        "semantic_dedup_by_label", "semantic_dedup_kmeans",
-        "ngram_jaccard_neardup", "unigram_surprisal_filter",
-        "bpe_learned_merges", "neardup_dedup_pipeline",
-        "pack_training_sequences", "minhash_neardup_candidates",
-        "simhash_neardup_candidates",
+        "embedding_quantization_report",
     }
-    stale_rows_only = {
-        "approx_sketches", "hll_sketch_rollup",
-        "embedding_neardup_lsh", "seeded_sample_stats",
-        "stratified_sample_stats",
-    }
+    stale_rows_only: set[str] = set()
 
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r6:
+        if name in touched_r7:
             return 1
         if name in stale_priority:
             return 2
@@ -227,7 +233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             return 3
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
-            R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED)]
+            R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
+            R6_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
