@@ -10,17 +10,19 @@ Decode tiers:
   formats — WAV/RIFF PCM audio, BMP (24/32-bit uncompressed), PPM
   (P6), baseline TIFF (r6: uncompressed strips, both byte orders),
   GIF87a/89a (r6: pure-Python LZW + interlace, first frame),
-  and (r6) PNG from the W3C spec (stdlib zlib inflate + scanline
-  unfilter; 8-bit gray/RGB/RGBA/palette, verified against Java
+  PNG from the W3C spec (r6: stdlib zlib inflate + scanline unfilter;
+  8-bit gray/RGB/RGBA/palette), and (r7) baseline-sequential JPEG
+  from ITU-T T.81 (canonical-Huffman entropy decode, dequant,
+  vectorized IDCT, chroma upsample, YCbCr→RGB — verified against Java
   ImageIO both directions) — with numpy + stdlib alone: header parse →
   ``np.frombuffer`` → per-modality features (dims, mean RGB, grayscale
   thumbnail; sample rate, duration, RMS, zero-crossing rate). This is
   the production kernel shape (bytes→array→features inside an Arrow
   batch), not a mock.
-- Entropy-coded codecs (JPEG/MP3/MP4...) need PIL/ffmpeg, which are
-  NOT in this container: those payloads yield NULL features with a
-  reason (or raise, policy-switchable). ``decode_features``'s
-  hash-stub path remains for plumbing tests.
+- Progressive/arithmetic JPEG and audio/video codecs (MP3/MP4...)
+  need external codec libs NOT in this container: those payloads
+  yield NULL features with a reason (or raise, policy-switchable).
+  ``decode_features``'s hash-stub path remains for plumbing tests.
 """
 
 from __future__ import annotations
@@ -541,6 +543,515 @@ def _decode_gif(payload: bytes):
     raise ValueError("GIF contains no image data")
 
 
+# --- baseline JPEG (ITU-T T.81, public spec) -------------------------------
+
+# zigzag index -> natural (row-major) coefficient index, T.81 Figure 5
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_basis():
+    """Orthonormal 8-point DCT-II basis C with C[u, x] =
+    a(u)·cos((2x+1)uπ/16) — forward DCT is C·B·Cᵀ, inverse is Cᵀ·F·C."""
+    import numpy as np
+
+    x = np.arange(8, dtype=np.float64)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    a = np.full(8, np.sqrt(0.25))
+    a[0] = np.sqrt(0.125)
+    return a[:, None] * c
+
+
+def _build_jpeg_huff(counts, symbols):
+    """Canonical JPEG Huffman table (T.81 Annex C) → flat 16-bit-prefix
+    lookup: lut_sym[v] = the symbol whose code prefixes the 16-bit peek
+    v (-1 if no code does), lut_len[v] = that code's bit length. One
+    array index decodes a whole symbol — no bit-by-bit tree walk."""
+    import numpy as np
+
+    lut_sym = np.full(65536, -1, np.int32)
+    lut_len = np.zeros(65536, np.uint16)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            sym = symbols[k]
+            k += 1
+            lo = code << (16 - length)
+            lut_sym[lo : lo + (1 << (16 - length))] = sym
+            lut_len[lo : lo + (1 << (16 - length))] = length
+            code += 1
+        if code > (1 << length):
+            raise ValueError("JPEG DHT code counts overflow")
+        code <<= 1
+    return lut_sym, lut_len
+
+
+class _JpegBits:
+    """MSB-first bit reader over destuffed entropy bytes. Peeks pad
+    with zeros past the end (codes are prefix-free, so padding never
+    changes which code the true prefix selects); consuming past the
+    end raises — a truncated stream must not decode silently."""
+
+    __slots__ = ("d", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.d = data + b"\x00\x00\x00\x00"
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def peek16(self) -> int:
+        byte, sh = self.pos >> 3, self.pos & 7
+        v = int.from_bytes(self.d[byte : byte + 3], "big")
+        return (v >> (8 - sh)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        self.pos += k
+        if self.pos > self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+
+    def read(self, k: int) -> int:
+        if k == 0:
+            return 0
+        byte, sh = self.pos >> 3, self.pos & 7
+        v = int.from_bytes(self.d[byte : byte + 4], "big")
+        out = (v >> (32 - sh - k)) & ((1 << k) - 1)
+        self.pos += k
+        if self.pos > self.nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        return out
+
+
+def _jpeg_huff_decode(bits: _JpegBits, tbl) -> int:
+    v = bits.peek16()
+    sym = tbl[0][v]
+    if sym < 0:
+        raise ValueError("invalid JPEG huffman code")
+    bits.skip(int(tbl[1][v]))
+    return int(sym)
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12: map the s received magnitude bits to a signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_block(bits, dc_tbl, ac_tbl, q_zz, pred, cid):
+    """One 8×8 block: DC diff + RLE'd AC coefficients, dequantized, in
+    zigzag order (int32[64])."""
+    import numpy as np
+
+    zz = np.zeros(64, np.int64)
+    s = _jpeg_huff_decode(bits, dc_tbl)
+    if s > 11:
+        raise ValueError("JPEG DC category out of range")
+    pred[cid] += _jpeg_extend(bits.read(s), s)
+    zz[0] = pred[cid] * int(q_zz[0])
+    k = 1
+    while k < 64:
+        rs = _jpeg_huff_decode(bits, ac_tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient index overrun")
+        zz[k] = _jpeg_extend(bits.read(s), s) * int(q_zz[k])
+        k += 1
+    return zz
+
+
+def _jpeg_entropy_intervals(data: bytes):
+    """Destuff (FF 00 → FF) and split the scan's entropy bytes at
+    restart markers (FF D0–D7) → list of per-interval byte strings."""
+    segs, cur, i, n = [], bytearray(), 0, len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # a real marker terminates the scan
+        cur.append(b)
+        i += 1
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_jpeg(payload: bytes):
+    """Entry point: every malformed-input failure mode (truncated
+    segment, short table, bad offsets) surfaces as ValueError so the
+    ingest kernel's undecodable-degrade contract holds."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    try:
+        return _decode_jpeg_parse(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG: {exc}") from None
+
+
+def _decode_jpeg_parse(payload: bytes):
+    """Baseline-sequential JPEG (ITU-T T.81, public spec) → (H, W, 3)
+    uint8 RGB: marker/segment parse → canonical-Huffman entropy decode
+    (flat 16-bit-prefix lookup) → dequantize → vectorized 8×8 IDCT (one
+    einsum per component over all blocks) → chroma upsample (sample
+    replication) → JFIF YCbCr→RGB. Supports SOF0/SOF1 8-bit precision,
+    1- or 3-component scans, arbitrary integer sampling ratios (4:4:4 /
+    4:2:2 / 4:2:0), restart intervals, and stuffed-byte framing.
+    Progressive (SOF2), lossless/hierarchical/arithmetic variants,
+    12-bit precision, and CMYK refuse loudly with the scheme named —
+    same honest-refusal policy as the TIFF/Avro codecs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, object] = {}
+    huff_dc: dict[int, object] = {}
+    huff_ac: dict[int, object] = {}
+    sof = None
+    comps: list[dict] = []
+    restart_interval = 0
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT — may carry several tables
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
+                    p += 64
+                else:
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, p).astype(np.int64)
+                    p += 128
+        elif marker == 0xC4:  # DHT — may carry several tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                counts = list(seg[p : p + 16])
+                p += 16
+                n = sum(counts)
+                syms = list(seg[p : p + n])
+                p += n
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_jpeg_huff(
+                    counts, syms
+                )
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise ValueError(f"JPEG {seg[0]}-bit precision unsupported (8 only)")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(
+                    f"JPEG with {nc} components unsupported (CMYK needs a codec)"
+                )
+            comps = [
+                {
+                    "id": seg[6 + 3 * i],
+                    "h": seg[7 + 3 * i] >> 4,
+                    "v": seg[7 + 3 * i] & 15,
+                    "tq": seg[8 + 3 * i],
+                }
+                for i in range(nc)
+            ]
+            sof = (int(h), int(w), int(nc))
+        elif marker == 0xC2:
+            raise ValueError(
+                "progressive JPEG (SOF2) unsupported — baseline sequential only"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF marker 0x{marker:02X} "
+                "(lossless/hierarchical/arithmetic) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — decode and return
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            if ns != sof[2]:
+                raise ValueError("JPEG multi-scan sequential unsupported")
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            return _jpeg_decode_scan(
+                payload[pos:], sof, comps, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
+    import numpy as np
+
+    H, W, _nc = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("JPEG fractional sampling ratio unsupported")
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    plan = []  # (comp, dc_tbl, ac_tbl, q_zz, grid) per scan component
+    for cid, td, ta in scan:
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        if td not in huff_dc or ta not in huff_ac or c["tq"] not in qt:
+            raise ValueError("JPEG scan references a missing DHT/DQT table")
+        grid = np.zeros((my * c["v"], mx * c["h"], 64), np.int64)
+        plan.append((c, huff_dc[td], huff_ac[ta], qt[c["tq"]], grid))
+
+    segs = _jpeg_entropy_intervals(data)
+    bits = _JpegBits(segs[0])
+    seg_i = 0
+    preds = {c["id"]: 0 for c in comps}
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing expected restart marker")
+                bits = _JpegBits(segs[seg_i])
+                preds = {c["id"]: 0 for c in comps}
+            for c, dct, act, q_zz, grid in plan:
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        grid[myi * c["v"] + byi, mxi * c["h"] + bxi] = (
+                            _jpeg_decode_block(bits, dct, act, q_zz, preds, c["id"])
+                        )
+            mcu += 1
+
+    basis = _jpeg_dct_basis()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    planes = []
+    for c, _dct, _act, _q, grid in plan:
+        nat = np.zeros_like(grid)
+        nat[:, :, zz] = grid  # de-zigzag
+        r, q = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(r, q, 8, 8).astype(np.float64)
+        spatial = np.einsum("ux,rcuv,vy->rcxy", basis, blocks, basis) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(r * 8, q * 8)
+        # crop to the component's true resolution, then replicate up to
+        # full frame resolution
+        ch = -(-H * c["v"] // vmax)
+        cw = -(-W * c["h"] // hmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(plane, vmax // c["v"], axis=0)
+        plane = np.repeat(plane, hmax // c["h"], axis=1)
+        planes.append(plane[:H, :W])
+
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF → FF 00)."""
+
+    __slots__ = ("out", "acc", "nb")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nb = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nb += length
+        while self.nb >= 8:
+            byte = (self.acc >> (self.nb - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nb -= 8
+        self.acc &= (1 << self.nb) - 1
+
+    def pad_to_byte(self) -> None:
+        if self.nb:
+            self.put((1 << (8 - self.nb)) - 1, 8 - self.nb)  # pad with 1s
+
+
+def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Minimal baseline-sequential JPEG encoder (ITU-T T.81) for an
+    (H, W, 3) uint8 RGB array (4:4:4, JFIF YCbCr) or an (H, W) uint8
+    grayscale array (single component, NO color transform — a constant
+    gray plane round-trips bit-exactly through DCT+flat quantization,
+    which the media_decode_report oracle exploits). Uses a flat
+    quantization table (all ``quant``; 1 → near-lossless) and
+    single-length canonical Huffman tables (all DC codes 4 bits, all
+    AC codes 8 bits — spec-valid: the all-ones code of each length
+    stays unused, as T.81 Annex C requires). Optional restart markers
+    every ``restart_interval`` MCUs exercise the DRI/RST decode path.
+    A test/fixture encoder (the Java ImageIO differential reads its
+    output), not a rate-optimized one."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+
+    basis = _jpeg_dct_basis()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    comp_blocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ux,rcxy,vy->rcuv", basis, blocks, basis)
+        q = np.round(coef / float(quant)).astype(np.int64)
+        comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, zz])  # zigzag order
+
+    # single-length canonical tables: DC symbols 0..11 at 4 bits, AC
+    # symbols (EOB, ZRL, every run/size) at 8 bits
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_order = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    ac_code = {sym: (i, 8) for i, sym in enumerate(ac_order)}
+
+    def emit_block(wtr, zz_block, pred, dc_c, ac_c):
+        diff = int(zz_block[0]) - pred
+        s = abs(diff).bit_length()
+        wtr.put(*dc_c[s])
+        if s:
+            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(zz_block[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz_block[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                wtr.put(*ac_c[0xF0])
+                run -= 16
+            s = abs(v).bit_length()
+            wtr.put(*ac_c[(run << 4) | s])
+            wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            wtr.put(*ac_c[0x00])  # EOB
+        return int(zz_block[0])
+
+    wtr = _JpegBitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    mcu = 0
+    entropy_parts = []
+    for byi in range(nby):
+        for bxi in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.pad_to_byte()
+                entropy_parts.append(bytes(wtr.out))
+                entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                wtr = _JpegBitWriter()
+                preds = [0] * len(planes)
+            for ci, blocks in enumerate(comp_blocks):
+                preds[ci] = emit_block(
+                    wtr, blocks[byi, bxi], preds[ci], dc_code, ac_code
+                )
+            mcu += 1
+    wtr.pad_to_byte()
+    entropy_parts.append(bytes(wtr.out))
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    nc = 1 if gray else 3
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    sos_body = bytes([nc])
+    for i in range(nc):
+        sof_body += bytes([i + 1, 0x11, 0])
+        sos_body += bytes([i + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    dht_dc = bytes([0x00]) + bytes(
+        [12 if n == 4 else 0 for n in range(1, 17)]
+    ) + bytes(range(12))
+    dht_ac = bytes([0x10]) + bytes(
+        [162 if n == 8 else 0 for n in range(1, 17)]
+    ) + bytes(ac_order)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
+    out += seg(0xC0, sof_body)
+    out += seg(0xC4, dht_dc)
+    out += seg(0xC4, dht_ac)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos_body)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_gif(arr) -> bytes:
     """Minimal GIF89a encoder for an (H, W, 3) uint8 RGB array with
     ≤256 distinct colors (exact palette; raises above that — this is a
@@ -661,6 +1172,7 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             or payload[:8] == b"\x89PNG\r\n\x1a\n"
             or payload[:4] in (b"II*\x00", b"MM\x00*")
             or payload[:6] in (b"GIF87a", b"GIF89a")
+            or payload[:2] == b"\xff\xd8"
         ):
             if payload[:2] == b"BM":
                 arr = _decode_bmp(payload)
@@ -670,6 +1182,8 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
                 arr = _decode_png(payload)
             elif payload[:3] == b"GIF":
                 arr = _decode_gif(payload)
+            elif payload[:2] == b"\xff\xd8":
+                arr = _decode_jpeg(payload)
             else:
                 arr = _decode_tiff(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)
@@ -684,8 +1198,8 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             )
         else:
             raise NotImplementedError(
-                "compressed/unknown format — JPEG/MP3/MP4 decode requires "
-                "PIL/ffmpeg, not available in this container"
+                "compressed/unknown format — MP3/MP4 decode requires "
+                "ffmpeg, not available in this container"
             )
     except (ValueError, NotImplementedError, IndexError) as exc:
         out["kind"] = "undecodable"
@@ -708,7 +1222,7 @@ def decode_media_features(
     images → (width, height, mean RGB, grid² grayscale thumbnail),
     audio → (sample rate, channels, duration, RMS, zero-crossing rate).
 
-    Payloads needing an external codec (JPEG/MP4/...) come back with
+    Payloads needing an external codec (progressive JPEG/MP3/MP4/...) come back with
     kind='undecodable' and the reason in ``decode_error`` —
     ``on_undecodable='error'`` raises instead (strict-ingest mode).
     Runs as mapInPandas: Arrow batches in, one numpy decode per payload

@@ -7544,8 +7544,10 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
                CASE WHEN doc_id % 2 = 0
                     THEN CAST(doc_id * 37 % 256 AS DOUBLE) END AS mean_r,
-               CASE WHEN doc_id % 2 = 0
-                    THEN CAST(doc_id * 59 % 256 AS DOUBLE) END AS mean_g,
+               CASE WHEN doc_id % 4 = 0
+                    THEN CAST(doc_id * 59 % 256 AS DOUBLE)
+                    WHEN doc_id % 4 = 2
+                    THEN CAST(doc_id * 37 % 256 AS DOUBLE) END AS mean_g,
                CASE WHEN doc_id % 2 = 1
                     THEN ROUND((1000.0 + (doc_id % 7) * 1000.0) / 32768.0, 6)
                END AS rms
@@ -7567,22 +7569,28 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END proof the REAL media decoders decode: deterministic
-    payloads are synthesized per doc (even ids → a solid-color 8×8
-    24-bit BMP whose channel means are a pure function of the id; odd
-    ids → a 16-bit PCM square-wave WAV whose exact RMS is
-    amp/32768 and whose zero-crossing rate is exactly 1), run through
-    `operators/multimodal.decode_media_features` (numpy header parse +
-    frombuffer — no codec libs), and the DECODED features are
-    aggregated and matched against the oracle's closed-form arithmetic.
-    A header-parse or sample-math bug anywhere in the decoders breaks
-    the value hash. Payload bytes live only inside the two kernels —
-    the aggregate runs on narrow decoded columns."""
+    payloads are synthesized per doc (ids ≡ 0 mod 4 → a solid-color
+    8×8 24-bit BMP whose channel means are a pure function of the id;
+    ids ≡ 2 mod 4 → a constant-gray baseline JPEG, r7: the full T.81
+    Huffman/DCT pipeline runs and a constant plane with flat
+    quantization round-trips BIT-EXACTLY, so its means stay
+    closed-form; odd ids → a 16-bit PCM square-wave WAV whose exact
+    RMS is amp/32768 and whose zero-crossing rate is exactly 1), run
+    through `operators/multimodal.decode_media_features` (numpy header
+    parse + entropy decode — no codec libs), and the DECODED features
+    are aggregated and matched against the oracle's closed-form
+    arithmetic. A header-parse, Huffman, IDCT, or sample-math bug
+    anywhere in the decoders breaks the value hash. Payload bytes live
+    only inside the two kernels — the aggregate runs on narrow decoded
+    columns."""
     import pandas as pd
 
-    from .operators.multimodal import decode_media_features
+    from .operators.multimodal import decode_media_features, encode_jpeg
 
     def synth(batches):
         import struct
+
+        import numpy as np
 
         def bmp(r, g, b):
             w = h = 8
@@ -7610,9 +7618,13 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 2 == 0:
+                if did % 4 == 0:
                     payloads.append(
                         bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
+                    )
+                elif did % 2 == 0:
+                    payloads.append(
+                        encode_jpeg(np.full((8, 8), did * 37 % 256, np.uint8))
                     )
                 else:
                     payloads.append(wav(1000 + (did % 7) * 1000))

@@ -119,7 +119,7 @@ def test_real_decoders_extract_true_features(spark):
         (1, _wav_bytes()),
         (2, _bmp_bytes()),
         (3, _ppm_bytes()),
-        (4, b"\xff\xd8\xff\xe0 fake JPEG payload"),  # entropy-coded: needs a codec lib
+        (4, b"\xff\xd8\xff\xe0 fake JPEG payload"),  # r7: really parsed now — degrades with a JPEG-specific reason
         (5, b"\x89PNG\r\n\x1a\n no chunks"),  # PNG magic, malformed body
     ]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
@@ -142,8 +142,9 @@ def test_real_decoders_extract_true_features(spark):
     assert ppm.kind == "image" and (ppm.width, ppm.height) == (5, 3)
     assert (ppm.mean_r, ppm.mean_g, ppm.mean_b) == (10.0, 20.0, 30.0)
 
-    jpg = out[4]
-    assert jpg.kind == "undecodable" and "PIL/ffmpeg" in jpg.decode_error
+    jpg = out[4]  # r7: JPEG is now REALLY decoded — a JPEG-magic payload
+    # with no scan gets a JPEG-specific parse error, not the codec excuse
+    assert jpg.kind == "undecodable" and "JPEG" in jpg.decode_error
     png = out[5]  # r6: PNG is now REALLY decoded — a malformed body gets
     # a PNG-specific parse error, not the needs-a-codec excuse
     assert png.kind == "undecodable" and "IHDR" in png.decode_error
@@ -489,3 +490,235 @@ def test_gif_interlace_and_kernel_path(spark):
     )
     row = decode_media_features(df).collect()[0]
     assert row.kind == "image" and (row.width, row.height) == (w, h)
+
+
+def _imageio_write_rgb(spark, arr, fmt="jpg"):
+    """ImageIO-encode an (H, W, 3) uint8 array via Spark's JVM."""
+    import numpy as np
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    h, w = arr.shape[:2]
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    pix = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, fmt, baos)
+    return bytes(baos.toByteArray())
+
+
+def _imageio_read_rgb(spark, payload, h, w):
+    """ImageIO-decode JPEG/PNG bytes → (H, W, 3) int array."""
+    import numpy as np
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    img = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(payload)
+    )
+    assert img.getWidth() == w and img.getHeight() == h
+    back = gw.new_array(jvm.int, w * h)
+    img.getRGB(0, 0, w, h, back, 0, w)
+    ref = np.array([back[i] for i in range(w * h)], dtype=np.int64)
+    return np.stack(
+        [(ref >> 16) & 255, (ref >> 8) & 255, ref & 255], axis=1
+    ).reshape(h, w, 3).astype(int)
+
+
+def test_jpeg_decode_differential_vs_java_imageio(spark):
+    """Baseline-JPEG decoder differential vs Java ImageIO (the JDK's
+    IJG-derived reader) on files ImageIO ITSELF encodes:
+
+    - grayscale (1-component): our pixels must match ImageIO's own
+      read-back within ±2 — pure Huffman/dequant/IDCT agreement;
+    - color 4:2:0 (ImageIO's default): chroma upsampling is decoder
+      freedom (ImageIO interpolates, we replicate — T.81 doesn't
+      specify), so the pinned invariants are upsampling-independent:
+      tile INTERIORS match within ±3, and the luma recovered from the
+      output RGB (a pure function of the full-resolution Y plane)
+      matches within ±2 on unclipped pixels of a noisy image."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_jpeg
+
+    jvm = spark._jvm
+    w = h = 23
+
+    # --- grayscale: exact decoder-core agreement
+    rng = np.arange(w * h).reshape(h, w)
+    gray = ((rng * 11) % 256).astype(np.uint8)
+    gimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = gimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(gray[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(gimg, "jpg", baos)
+    gp = bytes(baos.toByteArray())
+    ours_g = _decode_jpeg(gp).astype(int)
+    assert ours_g.shape == (h, w, 3)
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(gp))
+    r2 = img2.getRaster()
+    refg = np.array(
+        [[r2.getSample(x, y, 0) for x in range(w)] for y in range(h)], dtype=int
+    )
+    assert np.abs(ours_g[:, :, 0] - refg).max() <= 2
+    # all three output channels replicate the gray plane
+    assert (ours_g[:, :, 0] == ours_g[:, :, 1]).all()
+    assert (ours_g[:, :, 0] == ours_g[:, :, 2]).all()
+
+    # --- color, 16x16 solid tiles: interiors are upsampling-proof
+    tiles = np.zeros((32, 32, 3), np.uint8)
+    tiles[:16, :16] = [200, 30, 40]
+    tiles[:16, 16:] = [20, 180, 220]
+    tiles[16:, :16] = [90, 90, 90]
+    tiles[16:, 16:] = [250, 240, 10]
+    tp = _imageio_write_rgb(spark, tiles)
+    # ImageIO's default writer really does subsample (0x22 luma) — the
+    # interleaved-MCU + upsample path is genuinely exercised
+    i = tp.find(b"\xff\xc0")
+    assert tp[i + 11] == 0x22 and tp[i + 14] == 0x11
+    ours_t = _decode_jpeg(tp).astype(int)
+    ref_t = _imageio_read_rgb(spark, tp, 32, 32)
+    ys = np.arange(32)
+    inner = (ys % 16 >= 3) & (ys % 16 <= 12)
+    mask = inner[:, None] & inner[None, :]
+    assert np.abs(ours_t - ref_t)[mask].max() <= 3
+
+    # --- noisy color: recovered luma pins the full-res Y path
+    noisy = np.stack(
+        [
+            (rng * 7) % 256,
+            (rng // 3 + 11 * (rng % 5)) % 256,
+            ((rng % 13) * 19) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    np_ = _imageio_write_rgb(spark, noisy)
+    o = _decode_jpeg(np_).astype(float)
+    r = _imageio_read_rgb(spark, np_, h, w).astype(float)
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    unclipped = ((o > 0) & (o < 255)).all(axis=2) & (
+        (r > 0) & (r < 255)
+    ).all(axis=2)
+    assert unclipped.sum() > 100  # the comparison is not vacuous
+    assert np.abs(luma(o) - luma(r))[unclipped].max() <= 2.0
+
+
+def test_jpeg_encode_differential_vs_java_imageio(spark):
+    """Our T.81 encoder's output (4:4:4, flat quant=1 → near-lossless)
+    through Java ImageIO: pixels ImageIO reads must match the original
+    within ±4 and OUR decode of the same bytes within ±3 (same file,
+    same sampling — only IDCT rounding differs). The restart-interval
+    variant (DRI + RSTn markers) must read identically through both."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    w = h = 23
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack(
+        [
+            (rng * 7) % 256,
+            (rng // 3 + 11 * (rng % 5)) % 256,
+            ((rng % 13) * 19) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+    mine = encode_jpeg(arr)
+    ref = _imageio_read_rgb(spark, mine, h, w)
+    assert np.abs(ref - arr.astype(int)).max() <= 4
+    assert np.abs(ref - _decode_jpeg(mine).astype(int)).max() <= 3
+
+    mine_r = encode_jpeg(arr, restart_interval=3)
+    assert b"\xff\xdd" in mine_r and b"\xff\xd0" in mine_r
+    ref_r = _imageio_read_rgb(spark, mine_r, h, w)
+    assert np.abs(ref_r - _decode_jpeg(mine_r).astype(int)).max() <= 3
+
+    # constant-gray 1-component file round-trips EXACTLY (DC-only
+    # blocks, flat quant) — the closed-form fact media_decode_report's
+    # oracle arithmetic relies on
+    g = np.full((8, 8), 77, np.uint8)
+    out = _decode_jpeg(encode_jpeg(g))
+    assert (out == 77).all()
+
+
+def test_jpeg_refusals(spark):
+    """Progressive JPEG (a real SOF2 file written by ImageIO's encoder)
+    refuses with the scheme named; malformed payloads refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    jvm = spark._jvm
+    w = h = 16
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack([(rng * 5) % 256] * 3, axis=2).astype(np.uint8)
+    gw = spark.sparkContext._gateway
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    pix = gw.new_array(jvm.int, w * h)
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    param = iw.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    iw.setOutput(ios)
+    iw.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    prog = bytes(baos.toByteArray())
+    with pytest.raises(ValueError, match="progressive"):
+        _decode_jpeg(prog)
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"\x89PNG....")
+    # truncated entropy stream: cut the last 60% of a valid file
+    good = encode_jpeg(arr)
+    with pytest.raises(ValueError):
+        _decode_jpeg(good[: int(len(good) * 0.4)])
+
+
+def test_jpeg_kernel_path(spark):
+    """A JPEG payload flows through decode_media_features (the same
+    mapInPandas kernel as BMP/PNG/...) as kind='image', and a
+    constant-gray JPEG yields EXACT channel means."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        decode_media_features,
+        encode_jpeg,
+    )
+
+    g = np.full((8, 8), 133, np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(g)))], "id long, payload binary"
+    )
+    row = decode_media_features(df).collect()[0]
+    assert row.kind == "image"
+    assert (row.width, row.height) == (8, 8)
+    assert row.mean_r == 133.0 and row.mean_g == 133.0 and row.mean_b == 133.0
