@@ -167,6 +167,48 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         )
 
 
+def test_no_repeated_expensive_exprs_anywhere(spark, sf_dir):
+    """Suite-wide W_REPEATED_EXPR sweep (VERDICT r6 #4): no registered
+    query's plan may evaluate the same expensive sub-expression (regex
+    split/extract/replace, JSON parse, levenshtein) more than twice —
+    Catalyst's subexpression elimination does not reach across
+    operators or inside interpreted HOF lambdas, so an inlined
+    `split(text)` consumed N times is N full regex passes per row (and
+    per ELEMENT when a transform() lambda closes over it — the 5d161bd
+    O(tokens²) regression this lint was built from).
+
+    Designed exceptions below: the same split()/regexp() projected in
+    SIBLING branch lineages (funnel stages, fit+score passes, report
+    branches that deliberately re-scan), each evaluated ONCE per row of
+    its branch — a bounded constant factor priced into BASELINE.md's
+    per-query rows, not the per-element trap. The pinned value is the
+    DESIGNED occurrence count: any growth past it fails the sweep, so
+    the next inlined-HOF regression can't ship anywhere."""
+    from pystreams_spark.plans import executed_plan
+    from pystreams_spark.plans.lint import repeated_expensive_exprs
+
+    allowed = {
+        "doc_quality_by_lang": 5,  # quality metrics branch per rule
+        "lang_id_heuristic": 8,  # one token pass per language profile
+        "training_corpus_pipeline": 14,  # 4 composed stages, each re-deriving its filter columns from the survivor slice
+        "filter_funnel_report": 10,  # per-stage survival branches
+        "cross_doc_repeated_spans": 3,  # span table consumed by dup-detect + canon-keep + report
+        "remove_repeated_spans_report": 7,  # base tokens feed spans, marks, and the rebuild lineage
+        "dsir_selection_report": 5,  # 2 bucket-count fits + score scan
+        "length_bucketing_report": 3,  # bucket + waste branches
+        "incremental_token_stats": 3,  # per-batch folds + recompute oracle share one tokenizer expr
+    }
+    for name, fn in QUERIES.items():
+        rep = repeated_expensive_exprs(executed_plan(fn(spark, sf_dir)))
+        cap = allowed.get(name, 2)
+        worst = max(rep.values(), default=0)
+        assert worst <= cap, (
+            f"{name}: expensive sub-expression repeated {worst}x in one "
+            f"plan (designed cap {cap}): {max(rep, key=rep.get)[:140]} — "
+            "project it once behind an attribute and consume the attribute"
+        )
+
+
 def test_cartesian_products_only_where_designed(spark, sf_dir):
     """Cross joins are legitimate only where the operator is explicitly
     all-pairs (kNN/cross query) — anywhere else a cartesian in the plan
