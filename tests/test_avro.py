@@ -507,3 +507,121 @@ def test_avro_stream_restart_with_cap_never_rereads_committed(tmp_path):
         assert not (delta & set(committed["files"])), f"re-read committed: {delta}"
         seen_new |= delta
     assert seen_new <= {str(land / "f3.avro")}
+
+
+def test_avro_landing_zone_monitor_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The end-to-end landing-zone story a real ingest runs (VERDICT r6
+    #7): pyavro streaming source → in-stream feature derivation (token
+    count from the decoded text) → DriftMonitor (PSI vs a frozen
+    pre-shift reference) AND StatsMaintainer (mergeable per-lang stats)
+    composed in ONE foreachBatch — across a checkpoint restart that
+    lands a distribution-shifted file. Asserts, in order: the pre-shift
+    epoch scores no drift; the post-restart epoch (and only it) fires
+    PSI on the shifted feature; the published stats after restart equal
+    a from-scratch batch recompute over every landed file (exactly-once
+    accounting); and a no-new-data replay changes nothing (idempotent
+    epochs)."""
+    from pystreams_spark.formats.avro import (
+        AvroDataSource,
+        spark_to_avro,
+        write_avro_file,
+    )
+    from pystreams_spark.operators.incremental import (
+        finalize_stats,
+        merge_stats,
+        stats_state,
+    )
+    from pystreams_spark.streaming.drift_monitor import DriftMonitor
+    from pystreams_spark.streaming.stats_maintainer import StatsMaintainer
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    av_schema = spark_to_avro(docs.schema)
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def land_rows(name, rows):
+        write_avro_file(str(land / name), rows, av_schema)
+
+    base_rows = [tuple(r) for r in docs.limit(200).collect()]
+    land_rows("f000.avro", base_rows[:100])
+    land_rows("f001.avro", base_rows[100:])
+
+    def enrich(df):
+        return df.withColumn(
+            "token_count",
+            F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")),
+        )
+
+    spark.dataSource.register(AvroDataSource)
+    # freeze the drift reference on the PRE-shift landing state
+    ref = enrich(spark.read.format("pyavro").load(str(land)))
+    monitor = DriftMonitor(str(tmp_path / "drift"), ref, ["token_count"])
+    stats = StatsMaintainer(str(tmp_path / "stats"), ["lang"], "token_count")
+
+    def fb(batch, epoch_id):
+        b = enrich(batch).localCheckpoint(eager=True)
+        monitor.process_batch(b, epoch_id)
+        stats.process_batch(b, epoch_id)
+
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("pyavro")
+            .option("path", str(land))
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    h1 = {
+        (r.epoch, r.column): r.psi for r in monitor.history(spark).collect()
+    }
+    assert len(h1) == 1, "availableNow over two landed files = one epoch"
+    ((first_epoch, _),) = h1.keys()
+    assert h1[(first_epoch, "token_count")] < 0.05, (
+        "reference data scored as drifted against its own profile"
+    )
+
+    # land a SHIFTED file (600-token docs) and restart from checkpoint
+    shifted = [
+        (10_000 + i, " ".join(["tok"] * 600), "en" if i % 2 else "de")
+        for i in range(60)
+    ]
+    land_rows("f002.avro", shifted)
+    run_stream()
+    h2 = {
+        (r.epoch, r.column): r.psi for r in monitor.history(spark).collect()
+    }
+    assert len(h2) == 2, "restart must process exactly the new file"
+    shift_epoch = max(e for e, _ in h2.keys())
+    assert shift_epoch != first_epoch
+    assert h2[(first_epoch, "token_count")] < 0.05  # unchanged
+    assert h2[(shift_epoch, "token_count")] > 0.5, (
+        "planted 600-token shift did not fire PSI"
+    )
+
+    # published stats ≡ from-scratch batch recompute over ALL files
+    got = sorted(
+        tuple(r) for r in stats.current(spark).collect()
+    )
+    all_enriched = enrich(spark.read.format("pyavro").load(str(land)))
+    want = sorted(
+        tuple(r)
+        for r in finalize_stats(
+            merge_stats(
+                stats_state(all_enriched, ["lang"], "token_count"),
+                group_cols=["lang"],
+            )
+        ).collect()
+    )
+    assert got == want, "streamed fold diverged from batch recompute"
+
+    # idempotent replay: nothing new landed → nothing changes
+    run_stream()
+    assert sorted(tuple(r) for r in stats.current(spark).collect()) == want
+    assert len(monitor.history(spark).collect()) == 2
