@@ -1,0 +1,225 @@
+"""Empirical scale-curve evidence for the heavy operator families
+(VERDICT r6 #6): blow the sf0.1 documents/embeddings fixtures up by a
+factor K with DETERMINISTIC perturbation, run each family at 1x and
+Kx, and report wall-clock, shuffle-write volume, and the observed
+scaling exponent log(t_K / t_1) / log(K) — turning SCALE.md's design
+arguments into measured curves.
+
+Perturbation design (matters for honesty):
+- documents: replica k rewrites every MUTATE_STRIDE-th token
+  (position-dependent, suffixed with the replica tag). Stride 3
+  touches EVERY 3-gram window, so cross-replica shingles are all
+  distinct — the "10x more unique content" regime where per-shingle
+  df stays constant. Stride 5 leaves ~40% of 3-grams shared across
+  replicas — the "content repeats at scale" regime where df grows
+  with the corpus and the prefix join's Sigma df_prefix^2 bill shows.
+  (Naive exact replication would grow every dup cluster x K and the
+  pair count x K^2 BY CONSTRUCTION, measuring the fixture, not the
+  operator.)
+- embeddings: replica k shifts each vector by a small deterministic
+  per-replica offset — cluster geometry preserved, rows x K.
+
+Usage:
+    python bench_scale.py            # factors 1,3,10, runs=2
+    SCALE_FACTORS=1,10 SCALE_RUNS=1 python bench_scale.py
+
+Prints one JSON line per (family, factor) and a final markdown table
+(for SCALE.md) on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def _shuffle_write_bytes(spark) -> int:
+    """Total shuffle-write bytes across every stage this app has run
+    (AppStatusStore — the UI's numbers, programmatically)."""
+    jvm = spark._jvm
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = jvm.java.util.Collections.emptyList()
+    darr = spark.sparkContext._gateway.new_array(jvm.double, 0)
+    total = 0
+    it = store.stageList(empty, False, False, darr, empty).iterator()
+    while it.hasNext():
+        total += it.next().shuffleWriteBytes()
+    return int(total)
+
+
+def _build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """Write documents.parquet / embeddings.parquet at `factor` x the
+    fixture size into out_dir (deterministic, layout-independent)."""
+    from pystreams_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    doc_parts = []
+    emb_parts = []
+    for k in range(factor):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        stride = int(os.environ.get("SCALE_MUTATE_STRIDE", "3"))
+        tag = F.lit(f"r{k}")
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        mutated = F.concat_ws(
+            " ",
+            F.transform(
+                toks,
+                lambda x, i: F.when(
+                    (i + F.lit(k)) % stride == 0, F.concat(x, tag)
+                ).otherwise(x),
+            ),
+        )
+        doc_parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
+            .withColumn("text", mutated)
+        )
+        emb_parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x: (x + F.lit(0.003 * k)).cast("float"),
+                ),
+            )
+        )
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), doc_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/documents.parquet")
+    reduce(lambda a, b: a.unionByName(b), emb_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/embeddings.parquet")
+
+
+def _families(spark, data_dir: str, ckpt_dir: str):
+    """{family: thunk} — each thunk builds AND fully executes the
+    operator (noop-style terminal), mirroring the registered queries'
+    parameters."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.bpe import bpe_train
+    from pystreams_spark.operators.dedup import (
+        neardup_dedup,
+        ngram_jaccard_pairs_prefix,
+    )
+    from pystreams_spark.operators.similarity import kmeans_cells_deterministic
+
+    def docs():
+        return load_table(spark, data_dir, "documents")
+
+    def emb():
+        return load_table(spark, data_dir, "embeddings")
+
+    return {
+        "neardup_dedup_pipeline": lambda: neardup_dedup(
+            docs(), checkpoint_dir=ckpt_dir
+        ).count(),
+        "prefix_jaccard_pairs": lambda: ngram_jaccard_pairs_prefix(
+            docs(), threshold=0.35, n=3
+        ).count(),
+        "kmeans_lloyd": lambda: kmeans_cells_deterministic(
+            emb(), n_cells=8, iters=2
+        ).count(),
+        "bpe_train": lambda: bpe_train(
+            docs(), num_merges=15, checkpoint_dir=ckpt_dir
+        )[1].count(),
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pystreams_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    factors = [
+        int(x)
+        for x in os.environ.get("SCALE_FACTORS", "1,3,10").split(",")
+    ]
+    runs = int(os.environ.get("SCALE_RUNS", "2"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(cpus=cpus)
+
+    scratch = tempfile.mkdtemp(prefix="pystreams_scale_")
+    results: dict[str, dict[int, dict]] = {}
+    try:
+        for factor in factors:
+            data_dir = f"{scratch}/x{factor}"
+            t0 = time.monotonic()
+            _build_scaled(spark, sf_dir, data_dir, factor)
+            print(
+                f"# built x{factor} fixtures in "
+                f"{time.monotonic() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            fams = _families(spark, data_dir, f"{scratch}/ckpt_x{factor}")
+            for name, thunk in fams.items():
+                best, sh = None, None
+                for r in range(runs):
+                    import gc
+
+                    gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                    sh0 = _shuffle_write_bytes(spark)
+                    t0 = time.monotonic()
+                    n_out = thunk()
+                    dt = time.monotonic() - t0
+                    sh1 = _shuffle_write_bytes(spark)
+                    if best is None or dt < best:
+                        best = dt
+                    if sh is None:
+                        sh = sh1 - sh0  # first run; replay-invariant
+                    print(
+                        f"# {name} x{factor} run{r}: {dt:.2f}s "
+                        f"rows={n_out}",
+                        file=sys.stderr,
+                    )
+                results.setdefault(name, {})[factor] = {
+                    "sec": round(best, 3),
+                    "shuffle_mb": round(sh / 1e6, 2),
+                    "rows_out": int(n_out),
+                }
+                print(
+                    json.dumps(
+                        {
+                            "family": name,
+                            "factor": factor,
+                            **results[name][factor],
+                        }
+                    )
+                )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    # markdown table with observed exponents (vs the 1x row)
+    print("\n| family | metric | " + " | ".join(f"{k}x" for k in factors)
+          + " | observed exponent |")
+    print("| --- | --- | " + " | ".join("---" for _ in factors) + " | --- |")
+    for name, by_f in results.items():
+        base = by_f[factors[0]]
+        kmax = factors[-1]
+        for metric, unit in (("sec", "s"), ("shuffle_mb", "MB")):
+            vals = " | ".join(f"{by_f[k][metric]}" for k in factors)
+            if base[metric] > 0 and kmax > factors[0]:
+                expo = math.log(
+                    max(by_f[kmax][metric], 1e-9) / base[metric]
+                ) / math.log(kmax / factors[0])
+                e = f"{expo:.2f}"
+            else:
+                e = "—"
+            print(f"| {name} | {metric} ({unit}) | {vals} | {e} |")
+
+
+if __name__ == "__main__":
+    main()
