@@ -34,8 +34,12 @@ restriction), union of [null, T] (nullable), enum (→ string), fixed
 (→ binary), logical date (int days) and timestamp-micros/millis
 (→ Spark timestamp). General (multi-branch) unions and decimals raise
 ``NotImplementedError`` with the offending path — loudly, not lossily.
-Codecs: ``null``, ``deflate`` (zlib), ``bzip2`` (bz2), ``xz`` (lzma) —
-all stdlib; snappy/zstandard need absent C modules and raise with that
+Codecs: ``null``, ``deflate`` (zlib), ``bzip2`` (bz2), ``xz`` (lzma),
+and (r7) ``snappy`` — raw-format snappy implemented in pure Python
+from the public format description (full tag-stream decode incl.
+overlapping copies; all-literal "stored" encode) with the Avro
+big-endian CRC32 suffix; zstandard needs an absent C module and
+raises with that
 reason.
 """
 
@@ -504,7 +508,111 @@ def _read_header(f) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
-_WRITE_CODECS = ("null", "deflate", "bzip2", "xz")
+_WRITE_CODECS = ("null", "deflate", "bzip2", "xz", "snappy")
+
+
+# --- snappy (r7) ------------------------------------------------------------
+# Pure-Python raw-format snappy from the public format description
+# (google/snappy format_description.txt). The Avro "snappy" codec is the
+# raw format plus a 4-byte BIG-endian CRC32 of the UNCOMPRESSED block
+# (Avro 1.11 spec, "Required Codecs"). Decompression implements the full
+# tag stream — literals with all four length encodings and every copy
+# element form, overlap-correct — so blocks written by snappy-java /
+# libsnappy (the production default for Avro landing zones) read
+# offline with stdlib alone. Compression emits the spec-valid
+# ALL-LITERAL stream ("stored" mode): every conforming reader accepts
+# it, it just doesn't shrink — the same honesty trade as encode_gif's
+# CLEAR-per-symbol LZW, and the JVM differential proves snappy-java
+# reads it back.
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw-format snappy → bytes (not the framing format)."""
+    # preamble: uncompressed length, little-endian varint
+    n = shift = pos = 0
+    while True:
+        try:
+            b = data[pos]
+        except IndexError:
+            raise ValueError("snappy: truncated length varint") from None
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint overflow")
+    out = bytearray()
+    ln = len(data)
+    while pos < ln:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            length = tag >> 2
+            if length >= 60:
+                nb = length - 59
+                if pos + nb > ln:
+                    raise ValueError("snappy: truncated literal length")
+                length = int.from_bytes(data[pos : pos + nb], "little")
+                pos += nb
+            length += 1
+            if pos + length > ln:
+                raise ValueError("snappy: truncated literal")
+            out += data[pos : pos + length]
+            pos += length
+            continue
+        nb = (0, 1, 2, 4)[kind]
+        if pos + nb > ln:
+            raise ValueError("snappy: truncated copy element")
+        if kind == 1:  # copy, 1-byte offset
+            length = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte LE offset
+            length = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte LE offset
+            length = (tag >> 2) + 1
+            off = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset outside produced output")
+        start = len(out) - off
+        if off >= length:
+            out += out[start : start + length]
+        else:  # overlapping copy = repeating pattern of period `off`
+            pattern = bytes(out[start:])
+            out += (pattern * (length // off + 1))[:length]
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: declared {n} uncompressed bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Spec-valid raw-format snappy, all-literal ("stored") encoding."""
+    out = bytearray()
+    v = len(data)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+    if not data:
+        return bytes(out)
+    lm1 = len(data) - 1
+    if lm1 < 60:
+        out.append(lm1 << 2)
+    else:
+        nb = (lm1.bit_length() + 7) // 8
+        out.append((59 + nb) << 2)
+        out += lm1.to_bytes(nb, "little")
+    out += data
+    return bytes(out)
 
 
 def _decompress(codec: str, payload: bytes) -> bytes:
@@ -520,10 +628,18 @@ def _decompress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(payload, format=lzma.FORMAT_XZ)
+    if codec == "snappy":
+        if len(payload) < 4:
+            raise ValueError("avro: snappy block too short for its CRC")
+        raw = snappy_decompress(payload[:-4])
+        want = int.from_bytes(payload[-4:], "big")
+        if zlib.crc32(raw) & 0xFFFFFFFF != want:
+            raise ValueError("avro: snappy block CRC32 mismatch")
+        return raw
     raise NotImplementedError(
         f"avro: codec '{codec}' not supported offline "
-        f"({'/'.join(_WRITE_CODECS)} are; snappy needs python-snappy, "
-        "zstandard needs the zstandard module — both absent)"
+        f"({'/'.join(_WRITE_CODECS)} are; zstandard needs the zstandard "
+        "module — absent)"
     )
 
 
@@ -541,6 +657,10 @@ def _compress(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
+    if codec == "snappy":
+        return snappy_compress(payload) + (
+            zlib.crc32(payload) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
     raise NotImplementedError(
         f"avro: write codec '{codec}' unsupported ({'/'.join(_WRITE_CODECS)})"
     )
@@ -947,7 +1067,7 @@ def read_avro(spark, path: str, split_target_bytes: int = 32 << 20):
 
 
 def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> None:
-    """Avro sink (two-phase commit; ``codec`` null|deflate|bzip2|xz;
+    """Avro sink (two-phase commit; ``codec`` null|deflate|bzip2|xz|snappy;
     ``mode`` append|overwrite — appends accumulate per-job-token part
     files, overwrite clears prior parts at commit time)."""
     df.sparkSession.dataSource.register(AvroDataSource)

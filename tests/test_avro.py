@@ -625,3 +625,118 @@ def test_avro_landing_zone_monitor_pipeline_end_to_end(spark, sf_dir, tmp_path):
     run_stream()
     assert sorted(tuple(r) for r in stats.current(spark).collect()) == want
     assert len(monitor.history(spark).collect()) == 2
+
+
+def test_snappy_raw_format_unit():
+    """Pure-Python snappy (r7): roundtrip through our encoder, plus
+    hand-built tag streams exercising every copy form (1/2/4-byte
+    offsets) and the overlapping-copy repeat rule, plus malformed-input
+    refusals — the format_description.txt cases."""
+    import pytest as _pytest
+
+    from pystreams_spark.formats.avro import snappy_compress, snappy_decompress
+
+    for payload in (b"", b"x", b"hello world", bytes(range(256)) * 300):
+        assert snappy_decompress(snappy_compress(payload)) == payload
+
+    # hand-built: literal "abcd" then 1-byte-offset copy (len 4, off 4)
+    # → "abcdabcd"
+    s = bytes([8, (3 << 2) | 0]) + b"abcd" + bytes([(0 << 5) | 1, 4])
+    assert snappy_decompress(s) == b"abcdabcd"
+
+    # overlapping copy: literal "ab" + copy(off=2, len=6) → "ab"*4
+    s = bytes([8, (1 << 2) | 0]) + b"ab" + bytes([(2 << 2) | 1, 2])
+    # kind-1 copies have len = ((tag>>2)&7)+4 → tag (2<<2)|1 = len 6
+    assert snappy_decompress(s) == b"abababab"
+
+    # 2-byte-offset copy form
+    s = bytes([8, (3 << 2) | 0]) + b"wxyz" + bytes([(3 << 2) | 2, 4, 0])
+    assert snappy_decompress(s) == b"wxyzwxyz"
+
+    # 4-byte-offset copy form
+    s = (
+        bytes([8, (3 << 2) | 0]) + b"1234"
+        + bytes([(3 << 2) | 3]) + (4).to_bytes(4, "little")
+    )
+    assert snappy_decompress(s) == b"12341234"
+
+    with _pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([4, (3 << 2) | 1, 99]))  # copy before start
+    with _pytest.raises(ValueError, match="declared"):
+        snappy_decompress(bytes([9, (3 << 2) | 0]) + b"abcd")  # short output
+    with _pytest.raises(ValueError, match="truncated"):
+        snappy_decompress(bytes([200]))  # unterminated varint
+
+
+def test_avro_snappy_codec_jvm_differential(spark, tmp_path):
+    """Avro snappy codec differential vs snappy-java (on Spark's own
+    classpath — the production default for Avro landing zones), both
+    directions: REAL compressed blocks from snappy-java (copies, all
+    tag forms) decode with our pure-Python reader; our stored-mode
+    blocks + big-endian CRC read back through the reference stack.
+    Plus: a corrupted CRC refuses by name."""
+    import json as _json
+
+    from pystreams_spark.formats.avro import iter_avro_file, write_avro_file
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record", "name": "c",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "body", "type": "string"},
+        ],
+    }
+    rows = [(i, ("repetitive payload " * 20) + str(i)) for i in range(300)]
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+
+    # ours -> JVM
+    ours = str(tmp_path / "ours_snappy.avro")
+    write_avro_file(ours, rows, schema, codec="snappy")
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ours), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert reader.getMetaString("avro.codec") == "snappy"
+    n = 0
+    while reader.hasNext():
+        rec = reader.next()
+        assert int(rec.get("id")) == n and str(rec.get("body")) == rows[n][1]
+        n += 1
+    reader.close()
+    assert n == len(rows)
+
+    # JVM -> ours (snappy-java's real compressor: copy elements galore)
+    theirs = str(tmp_path / "jvm_snappy.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.snappyCodec())
+    writer.create(jschema, jvm.java.io.File(theirs))
+    for i, body in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i)
+        rec.put("body", body)
+        writer.append(rec)
+    writer.close()
+    # the compressed file must really be smaller than the raw payload —
+    # i.e. we are decoding genuine copy-compressed blocks, not literals
+    raw_size = sum(len(b) + 8 for _, b in rows)
+    assert os.path.getsize(theirs) < raw_size / 3
+    assert list(iter_avro_file(theirs)) == rows
+
+    # CRC tamper: flip a byte inside the LAST 4 bytes before the sync
+    # marker of the first block (the CRC32 suffix) and expect a refusal
+    import struct as _struct
+
+    data = bytearray(open(ours, "rb").read())
+    # find first block: after header, skip varint row count + length...
+    # simpler: corrupt every byte equal to the file's 17th-from-end and
+    # reread — instead, corrupt the known CRC: our writer places it at
+    # the end of each block payload; flip 4 bytes before the final sync
+    data[-20] ^= 0xFF
+    bad = str(tmp_path / "bad_crc.avro")
+    open(bad, "wb").write(bytes(data))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC32|snappy"):
+        list(iter_avro_file(bad))

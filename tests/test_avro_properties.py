@@ -122,3 +122,24 @@ def test_schema_json_is_stable():
     # the writer embeds the schema verbatim; a reader of our file parses
     # exactly what we serialized (no canonicalization surprises)
     assert json.loads(json.dumps(AVRO_SCHEMA)) == AVRO_SCHEMA
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_snappy_stored_roundtrip(payload):
+    from pystreams_spark.formats.avro import snappy_compress, snappy_decompress
+
+    assert snappy_decompress(snappy_compress(payload)) == payload
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_snappy_decoder_total_on_garbage(blob):
+    """The decoder must terminate with ValueError/bytes on ANY input —
+    never hang, never IndexError — because it runs inside ingest tasks
+    on untrusted landing-zone bytes."""
+    from pystreams_spark.formats.avro import snappy_decompress
+
+    try:
+        snappy_decompress(blob)
+    except ValueError:
+        pass
