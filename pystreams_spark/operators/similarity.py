@@ -932,6 +932,83 @@ def assign_kmeans_cells(
     return df.mapInPandas(kernel, schema)
 
 
+def _kmeans_assign_batch(m, c, round_to: int = 6):
+    """Oracle-exact cell assignment: argmin over ROUND(Σ(xᵢ−cᵢ)², r),
+    np.argmin's first-minimum = the lowest-cell tie-break the DuckDB
+    replay's (dist, cell) ordering states."""
+    import numpy as np
+
+    d2 = np.empty((len(m), len(c)))
+    for j in range(len(c)):
+        d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
+    return np.round(d2, round_to).argmin(axis=1)
+
+
+def kmeans_centers_deterministic(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+):
+    """The FIT half of ``kmeans_cells_deterministic`` (r7 split so IVF
+    can probe the same centroids the cells came from): md5-ordered
+    seeds, ``iters`` fused Lloyd rounds, returns the final (k × d)
+    centroid ndarray — exactly the c_iters matrix the unrolled DuckDB
+    recurrence produces. Zero shuffles; k·|partitions| partial rows to
+    the driver per round."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    seed_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centers = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in seed_rows]
+    )
+    k, d = centers.shape
+
+    def partials(centers_arr):
+        """One fused scan: per-partition (cell, n, sum per dim)."""
+        bc = spark.sparkContext.broadcast(centers_arr)
+        schema = "cell int, n long, s array<double>"
+
+        def kernel(batches):
+            c = bc.value
+            counts = np.zeros(len(c), dtype=np.int64)
+            sums = np.zeros_like(c)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                cells = _kmeans_assign_batch(m, c, round_to)
+                counts += np.bincount(cells, minlength=len(c))
+                np.add.at(sums, cells, m)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"cell": nz.astype(np.int32), "n": counts[nz], "s": list(sums[nz])}
+            )
+
+        return df.mapInPandas(kernel, schema).collect()
+
+    for _ in range(iters):
+        agg_n = np.zeros(k, dtype=np.int64)
+        agg_s = np.zeros((k, d))
+        for r in partials(centers):
+            agg_n[r["cell"]] += r["n"]
+            agg_s[r["cell"]] += np.asarray(r["s"])
+        new_centers = centers.copy()  # empty cells keep previous centroid
+        nz = agg_n > 0
+        new_centers[nz] = np.round(agg_s[nz] / agg_n[nz, None], round_to)
+        centers = new_centers
+    return centers
+
+
 def kmeans_cells_deterministic(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -968,67 +1045,18 @@ def kmeans_cells_deterministic(
     groupBy(cell).avg, while skipping the posexplode shuffle the
     unfused form would pay). Nothing corpus-sized ever moves. Returns
     df + ``out_col`` int."""
-    import numpy as np
-    import pandas as pd
-
     from ..io import ensure_parallelism
 
-    spark = df.sparkSession
     base = ensure_parallelism(df)
-    seed_rows = (
-        base.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_cells)
-        .collect()
+    centers = kmeans_centers_deterministic(
+        base, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters,
+        round_to=round_to,
     )
-    centers = np.stack(
-        [np.asarray(r[1], dtype=np.float64) for r in seed_rows]
-    )
-    k, d = centers.shape
 
-    def _assign_batch(m, c):
-        d2 = np.empty((len(m), len(c)))
-        for j in range(len(c)):
-            d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
-        # np.argmin takes the FIRST minimum — the lowest-cell tie-break
-        # the oracle's (dist, cell) ordering states
-        return np.round(d2, round_to).argmin(axis=1)
+    import numpy as np
+    import pandas as pd  # noqa: F401 (kernel closure below)
 
-    def partials(centers_arr):
-        """One fused scan: per-partition (cell, n, sum per dim)."""
-        bc = spark.sparkContext.broadcast(centers_arr)
-        schema = "cell int, n long, s array<double>"
-
-        def kernel(batches):
-            c = bc.value
-            counts = np.zeros(len(c), dtype=np.int64)
-            sums = np.zeros_like(c)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                cells = _assign_batch(m, c)
-                counts += np.bincount(cells, minlength=len(c))
-                np.add.at(sums, cells, m)
-            nz = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {"cell": nz.astype(np.int32), "n": counts[nz], "s": list(sums[nz])}
-            )
-
-        return base.mapInPandas(kernel, schema).collect()
-
-    for _ in range(iters):
-        agg_n = np.zeros(k, dtype=np.int64)
-        agg_s = np.zeros((k, d))
-        for r in partials(centers):
-            agg_n[r["cell"]] += r["n"]
-            agg_s[r["cell"]] += np.asarray(r["s"])
-        new_centers = centers.copy()  # empty cells keep previous centroid
-        nz = agg_n > 0
-        new_centers[nz] = np.round(agg_s[nz] / agg_n[nz, None], round_to)
-        centers = new_centers
-
-    bc = spark.sparkContext.broadcast(centers)
+    bc = df.sparkSession.sparkContext.broadcast(centers)
     fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     )
@@ -1041,10 +1069,102 @@ def kmeans_cells_deterministic(
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             out = pdf.copy()
-            out[out_col] = _assign_batch(m, c).astype(np.int32)
+            out[out_col] = _kmeans_assign_batch(m, c, round_to).astype(np.int32)
             yield out
 
     return base.mapInPandas(assign_kernel, schema)
+
+
+def knn_ivf_deterministic(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN with ORACLE-GRADE determinism (r7): the coarse quantizer
+    is `kmeans_cells_deterministic`'s engine-portable recurrence
+    (md5-ordered seeds, ROUND-6 Lloyd), the probe ranks query→centroid
+    ROUND(L2², 6) with lowest-cell ties, and the refine is exact
+    ROUND(cosine, 6) with id ties — every stage is SQL-replayable, so
+    the whole ANN search hash-checks against a DuckDB unroll instead of
+    settling for a rows-only recall gate. Same physical shape as
+    `knn_ivf_kmeans`: zero-shuffle fused Lloyd fit, one narrow
+    assignment kernel over the corpus, a broadcast (query, cell) probe
+    table, per-cell equi-join + exact top-k — per-query cost
+    ~n_probe/n_cells of the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from ..io import ensure_parallelism
+    from .topk import top_k_per_group
+
+    base = ensure_parallelism(corpus)
+    centers = kmeans_centers_deterministic(
+        base, id_col=corpus_id, vec_col=vec_col, n_cells=n_cells,
+        iters=iters, round_to=round_to,
+    )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centers)
+
+    def assign_kernel(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out = pdf[[corpus_id, vec_col]].copy()
+            out["_cell"] = _kmeans_assign_batch(m, c, round_to).astype(np.int32)
+            yield out
+
+    vec_ddl = corpus.schema[vec_col].dataType.simpleString()
+    assigned = base.mapInPandas(
+        assign_kernel, f"`{corpus_id}` long, `{vec_col}` {vec_ddl}, _cell int"
+    )
+
+    def probe_kernel(batches):
+        c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = np.empty((len(m), len(c)))
+            for j in range(len(c)):
+                d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
+            d2 = np.round(d2, round_to)
+            # stable sort on the rounded distance = lowest-cell
+            # tie-break, matching the assignment rule and the oracle's
+            # ROW_NUMBER (dist, cell) ordering
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            qids = pdf[query_id].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(qids, order.shape[1]),
+                    "_cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    probes = (
+        queries.select(query_id, vec_col)
+        .mapInPandas(probe_kernel, f"`{query_id}` long, _cell int")
+        .join(
+            queries.select(F.col(query_id), F.col(vec_col).alias("_qvec")),
+            query_id,
+        )
+    )
+    cand = assigned.join(F.broadcast(probes), "_cell").select(
+        query_id,
+        corpus_id,
+        F.round(cosine("_qvec", vec_col), round_to).alias("score"),
+    )
+    return top_k_per_group(
+        cand, [query_id], [F.desc("score"), F.asc(corpus_id)], k=k
+    )
 
 
 def semantic_dedup_pairs(

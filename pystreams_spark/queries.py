@@ -6339,6 +6339,115 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql(
+    n_cells: int = 8, iters: int = 2, n_probe: int = 2, k: int = 10
+) -> str:
+    """Unrolled-CTE DuckDB replay of knn_ivf_deterministic: the same
+    md5-seeded ROUND-6 Lloyd recurrence as `_kmeans_oracle_sql`, run
+    over the corpus slice, then probe = each query's n_probe nearest
+    centroids by ROUND(L2²,6) (cell tie-break), candidates = probed
+    cells' members, refine = ROUND(cosine,6) top-k (id tie-break)."""
+    assign = """
+  a{i} AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT p.vec_id, p.v, s.cell,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+      FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
+  )"""
+    update = """
+  c{j} AS (
+    SELECT s.cell, COALESCE(m.v, s.v) AS v
+    FROM c{i} s LEFT JOIN (
+      SELECT cell, list(mv ORDER BY dim) AS v FROM (
+        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+          SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM a{i}
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ) m USING (cell)
+  )"""
+    ctes = [
+        """pts AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id >= 5
+  )""",
+        """qs AS (
+    SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < 5
+  )""",
+        f"""c0 AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell, v
+    FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+  )""",
+    ]
+    for i in range(iters):
+        ctes.append(assign.format(i=i).strip())
+        ctes.append(update.format(i=i, j=i + 1).strip())
+    ctes.append(assign.format(i=iters).strip())
+    ctes.append(
+        f"""probe AS (
+    SELECT query_id, cell FROM (
+      SELECT q.query_id, s.cell,
+        ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+          ROUND(list_sum(list_transform(list_zip(q.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+      FROM qs q CROSS JOIN c{iters} s) WHERE rn <= {n_probe}
+  )"""
+    )
+    ctes.append(
+        f"""cand AS (
+    SELECT pr.query_id, a.vec_id,
+      ROUND(
+        list_sum(list_transform(list_zip(q.v, a.v), z -> z[1]*z[2]))
+        / (CASE WHEN SQRT(list_sum(list_transform(q.v, x -> x*x))) = 0 THEN 1
+                ELSE SQRT(list_sum(list_transform(q.v, x -> x*x))) END
+           * CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
+                  ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END),
+      6) AS score
+    FROM probe pr JOIN a{iters} a USING (cell)
+    JOIN qs q ON q.query_id = pr.query_id
+  )"""
+    )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT query_id, vec_id, score FROM (
+  SELECT cand.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM cand)
+WHERE rn <= {k}
+ORDER BY query_id, score DESC, vec_id
+"""
+
+
+@query("knn_ivf_deterministic", oracle=_ivf_oracle_sql())
+def knn_ivf_deterministic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search whose EVERY stage hash-checks against DuckDB
+    (r7 — upgrades the ANN family's evidence beyond rows-only recall
+    gates): coarse quantizer = the deterministic distributed Lloyd
+    (`kmeans_cells_deterministic`'s recurrence, zero shuffles), probe
+    = 2 nearest of 8 cells by rounded L2 (cell tie-break), refine =
+    exact rounded cosine top-10 over the probed ~1/4 of the corpus.
+    The DuckDB oracle unrolls the identical recurrence via CTEs, so a
+    regression anywhere — seeding, Lloyd arithmetic, probe ranking,
+    candidate scoping, final top-k — breaks the driver's value hash.
+    The engine-seeded variants (knn_ivf_approx/knn_ivf_kmeans) remain
+    the sampled-fit production recipes; this is the same topology with
+    an engine-portable fit."""
+    from .operators.similarity import knn_ivf_deterministic
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return knn_ivf_deterministic(q, c, k=10, n_cells=8, n_probe=2).orderBy(
+        "query_id", F.desc("score"), "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.K distributed PCA spectrum (embedding preprocessing for ANN / SemDeDup)
 # ---------------------------------------------------------------------------

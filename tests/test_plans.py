@@ -124,6 +124,10 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
     budget = {
         "knn_ivf_approx": 2,
         "knn_ivf_kmeans": 2,
+        # oracle-grade IVF (r7): corpus cell-assignment kernel + query
+        # probe kernel, each pass-once (the deterministic Lloyd FIT
+        # executes eagerly at build time and never enters this plan)
+        "knn_ivf_deterministic": 2,
         "knn_lsh_approx": 2,
         # decontamination shingles the (tiny) eval slice and the train
         # slice separately — two kernel stages over DISJOINT inputs, so
