@@ -212,8 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     never_checked: set[str] = {
         # new in round 7 rank 0 via the fall-through below
     }
-    # code-touched in round 7 (need re-verdicts under the new code)
-    touched_r7: set[str] = set()
+    # code-touched in round 7 (need re-verdicts under the new code):
+    # media_decode_report now routes ids ≡2 mod 4 through REAL baseline
+    # JPEG encode/decode (oracle updated in lockstep — local parity
+    # green, but the changed semantics deserve a fresh driver hash)
+    touched_r7: set[str] = {"media_decode_report"}
     # VERDICT r6 next-round #1: embedding_quantization_report FIRST —
     # its oracle landed after its only driver check (r3 rows-only);
     # a fresh verdict should record hash_match: true.
