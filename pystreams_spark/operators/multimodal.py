@@ -11,17 +11,18 @@ Decode tiers:
   (P6), baseline TIFF (r6: uncompressed strips, both byte orders),
   GIF87a/89a (r6: pure-Python LZW + interlace, first frame),
   PNG from the W3C spec (r6: stdlib zlib inflate + scanline unfilter;
-  8-bit gray/RGB/RGBA/palette), and (r7) baseline-sequential JPEG
-  from ITU-T T.81 (canonical-Huffman entropy decode, dequant,
+  8-bit gray/RGB/RGBA/palette), and (r7) JPEG from ITU-T T.81 — both
+  baseline-sequential AND progressive (spectral selection, successive
+  approximation): canonical-Huffman entropy decode, dequant,
   vectorized IDCT, chroma upsample, YCbCr→RGB — verified against Java
-  ImageIO both directions) — with numpy + stdlib alone: header parse →
+  ImageIO both directions — with numpy + stdlib alone: header parse →
   ``np.frombuffer`` → per-modality features (dims, mean RGB, grayscale
   thumbnail; sample rate, duration, RMS, zero-crossing rate). This is
   the production kernel shape (bytes→array→features inside an Arrow
   batch), not a mock.
-- Progressive/arithmetic JPEG and audio/video codecs (MP3/MP4...)
-  need external codec libs NOT in this container: those payloads
-  yield NULL features with a reason (or raise, policy-switchable).
+- Arithmetic-coded JPEG and audio/video codecs (MP3/MP4...) need
+  external codec libs NOT in this container: those payloads yield
+  NULL features with a reason (or raise, policy-switchable).
   ``decode_features``'s hash-stub path remains for plumbing tests.
 """
 
@@ -708,16 +709,18 @@ def _decode_jpeg(payload: bytes):
 
 
 def _decode_jpeg_parse(payload: bytes):
-    """Baseline-sequential JPEG (ITU-T T.81, public spec) → (H, W, 3)
-    uint8 RGB: marker/segment parse → canonical-Huffman entropy decode
-    (flat 16-bit-prefix lookup) → dequantize → vectorized 8×8 IDCT (one
+    """Huffman-coded JPEG (ITU-T T.81, public spec) → (H, W, 3) uint8
+    RGB: marker/segment parse → canonical-Huffman entropy decode (flat
+    16-bit-prefix lookup) → dequantize → vectorized 8×8 IDCT (one
     einsum per component over all blocks) → chroma upsample (sample
-    replication) → JFIF YCbCr→RGB. Supports SOF0/SOF1 8-bit precision,
-    1- or 3-component scans, arbitrary integer sampling ratios (4:4:4 /
-    4:2:2 / 4:2:0), restart intervals, and stuffed-byte framing.
-    Progressive (SOF2), lossless/hierarchical/arithmetic variants,
-    12-bit precision, and CMYK refuse loudly with the scheme named —
-    same honest-refusal policy as the TIFF/Avro codecs."""
+    replication) → JFIF YCbCr→RGB. Supports baseline/extended
+    sequential (SOF0/SOF1) AND progressive (SOF2 — spectral selection,
+    successive approximation, EOB runs; r7, T.81 Annex G) at 8-bit
+    precision, 1- or 3-component scans, arbitrary integer sampling
+    ratios (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and stuffed-byte
+    framing. Lossless/hierarchical/arithmetic variants, 12-bit
+    precision, and CMYK refuse loudly with the scheme named — same
+    honest-refusal policy as the TIFF/Avro codecs."""
     import struct
 
     import numpy as np
@@ -731,6 +734,8 @@ def _decode_jpeg_parse(payload: bytes):
     sof = None
     comps: list[dict] = []
     restart_interval = 0
+    progressive = False
+    grids: dict[int, object] = {}  # progressive: cid → raw coef grid
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -770,7 +775,7 @@ def _decode_jpeg_parse(payload: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_jpeg_huff(
                     counts, syms
                 )
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise ValueError(f"JPEG {seg[0]}-bit precision unsupported (8 only)")
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -789,10 +794,7 @@ def _decode_jpeg_parse(payload: bytes):
                 for i in range(nc)
             ]
             sof = (int(h), int(w), int(nc))
-        elif marker == 0xC2:
-            raise ValueError(
-                "progressive JPEG (SOF2) unsupported — baseline sequential only"
-            )
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF marker 0x{marker:02X} "
@@ -800,22 +802,238 @@ def _decode_jpeg_parse(payload: bytes):
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xDA:  # SOS — decode and return
+        elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != sof[2]:
-                raise ValueError("JPEG multi-scan sequential unsupported")
             scan = [
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
-            return _jpeg_decode_scan(
-                payload[pos:], sof, comps, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                if ns != sof[2]:
+                    raise ValueError("JPEG multi-scan sequential unsupported")
+                return _jpeg_decode_scan(
+                    payload[pos:], sof, comps, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            band = tuple(seg[1 + 2 * ns : 4 + 2 * ns])  # Ss, Se, Ah<<4|Al
+            end = _jpeg_entropy_end(payload, pos)
+            _jpeg_progressive_scan(
+                payload[pos:end], grids, sof, comps, scan,
+                (band[0], band[1], band[2] >> 4, band[2] & 15),
+                huff_dc, huff_ac, restart_interval,
             )
+            pos = end
         # APPn / COM / others: skipped
+    if progressive and grids:
+        import numpy as np
+
+        comp_grids = []
+        for c in comps:
+            if c["id"] not in grids:
+                raise ValueError("progressive JPEG missing a component's scans")
+            if c["tq"] not in qt:
+                raise ValueError("progressive JPEG missing a DQT table")
+            q = np.asarray(qt[c["tq"]], dtype=np.int64)
+            comp_grids.append((c, grids[c["id"]] * q[None, None, :]))
+        H, W, _nc = sof
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _jpeg_render(comp_grids, H, W, hmax, vmax)
     raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_entropy_end(payload: bytes, pos: int) -> int:
+    """First index ≥ pos holding a REAL marker (not a stuffed FF 00,
+    not a fill FF FF, not a restart RSTn) — the end of a scan's
+    entropy-coded span."""
+    i, n = pos, len(payload)
+    while i + 1 < n:
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        nxt = payload[i + 1]
+        if nxt == 0x00 or nxt == 0xFF or 0xD0 <= nxt <= 0xD7:
+            i += 2 if nxt != 0xFF else 1
+            continue
+        return i
+    return n
+
+
+def _jpeg_progressive_scan(
+    data, grids, sof, comps, scan, band, huff_dc, huff_ac, ri
+):
+    """One progressive scan (T.81 Annex G) folded into the per-component
+    raw-coefficient grids: DC first/refinement scans (interleaved MCU
+    order, or block-raster when single-component), AC first/refinement
+    scans (always single-component, spectral band Ss..Se, EOBRUN runs,
+    successive-approximation bit plane Al)."""
+    import numpy as np
+
+    H, W, _nc = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    ss, se, ah, al = band
+    for cid, td, ta in scan:
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise ValueError("JPEG scan references a missing DC DHT table")
+        if ss > 0 and ta not in huff_ac:
+            raise ValueError("JPEG scan references a missing AC DHT table")
+        if cid not in grids:
+            grids[cid] = np.zeros((my * c["v"], mx * c["h"], 64), np.int64)
+
+    segs = _jpeg_entropy_intervals(data)
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    preds = {cid: 0 for cid, _t, _a in scan}
+    eobrun = 0
+
+    def next_segment():
+        nonlocal bits, preds, eobrun, seg_i
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("JPEG missing expected restart marker")
+        bits = _JpegBits(segs[seg_i])
+        preds = {cid: 0 for cid, _t, _a in scan}
+        eobrun = 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        interleaved = len(scan) > 1
+
+        def dc_block(zzb, cid, td):
+            if ah == 0:
+                s = _jpeg_huff_decode(bits, huff_dc[td])
+                if s > 11:
+                    raise ValueError("JPEG DC category out of range")
+                preds[cid] += _jpeg_extend(bits.read(s), s)
+                zzb[0] = preds[cid] << al
+            else:  # refinement: one raw bit per block
+                if bits.read(1):
+                    zzb[0] |= 1 << al
+
+        unit = 0
+        if interleaved:
+            for myi in range(my):
+                for mxi in range(mx):
+                    if ri and unit and unit % ri == 0:
+                        next_segment()
+                    for cid, td, _ta in scan:
+                        c = by_id[cid]
+                        g = grids[cid]
+                        for byi in range(c["v"]):
+                            for bxi in range(c["h"]):
+                                dc_block(
+                                    g[myi * c["v"] + byi, mxi * c["h"] + bxi],
+                                    cid, td,
+                                )
+                    unit += 1
+        else:
+            cid, td, _ta = scan[0]
+            c = by_id[cid]
+            bh = -(-(-(-H * c["v"] // vmax)) // 8)
+            bw = -(-(-(-W * c["h"] // hmax)) // 8)
+            g = grids[cid]
+            for byi in range(bh):
+                for bxi in range(bw):
+                    if ri and unit and unit % ri == 0:
+                        next_segment()
+                    dc_block(g[byi, bxi], cid, td)
+                    unit += 1
+        return
+
+    # AC scan: single component, block-raster order
+    if len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    cid, _td, ta = scan[0]
+    if ta not in huff_ac:
+        raise ValueError("JPEG scan references a missing DHT table")
+    act = huff_ac[ta]
+    c = by_id[cid]
+    bh = -(-(-(-H * c["v"] // vmax)) // 8)
+    bw = -(-(-(-W * c["h"] // hmax)) // 8)
+    g = grids[cid]
+    p1, m1 = 1 << al, -1 << al
+    unit = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and unit and unit % ri == 0:
+                next_segment()
+            unit += 1
+            zzb = g[byi, bxi]
+            if ah == 0:  # first pass for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _jpeg_huff_decode(bits, act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (bits.read(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("JPEG AC band index overrun")
+                    zzb[k] = _jpeg_extend(bits.read(s), s) << al
+                    k += 1
+            else:  # refinement pass (T.81 G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _jpeg_huff_decode(bits, act)
+                        r, s = rs >> 4, rs & 15
+                        val = 0
+                        if s == 0:
+                            if r != 15:
+                                # REFINEMENT EOB runs include the CURRENT
+                                # block: the tail below still reads this
+                                # block's remaining correction bits, then
+                                # decrements (T.81 G.1.2.3 / the libjpeg
+                                # decode_mcu_AC_refine accounting) — the
+                                # first-pass (1<<r)-1 form would skip them
+                                # and desync the stream
+                                eobrun = (1 << r) + (
+                                    bits.read(r) if r else 0
+                                )
+                                break
+                            # r == 15: advance past 16 zero-history slots
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "JPEG AC refinement size must be 1"
+                                )
+                            val = p1 if bits.read(1) else m1
+                        while k <= se:
+                            if zzb[k] != 0:
+                                if bits.read(1) and not (int(zzb[k]) & p1):
+                                    zzb[k] += p1 if zzb[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            zzb[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if zzb[k] != 0:
+                            if bits.read(1) and not (int(zzb[k]) & p1):
+                                zzb[k] += p1 if zzb[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
@@ -861,10 +1079,21 @@ def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
                         )
             mcu += 1
 
+    return _jpeg_render(
+        [(c, grid) for c, _dct, _act, _q, grid in plan], H, W, hmax, vmax
+    )
+
+
+def _jpeg_render(comp_grids, H, W, hmax, vmax):
+    """Shared reconstruction tail: per-component DEQUANTIZED zigzag
+    coefficient grids → de-zigzag → vectorized IDCT → crop/replicate
+    upsample → gray replicate or JFIF YCbCr→RGB."""
+    import numpy as np
+
     basis = _jpeg_dct_basis()
     zz = np.asarray(_JPEG_ZIGZAG)
     planes = []
-    for c, _dct, _act, _q, grid in plan:
+    for c, grid in comp_grids:
         nat = np.zeros_like(grid)
         nat[:, :, zz] = grid  # de-zigzag
         r, q = nat.shape[0], nat.shape[1]
@@ -1222,7 +1451,7 @@ def decode_media_features(
     images → (width, height, mean RGB, grid² grayscale thumbnail),
     audio → (sample rate, channels, duration, RMS, zero-crossing rate).
 
-    Payloads needing an external codec (progressive JPEG/MP3/MP4/...) come back with
+    Payloads needing an external codec (arithmetic JPEG/MP3/MP4/...) come back with
     kind='undecodable' and the reason in ``decode_error`` —
     ``on_undecodable='error'`` raises instead (strict-ingest mode).
     Runs as mapInPandas: Arrow batches in, one numpy decode per payload

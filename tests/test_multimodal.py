@@ -658,31 +658,9 @@ def test_jpeg_encode_differential_vs_java_imageio(spark):
     assert (out == 77).all()
 
 
-def test_jpeg_refusals(spark):
-    """Progressive JPEG (a real SOF2 file written by ImageIO's encoder)
-    refuses with the scheme named; malformed payloads refuse loudly."""
-    import numpy as np
-    import pytest
-
-    from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
-
+def _imageio_progressive_jpg(spark, img):
+    """ImageIO-encode a BufferedImage as PROGRESSIVE JPEG (SOF2)."""
     jvm = spark._jvm
-    w = h = 16
-    rng = np.arange(w * h).reshape(h, w)
-    arr = np.stack([(rng * 5) % 256] * 3, axis=2).astype(np.uint8)
-    gw = spark.sparkContext._gateway
-    img = jvm.java.awt.image.BufferedImage(
-        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
-    )
-    pix = gw.new_array(jvm.int, w * h)
-    flat = (
-        (arr[:, :, 0].astype(np.int64) << 16)
-        | (arr[:, :, 1].astype(np.int64) << 8)
-        | arr[:, :, 2].astype(np.int64)
-    ).ravel()
-    for i, v in enumerate(flat):
-        pix[i] = int(v)
-    img.setRGB(0, 0, w, h, pix, 0, w)
     iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     param = iw.getDefaultWriteParam()
     param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
@@ -691,13 +669,130 @@ def test_jpeg_refusals(spark):
     iw.setOutput(ios)
     iw.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
     ios.close()
-    prog = bytes(baos.toByteArray())
-    with pytest.raises(ValueError, match="progressive"):
-        _decode_jpeg(prog)
+    return bytes(baos.toByteArray())
+
+
+def test_jpeg_progressive_decode_differential_vs_java_imageio(spark):
+    """PROGRESSIVE JPEG (SOF2 — spectral selection + successive
+    approximation, T.81 Annex G) decodes for real: files written by
+    ImageIO's progressive mode (its standard multi-scan script: DC
+    first/refine, AC bands at Al=2 → refinements to Al=0, EOB runs)
+    match ImageIO's own read-back with the same tightness as baseline —
+    gray ±2 everywhere, color via the upsampling-independent
+    invariants (tile interiors ±3, recovered luma ±2)."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_jpeg
+
+    jvm = spark._jvm
+    w = h = 23
+    rng = np.arange(w * h).reshape(h, w)
+
+    # gray: pure coefficient-accumulation agreement
+    gray = ((rng * 11) % 256).astype(np.uint8)
+    gimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = gimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(gray[y, x]))
+    gp = _imageio_progressive_jpg(spark, gimg)
+    assert b"\xff\xc2" in gp  # really SOF2
+    ours = _decode_jpeg(gp).astype(int)
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(gp))
+    r2 = img2.getRaster()
+    refg = np.array(
+        [[r2.getSample(x, y, 0) for x in range(w)] for y in range(h)], dtype=int
+    )
+    assert np.abs(ours[:, :, 0] - refg).max() <= 2
+
+    # color 4:2:0 progressive: interiors + recovered luma
+    tiles = np.zeros((32, 32, 3), np.uint8)
+    tiles[:16, :16] = [200, 30, 40]
+    tiles[:16, 16:] = [20, 180, 220]
+    tiles[16:, :16] = [90, 90, 90]
+    tiles[16:, 16:] = [250, 240, 10]
+    timg = spark._jvm.java.awt.image.BufferedImage(
+        32, 32, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    gw = spark.sparkContext._gateway
+    flat = (
+        (tiles[:, :, 0].astype(np.int64) << 16)
+        | (tiles[:, :, 1].astype(np.int64) << 8)
+        | tiles[:, :, 2].astype(np.int64)
+    ).ravel()
+    pix = gw.new_array(jvm.int, 32 * 32)
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    timg.setRGB(0, 0, 32, 32, pix, 0, 32)
+    tp = _imageio_progressive_jpg(spark, timg)
+    assert b"\xff\xc2" in tp
+    ot = _decode_jpeg(tp).astype(int)
+    rt = _imageio_read_rgb(spark, tp, 32, 32)
+    ys = np.arange(32)
+    inner = (ys % 16 >= 3) & (ys % 16 <= 12)
+    mask = inner[:, None] & inner[None, :]
+    assert np.abs(ot - rt)[mask].max() <= 3
+
+    noisy = np.stack(
+        [
+            (rng * 7) % 256,
+            (rng // 3 + 11 * (rng % 5)) % 256,
+            ((rng % 13) * 19) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    nimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    flat = (
+        (noisy[:, :, 0].astype(np.int64) << 16)
+        | (noisy[:, :, 1].astype(np.int64) << 8)
+        | noisy[:, :, 2].astype(np.int64)
+    ).ravel()
+    pix = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    nimg.setRGB(0, 0, w, h, pix, 0, w)
+    np_ = _imageio_progressive_jpg(spark, nimg)
+    o = _decode_jpeg(np_).astype(float)
+    r = _imageio_read_rgb(spark, np_, h, w).astype(float)
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    unclipped = ((o > 0) & (o < 255)).all(axis=2) & (
+        (r > 0) & (r < 255)
+    ).all(axis=2)
+    assert unclipped.sum() > 100
+    assert np.abs(luma(o) - luma(r))[unclipped].max() <= 2.0
+
+
+def test_jpeg_refusals(spark):
+    """Arithmetic-coded and other non-Huffman SOF variants refuse with
+    the scheme named; malformed payloads refuse loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
+
+    # hand-built SOF9 (arithmetic sequential) header
+    sof9 = (
+        b"\xff\xd8"
+        + b"\xff\xc9" + struct.pack(">H", 11) + bytes([8]) +
+        struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    )
+    with pytest.raises(ValueError, match="arithmetic"):
+        _decode_jpeg(sof9)
 
     with pytest.raises(ValueError, match="not a JPEG"):
         _decode_jpeg(b"\x89PNG....")
     # truncated entropy stream: cut the last 60% of a valid file
+    rng = np.arange(16 * 16).reshape(16, 16)
+    arr = np.stack([(rng * 5) % 256] * 3, axis=2).astype(np.uint8)
     good = encode_jpeg(arr)
     with pytest.raises(ValueError):
         _decode_jpeg(good[: int(len(good) * 0.4)])
