@@ -6448,6 +6448,127 @@ def knn_ivf_deterministic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(
+    m: int = 4, n_codes: int = 8, iters: int = 2, k: int = 10, d: int = 64
+) -> str:
+    """Unrolled-CTE DuckDB replay of knn_pq_deterministic: m per-subspace
+    deterministic-Lloyd recurrences over SLICED vectors (same md5 seed
+    order), per-vector codes = rounded-L2 argmin per subspace, per-query
+    ADC tables = rounded subspace distances to every codebook entry,
+    approx distance = ROUND(t0+t1+…+t{m-1}, 6) summed in subspace
+    order, top-k ascending with id ties."""
+    sd = d // m
+    assign = """
+  s{j}a{i} AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT p.vec_id, p.v, s.cell,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+      FROM s{j}pts p CROSS JOIN s{j}c{i} s) WHERE rn = 1
+  )"""
+    update = """
+  s{j}c{nx} AS (
+    SELECT s.cell, COALESCE(mm.v, s.v) AS v
+    FROM s{j}c{i} s LEFT JOIN (
+      SELECT cell, list(mv ORDER BY dim) AS v FROM (
+        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+          SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM s{j}a{i}
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ) mm USING (cell)
+  )"""
+    ctes = [
+        """pts AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id >= 5
+  )""",
+        """qs AS (
+    SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE vec_id < 5
+  )""",
+    ]
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        ctes.append(
+            f"s{j}pts AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM pts)"
+        )
+        ctes.append(
+            f"""s{j}c0 AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell, v
+    FROM s{j}pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_codes}
+  )"""
+        )
+        for i in range(iters):
+            ctes.append(assign.format(j=j, i=i).strip())
+            ctes.append(update.format(j=j, i=i, nx=i + 1).strip())
+        ctes.append(assign.format(j=j, i=iters).strip())
+        ctes.append(
+            f"s{j}q AS (SELECT query_id, v[{lo}:{hi}] AS v FROM qs)"
+        )
+        ctes.append(
+            f"""tab{j} AS (
+    SELECT q.query_id, s.cell,
+      ROUND(list_sum(list_transform(list_zip(q.v, s.v),
+            z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dval
+    FROM s{j}q q CROSS JOIN s{j}c{iters} s
+  )"""
+        )
+    code_joins = " ".join(
+        f"JOIN s{j}a{iters} a{j} USING (vec_id)" for j in range(1, m)
+    )
+    code_cols = ", ".join(f"a{j}.cell AS c{j}" for j in range(m))
+    ctes.append(
+        f"codes AS (SELECT a0.vec_id, {code_cols} FROM s0a{iters} a0 {code_joins})"
+    )
+    tab_joins = " ".join(
+        f"JOIN tab{j} t{j} ON t{j}.cell = codes.c{j}"
+        + (f" AND t{j}.query_id = t0.query_id" if j else "")
+        for j in range(m)
+    )
+    dist_sum = " + ".join(f"t{j}.dval" for j in range(m))
+    ctes.append(
+        f"""cand AS (
+    SELECT t0.query_id, codes.vec_id, ROUND({dist_sum}, 6) AS adc_dist
+    FROM codes {tab_joins}
+  )"""
+    )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT query_id, vec_id, adc_dist FROM (
+  SELECT cand.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rn
+  FROM cand)
+WHERE rn <= {k}
+ORDER BY query_id, adc_dist, vec_id
+"""
+
+
+@query("knn_pq_deterministic", oracle=_pq_oracle_sql())
+def knn_pq_deterministic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain ANN whose EVERY number hash-checks against
+    DuckDB (r7, the PQ sibling of knn_ivf_deterministic): 4 per-subspace
+    deterministic-Lloyd codebooks (8 codes each) fit over sliced
+    16-dim subvectors, the corpus encodes to 4 small codes per vector,
+    and queries rank by the classic ADC lookup-table sum — every
+    distance rounded at the same points on both engines, so codebook
+    fit, encoding, table build, and the final top-10 all sit behind the
+    driver's value hash. The engine-seeded knn_pq_adc/knn_pq_refined
+    remain the bounded-sample production recipes."""
+    from .operators.similarity import knn_pq_deterministic
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    return knn_pq_deterministic(q, c, k=10, m=4, n_codes=8, iters=2).orderBy(
+        "query_id", "adc_dist", "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.K distributed PCA spectrum (embedding preprocessing for ANN / SemDeDup)
 # ---------------------------------------------------------------------------
