@@ -1167,6 +1167,59 @@ def knn_ivf_deterministic(
     )
 
 
+def lsh_buckets_deterministic(
+    df: DataFrame,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    round_to: int = 6,
+) -> DataFrame:
+    """Sign-random-projection LSH (Charikar 2002) with ENGINE-PORTABLE
+    hyperplanes (r7): plane p's component for dimension d is +1 when
+    the first hex digit of ``md5(f"{p}:{d}")`` is even, else −1 — a
+    Rademacher matrix both engines can derive from the same strings,
+    the md5-portable-randomness trick this repo's seeded sampling
+    already uses. Bucket = Σ_p [ROUND(v·h_p, 6) ≥ 0]·2^p (rounding
+    before the sign absorbs float summation-order differences, the
+    round-before-compare rule every float oracle here uses).
+
+    One narrow kernel pass with the (n_planes × d) matrix broadcast —
+    no shuffle, no fit. Production LSH wants fresh random planes per
+    index build (`knn_lsh` / `embedding_lsh_pairs`); this variant
+    trades that for full DuckDB replayability."""
+    import hashlib
+
+    import numpy as np
+
+    d = len(df.select(vec_col).first()[0])
+    planes = np.empty((n_planes, d))
+    for p in range(n_planes):
+        for dim in range(d):
+            h = hashlib.md5(f"{p}:{dim}".encode()).hexdigest()[0]
+            planes[p, dim] = 1.0 if h in "02468ace" else -1.0
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def kernel(batches):
+        pl = bc.value
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots = np.round(m @ pl.T, round_to)
+            out = pdf.copy()
+            out[out_col] = ((dots >= 0) * weights[None, :]).sum(axis=1)
+            yield out
+
+    return df.mapInPandas(kernel, f"{fields}, {out_col} long")
+
+
 def knn_pq_deterministic(
     queries: DataFrame,
     corpus: DataFrame,

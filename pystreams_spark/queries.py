@@ -6569,6 +6569,62 @@ def knn_pq_deterministic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_lsh_deterministic",
+    oracle="""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), planes AS (
+  SELECT p.range AS p, d.range AS dim,
+    CASE WHEN substr(md5(CAST(p.range AS VARCHAR) || ':' || CAST(d.range AS VARCHAR)), 1, 1)
+         IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END AS s
+  FROM range(6) p, range(64) d
+), dots AS (
+  SELECT e.vec_id, pl.p, ROUND(SUM(e.val * pl.s), 6) AS dot
+  FROM (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim FROM pts) e
+  JOIN planes pl ON pl.dim = e.dim
+  GROUP BY e.vec_id, pl.p
+), buckets AS (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+), pairs AS (
+  SELECT a.bucket AS cluster, pa.vec_id AS id_a, pb.vec_id AS id_b,
+    ROUND(
+      list_sum(list_transform(list_zip(pa.v, pb.v), z -> z[1]*z[2]))
+      / (CASE WHEN SQRT(list_sum(list_transform(pa.v, x -> x*x))) = 0 THEN 1
+              ELSE SQRT(list_sum(list_transform(pa.v, x -> x*x))) END
+         * CASE WHEN SQRT(list_sum(list_transform(pb.v, x -> x*x))) = 0 THEN 1
+                ELSE SQRT(list_sum(list_transform(pb.v, x -> x*x))) END), 6) AS score
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN pts pa ON pa.vec_id = a.vec_id JOIN pts pb ON pb.vec_id = b.vec_id
+)
+SELECT cluster, id_a, id_b, score FROM pairs
+WHERE score >= 0.2 ORDER BY cluster, id_a, id_b
+""",
+)
+def embedding_lsh_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH whose ENTIRE pipeline hash-checks
+    against DuckDB (r7 — completes the deterministic-ANN trio with
+    IVF and PQ): hyperplanes are md5-derived Rademacher vectors (plane
+    p, dim d → ±1 from the parity of md5(f"{p}:{d}")'s first hex
+    digit), buckets are the 6-bit sign patterns of rounded dots, and
+    within-bucket pairs score by exact rounded cosine ≥ 0.2. The
+    engine-seeded `embedding_lsh_pairs`/`knn_lsh_approx` stay the
+    fresh-random-planes production recipes; this variant is the
+    replayable calibration/debug form (e.g. for auditing bucket skew
+    or collision rates against an independent engine)."""
+    from .operators.similarity import (
+        lsh_buckets_deterministic,
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    b = lsh_buckets_deterministic(e, n_planes=6)
+    pairs = semantic_dedup_pairs(b, threshold=0.2, cluster_col="bucket")
+    return pairs.orderBy("cluster", "id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # §2.K distributed PCA spectrum (embedding preprocessing for ANN / SemDeDup)
 # ---------------------------------------------------------------------------

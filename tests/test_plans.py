@@ -128,6 +128,9 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # probe kernel, each pass-once (the deterministic Lloyd FIT
         # executes eagerly at build time and never enters this plan)
         "knn_ivf_deterministic": 2,
+        # oracle-grade LSH (r7): bucket kernel + within-bucket pair
+        # kernel, each pass-once
+        "embedding_lsh_deterministic": 2,
         "knn_lsh_approx": 2,
         # decontamination shingles the (tiny) eval slice and the train
         # slice separately — two kernel stages over DISJOINT inputs, so
