@@ -366,11 +366,12 @@ def test_avro_bzip2_xz_codecs_jvm_differential(spark, tmp_path):
         got = list(iter_avro_file(theirs))
         assert got == rows
 
-    # zstandard: readable error naming the absent module
+    # r7: zstandard now WORKS (pure-Python RFC 8878 — see the dedicated
+    # differential test); only unknown codec names refuse
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="zstandard"):
-        write_avro_file(str(tmp_path / "z.avro"), rows, schema, codec="zstandard")
+    with _pytest.raises(NotImplementedError, match="unsupported"):
+        write_avro_file(str(tmp_path / "z.avro"), rows, schema, codec="lz5")
 
 
 def test_avro_sync_marker_splits_exact_partition_of_blocks(tmp_path):
@@ -740,3 +741,111 @@ def test_avro_snappy_codec_jvm_differential(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="CRC32|snappy"):
         list(iter_avro_file(bad))
+
+
+def test_zstd_decoder_differential_vs_zstd_jni(spark):
+    """Pure-Python zstd (r7, RFC 8878): REAL frames from zstd-jni (on
+    Spark's own classpath) across compression levels and payload shapes
+    — FSE-compressed sequence tables, 4-stream Huffman literals,
+    treeless blocks, repeat offsets, >128 KB multi-block frames —
+    decode byte-exactly; checksummed frames verify their xxh64 trailer
+    (tamper caught); our stored-mode frames read back through
+    zstd-jni."""
+    import os
+
+    from pystreams_spark.formats.zstd import (
+        zstd_compress_stored,
+        zstd_decompress,
+    )
+
+    jvm = spark._jvm
+    Z = jvm.com.github.luben.zstd.Zstd
+    big = open("pystreams_spark/queries.py", "rb").read()[:300_000]
+    cases = {
+        "empty": b"",
+        "tiny": b"a",
+        "repetitive": b"repetitive payload " * 200,
+        "mixed": b"".join(
+            bytes([i % 251]) + b"hello" * (i % 7) for i in range(500)
+        ),
+        "random": os.urandom(5000),
+        "text": b"the quick brown fox jumps over the lazy dog. " * 100,
+        "long_runs": b"\x00" * 10000 + b"A" * 5000 + bytes(range(256)) * 40,
+        "source_multiblock": big + big[::-1],
+    }
+    for level in (1, 3, 19):
+        for name, payload in cases.items():
+            comp = bytes(Z.compress(bytearray(payload), level))
+            assert zstd_decompress(comp) == payload, (level, name)
+
+    # checksummed frame + tamper detection
+    ctx = jvm.com.github.luben.zstd.ZstdCompressCtx()
+    ctx.setLevel(3)
+    ctx.setChecksum(True)
+    comp = bytes(ctx.compress(bytearray(cases["text"])))
+    assert zstd_decompress(comp) == cases["text"]
+    bad = bytearray(comp)
+    bad[-1] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checksum"):
+        zstd_decompress(bytes(bad))
+
+    # stored frames: spec-valid per the reference decoder
+    for name, payload in cases.items():
+        stored = zstd_compress_stored(payload)
+        assert bytes(
+            Z.decompress(bytearray(stored), max(len(payload), 1))
+        ) == payload, name
+        assert zstd_decompress(stored) == payload
+
+
+def test_avro_zstandard_codec_jvm_differential(spark, tmp_path):
+    """Avro zstandard codec both directions: the JVM writer's really-
+    compressed blocks (CodecFactory.zstandardCodec) decode with our
+    pure-Python reader; our stored-mode blocks read back through the
+    reference stack."""
+    import json as _json
+
+    from pystreams_spark.formats.avro import iter_avro_file, write_avro_file
+
+    jvm = spark._jvm
+    schema = {
+        "type": "record", "name": "c",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "body", "type": "string"},
+        ],
+    }
+    rows = [(i, ("repetitive payload " * 20) + str(i)) for i in range(300)]
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema))
+
+    ours = str(tmp_path / "ours_zstd.avro")
+    write_avro_file(ours, rows, schema, codec="zstandard")
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(ours), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert reader.getMetaString("avro.codec") == "zstandard"
+    n = 0
+    while reader.hasNext():
+        rec = reader.next()
+        assert int(rec.get("id")) == n and str(rec.get("body")) == rows[n][1]
+        n += 1
+    reader.close()
+    assert n == len(rows)
+
+    theirs = str(tmp_path / "jvm_zstd.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.zstandardCodec(3))
+    writer.create(jschema, jvm.java.io.File(theirs))
+    for i, body in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i)
+        rec.put("body", body)
+        writer.append(rec)
+    writer.close()
+    raw_size = sum(len(b) + 8 for _, b in rows)
+    assert os.path.getsize(theirs) < raw_size / 3  # genuinely compressed
+    assert list(iter_avro_file(theirs)) == rows

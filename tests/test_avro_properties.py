@@ -143,3 +143,31 @@ def test_snappy_decoder_total_on_garbage(blob):
         snappy_decompress(blob)
     except ValueError:
         pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_zstd_stored_roundtrip(payload):
+    from pystreams_spark.formats.zstd import (
+        zstd_compress_stored,
+        zstd_decompress,
+    )
+
+    assert zstd_decompress(zstd_compress_stored(payload)) == payload
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=256))
+def test_zstd_decoder_total_on_garbage(blob):
+    """Terminate with ValueError or bytes on ANY input — landing-zone
+    bytes are untrusted."""
+    from pystreams_spark.formats.zstd import zstd_decompress
+
+    try:
+        zstd_decompress(b"\x28\xb5\x2f\xfd" + blob)
+    except ValueError:
+        pass
+    try:
+        zstd_decompress(blob)
+    except ValueError:
+        pass
