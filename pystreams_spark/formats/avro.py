@@ -32,8 +32,10 @@ Supported types (both directions): null, boolean, int, long, float,
 double, bytes, string, record, array, map (string keys — an Avro spec
 restriction), union of [null, T] (nullable), enum (→ string), fixed
 (→ binary), logical date (int days) and timestamp-micros/millis
-(→ Spark timestamp). General (multi-branch) unions and decimals raise
-``NotImplementedError`` with the offending path — loudly, not lossily.
+(→ Spark timestamp), and (r7) logical decimal on bytes/fixed
+(big-endian two's-complement unscaled int ↔ Spark DecimalType).
+General (multi-branch) unions raise ``NotImplementedError`` with the
+offending path — loudly, not lossily.
 Codecs (ALL six spec codecs since r7): ``null``, ``deflate`` (zlib),
 ``bzip2`` (bz2), ``xz`` (lzma), plus pure-Python ``snappy`` (full
 tag-stream decode incl. overlapping copies; stored-mode encode; Avro
@@ -149,6 +151,13 @@ def spark_to_avro(schema: T.StructType, name: str = "topLevelRecord") -> dict:
             return {"type": "int", "logicalType": "date"}
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.DecimalType):  # r7: big-endian unscaled bytes
+            return {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": dt.precision,
+                "scale": dt.scale,
+            }
         if isinstance(dt, T.ArrayType):
             item = conv(dt.elementType, path + ".item")
             if dt.containsNull:
@@ -237,7 +246,11 @@ def avro_to_spark(sc: object) -> T.DataType:
     if logical in ("timestamp-micros", "timestamp-millis") and t == "long":
         return T.TimestampType()
     if logical == "decimal":
-        raise NotImplementedError("avro: decimal logical type not supported")
+        if t not in ("bytes", "fixed"):
+            raise NotImplementedError(
+                f"avro: decimal logical type on '{t}' unsupported"
+            )
+        return T.DecimalType(int(sc["precision"]), int(sc.get("scale", 0)))
     if t in ("string", "boolean", "int", "long", "float", "double", "bytes", "null"):
         return avro_to_spark(t)
     if t == "enum":
@@ -296,6 +309,28 @@ def _make_decoder(sc: object):
         }[sc]
     t = sc["type"]
     logical = sc.get("logicalType")
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        import decimal
+
+        scale = int(sc.get("scale", 0))
+        if t == "fixed":
+            size = int(sc["size"])
+
+            def dec_decimal(c: _Cursor):
+                raw = bytes(c.fixed(size))
+                return decimal.Decimal(
+                    int.from_bytes(raw, "big", signed=True)
+                ).scaleb(-scale)
+
+        else:
+
+            def dec_decimal(c: _Cursor):
+                raw = bytes(c.bytes_())
+                return decimal.Decimal(
+                    int.from_bytes(raw, "big", signed=True)
+                ).scaleb(-scale)
+
+        return dec_decimal
     if logical == "date" and t == "int":
         import datetime
 
@@ -414,6 +449,19 @@ def _make_encoder(sc: object):
         raise NotImplementedError(f"avro: cannot encode named type ref '{sc}'")
     t = sc["type"]
     logical = sc.get("logicalType")
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        scale = int(sc.get("scale", 0))
+        fixed_size = int(sc["size"]) if t == "fixed" else None
+
+        def enc_decimal(v, out: bytearray):
+            unscaled = int(v.scaleb(scale))
+            n = fixed_size or max(1, -(-(unscaled.bit_length() + 1) // 8))
+            b = unscaled.to_bytes(n, "big", signed=True)
+            if fixed_size is None:
+                _enc_long(len(b), out)
+            out.extend(b)
+
+        return enc_decimal
     if logical == "date" and t == "int":
         return lambda v, out: _enc_long(v.toordinal() - _EPOCH_ORD, out)
     if logical == "timestamp-micros" and t == "long":

@@ -288,6 +288,49 @@ def _decode_ppm(payload: bytes):
     return arr.reshape(h, w, 3).copy()
 
 
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int):
+    """Undo the five scanline filters over one (sub-)image starting at
+    ``offset`` in the inflated stream; returns (rows array, new
+    offset). Sub/Average/Paeth are pixel-sequential by spec."""
+    import numpy as np
+
+    stride = w * channels
+    bpp = channels
+    if offset + (stride + 1) * h > len(raw):
+        raise ValueError("PNG pixel data truncated")
+    recon = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        base = offset + y * (stride + 1)
+        f = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — whole-row vectorizable
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon, offset + (stride + 1) * h
+
+
 def _decode_png(payload: bytes):
     """PNG (W3C/RFC 2083 spec) → (H, W, 3) uint8 RGB array — stdlib
     ``zlib`` inflates IDAT, numpy + a per-row loop undo the five scanline
@@ -296,7 +339,8 @@ def _decode_png(payload: bytes):
     Python loop over the stride — fine for the thumbnail/feature sizes
     this ingest path decodes; a throughput image pipeline would hand
     payloads to a codec lib). Supports 8-bit gray / gray+alpha /
-    RGB / RGBA / palette, non-interlaced; alpha is dropped, palette is
+    RGB / RGBA / palette, plus Adam7 interlace (r7: 7 independently
+    filtered sub-images scattered to the grid); alpha is dropped, palette is
     looked up. Same offline-spec move as ``formats/avro.py``."""
     import struct
     import zlib
@@ -324,48 +368,29 @@ def _decode_png(payload: bytes):
     w, h, depth, color, _comp, _filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"PNG color type {color} unsupported")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != (stride + 1) * h:
-        raise ValueError("PNG pixel data size mismatch")
-    bpp = channels
-    recon = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        cur = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 0:
-            pass
-        elif f == 2:  # Up — whole-row vectorizable
-            cur = (cur + prev) & 0xFF
-        elif f == 1:  # Sub
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(cur[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f} invalid")
-        recon[y] = cur.astype(np.uint8)
-        prev = cur
-    px = recon.reshape(h, w, channels)
+    if not interlace:
+        if len(raw) != (w * channels + 1) * h:
+            raise ValueError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw, 0, w, h, channels)[0].reshape(h, w, channels)
+    else:  # Adam7 (r7): 7 independently-filtered sub-images, scattered
+        px = np.zeros((h, w, channels), np.uint8)
+        offset = 0
+        for x0, y0, xs, ys in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub, offset = _png_unfilter(raw, offset, pw, ph, channels)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+        if offset != len(raw):
+            raise ValueError("PNG interlaced pixel data size mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
@@ -377,12 +402,31 @@ def _decode_png(payload: bytes):
     return px[:, :, :3].copy()
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (TIFF 6.0 spec, §9 — Apple's classic RLE): n in 0..127
+    → copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n
+    times; -128 is a no-op."""
+    out = bytearray()
+    i, ln = 0, len(data)
+    while i < ln:
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
 def _decode_tiff(payload: bytes):
     """Baseline TIFF (Adobe TIFF 6.0 spec) → (H, W, 3) uint8 RGB —
-    uncompressed (Compression=1) strips only, 8 bits/sample, grayscale
-    or RGB(A), either byte order. TIFF is the scanned-document staple;
-    the uncompressed baseline is pure IFD parsing + ``np.frombuffer``
-    (LZW/JPEG-in-TIFF variants raise with the scheme named)."""
+    uncompressed, deflate/ZLib (8 and legacy 32946, r7) or PackBits
+    (32773, r7) strips; 8 bits/sample, grayscale or RGB(A), either
+    byte order. TIFF is the scanned-document staple; IFD parsing +
+    per-strip decompress + ``np.frombuffer`` (LZW/JPEG-in-TIFF
+    variants raise with the scheme named)."""
     import struct
 
     import numpy as np
@@ -414,17 +458,23 @@ def _decode_tiff(payload: bytes):
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from None
     compression = tags.get(259, [1])[0]
-    if compression != 1:
-        scheme = {5: "LZW", 6: "old-JPEG", 7: "JPEG", 8: "deflate",
-                  32773: "PackBits"}.get(compression, str(compression))
+    if compression not in (1, 8, 32946, 32773):
+        scheme = {5: "LZW", 6: "old-JPEG", 7: "JPEG"}.get(
+            compression, str(compression)
+        )
         raise ValueError(f"TIFF compression {scheme} needs a codec")
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1])
     if any(b != 8 for b in bits[:spp]):
         raise ValueError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
-    data = b"".join(
-        payload[o : o + c] for o, c in zip(offsets, counts)
-    )
+    strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
+    if compression in (8, 32946):  # Adobe / legacy deflate: zlib per strip
+        import zlib
+
+        strips = [zlib.decompress(s) for s in strips]
+    elif compression == 32773:  # PackBits (TIFF 6.0 §9): per-strip RLE
+        strips = [_packbits_decode(s) for s in strips]
+    data = b"".join(strips)
     if len(data) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
     px = np.frombuffer(data, np.uint8, w * h * spp).reshape(h, w, spp)

@@ -209,8 +209,16 @@ def test_avro_schema_translation_and_refusals(spark):
         )
     with pytest.raises(NotImplementedError, match="general unions"):
         avro_to_spark(["null", "string", "long"])
+    # r7: decimal on bytes/fixed now maps to DecimalType; only exotic
+    # carriers still refuse
+    assert (
+        avro_to_spark(
+            {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}
+        ).simpleString()
+        == "decimal(10,2)"
+    )
     with pytest.raises(NotImplementedError, match="decimal"):
-        avro_to_spark({"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2})
+        avro_to_spark({"type": "string", "logicalType": "decimal", "precision": 3})
 
 
 def test_avro_writer_two_phase_commit_no_temps_left(spark, sf_dir, tmp_path):
@@ -849,3 +857,91 @@ def test_avro_zstandard_codec_jvm_differential(spark, tmp_path):
     raw_size = sum(len(b) + 8 for _, b in rows)
     assert os.path.getsize(theirs) < raw_size / 3  # genuinely compressed
     assert list(iter_avro_file(theirs)) == rows
+
+
+def test_avro_decimal_roundtrip_and_jvm_differential(spark, tmp_path):
+    """r7 decimal logical type: Spark DecimalType round-trips through
+    our writer/reader (type + values exact), and both directions
+    differential against the Apache reference — their reader sees our
+    unscaled big-endian bytes as the right decimals (via the JVM
+    DecimalConversion) and we decode a JVM-written decimal file
+    exactly."""
+    import decimal
+    import json as _json
+
+    jvm = spark._jvm
+
+    # Spark-side roundtrip incl. negatives, zero, scale edges
+    df = spark.createDataFrame(
+        [
+            (1, decimal.Decimal("12345.67")),
+            (2, decimal.Decimal("-0.01")),
+            (3, decimal.Decimal("0.00")),
+            (4, decimal.Decimal("-99999999.99")),
+            (5, None),
+        ],
+        "id long, amount decimal(10,2)",
+    )
+    dst = str(tmp_path / "dec")
+    write_avro(df, dst)
+    back = read_avro(spark, dst)
+    assert dict(back.dtypes)["amount"] == "decimal(10,2)"
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # JVM reads OUR files: decode the bytes through DecimalConversion
+    conv = jvm.org.apache.avro.Conversions.DecimalConversion()
+    got = {}
+    for name in sorted(f for f in os.listdir(dst) if f.endswith(".avro")):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(dst, name)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            rec = reader.next()
+            buf = rec.get("amount")
+            if buf is None:
+                got[int(str(rec.get("id")))] = None
+                continue
+            sch = rec.getSchema().getField("amount").schema().getTypes().get(1)
+            bd = conv.fromBytes(buf, sch, sch.getLogicalType())
+            got[int(str(rec.get("id")))] = str(bd)
+        reader.close()
+    assert got == {
+        1: "12345.67", 2: "-0.01", 3: "0.00", 4: "-99999999.99", 5: None,
+    }
+
+    # JVM writes → we read
+    schema_json = _json.dumps(
+        {
+            "type": "record", "name": "d",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "v",
+                    "type": {
+                        "type": "bytes", "logicalType": "decimal",
+                        "precision": 12, "scale": 3,
+                    },
+                },
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    path = str(tmp_path / "jvm_dec.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    vsch = jschema.getField("v").schema()
+    cases = ["0.001", "-12.500", "99999.999", "0.000", "-0.001"]
+    for i, s in enumerate(cases):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", i)
+        bd = jvm.java.math.BigDecimal(s)
+        rec.put("v", conv.toBytes(bd, vsch, vsch.getLogicalType()))
+        writer.append(rec)
+    writer.close()
+    back2 = read_avro(spark, path)
+    assert dict(back2.dtypes)["v"] == "decimal(12,3)"
+    rows = {r.id: str(r.v) for r in back2.collect()}
+    assert rows == {i: s for i, s in enumerate(cases)}

@@ -253,7 +253,8 @@ def test_png_decode_differential_vs_java_imageio(spark):
 
 def test_png_variants_and_refusals(spark):
     """Gray / palette / RGBA PNGs decode per spec; unsupported depths
-    and interlace refuse with the reason."""
+    refuse with the reason (Adam7 interlace decodes for real since r7 —
+    see test_png_adam7_and_tiff_compressions)."""
     import struct
     import zlib
 
@@ -817,3 +818,71 @@ def test_jpeg_kernel_path(spark):
     assert row.kind == "image"
     assert (row.width, row.height) == (8, 8)
     assert row.mean_r == 133.0 and row.mean_g == 133.0 and row.mean_b == 133.0
+
+
+def test_png_adam7_and_tiff_compressions(spark):
+    """r7 refusal-lifting differentials vs Java ImageIO:
+
+    - Adam7-interlaced PNG (ImageIO's progressive mode writes real
+      7-pass files) decodes pixel-EXACTLY;
+    - TIFF Deflate/ZLib and PackBits compressed files (ImageIO's TIFF
+      writer) decode pixel-exactly per strip."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_png, _decode_tiff
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 21, 13  # odd sizes exercise ragged Adam7 passes
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack(
+        [(rng * 7) % 256, (rng * 13 + 5) % 256, (rng * 29 + 11) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    pix = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+
+    # --- Adam7 PNG via the writer's progressive mode
+    iw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    param = iw.getDefaultWriteParam()
+    param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+    iw.setOutput(ios)
+    iw.write(None, jvm.javax.imageio.IIOImage(img, None, None), param)
+    ios.close()
+    payload = bytes(baos.toByteArray())
+    # IHDR interlace byte (offset 8+8+13-1=28) really is Adam7
+    assert payload[28] == 1
+    got = _decode_png(payload)
+    assert (got == arr).all(), "Adam7 pixels differ from the original"
+
+    # --- TIFF compressions
+    for ctype in ("Deflate", "ZLib", "PackBits"):
+        tw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "tiff"
+        ).next()
+        tparam = tw.getDefaultWriteParam()
+        tparam.setCompressionMode(
+            jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT
+        )
+        tparam.setCompressionType(ctype)
+        tb = jvm.java.io.ByteArrayOutputStream()
+        tios = jvm.javax.imageio.ImageIO.createImageOutputStream(tb)
+        tw.setOutput(tios)
+        tw.write(None, jvm.javax.imageio.IIOImage(img, None, None), tparam)
+        tios.close()
+        tp = bytes(tb.toByteArray())
+        gt = _decode_tiff(tp)
+        assert (gt == arr).all(), f"TIFF {ctype} pixels differ"
