@@ -34,8 +34,10 @@ restriction), union of [null, T] (nullable), enum (→ string), fixed
 (→ binary), logical date (int days) and timestamp-micros/millis
 (→ Spark timestamp), and (r7) logical decimal on bytes/fixed
 (big-endian two's-complement unscaled int ↔ Spark DecimalType).
-General (multi-branch) unions raise ``NotImplementedError`` with the
-offending path — loudly, not lossily.
+General (multi-branch) unions READ the way spark-avro maps them (r7):
+int+long → long, float+double → double, anything else →
+``struct<member0, member1, …>`` with exactly one member set; the
+WRITE side never emits them (Spark has no union type) and raises.
 Codecs (ALL six spec codecs since r7): ``null``, ``deflate`` (zlib),
 ``bzip2`` (bz2), ``xz`` (lzma), plus pure-Python ``snappy`` (full
 tag-stream decode incl. overlapping copies; stored-mode encode; Avro
@@ -210,7 +212,9 @@ def spark_to_avro(schema: T.StructType, name: str = "topLevelRecord") -> dict:
 
 
 def _is_nullable_union(sc: object) -> tuple[bool, object]:
-    """(is [null, T] union, the non-null branch)."""
+    """(is [null, T] union, the non-null branch). Raises on general
+    unions — the WRITE-side contract (our writer never emits them);
+    the read side maps them via `_union_info` below (r7)."""
     if isinstance(sc, list):
         branches = [b for b in sc if b != "null"]
         if len(sc) <= 2 and len(branches) == 1:
@@ -222,8 +226,40 @@ def _is_nullable_union(sc: object) -> tuple[bool, object]:
     return False, sc
 
 
+def _union_info(sc: list) -> tuple[bool, list, str]:
+    """General-union classification (r7, read side — the spark-avro
+    conventions): (has_null, non-null branches, kind) with kind one of
+    ``single`` ([null, T]), ``int_long`` (→ long), ``float_double``
+    (→ double), ``struct`` (→ struct<member0, member1, …>)."""
+    has_null = "null" in sc
+    branches = [b for b in sc if b != "null"]
+    if len(branches) == 1:
+        return has_null, branches, "single"
+    if set(map(str, branches)) == {"int", "long"}:
+        return has_null, branches, "int_long"
+    if set(map(str, branches)) == {"float", "double"}:
+        return has_null, branches, "float_double"
+    return has_null, branches, "struct"
+
+
 def avro_to_spark(sc: object) -> T.DataType:
-    """Avro schema (parsed JSON) → Spark DataType."""
+    """Avro schema (parsed JSON) → Spark DataType. General unions map
+    the way spark-avro maps them (r7, read side): int+long → long,
+    float+double → double, anything else → struct<member0, member1, …>
+    with one field per non-null branch."""
+    if isinstance(sc, list):
+        has_null, branches, kind = _union_info(sc)
+        if kind == "int_long":
+            return T.LongType()
+        if kind == "float_double":
+            return T.DoubleType()
+        if kind == "struct":
+            return T.StructType(
+                [
+                    T.StructField(f"member{i}", avro_to_spark(b), nullable=True)
+                    for i, b in enumerate(branches)
+                ]
+            )
     nullable, sc = _is_nullable_union(sc)
     if isinstance(sc, str):
         prim = {
@@ -258,20 +294,20 @@ def avro_to_spark(sc: object) -> T.DataType:
     if t == "fixed":
         return T.BinaryType()
     if t == "array":
-        inner = sc["items"]
-        try:
-            has_null, branch = _is_nullable_union(inner)
-        except NotImplementedError:
-            raise
-        return T.ArrayType(avro_to_spark(branch), containsNull=has_null)
+        has_null = isinstance(sc["items"], list) and "null" in sc["items"]
+        return T.ArrayType(avro_to_spark(sc["items"]), containsNull=has_null)
     if t == "map":
-        has_null, branch = _is_nullable_union(sc["values"])
-        return T.MapType(T.StringType(), avro_to_spark(branch), valueContainsNull=has_null)
+        has_null = isinstance(sc["values"], list) and "null" in sc["values"]
+        return T.MapType(
+            T.StringType(), avro_to_spark(sc["values"]), valueContainsNull=has_null
+        )
     if t == "record":
         fields = []
         for f in sc["fields"]:
-            fnull, fbranch = _is_nullable_union(f["type"])
-            fields.append(T.StructField(f["name"], avro_to_spark(fbranch), nullable=fnull))
+            fnull = isinstance(f["type"], list) and "null" in f["type"]
+            fields.append(
+                T.StructField(f["name"], avro_to_spark(f["type"]), nullable=fnull)
+            )
         return T.StructType(fields)
     raise NotImplementedError(f"avro: unsupported type {t}")
 
@@ -287,15 +323,40 @@ def _make_decoder(sc: object):
         # union: the encoded index selects the branch in DECLARED order
         # — a foreign file may write ["T", "null"], so keep the order
         # (our [null, T] normalization is for TYPE mapping only).
-        _is_nullable_union(sc)  # raises on general unions
+        has_null, branches, kind = _union_info(sc)
         branch_decs = [
             (lambda c: None) if b == "null" else _make_decoder(b) for b in sc
         ]
+        if kind in ("single", "int_long", "float_double"):
+            # widened scalar (or plain nullable): the decoded python
+            # value is already the right shape for the mapped type
 
-        def dec_union(c: _Cursor):
-            return branch_decs[c.long()](c)
+            def dec_union(c: _Cursor):
+                return branch_decs[c.long()](c)
 
-        return dec_union
+            return dec_union
+        # struct mapping (r7): value lands in its branch's memberN slot
+        n_members = len(branches)
+        member_of = {}  # declared union index → member slot (None = null)
+        slot = 0
+        for i, b in enumerate(sc):
+            if b == "null":
+                member_of[i] = None
+            else:
+                member_of[i] = slot
+                slot += 1
+
+        def dec_union_struct(c: _Cursor):
+            i = c.long()
+            v = branch_decs[i](c)
+            m = member_of.get(i)
+            if m is None:
+                return None
+            out = [None] * n_members
+            out[m] = v
+            return tuple(out)
+
+        return dec_union_struct
     if isinstance(sc, str):
         return {
             "null": lambda c: None,

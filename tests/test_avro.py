@@ -207,8 +207,18 @@ def test_avro_schema_translation_and_refusals(spark):
         spark_to_avro(
             T.StructType([T.StructField("m", T.MapType(T.LongType(), T.LongType()))])
         )
+    # r7: general unions now MAP on the read side (the spark-avro
+    # conventions) — the WRITE side still refuses to emit them
+    assert (
+        avro_to_spark(["null", "string", "long"]).simpleString()
+        == "struct<member0:string,member1:bigint>"
+    )
+    assert avro_to_spark(["int", "long"]).simpleString() == "bigint"
+    assert avro_to_spark(["null", "float", "double"]).simpleString() == "double"
+    from pystreams_spark.formats.avro import _make_encoder
+
     with pytest.raises(NotImplementedError, match="general unions"):
-        avro_to_spark(["null", "string", "long"])
+        _make_encoder(["null", "string", "long"])
     # r7: decimal on bytes/fixed now maps to DecimalType; only exotic
     # carriers still refuse
     assert (
@@ -945,3 +955,59 @@ def test_avro_decimal_roundtrip_and_jvm_differential(spark, tmp_path):
     assert dict(back2.dtypes)["v"] == "decimal(12,3)"
     rows = {r.id: str(r.v) for r in back2.collect()}
     assert rows == {i: s for i, s in enumerate(cases)}
+
+
+def test_avro_general_unions_read_like_spark_avro(spark, tmp_path):
+    """r7: multi-branch unions decode the way spark-avro maps them —
+    int+long widens to long, float+double to double, anything else to
+    struct<member0, member1, …> with exactly one member set — proven
+    against a file the Apache reference writer produced."""
+    import json as _json
+
+    jvm = spark._jvm
+    schema_json = _json.dumps(
+        {
+            "type": "record", "name": "u",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "iv", "type": ["null", "int", "long"], "default": None},
+                {"name": "fv", "type": ["float", "double"]},
+                {"name": "sv", "type": ["null", "string", "long"], "default": None},
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    path = str(tmp_path / "unions.avro")
+    writer.create(jschema, jvm.java.io.File(path))
+    # py4j value mapping: small python ints → Integer (the union's int
+    # branch), ints > 2^31 → Long, floats → Double
+    rows = [
+        (0, 7, 1.5, "hello"),
+        (1, 2**40, 2.25, 2**41),
+        (2, None, -0.5, None),
+    ]
+    for rid, iv, fv, sv in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(jschema)
+        rec.put("id", rid)
+        rec.put("iv", iv)
+        rec.put("fv", fv)
+        rec.put("sv", sv)
+        writer.append(rec)
+    writer.close()
+
+    back = read_avro(spark, path)
+    assert dict(back.dtypes) == {
+        "id": "bigint",
+        "iv": "bigint",
+        "fv": "double",
+        "sv": "struct<member0:string,member1:bigint>",
+    }
+    got = {r.id: r for r in back.collect()}
+    assert got[0].iv == 7 and got[1].iv == 2**40 and got[2].iv is None
+    assert got[0].fv == 1.5 and got[1].fv == 2.25 and got[2].fv == -0.5
+    assert got[0].sv.member0 == "hello" and got[0].sv.member1 is None
+    assert got[1].sv.member1 == 2**41 and got[1].sv.member0 is None
+    assert got[2].sv is None
