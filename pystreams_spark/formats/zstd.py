@@ -212,9 +212,6 @@ def _huf_build(weights: list[int]):
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("zstd: empty huffman weights")
-    max_bits = total.bit_length()  # after last-weight completion: 2^max_bits
-    if total != (1 << max_bits) >> 1 and total != (1 << max_bits):
-        pass  # caller completed the weights; total must be a power of 2
     if total & (total - 1):
         raise ValueError("zstd: huffman weights do not sum to a power of 2")
     max_bits = total.bit_length() - 1
