@@ -402,6 +402,52 @@ def _decode_png(payload: bytes):
     return px[:, :, :3].copy()
 
 
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 spec §13): MSB-first code packing,
+    9→12-bit codes with EARLY change (width grows one code sooner than
+    GIF's), Clear=256 / EOI=257. Pure Python, like the GIF sibling."""
+    CLEAR, EOI = 256, 257
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    width = 9
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = fresh()
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise ValueError("corrupt TIFF LZW stream")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt TIFF LZW stream")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change (TIFF writers switch here)
+    return bytes(out)  # EOI missing: tolerate, like most readers
+
+
 def _packbits_decode(data: bytes) -> bytes:
     """PackBits (TIFF 6.0 spec, §9 — Apple's classic RLE): n in 0..127
     → copy n+1 literal bytes; n in -127..-1 → repeat next byte 1-n
@@ -421,12 +467,15 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def _decode_tiff(payload: bytes):
-    """Baseline TIFF (Adobe TIFF 6.0 spec) → (H, W, 3) uint8 RGB —
-    uncompressed, deflate/ZLib (8 and legacy 32946, r7) or PackBits
-    (32773, r7) strips; 8 bits/sample, grayscale or RGB(A), either
-    byte order. TIFF is the scanned-document staple; IFD parsing +
-    per-strip decompress + ``np.frombuffer`` (LZW/JPEG-in-TIFF
-    variants raise with the scheme named)."""
+    """TIFF (Adobe TIFF 6.0 spec + TTN2) → (H, W, 3) uint8 RGB —
+    uncompressed, LZW (§13, MSB-first early-change — r7), deflate/ZLib
+    (8 + legacy 32946, r7), PackBits (32773, r7), or new-style
+    JPEG-in-TIFF (compression 7 with JPEGTables splicing, composed
+    with the T.81 decoder — r7) strips; optional horizontal-
+    differencing predictor (tag 317=2); 8 bits/sample, grayscale or
+    RGB(A), either byte order. TIFF is the scanned-document staple;
+    IFD parsing + per-strip decode + ``np.frombuffer`` (only old-style
+    JPEG, compression 6, still raises)."""
     import struct
 
     import numpy as np
@@ -439,7 +488,7 @@ def _decode_tiff(payload: bytes):
         raise ValueError("not a TIFF payload")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
-    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 6: 1, 7: 1}  # 7=UNDEFINED (JPEGTables)
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
         base = ifd_off + 2 + 12 * i
@@ -450,7 +499,7 @@ def _decode_tiff(payload: bytes):
             continue  # rational/unknown types are irrelevant to pixel layout
         total = size * count
         off = base + 8 if total <= 4 else struct.unpack_from(bo + "I", payload, base + 8)[0]
-        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[ttype]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I", 6: "b", 7: "B"}[ttype]
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, off))
     try:
         w, h = tags[256][0], tags[257][0]
@@ -458,26 +507,46 @@ def _decode_tiff(payload: bytes):
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from None
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 8, 32946, 32773):
-        scheme = {5: "LZW", 6: "old-JPEG", 7: "JPEG"}.get(
-            compression, str(compression)
-        )
+    if compression not in (1, 5, 7, 8, 32946, 32773):
+        scheme = {6: "old-JPEG"}.get(compression, str(compression))
         raise ValueError(f"TIFF compression {scheme} needs a codec")
+    strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
+
+    if compression == 7:  # new-style JPEG-in-TIFF (TTN2): each strip is
+        # a JPEG stream; tag 347 (JPEGTables) may hold an abbreviated
+        # tables-only stream (SOI + DQT/DHT + EOI) shared by all strips
+        jt = tags.get(347)
+        parts = []
+        for s in strips:
+            if jt is not None:
+                jtb = bytes(jt)
+                if s[:2] != b"\xff\xd8" or jtb[:2] != b"\xff\xd8":
+                    raise ValueError("TIFF JPEG strip/tables missing SOI")
+                s = jtb[:-2] + s[2:]  # splice: tables (sans EOI) + strip body
+            parts.append(_decode_jpeg(s))
+        px = np.vstack(parts)[:h, :w]
+        return np.ascontiguousarray(px)
+
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [1])
     if any(b != 8 for b in bits[:spp]):
         raise ValueError(f"TIFF bits-per-sample {bits} unsupported (8 only)")
-    strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
     if compression in (8, 32946):  # Adobe / legacy deflate: zlib per strip
         import zlib
 
         strips = [zlib.decompress(s) for s in strips]
     elif compression == 32773:  # PackBits (TIFF 6.0 §9): per-strip RLE
         strips = [_packbits_decode(s) for s in strips]
+    elif compression == 5:  # LZW (TIFF 6.0 §13)
+        strips = [_tiff_lzw_decode(s) for s in strips]
     data = b"".join(strips)
     if len(data) < w * h * spp:
         raise ValueError("truncated TIFF strip data")
     px = np.frombuffer(data, np.uint8, w * h * spp).reshape(h, w, spp)
+    if tags.get(317, [1])[0] == 2:  # horizontal-differencing predictor
+        px = (np.cumsum(px.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    elif tags.get(317, [1])[0] not in (1,):
+        raise ValueError(f"TIFF predictor {tags[317][0]} unsupported")
     if spp == 1:
         return np.repeat(px, 3, axis=2).copy()
     if spp == 2:  # gray + alpha

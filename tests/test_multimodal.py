@@ -886,3 +886,139 @@ def test_png_adam7_and_tiff_compressions(spark):
         tp = bytes(tb.toByteArray())
         gt = _decode_tiff(tp)
         assert (gt == arr).all(), f"TIFF {ctype} pixels differ"
+
+
+def test_tiff_lzw_and_jpeg_in_tiff(spark):
+    """r7: TIFF-LZW (MSB-first, early-change) decodes pixel-exactly
+    against ImageIO's LZW writer; new-style JPEG-in-TIFF (compression
+    7, JPEGTables splice) composes with the T.81 decoder — gray within
+    ±2 of ImageIO's own readback, color tile interiors exact; and the
+    horizontal-differencing predictor (tag 317=2) reconstructs a
+    hand-built file exactly."""
+    import struct
+
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_tiff
+
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    w, h = 21, 13
+    rng = np.arange(w * h).reshape(h, w)
+    arr = np.stack(
+        [(rng * 7) % 256, (rng * 13 + 5) % 256, (rng * 29 + 11) % 256], axis=2
+    ).astype(np.uint8)
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    flat = (
+        (arr[:, :, 0].astype(np.int64) << 16)
+        | (arr[:, :, 1].astype(np.int64) << 8)
+        | arr[:, :, 2].astype(np.int64)
+    ).ravel()
+    pix = gw.new_array(jvm.int, w * h)
+    for i, v in enumerate(flat):
+        pix[i] = int(v)
+    img.setRGB(0, 0, w, h, pix, 0, w)
+
+    def tiff_bytes(ctype, image):
+        tw = jvm.javax.imageio.ImageIO.getImageWritersByFormatName(
+            "tiff"
+        ).next()
+        p = tw.getDefaultWriteParam()
+        p.setCompressionMode(jvm.javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(ctype)
+        b = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(b)
+        tw.setOutput(ios)
+        tw.write(None, jvm.javax.imageio.IIOImage(image, None, None), p)
+        ios.close()
+        return bytes(b.toByteArray())
+
+    # LZW: lossless → exact
+    assert (_decode_tiff(tiff_bytes("LZW", img)) == arr).all()
+
+    # JPEG-in-TIFF, gray: ±2 of ImageIO's own readback
+    gray = ((rng * 11) % 256).astype(np.uint8)
+    gimg = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    )
+    raster = gimg.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(gray[y, x]))
+    jp = tiff_bytes("JPEG", gimg)
+    gotj = _decode_tiff(jp).astype(int)
+    img2 = jvm.javax.imageio.ImageIO.read(jvm.java.io.ByteArrayInputStream(jp))
+    r2 = img2.getRaster()
+    refg = np.array(
+        [[r2.getSample(x, y, 0) for x in range(w)] for y in range(h)], dtype=int
+    )
+    assert np.abs(gotj[:, :, 0] - refg).max() <= 2
+
+    # JPEG-in-TIFF, color tiles: interiors exact vs ImageIO's readback
+    tiles = np.zeros((32, 32, 3), np.uint8)
+    tiles[:16, :16] = [200, 30, 40]
+    tiles[:16, 16:] = [20, 180, 220]
+    tiles[16:, :16] = [90, 90, 90]
+    tiles[16:, 16:] = [250, 240, 10]
+    timg = jvm.java.awt.image.BufferedImage(
+        32, 32, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    tf = (
+        (tiles[:, :, 0].astype(np.int64) << 16)
+        | (tiles[:, :, 1].astype(np.int64) << 8)
+        | tiles[:, :, 2].astype(np.int64)
+    ).ravel()
+    tpix = gw.new_array(jvm.int, 32 * 32)
+    for i, v in enumerate(tf):
+        tpix[i] = int(v)
+    timg.setRGB(0, 0, 32, 32, tpix, 0, 32)
+    jp2 = tiff_bytes("JPEG", timg)
+    gotc = _decode_tiff(jp2).astype(int)
+    img3 = jvm.javax.imageio.ImageIO.read(
+        jvm.java.io.ByteArrayInputStream(jp2)
+    )
+    back = gw.new_array(jvm.int, 32 * 32)
+    img3.getRGB(0, 0, 32, 32, back, 0, 32)
+    ref = np.array([back[i] for i in range(32 * 32)], dtype=np.int64)
+    ref = np.stack(
+        [(ref >> 16) & 255, (ref >> 8) & 255, ref & 255], axis=1
+    ).reshape(32, 32, 3).astype(int)
+    ys = np.arange(32)
+    inner = (ys % 16 >= 3) & (ys % 16 <= 12)
+    mask = inner[:, None] & inner[None, :]
+    assert np.abs(gotc - ref)[mask].max() <= 3
+
+    # hand-built predictor=2 (horizontal differencing) file: the
+    # reconstruction cumsum must recover the original bytes exactly
+    pw, ph = 5, 3
+    orig = ((np.arange(pw * ph * 3).reshape(ph, pw, 3) * 37) % 256).astype(
+        np.uint8
+    )
+    diff = orig.astype(np.int64).copy()
+    diff[:, 1:, :] = (orig[:, 1:, :].astype(np.int64)
+                      - orig[:, :-1, :].astype(np.int64)) % 256
+    strip = diff.astype(np.uint8).tobytes()
+
+    def entry(tag, ttype, count, value):
+        return struct.pack("<HHI4s", tag, ttype, count, value)
+
+    n_entries = 9
+    strip_off = 8 + 2 + n_entries * 12 + 4 + 6  # header+ifd+next+bps
+    bps_off = 8 + 2 + n_entries * 12 + 4
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 3, 1, struct.pack("<I", pw))       # width
+    ifd += entry(257, 3, 1, struct.pack("<I", ph))       # height
+    ifd += entry(258, 3, 3, struct.pack("<I", bps_off))  # bits/sample
+    ifd += entry(259, 3, 1, struct.pack("<I", 1))        # uncompressed
+    ifd += entry(262, 3, 1, struct.pack("<I", 2))        # RGB
+    ifd += entry(273, 4, 1, struct.pack("<I", strip_off))
+    ifd += entry(277, 3, 1, struct.pack("<I", 3))        # 3 samples
+    ifd += entry(279, 4, 1, struct.pack("<I", len(strip)))
+    ifd += entry(317, 3, 1, struct.pack("<I", 2))        # predictor 2
+    payload = (
+        b"II*\x00" + struct.pack("<I", 8) + ifd
+        + struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8) + strip
+    )
+    assert (_decode_tiff(payload) == orig).all()
