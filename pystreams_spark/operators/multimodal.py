@@ -177,8 +177,9 @@ _FEATURE_FIELDS = (
 
 def _decode_wav(payload: bytes) -> dict:
     """RIFF/WAVE PCM parser: fmt chunk → sample layout, data chunk →
-    int16/uint8/int32 samples via np.frombuffer. Raises ValueError on
-    malformed headers or non-PCM encodings."""
+    uint8/int16/int32 integer or (r7) float32/float64 IEEE-float
+    samples via np.frombuffer. Raises ValueError on malformed headers
+    or compressed encodings."""
     import struct
 
     import numpy as np
@@ -198,20 +199,25 @@ def _decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     audio_fmt, n_channels, sample_rate, _, _, bits = fmt
-    if audio_fmt != 1:
+    if audio_fmt == 1:  # integer PCM
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_fmt == 3:  # IEEE-float PCM (r7)
+        dtype = {32: np.float32, 64: np.float64}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported float-PCM bit depth {bits}")
+    else:
         raise ValueError(f"non-PCM WAV (format {audio_fmt}) needs a codec")
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
-    if dtype is None:
-        raise ValueError(f"unsupported PCM bit depth {bits}")
     samples = np.frombuffer(data, dtype=dtype)
     if n_channels > 1:
         samples = samples[: len(samples) - len(samples) % n_channels]
         samples = samples.reshape(-1, n_channels).mean(axis=1)
     x = samples.astype(np.float64)
-    if bits == 8:
-        x = x - 128.0
-    scale = float(2 ** (bits - 1))
-    x = x / scale
+    if audio_fmt == 1:
+        if bits == 8:
+            x = x - 128.0
+        x = x / float(2 ** (bits - 1))
     n = len(x)
     rms = float(np.sqrt((x * x).mean())) if n else 0.0
     zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
@@ -288,14 +294,17 @@ def _decode_ppm(payload: bytes):
     return arr.reshape(h, w, 3).copy()
 
 
-def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int):
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int, channels: int,
+                  bps: int = 1):
     """Undo the five scanline filters over one (sub-)image starting at
     ``offset`` in the inflated stream; returns (rows array, new
-    offset). Sub/Average/Paeth are pixel-sequential by spec."""
+    offset). ``bps`` = bytes per sample (2 for 16-bit, r7); the filter
+    unit is channels·bps bytes per spec. Sub/Average/Paeth are
+    pixel-sequential by spec."""
     import numpy as np
 
-    stride = w * channels
-    bpp = channels
+    stride = w * channels * bps
+    bpp = channels * bps
     if offset + (stride + 1) * h > len(raw):
         raise ValueError("PNG pixel data truncated")
     recon = np.empty((h, stride), np.uint8)
@@ -366,18 +375,22 @@ def _decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(f"PNG bit depth {depth} unsupported (8/16 only)")
+    if depth == 16 and color == 3:
+        raise ValueError("PNG 16-bit palette is not a legal combination")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"PNG color type {color} unsupported")
+    bps = depth // 8
+    sw = channels * bps  # bytes per pixel
     raw = zlib.decompress(b"".join(idat))
     if not interlace:
-        if len(raw) != (w * channels + 1) * h:
+        if len(raw) != (w * sw + 1) * h:
             raise ValueError("PNG pixel data size mismatch")
-        px = _png_unfilter(raw, 0, w, h, channels)[0].reshape(h, w, channels)
+        px = _png_unfilter(raw, 0, w, h, channels, bps)[0].reshape(h, w, sw)
     else:  # Adam7 (r7): 7 independently-filtered sub-images, scattered
-        px = np.zeros((h, w, channels), np.uint8)
+        px = np.zeros((h, w, sw), np.uint8)
         offset = 0
         for x0, y0, xs, ys in (
             (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -387,10 +400,12 @@ def _decode_png(payload: bytes):
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub, offset = _png_unfilter(raw, offset, pw, ph, channels)
-            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            sub, offset = _png_unfilter(raw, offset, pw, ph, channels, bps)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, sw)
         if offset != len(raw):
             raise ValueError("PNG interlaced pixel data size mismatch")
+    if bps == 2:  # 16-bit is big-endian per spec: high byte = 8-bit value
+        px = np.ascontiguousarray(px[:, :, 0::2])
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")

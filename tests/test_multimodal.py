@@ -292,11 +292,12 @@ def test_png_variants_and_refusals(spark):
     a = png(1, 1, 6, 4, [bytes([9, 8, 7, 128])])
     assert (_decode_png(a)[0, 0] == [9, 8, 7]).all()
 
-    # refusals
+    # refusals (r7: 16-bit now decodes — see the dedicated test; 4-bit
+    # and other sub-byte depths still refuse)
     with pytest.raises(ValueError, match="bit depth"):
         bad = bytearray(g)
         # IHDR depth byte: offset 8(sig)+8(len/type)+8(w,h) = 24
-        bad[24] = 16
+        bad[24] = 4
         _decode_png(bytes(bad))
     with pytest.raises(ValueError, match="not a PNG"):
         _decode_png(b"JFIF....")
@@ -1022,3 +1023,49 @@ def test_tiff_lzw_and_jpeg_in_tiff(spark):
         + struct.pack("<I", 0) + struct.pack("<HHH", 8, 8, 8) + strip
     )
     assert (_decode_tiff(payload) == orig).all()
+
+
+def test_png_16bit_and_float_wav(spark):
+    """r7: 16-bit PNGs decode (downscaled to the high byte) — verified
+    against a real 16-bit gray file from ImageIO (TYPE_USHORT_GRAY);
+    IEEE-float WAV (format 3) decodes with exact RMS arithmetic."""
+    import struct
+
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import _decode_png, _decode_wav
+
+    jvm = spark._jvm
+    w, h = 19, 11
+    rng = np.arange(w * h).reshape(h, w)
+    g16 = ((rng * 997) % 65536).astype(np.uint16)
+    img = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_USHORT_GRAY
+    )
+    raster = img.getRaster()
+    for y in range(h):
+        for x in range(w):
+            raster.setSample(x, y, 0, int(g16[y, x]))
+    baos = jvm.java.io.ByteArrayOutputStream()
+    assert jvm.javax.imageio.ImageIO.write(img, "png", baos)
+    payload = bytes(baos.toByteArray())
+    # really 16-bit: IHDR depth byte
+    assert payload[24] == 16
+    got = _decode_png(payload)
+    assert got.shape == (h, w, 3)
+    assert (got[:, :, 0] == (g16 >> 8).astype(np.uint8)).all()
+
+    # IEEE-float WAV: 0.25-amplitude square wave → RMS exactly 0.25
+    n, rate = 64, 8000
+    samples = np.array(
+        [0.25 if i % 2 == 0 else -0.25 for i in range(n)], np.float32
+    ).tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 1, rate, rate * 4, 4, 32)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    out = _decode_wav(wav)
+    assert out["kind"] == "audio" and out["sample_rate"] == rate
+    assert out["rms"] == 0.25 and out["zero_crossing_rate"] == 1.0
