@@ -9885,6 +9885,91 @@ def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "effective_dataset_size",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+                 i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), sizes AS (
+        SELECT component_id, COUNT(*) AS csize FROM comp GROUP BY component_id
+    ), t AS (
+        SELECT d.lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               COALESCE(z.csize, 1) AS csize
+        FROM documents d
+        LEFT JOIN comp c ON c.doc_id = d.doc_id
+        LEFT JOIN sizes z ON z.component_id = c.component_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+           ROUND(SUM(CAST(n_tokens AS DOUBLE) / csize), 6) AS effective_tokens,
+           ROUND(1 - SUM(CAST(n_tokens AS DOUBLE) / csize)
+                     / SUM(CAST(n_tokens AS DOUBLE)), 6) AS dup_discount
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE dataset size (r7): tokens discounted by near-dup
+    cluster size — each document contributes n_tokens / |its Jaccard-
+    0.35 component| (singletons contribute fully), so a 10-way
+    duplicated page counts once no matter how it is sliced. This is
+    the 'how much unique training data do I actually have' number that
+    raw token counts overstate, per language, with the overstatement
+    rate (dup_discount). Exact pairs via the prefix-filtered set-
+    similarity join, components via the adaptive union-find — the
+    oracle replays closure as a recursive CTE, so the driver hash
+    covers the pair set, the component labels, AND the weighting
+    arithmetic in one report."""
+    from .functions.text import token_count
+    from .io import broadcast_if_small
+    from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.35, n=3)
+    labels = cc_keep_min(pairs, d.select("doc_id"))
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    weighted = d.join(labels, "doc_id").join(
+        broadcast_if_small(sizes), "cluster_id"
+    )
+    eff = F.sum(F.col("n_tokens").cast("double") / F.col("csize"))
+    raw = F.sum(F.col("n_tokens").cast("double"))
+    return (
+        weighted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("raw_tokens"),
+            F.round(eff, 6).alias("effective_tokens"),
+            F.round(F.lit(1) - eff / raw, 6).alias("dup_discount"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "incremental_token_stats",
     oracle=f"""
     WITH t AS (
