@@ -196,39 +196,59 @@ R6_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r07.json (the driver's 50-query round-7
+# window — 50/50 full oracle-PASS). Cumulative R1 ∪ … ∪ R7 covers all
+# 217 queries registered through r7.
+R7_DRIVER_CHECKED = {
+    "anti_join_customers", "argminmax_orders_per_segment", "array_ops_embeddings",
+    "bitwise_key_partitioning", "brand_revenue_broadcast", "cogroup_order_reconciliation",
+    "cube_status_priority", "datetime_funcs_extended", "dispersion_stats",
+    "doc_repetition_by_lang", "effective_dataset_size", "embedding_lsh_deterministic",
+    "embedding_quantization_report", "explode_outer_long_words", "facade_fluent_pipeline",
+    "first_last_order_window", "grouping_sets_revenue", "histogram_order_prices",
+    "intersect_all_bag", "knn_ivf_deterministic", "knn_pq_deterministic",
+    "left_join_order_counts", "local_supplier_volume", "map_type_metrics",
+    "math_funcs_extended", "media_decode_report", "merge_upsert_orders",
+    "multimodal_meta_stats", "nation_name_distances", "nations_concat_per_region",
+    "null_handling_funcs", "pandas_api_segment_stats", "price_neighborhood_range_frame",
+    "pricing_summary", "quantity_percentiles", "regexp_part_types",
+    "region_nation_cross", "regression_price_vs_qty", "scalar_subquery_big_spenders",
+    "semi_join_customers", "sessions_gaps_islands", "sql_interface_revenue",
+    "status_pivot_by_priority", "string_funcs_extended", "supplier_page_2",
+    "take_drop_while_orders", "top_customers", "training_corpus_pipeline",
+    "udtf_token_positions", "unpivot_lineitem_metrics",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
     the most fresh evidence: (0) queries never driver-checked (new in
-    round 7, plus the fall-through safety net), (1) queries whose code
-    paths changed in round 7, (2) the one re-check the r6 verdict
-    ranked first — embedding_quantization_report, the only oracle-backed
-    query whose latest driver verdict (r3, rows-only) predates its
-    oracle, so it should flip to oracle-PASS, (3) generic stale
-    rows-only, (4+) staleness tiers by age of last driver verdict —
-    the r2-era block (37 queries) is the oldest tier and fills the rest
-    of the r7 window, per the r6 verdict's rotation ask."""
+    round 8, plus the fall-through safety net), (1) queries whose code
+    paths changed in round 8 (need re-verdicts under the new code),
+    (2) curated priority re-checks, (3) generic stale rows-only,
+    (4+) staleness tiers by age of last driver verdict — per the r7
+    verdict's rotation ask (#1) the r3-era tier (28 queries, oldest) is
+    drained first, so the r8 histogram's oldest tier becomes r4."""
 
     never_checked: set[str] = {
-        # new in round 7 rank 0 via the fall-through below
+        # new in round 8 rank 0 via the fall-through below
     }
-    # code-touched in round 7 (need re-verdicts under the new code):
-    # media_decode_report now routes ids ≡2 mod 4 through REAL baseline
-    # JPEG encode/decode (oracle updated in lockstep — local parity
-    # green, but the changed semantics deserve a fresh driver hash)
-    touched_r7: set[str] = {"media_decode_report"}
-    # VERDICT r6 next-round #1: embedding_quantization_report FIRST —
-    # its oracle landed after its only driver check (r3 rows-only);
-    # a fresh verdict should record hash_match: true.
-    stale_priority = {
-        "embedding_quantization_report",
+    # code-touched in round 8 (need re-verdicts under the new code):
+    # effective_dataset_size / neardup_components_report — verified pair
+    # frame now eagerly materialized before CC (r7 verdict #3);
+    # media_decode_report — arithmetic-coded JPEG decode added (#7)
+    touched_r8: set[str] = {
+        "effective_dataset_size", "neardup_components_report",
+        "media_decode_report",
     }
+    stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
 
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r7:
+        if name in touched_r8:
             return 1
         if name in stale_priority:
             return 2
@@ -237,7 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
-            R6_DRIVER_CHECKED)]
+            R6_DRIVER_CHECKED, R7_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
