@@ -67,6 +67,9 @@ from pyspark.sql.datasource import (
 
 MAGIC = b"Obj\x01"
 _EPOCH_ORD = 719163  # datetime.date(1970, 1, 1).toordinal()
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string")
+)
 
 # ---------------------------------------------------------------------------
 # primitive binary codec (Avro spec "Binary encoding")
@@ -230,7 +233,25 @@ def _union_info(sc: list) -> tuple[bool, list, str]:
     """General-union classification (r7, read side — the spark-avro
     conventions): (has_null, non-null branches, kind) with kind one of
     ``single`` ([null, T]), ``int_long`` (→ long), ``float_double``
-    (→ double), ``struct`` (→ struct<member0, member1, …>)."""
+    (→ double), ``struct`` (→ struct<member0, member1, …>).
+
+    Branches spelled as ``{"type": "<primitive>"}`` with no logicalType
+    are normalized to their type-name string first, matching spark-avro's
+    schema-form normalization (so ``[{"type":"int"},{"type":"long"}]``
+    classifies as int_long → long, not struct)."""
+
+    def norm(b: object) -> object:
+        if (
+            isinstance(b, dict)
+            and "logicalType" not in b
+            and isinstance(b.get("type"), str)
+            and b["type"] in _PRIMITIVES
+            and set(b) <= {"type"}
+        ):
+            return b["type"]
+        return b
+
+    sc = [norm(b) for b in sc]
     has_null = "null" in sc
     branches = [b for b in sc if b != "null"]
     if len(branches) == 1:

@@ -593,9 +593,13 @@ def _zstd_decompress_frames(data: bytes) -> bytes:
             pos += 3
             last, btype, bsize = hdr & 1, (hdr >> 1) & 3, hdr >> 3
             if btype == 0:  # raw
+                if n - pos < bsize:
+                    raise ValueError("zstd: truncated raw block")
                 out += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("zstd: truncated RLE block")
                 out += data[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:
@@ -623,15 +627,24 @@ def zstd_compress_stored(data: bytes) -> bytes:
     """Spec-valid zstd frame of RAW blocks (no compression)."""
     out = bytearray(_MAGIC.to_bytes(4, "little"))
     n = len(data)
-    fcs_code = 0 if n < 256 else (1 if n - 256 < 65536 else 2)
+    if n < 256:
+        fcs_code = 0
+    elif n - 256 < 65536:
+        fcs_code = 1
+    elif n < 1 << 32:
+        fcs_code = 2
+    else:
+        fcs_code = 3  # 8-byte FCS (RFC 8878 §3.1.1.1.2)
     fhd = (fcs_code << 6) | (1 << 5)  # single-segment, no checksum
     out.append(fhd)
     if fcs_code == 0:
         out.append(n)
     elif fcs_code == 1:
         out += (n - 256).to_bytes(2, "little")
-    else:
+    elif fcs_code == 2:
         out += n.to_bytes(4, "little")
+    else:
+        out += n.to_bytes(8, "little")
     max_block = 128 * 1024
     if n == 0:
         out += (1).to_bytes(3, "little")  # last, raw, size 0

@@ -137,6 +137,21 @@ def annotate_recall_vs_exact(
     return out
 
 
+def _probe_dim(df: DataFrame, vec_col: str, op_name: str) -> int:
+    """Embedding dimension from the first row, with a clear error when
+    the input is empty (``first()`` returns None → opaque TypeError
+    otherwise) or the probed vector itself is NULL."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"{op_name}: cannot infer embedding dimension from '{vec_col}' — "
+            "input DataFrame is empty"
+            if row is None
+            else f"{op_name}: first '{vec_col}' value is NULL"
+        )
+    return len(row[0])
+
+
 def _with_ml_vector(df: DataFrame, array_col: str, out_col: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
@@ -1192,7 +1207,7 @@ def lsh_buckets_deterministic(
 
     import numpy as np
 
-    d = len(df.select(vec_col).first()[0])
+    d = _probe_dim(df, vec_col, "lsh_buckets_deterministic")
     planes = np.empty((n_planes, d))
     for p in range(n_planes):
         for dim in range(d):
@@ -1251,7 +1266,7 @@ def knn_pq_deterministic(
     from ..io import ensure_parallelism
     from .topk import top_k_per_group
 
-    d = len(corpus.select(vec_col).first()[0])
+    d = _probe_dim(corpus, vec_col, "knn_pq_deterministic")
     if d % m != 0:
         raise ValueError(f"knn_pq_deterministic: dim {d} not divisible by m={m}")
     sd = d // m

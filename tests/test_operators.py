@@ -2790,3 +2790,26 @@ def test_triangle_census_hand_computed(spark):
     single = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     r3 = triangle_census(single).collect()[0]
     assert r3.n_wedges == 0 and r3.clustering is None
+
+
+def test_deterministic_ann_empty_input_raises_clearly(spark):
+    """r8 ADVICE: probing the embedding dimension from an empty frame
+    used to raise an opaque TypeError (first() → None); now a clear
+    ValueError names the empty input."""
+    import pytest
+
+    from pystreams_spark.operators.similarity import (
+        knn_pq_deterministic,
+        lsh_buckets_deterministic,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="lsh_buckets_deterministic.*empty"):
+        lsh_buckets_deterministic(empty)
+    q = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="knn_pq_deterministic.*empty"):
+        knn_pq_deterministic(q, empty.withColumnRenamed("vec_id", "vec_id"), k=1)
