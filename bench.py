@@ -73,6 +73,13 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     import gc
 
+    # Contention self-documentation (r7 verdict #8): a contended driver
+    # pass (227 s) vs an idle one (176 s) needed a judge re-bench to
+    # adjudicate. Record 1/5/15-min load averages before and after so
+    # the JSON itself says whether the box was busy.
+    load_before = [round(x, 2) for x in os.getloadavg()]
+    t_suite0 = time.perf_counter()
+
     for name in names:
         samples[name] = []
         for _ in range(runs):
@@ -100,6 +107,9 @@ def main() -> None:
         "runs_per_query": runs,
         "aggregation": "min_of_runs",
         "sf": sf,
+        "load_avg_before": load_before,
+        "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        "suite_wall_sec": round(time.perf_counter() - t_suite0, 1),
     }
     # subset runs (BENCH_QUERIES) go to a separate file so they never
     # clobber the last full-suite detail record
@@ -119,6 +129,8 @@ def main() -> None:
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
         "queries_truncated_to_slowest_5": True,
         "full_detail": detail_name,
+        "load_avg_before": detail["load_avg_before"],
+        "load_avg_after": detail["load_avg_after"],
     }
     print(json.dumps(compact))
 
