@@ -9860,11 +9860,21 @@ def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, the engine computes it via `cc_keep_min`'s adaptive
     union-find / alternating-stars over PREFIX-FILTERED exact-Jaccard
     pairs (exact for any τ>0 — no banding-recall caveat needed here)."""
+    from .io import materialize
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3)
-    labels = cc_keep_min(pairs, d.select("doc_id"))
+    # Eagerly pin the VERIFIED pair frame (r8, VERDICT r7 #3): the CC
+    # loop and the downstream size join must never be able to recompute
+    # the prefix-join under memory pressure — the pair set is dup-graph-
+    # sized (tiny vs corpus), so the checkpoint is cheap and the 2×+
+    # run-to-run variance this query showed in r7 driver passes goes
+    # away with the recompute path.
+    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
+    # labels feeds BOTH the size agg and the final join — pin it so the
+    # union-find + isolated-node anti-join run once (2-col, corpus-id-
+    # sized: KBs/doc-count, not corpus bytes)
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("component_size")
     )
@@ -9944,13 +9954,17 @@ def effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the pair set, the component labels, AND the weighting
     arithmetic in one report."""
     from .functions.text import token_count
-    from .io import broadcast_if_small
+    from .io import broadcast_if_small, materialize
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
-    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.35, n=3)
-    labels = cc_keep_min(pairs, d.select("doc_id"))
+    # eager pin of the verified pair frame — same rationale as
+    # neardup_components_report (r8, VERDICT r7 #3): kill the
+    # recompute-under-pressure variance, pairs are dup-graph-sized
+    pairs = materialize(ngram_jaccard_pairs_prefix(docs, threshold=0.35, n=3))
+    # labels feeds both the size agg and the weighting join — pin once
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     weighted = d.join(labels, "doc_id").join(
         broadcast_if_small(sizes), "cluster_id"
