@@ -480,6 +480,311 @@ def _make_decoder(sc: object):
     raise NotImplementedError(f"avro: cannot decode type {t}")
 
 
+# ---------------------------------------------------------------------------
+# schema resolution (Avro spec "Schema Resolution", r8): decode bytes
+# written under an EVOLVED writer schema into reader-schema-shaped
+# values — fields matched by NAME, reader defaults fill fields the
+# writer lacks, extra writer fields are decoded-and-discarded, and the
+# spec's numeric/string-bytes promotions apply. Turns the r7 drift
+# guard's blanket refusal into a read for the compatible-evolution case
+# a real landing zone produces; genuine incompatibilities still raise
+# by field name.
+# ---------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    # writer primitive → reader primitives it may promote to (spec list)
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _norm_prim(sc: object) -> object:
+    """{"type": "<primitive>"} with no logicalType → its name string."""
+    if (
+        isinstance(sc, dict)
+        and "logicalType" not in sc
+        and isinstance(sc.get("type"), str)
+        and sc["type"] in _PRIMITIVES
+        and set(sc) <= {"type"}
+    ):
+        return sc["type"]
+    return sc
+
+
+def _logical_tag(sc: object):
+    """(logicalType, base, params) for dict schemas, else None."""
+    if isinstance(sc, dict) and "logicalType" in sc:
+        params = ()
+        if sc["logicalType"] == "decimal":
+            params = (int(sc.get("precision", 0)), int(sc.get("scale", 0)))
+        return (sc["logicalType"], sc.get("type"), params)
+    return None
+
+
+def _default_to_value(sc: object, d: object):
+    """Convert an Avro JSON default into the decoder's value space
+    (dates/timestamps/decimals converted exactly like decoded data;
+    bytes/fixed defaults are latin-1-escaped strings per spec)."""
+    sc = _norm_prim(sc)
+    if isinstance(sc, list):
+        # union default applies to the FIRST branch (spec)
+        return _default_to_value(sc[0], d)
+    if isinstance(sc, str):
+        if sc == "null":
+            return None
+        if sc in ("int", "long"):
+            return int(d)
+        if sc in ("float", "double"):
+            return float(d)
+        if sc == "bytes":
+            return d.encode("latin-1")
+        return d  # boolean / string
+    t = sc["type"]
+    logical = sc.get("logicalType")
+    if logical == "date" and t == "int":
+        import datetime
+
+        return datetime.date.fromordinal(_EPOCH_ORD + int(d))
+    if logical in ("timestamp-micros", "timestamp-millis") and t == "long":
+        import datetime
+
+        ep = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        unit = "microseconds" if logical == "timestamp-micros" else "milliseconds"
+        return ep + datetime.timedelta(**{unit: int(d)})
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        import decimal
+
+        raw = d.encode("latin-1")
+        return decimal.Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-int(sc.get("scale", 0)))
+    if t == "fixed":
+        return d.encode("latin-1")
+    if t == "enum":
+        return d
+    if t == "array":
+        return [_default_to_value(sc["items"], x) for x in d]
+    if t == "map":
+        return {k: _default_to_value(sc["values"], v) for k, v in d.items()}
+    if t == "record":
+        out = []
+        for f in sc["fields"]:
+            if f["name"] in d:
+                out.append(_default_to_value(f["type"], d[f["name"]]))
+            elif "default" in f:
+                out.append(_default_to_value(f["type"], f["default"]))
+            else:
+                raise ValueError(
+                    f"avro: record default missing field '{f['name']}'"
+                )
+        return tuple(out)
+    if isinstance(t, (dict, list)):
+        return _default_to_value(t, d)
+    return _default_to_value(t, d)
+
+
+def _make_resolving_decoder(writer: object, reader: object):
+    """fn(_Cursor) decoding WRITER-encoded bytes into READER-shaped
+    values, per the spec's resolution rules. Raises ValueError (naming
+    the offending field/type) when the schemas cannot resolve."""
+    w, r = _norm_prim(writer), _norm_prim(reader)
+    if w == r:
+        return _make_decoder(w)
+
+    # unions first (either side)
+    w_is_u, r_is_u = isinstance(w, list), isinstance(r, list)
+    if w_is_u or r_is_u:
+        if r_is_u:
+            has_null, branches, kind = _union_info(r)
+            if kind != "single":
+                raise ValueError(
+                    "avro resolution: reader unions beyond [null, T] are "
+                    f"unsupported (reader kind '{kind}')"
+                )
+            r_target = _norm_prim(branches[0])
+            if not w_is_u:
+                inner = _make_resolving_decoder(w, r_target)
+                return inner  # non-null writer value always fits [null, T]
+            branch_decs = []
+            for b in w:
+                if b == "null":
+                    branch_decs.append(lambda c: None)
+                else:
+                    branch_decs.append(_make_resolving_decoder(b, r_target))
+            return lambda c: branch_decs[c.long()](c)
+        # writer union, reader plain: each branch must resolve; a null
+        # branch is a RUNTIME error only if a record actually holds one
+        branch_decs = []
+        for b in w:
+            if b == "null":
+
+                def _null_branch(c, _r=r):
+                    raise ValueError(
+                        "avro resolution: writer wrote null but reader "
+                        f"type {_r} is non-nullable"
+                    )
+
+                branch_decs.append(_null_branch)
+            else:
+                branch_decs.append(_make_resolving_decoder(b, r))
+        return lambda c: branch_decs[c.long()](c)
+
+    # logical types must agree exactly (no cross-logical promotion)
+    wt, rt = _logical_tag(w), _logical_tag(r)
+    if wt is not None or rt is not None:
+        if wt != rt:
+            raise ValueError(
+                f"avro resolution: logical types differ ({wt} vs {rt})"
+            )
+        return _make_decoder(w)
+
+    if isinstance(w, str) and isinstance(r, str):
+        if r in _PROMOTIONS.get(w, ()):
+            base = _make_decoder(w)
+            if r in ("float", "double"):
+                return lambda c: float(base(c))
+            if (w, r) == ("string", "bytes"):
+                return lambda c: base(c).encode("utf-8")
+            if (w, r) == ("bytes", "string"):
+                return lambda c: base(c).decode("utf-8")
+            return base  # int → long
+        raise ValueError(
+            f"avro resolution: writer '{w}' does not promote to reader '{r}'"
+        )
+    if isinstance(w, str) or isinstance(r, str):
+        raise ValueError(
+            f"avro resolution: writer {w} incompatible with reader {r}"
+        )
+
+    wt_, rt_ = w["type"], r["type"]
+    if isinstance(wt_, (dict, list)) and set(w) <= {"type"}:
+        return _make_resolving_decoder(wt_, r)
+    if isinstance(rt_, (dict, list)) and set(r) <= {"type"}:
+        return _make_resolving_decoder(w, rt_)
+    if wt_ != rt_:
+        raise ValueError(
+            f"avro resolution: writer type '{wt_}' vs reader type '{rt_}'"
+        )
+    if wt_ == "array":
+        item = _make_resolving_decoder(w["items"], r["items"])
+
+        def dec_array(c: _Cursor):
+            out = []
+            while True:
+                n = c.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    c.long()
+                    n = -n
+                for _ in range(n):
+                    out.append(item(c))
+
+        return dec_array
+    if wt_ == "map":
+        val = _make_resolving_decoder(w["values"], r["values"])
+
+        def dec_map(c: _Cursor):
+            out = {}
+            while True:
+                n = c.long()
+                if n == 0:
+                    return out
+                if n < 0:
+                    c.long()
+                    n = -n
+                for _ in range(n):
+                    k = c.bytes_().decode("utf-8")
+                    out[k] = val(c)
+
+        return dec_map
+    if wt_ == "enum":
+        w_syms, r_syms = w["symbols"], set(r["symbols"])
+        fallback = r.get("default")
+
+        def dec_enum(c: _Cursor):
+            s = w_syms[c.long()]
+            if s in r_syms:
+                return s
+            if fallback is not None:
+                return fallback
+            raise ValueError(
+                f"avro resolution: enum symbol '{s}' absent from reader "
+                "and reader declares no default"
+            )
+
+        return dec_enum
+    if wt_ == "fixed":
+        if int(w["size"]) != int(r["size"]):
+            raise ValueError(
+                f"avro resolution: fixed size {w['size']} vs {r['size']}"
+            )
+        return _make_decoder(w)
+    if wt_ == "record":
+        w_by_name = {f["name"]: f for f in w["fields"]}
+        # per writer field: either a (slot, resolving decoder) or a
+        # skip decoder (decode & discard — keeps the cursor honest)
+        r_names = [f["name"] for f in r["fields"]]
+        slot_of = {name: i for i, name in enumerate(r_names)}
+        steps = []  # (slot | None, decoder)
+        for wf in w["fields"]:
+            slot = slot_of.get(wf["name"])
+            if slot is None:
+                steps.append((None, _make_decoder(wf["type"])))
+            else:
+                rf = r["fields"][slot]
+                try:
+                    steps.append(
+                        (slot, _make_resolving_decoder(wf["type"], rf["type"]))
+                    )
+                except ValueError as e:
+                    raise ValueError(f"field '{wf['name']}': {e}") from None
+        consts = []  # (slot, constant) for reader fields the writer lacks
+        for i, rf in enumerate(r["fields"]):
+            if rf["name"] not in w_by_name:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro resolution: reader field '{rf['name']}' "
+                        "missing from writer and declares no default"
+                    )
+                consts.append((i, _default_to_value(rf["type"], rf["default"])))
+        n_out = len(r_names)
+
+        def dec_record(c: _Cursor):
+            out = [None] * n_out
+            for slot, dec in steps:
+                v = dec(c)
+                if slot is not None:
+                    out[slot] = v
+            for slot, v in consts:
+                out[slot] = v
+            return tuple(out)
+
+        return dec_record
+    raise ValueError(f"avro resolution: cannot resolve type '{wt_}'")
+
+
+def _decoder_for(path: str, writer_schema, reader_avro, expect_spark):
+    """Pick the decoder for one file: identical schemas → plain decode;
+    compatible evolution (when the scan carries a reader Avro schema) →
+    resolving decode; incompatible → loud error naming the file."""
+    if reader_avro is not None:
+        if writer_schema == reader_avro:
+            return _make_decoder(writer_schema)
+        try:
+            return _make_resolving_decoder(writer_schema, reader_avro)
+        except ValueError as e:
+            raise ValueError(
+                f"avro: incompatible schema evolution in {path}: {e}. "
+                "Re-encode the file or load it separately."
+            ) from None
+    _check_file_schema(path, writer_schema, expect_spark)
+    return _make_decoder(writer_schema)
+
+
 def _make_encoder(sc: object):
     """Avro schema → fn(value, bytearray). Inverse of _make_decoder;
     None under a nullable union writes the null branch's DECLARED
@@ -826,15 +1131,16 @@ def _check_file_schema(path: str, file_avro_schema: dict, expect) -> None:
         )
 
 
-def iter_avro_file(path: str, expect_schema=None):
+def iter_avro_file(path: str, expect_schema=None, reader_avro=None):
     """Yield (decoded tuple) records from one container file — block by
     block; memory is one decompressed block, never the file.
+    ``reader_avro`` (the scan's Avro reader schema, r8) enables spec
+    schema RESOLUTION for compatibly-evolved files; without it,
     ``expect_schema`` (a Spark StructType) rejects files whose embedded
     schema drifted from the planned scan schema."""
     with open(path, "rb") as f:
         schema, codec, sync = _read_header(f)
-        _check_file_schema(path, schema, expect_schema)
-        dec = _make_decoder(schema)
+        dec = _decoder_for(path, schema, reader_avro, expect_schema)
         while True:
             head = f.read(20)  # two varlongs are ≤10 bytes each
             if not head:
@@ -851,7 +1157,8 @@ def iter_avro_file(path: str, expect_schema=None):
                 raise ValueError(f"avro: sync marker mismatch in {path}")
 
 
-def iter_avro_blocks(path: str, lo: int, hi: int, expect_schema=None):
+def iter_avro_blocks(path: str, lo: int, hi: int, expect_schema=None,
+                     reader_avro=None):
     """Yield records from the blocks of ONE byte-range split of a
     container file — the Hadoop Avro input-format scheme (spec-public:
     every block is preceded by the 16-byte sync marker, so any split
@@ -867,9 +1174,8 @@ def iter_avro_blocks(path: str, lo: int, hi: int, expect_schema=None):
     """
     with open(path, "rb") as f:
         schema, codec, sync = _read_header(f)
-        _check_file_schema(path, schema, expect_schema)
         header_end = f.tell()
-        dec = _make_decoder(schema)
+        dec = _decoder_for(path, schema, reader_avro, expect_schema)
         win_lo = max(lo, header_end) - 16
         win_hi = hi - 16
         if win_lo >= win_hi:
@@ -980,6 +1286,26 @@ def write_avro_file(
 # ---------------------------------------------------------------------------
 
 
+def _plan_reader_avro(path: str, spark_schema):
+    """Capture the scan's READER Avro schema at plan time (r8): the
+    first file's embedded schema, iff its Spark mapping equals the
+    planned scan schema (i.e. the scan was inferred from it, not user-
+    overridden). Returns None → per-file strict drift check instead of
+    resolution (the pre-r8 behavior, kept for user-supplied schemas
+    whose defaults we cannot know). Driver-side, reads one header (KBs)."""
+    try:
+        files = _list_avro_files(path)
+        if not files:
+            return None
+        with open(files[0], "rb") as f:
+            first_avro, _, _ = _read_header(f)
+        if spark_schema is not None and avro_to_spark(first_avro) != spark_schema:
+            return None
+        return first_avro
+    except (OSError, ValueError, NotImplementedError):
+        return None
+
+
 def _list_avro_files(path: str) -> list[str]:
     import glob
     import os
@@ -1015,6 +1341,7 @@ class AvroReader(DataSourceReader):
         if self.split_bytes < 1 << 10:
             raise ValueError("avro: split_target_bytes must be ≥ 1 KiB")
         self._schema = schema
+        self._reader_avro = _plan_reader_avro(self.path, schema)
 
     def partitions(self):
         import os
@@ -1037,7 +1364,7 @@ class AvroReader(DataSourceReader):
     def read(self, partition):
         yield from iter_avro_blocks(
             partition.file, partition.lo, partition.hi,
-            expect_schema=self._schema,
+            expect_schema=self._schema, reader_avro=self._reader_avro,
         )
 
 
@@ -1120,7 +1447,11 @@ class AvroStreamReader(DataSourceStreamReader):
             raise ValueError("pyavro stream source requires a load path")
         self.max_files = int(options.get("max_files_per_batch", 0)) or None
         self._seen: set[str] = set()  # files already OFFERED in an offset
-        self._schema = schema  # drift in a landing file → loud failure
+        self._schema = schema
+        # r8: later landing files with COMPATIBLE evolved schemas
+        # resolve against the scan's reader schema; incompatible drift
+        # still fails loudly per file
+        self._reader_avro = _plan_reader_avro(self.path, schema)
 
     def initialOffset(self):
         return {"files": []}
@@ -1150,7 +1481,10 @@ class AvroStreamReader(DataSourceStreamReader):
         return [_AvroFilePartition(f) for f in new]
 
     def read(self, partition):
-        yield from iter_avro_file(partition.file, expect_schema=self._schema)
+        yield from iter_avro_file(
+            partition.file, expect_schema=self._schema,
+            reader_avro=self._reader_avro,
+        )
 
     def commit(self, end):
         pass  # files stay on disk; nothing to clean
