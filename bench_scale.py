@@ -122,6 +122,30 @@ def _families(spark, data_dir: str, ckpt_dir: str):
     def emb():
         return load_table(spark, data_dir, "embeddings")
 
+    from pystreams_spark.operators.similarity import (
+        knn_ivf_deterministic,
+        knn_pq_deterministic,
+    )
+    from pystreams_spark.queries import QUERIES
+
+    def ann_frames():
+        # 5 fixed queries (replica 0), corpus grows ×K — isolates the
+        # corpus-side fit/scan scaling, which is what dominates here
+        e = emb()
+        q = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        c = e.filter(F.col("vec_id") >= 5)
+        return q, c
+
+    def ivf_det():
+        q, c = ann_frames()
+        return knn_ivf_deterministic(q, c, k=10, n_cells=8, n_probe=2).count()
+
+    def pq_det():
+        q, c = ann_frames()
+        return knn_pq_deterministic(q, c, k=10, m=4, n_codes=8, iters=2).count()
+
     return {
         "neardup_dedup_pipeline": lambda: neardup_dedup(
             docs(), checkpoint_dir=ckpt_dir
@@ -129,12 +153,34 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "prefix_jaccard_pairs": lambda: ngram_jaccard_pairs_prefix(
             docs(), threshold=0.35, n=3
         ).count(),
+        # r8 (VERDICT r7 #5): the shared-content regime, guarded. First
+        # attempt (hot_df=2 absolute) measured WORSE (179 s wall, 1.32
+        # shuffle exponent): with pervasive sharing the hot set is
+        # corpus-sized and the broadcast-array scan dominates. The
+        # canonical AllPairs ascending-df order (order_by="df") is the
+        # actual cure — prefixes hold each doc's rarest shingles.
+        # Output pairs must equal the unguarded run's (any total order
+        # is exact), so rows_out doubles as the recall check.
+        "prefix_jaccard_pairs_hotdf2": lambda: ngram_jaccard_pairs_prefix(
+            docs(), threshold=0.35, n=3, hot_df=2
+        ).count(),
+        "prefix_jaccard_pairs_dforder": lambda: ngram_jaccard_pairs_prefix(
+            docs(), threshold=0.35, n=3, order_by="df"
+        ).count(),
         "kmeans_lloyd": lambda: kmeans_cells_deterministic(
             emb(), n_cells=8, iters=2
         ).count(),
         "bpe_train": lambda: bpe_train(
             docs(), num_merges=15, checkpoint_dir=ckpt_dir
         )[1].count(),
+        # r8 (VERDICT r7 #6): the deterministic ANN trio's heavy pair —
+        # full-corpus fit scans dominate — and the prefix-pair + CC +
+        # weighted-agg report, at the registered queries' parameters
+        "knn_ivf_deterministic": ivf_det,
+        "knn_pq_deterministic": pq_det,
+        "effective_dataset_size": lambda: QUERIES["effective_dataset_size"](
+            spark, data_dir
+        ).count(),
     }
 
 
@@ -164,6 +210,13 @@ def main() -> None:
                 file=sys.stderr,
             )
             fams = _families(spark, data_dir, f"{scratch}/ckpt_x{factor}")
+            only = os.environ.get("SCALE_FAMILIES")
+            if only:
+                wanted = [n.strip() for n in only.split(",") if n.strip()]
+                unknown = [n for n in wanted if n not in fams]
+                if unknown:
+                    raise SystemExit(f"SCALE_FAMILIES: unknown {unknown}")
+                fams = {n: fams[n] for n in wanted}
             for name, thunk in fams.items():
                 best, sh = None, None
                 for r in range(runs):

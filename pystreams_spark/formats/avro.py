@@ -38,6 +38,12 @@ General (multi-branch) unions READ the way spark-avro maps them (r7):
 int+long → long, float+double → double, anything else →
 ``struct<member0, member1, …>`` with exactly one member set; the
 WRITE side never emits them (Spark has no union type) and raises.
+Schema RESOLUTION (r8, spec "Schema Resolution"): a directory mixing
+COMPATIBLY evolved schema versions reads — fields match by name,
+reader defaults fill dropped fields, writer-only fields are skipped,
+int→long/float/double, long→float/double, float→double and
+string↔bytes promote; the first file's schema is the reader schema.
+Incompatible drift still refuses loudly naming the field.
 Codecs (ALL six spec codecs since r7): ``null``, ``deflate`` (zlib),
 ``bzip2`` (bz2), ``xz`` (lzma), plus pure-Python ``snappy`` (full
 tag-stream decode incl. overlapping copies; stored-mode encode; Avro

@@ -369,6 +369,7 @@ def ngram_jaccard_pairs_prefix(
     block_cols: tuple = (),
     round_to: int = 6,
     hot_df: int | float = 0.05,
+    order_by: str = "df",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PREFIX FILTERING (Chaudhuri et
     al. 2006 / Bayardo et al. 2007 "AllPairs" — public set-similarity-
@@ -398,15 +399,72 @@ def ngram_jaccard_pairs_prefix(
     ``ngram_jaccard_pairs_inverted`` whenever τ ≳ 0.3 or the corpus
     carries boilerplate; at very low τ the prefix approaches the whole
     set and the plain inverted index (optionally df-capped) costs the
-    same with fewer stages."""
+    same with fewer stages.
+
+    ``order_by`` picks the global prefix order (r8):
+
+    - ``"hot"``: the (is_hot, hash) binary order above —
+      zero extra shuffles, built by broadcast array ops. Right when
+      high-df shingles are boilerplate-FEW (its design target). When
+      sharing is PERVASIVE (a large fraction of all shingles carries
+      corpus-growing df — e.g. templated corpora), the hot set itself
+      becomes corpus-sized and the per-row broadcast-array scan
+      dominates wall time while barely pruning (measured r8, SCALE.md:
+      10× shared-content run, 179 s wall, shuffle exponent 1.32 —
+      worse than unguarded).
+    - ``"df"`` (default since r8): the canonical AllPairs/PPJoin ascending-df order —
+      every shingle ranked by its exact (block-scoped) document
+      frequency, so prefixes hold each doc's RAREST shingles and
+      Σ df_prefix² is minimized over all orders of this family. Costs
+      two extra LINEAR posting-table shuffles (df join + per-doc
+      regroup) and removes the quadratic candidate term — the right
+      trade exactly when content repeats at scale (measured r8:
+      shuffle exponent back to ≈1, SCALE.md). Output is identical
+      either way (any total order is exact). Measured r8 it also wins
+      the UNIQUE-content regime (69 vs 83 MB shuffle, equal wall at
+      10×), hence the default.
+    """
     if not threshold > 0.0:
         raise ValueError(
             "ngram_jaccard_pairs_prefix requires threshold > 0 "
             "(prefix filtering has no pruning power at τ = 0)"
         )
+    if order_by not in ("hot", "df"):
+        raise ValueError(f"order_by must be 'hot' or 'df', got {order_by!r}")
     blocks = list(block_cols)
     sh = _shingle_table(df, n, text_col, id_col, blocks)
     posts = sh.select(id_col, *blocks, F.explode("_sh").alias("_h"))
+    if order_by == "df":
+        dfreq = posts.groupBy(*blocks, "_h").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        # per-doc regroup under the exact (df, hash) total order —
+        # (df, h) is a global function of the shingle, so the order is
+        # consistent corpus-wide and the prefix theorem applies
+        ordered_tbl = (
+            posts.join(dfreq, [*blocks, "_h"])
+            .groupBy(id_col, *blocks)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("_df", "_h"))
+                ).alias("_ordst")
+            )
+        )
+        sz = F.size("_ordst")
+        plen = (sz - F.ceil(F.lit(float(threshold)) * sz) + 1).cast("int")
+        pre = ordered_tbl.select(
+            id_col,
+            *blocks,
+            F.explode(
+                F.slice(
+                    F.transform("_ordst", lambda x: x["_h"]), F.lit(1), plen
+                )
+            ).alias("_h"),
+        )
+        cand = _shared_shingle_candidates(pre, blocks, id_col)
+        return _verify_pairs_fullset(
+            sh, cand, id_col, threshold, round_to, "jaccard"
+        )
     hot = _hot_shingle_keys(sh, posts, blocks, hot_df).groupBy(*blocks).agg(
         F.collect_list("_h").alias("_hot")
     )

@@ -2813,3 +2813,31 @@ def test_deterministic_ann_empty_input_raises_clearly(spark):
     )
     with pytest.raises(ValueError, match="knn_pq_deterministic.*empty"):
         knn_pq_deterministic(q, empty.withColumnRenamed("vec_id", "vec_id"), k=1)
+
+
+def test_prefix_jaccard_order_modes_agree(spark, sf_dir):
+    """r8: the ascending-df prefix order (new default) and the binary
+    hot/cold order produce the IDENTICAL pair set — any global total
+    order keeps the prefix theorem exact; the orders differ only in
+    candidate cost (SCALE.md measures both regimes)."""
+    from pystreams_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    df_order = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, threshold=0.3, n=3, order_by="df"
+        ).collect()
+    )
+    hot_order = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, threshold=0.3, n=3, order_by="hot"
+        ).collect()
+    )
+    assert df_order == hot_order and df_order
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order_by"):
+        ngram_jaccard_pairs_prefix(docs, threshold=0.3, order_by="nope")
