@@ -236,11 +236,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # code-touched in round 8 (need re-verdicts under the new code):
     # effective_dataset_size / neardup_components_report — verified pair
-    # frame now eagerly materialized before CC (r7 verdict #3);
-    # media_decode_report — arithmetic-coded JPEG decode added (#7)
+    # frame now eagerly materialized before CC (r7 verdict #3); the
+    # prefix set-similarity join's default order flipped to
+    # ascending-df (r7 verdict #5) — every query on the prefix kernel
+    # re-verifies; media_decode_report — arithmetic-coded JPEG (#7)
     touched_r8: set[str] = {
         "effective_dataset_size", "neardup_components_report",
-        "media_decode_report",
+        "media_decode_report", "ngram_jaccard_neardup",
+        "pagerank_neardup_graph", "neardup_graph_triangle_census",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
