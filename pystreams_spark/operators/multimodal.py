@@ -852,7 +852,9 @@ def _decode_jpeg_parse(payload: bytes):
     successive approximation, EOB runs; r7, T.81 Annex G) at 8-bit
     precision, 1- or 3-component scans, arbitrary integer sampling
     ratios (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and stuffed-byte
-    framing. Lossless/hierarchical/arithmetic variants, 12-bit
+    framing. Sequential ARITHMETIC coding (SOF9 + DAC) decodes too
+    since r8 — the T.81 Annex D/F QM coder in `jpeg_arith.py`.
+    Lossless/hierarchical/progressive-arithmetic variants, 12-bit
     precision, and CMYK refuse loudly with the scheme named — same
     honest-refusal policy as the TIFF/Avro codecs."""
     import struct
@@ -869,6 +871,9 @@ def _decode_jpeg_parse(payload: bytes):
     comps: list[dict] = []
     restart_interval = 0
     progressive = False
+    arith = False  # SOF9: sequential arithmetic (r8, T.81 Annex D/F)
+    dc_cond: dict[int, tuple] = {}  # DAC: table id → (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table id → Kx
     grids: dict[int, object] = {}  # progressive: cid → raw coef grid
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
@@ -909,7 +914,19 @@ def _decode_jpeg_parse(payload: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_jpeg_huff(
                     counts, syms
                 )
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
+        elif marker == 0xCC:  # DAC — arithmetic conditioning (may carry several)
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 15
+                cs_val = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    dc_cond[tb] = (cs_val & 15, cs_val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs_val  # Kx
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF9 sequential
+            # arithmetic (r8)
             if seg[0] != 8:
                 raise ValueError(f"JPEG {seg[0]}-bit precision unsupported (8 only)")
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -929,10 +946,11 @@ def _decode_jpeg_parse(payload: bytes):
             ]
             sof = (int(h), int(w), int(nc))
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            arith = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF marker 0x{marker:02X} "
-                "(lossless/hierarchical/arithmetic) unsupported"
+                "(lossless/hierarchical/progressive-arithmetic) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -944,6 +962,13 @@ def _decode_jpeg_parse(payload: bytes):
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
+            if arith:
+                if ns != sof[2]:
+                    raise ValueError("JPEG multi-scan sequential unsupported")
+                return _jpeg_decode_scan_arith(
+                    payload[pos:], sof, comps, scan, qt, dc_cond, ac_cond,
+                    restart_interval,
+                )
             if not progressive:
                 if ns != sof[2]:
                     raise ValueError("JPEG multi-scan sequential unsupported")
@@ -1216,6 +1241,154 @@ def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
     return _jpeg_render(
         [(c, grid) for c, _dct, _act, _q, grid in plan], H, W, hmax, vmax
     )
+
+
+def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri):
+    """Sequential ARITHMETIC scan (SOF9, r8): same MCU walk as
+    `_jpeg_decode_scan` with the entropy layer swapped for the T.81
+    Annex D/F QM decoder (`operators/jpeg_arith.py`). Restart markers
+    re-init the coder AND zero every statistics bin + predictor, per
+    §F.2.4."""
+    import numpy as np
+
+    from . import jpeg_arith as ja
+
+    H, W, _nc = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("JPEG fractional sampling ratio unsupported")
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    plan = []
+    scan_comps = []
+    for cid, td, ta in scan:
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references a missing DQT table")
+        grid = np.zeros((my * c["v"], mx * c["h"], 64), np.int64)
+        plan.append((c, td, ta, np.asarray(qt[c["tq"]], np.int64), grid))
+        scan_comps.append({"id": cid, "td": td, "ta": ta})
+
+    segs = _jpeg_entropy_intervals(data)
+    cs = ja._CondState(scan_comps, dc_cond, ac_cond)
+    cs.reset(scan_comps)
+    dec = ja.ArithDecoder(segs[0], destuffed=True)
+    seg_i = 0
+    mcu = 0
+    for myi in range(my):
+        for mxi in range(mx):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing expected restart marker")
+                dec = ja.ArithDecoder(segs[seg_i], destuffed=True)
+                cs.reset(scan_comps)
+            for c, td, ta, q_zz, grid in plan:
+                for byi in range(c["v"]):
+                    for bxi in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        zz[0] = ja._decode_dc(dec, cs, c["id"], td)
+                        ja._decode_ac(dec, cs, ta, zz)
+                        grid[myi * c["v"] + byi, mxi * c["h"] + bxi] = (
+                            zz * q_zz
+                        )
+            mcu += 1
+    return _jpeg_render(
+        [(c, grid) for c, _td, _ta, _q, grid in plan], H, W, hmax, vmax
+    )
+
+
+def encode_jpeg_arith(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
+    """Sequential ARITHMETIC JPEG encoder (SOF9) — the fixture-side
+    mirror of `_jpeg_decode_scan_arith`, sharing `encode_jpeg`'s
+    forward path (JFIF YCbCr, flat quantization, 4:4:4 / grayscale).
+    Emits DAC with the default conditioning (DC L=0 U=1, AC Kx=5)
+    spelled explicitly. Exists for tests: no external codec in this
+    container reads OR writes arithmetic JPEGs."""
+    import struct
+
+    import numpy as np
+
+    from . import jpeg_arith as ja
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+
+    basis = _jpeg_dct_basis()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    comp_blocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ux,rcxy,vy->rcuv", basis, blocks, basis)
+        q = np.round(coef / float(quant)).astype(np.int64)
+        comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, zz])
+
+    nc = 1 if gray else 3
+    scan_comps = [{"id": i + 1, "td": 0, "ta": 0} for i in range(nc)]
+    cs = ja._CondState(scan_comps, {0: (0, 1)}, {0: 5})
+    cs.reset(scan_comps)
+    enc = ja.ArithEncoder()
+    rst = 0
+    mcu = 0
+    entropy_parts = []
+    for byi in range(nby):
+        for bxi in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                entropy_parts.append(enc.flush())
+                entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                enc = ja.ArithEncoder()
+                cs.reset(scan_comps)
+            for ci, blocks in enumerate(comp_blocks):
+                zzb = blocks[byi, bxi]
+                ja._encode_dc(enc, cs, ci + 1, 0, int(zzb[0]))
+                ja._encode_ac(enc, cs, 0, zzb)
+            mcu += 1
+    entropy_parts.append(enc.flush())
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    sos_body = bytes([nc])
+    for i in range(nc):
+        sof_body += bytes([i + 1, 0x11, 0])
+        sos_body += bytes([i + 1, 0x00])
+    sos_body += bytes([0, 63, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
+    out += seg(0xC9, sof_body)
+    # DAC: DC table 0 → Cs = (U<<4)|L = 0x10; AC table 0 → Kx = 5
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos_body)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_render(comp_grids, H, W, hmax, vmax):
@@ -1585,7 +1758,7 @@ def decode_media_features(
     images → (width, height, mean RGB, grid² grayscale thumbnail),
     audio → (sample rate, channels, duration, RMS, zero-crossing rate).
 
-    Payloads needing an external codec (arithmetic JPEG/MP3/MP4/...) come back with
+    Payloads needing an external codec (MP3/MP4/...) come back with
     kind='undecodable' and the reason in ``decode_error`` —
     ``on_undecodable='error'`` raises instead (strict-ingest mode).
     Runs as mapInPandas: Arrow batches in, one numpy decode per payload

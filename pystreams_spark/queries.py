@@ -7857,8 +7857,9 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END proof the REAL media decoders decode: deterministic
     payloads are synthesized per doc (ids ≡ 0 mod 4 → a solid-color
     8×8 24-bit BMP whose channel means are a pure function of the id;
-    ids ≡ 2 mod 4 → a constant-gray baseline JPEG, r7: the full T.81
-    Huffman/DCT pipeline runs and a constant plane with flat
+    ids ≡ 2 mod 4 → a constant-gray JPEG — ≡ 2 mod 8 ARITHMETIC-coded
+    (SOF9, r8: the full T.81 Annex D/F QM pipeline runs), ≡ 6 mod 8
+    Huffman baseline (r7) — either way a constant plane with flat
     quantization round-trips BIT-EXACTLY, so its means stay
     closed-form; odd ids → a 16-bit PCM square-wave WAV whose exact
     RMS is amp/32768 and whose zero-crossing rate is exactly 1), run
@@ -7871,7 +7872,11 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns."""
     import pandas as pd
 
-    from .operators.multimodal import decode_media_features, encode_jpeg
+    from .operators.multimodal import (
+        decode_media_features,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
 
     def synth(batches):
         import struct
@@ -7909,8 +7914,14 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
                     )
                 elif did % 2 == 0:
+                    # ids ≡ 2 mod 8 take the ARITHMETIC entropy path
+                    # (SOF9, r8), ids ≡ 6 mod 8 the Huffman baseline —
+                    # both lossless entropy layers over the same DCT
+                    # pipeline, so the constant-gray closed form holds
+                    # for either
+                    enc = encode_jpeg_arith if did % 8 == 2 else encode_jpeg
                     payloads.append(
-                        encode_jpeg(np.full((8, 8), did * 37 % 256, np.uint8))
+                        enc(np.full((8, 8), did * 37 % 256, np.uint8))
                     )
                 else:
                     payloads.append(wav(1000 + (did % 7) * 1000))

@@ -781,14 +781,16 @@ def test_jpeg_refusals(spark):
 
     from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
 
-    # hand-built SOF9 (arithmetic sequential) header
-    sof9 = (
+    # hand-built SOF10 (PROGRESSIVE arithmetic) header — sequential
+    # arithmetic (SOF9) decodes since r8, the progressive variant
+    # still refuses by name
+    sof10 = (
         b"\xff\xd8"
-        + b"\xff\xc9" + struct.pack(">H", 11) + bytes([8]) +
+        + b"\xff\xca" + struct.pack(">H", 11) + bytes([8]) +
         struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     )
     with pytest.raises(ValueError, match="arithmetic"):
-        _decode_jpeg(sof9)
+        _decode_jpeg(sof10)
 
     with pytest.raises(ValueError, match="not a JPEG"):
         _decode_jpeg(b"\x89PNG....")
@@ -1069,3 +1071,138 @@ def test_png_16bit_and_float_wav(spark):
     out = _decode_wav(wav)
     assert out["kind"] == "audio" and out["sample_rate"] == rate
     assert out["rms"] == 0.25 and out["zero_crossing_rate"] == 1.0
+
+
+def test_jpeg_arithmetic_coder_roundtrip_randomized():
+    """r8 (VERDICT r7 #7): the QM coder pair — randomized biased
+    decision streams across shared adaptive contexts must round-trip
+    exactly, with encoder and decoder finishing in IDENTICAL context
+    states (any state-machine asymmetry diverges within a few hundred
+    decisions). No external arithmetic-JPEG codec exists in this
+    container (Java ImageIO reads none), so the spec-transcribed
+    decoder is pinned by this mirror property plus the cross-entropy
+    equality test below."""
+    import random
+
+    from pystreams_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        fixed_stat,
+        new_stats,
+    )
+
+    rng = random.Random(1234)
+    for _ in range(60):
+        n_ctx = rng.randint(1, 10)
+        bits, ctxs = [], []
+        bias = [rng.random() for _ in range(n_ctx)]
+        for _ in range(rng.randint(1, 3000)):
+            c = rng.randrange(n_ctx)
+            ctxs.append(c)
+            bits.append(1 if rng.random() < bias[c] else 0)
+        enc, es = ArithEncoder(), new_stats(n_ctx)
+        for c, b in zip(ctxs, bits):
+            enc.code(es[c], b)
+        data = enc.flush()
+        dec, ds = ArithDecoder(data), new_stats(n_ctx)
+        assert [dec.decode(ds[c]) for c in ctxs] == bits
+        assert es == ds
+    # the never-adapting equiprobable bin (AC sign path)
+    enc, f = ArithEncoder(), fixed_stat()
+    bits = [rng.randrange(2) for _ in range(400)]
+    for b in bits:
+        enc.code(f, b)
+    assert f == fixed_stat()  # stays put by construction
+    dec, f2 = ArithDecoder(enc.flush()), fixed_stat()
+    assert [dec.decode(f2) for _ in bits] == bits
+
+
+def test_jpeg_arithmetic_stuffing_and_marker_framing():
+    """Every 0xFF in the entropy stream must be followed by a stuffed
+    0x00 (decoder treats the pair as a data FF), and a trailing marker
+    must terminate the feed without being consumed as data."""
+    import random
+
+    from pystreams_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        new_stats,
+    )
+
+    rng = random.Random(9)
+    # long skewed stream → long MPS runs → 0xFF-rich output
+    enc, es = ArithEncoder(), new_stats(1)
+    bits = [1 if rng.random() < 0.98 else 0 for _ in range(20000)]
+    for b in bits:
+        enc.code(es[0], b)
+    data = enc.flush()
+    for i, b in enumerate(data[:-1]):
+        if b == 0xFF:
+            assert data[i + 1] == 0x00, f"unstuffed FF at {i}"
+    # append an EOI marker: decode must still succeed and stop early
+    dec, ds = ArithDecoder(data + b"\xff\xd9"), new_stats(1)
+    assert [dec.decode(ds[0]) for _ in bits] == bits
+    assert dec.pos <= len(data) + 1  # never consumed past the marker FF
+
+
+def test_jpeg_arithmetic_decode_equals_huffman_pixels(spark):
+    """Cross-entropy-coding equality: the SAME quantized coefficients
+    through the Huffman and the arithmetic entropy layers must decode
+    to IDENTICAL pixels (both layers are lossless), across gray/RGB,
+    sizes, quants, and restart intervals."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(77)
+    cases = [
+        (np.full((16, 16), 200, np.uint8), 1, 0),
+        (rng.integers(0, 256, (24, 40), dtype=np.uint8), 1, 0),
+        (rng.integers(0, 256, (33, 47, 3), dtype=np.uint8), 2, 0),
+        (rng.integers(0, 256, (40, 24, 3), dtype=np.uint8), 3, 2),
+        ((np.indices((17, 19)).sum(0) * 9 % 256).astype(np.uint8), 2, 5),
+    ]
+    for arr, quant, ri in cases:
+        a = _decode_jpeg_parse(encode_jpeg_arith(arr, quant=quant,
+                                                 restart_interval=ri))
+        h = _decode_jpeg_parse(encode_jpeg(arr, quant=quant,
+                                           restart_interval=ri))
+        assert (a == h).all(), (arr.shape, quant, ri)
+    # constant gray is BIT-exact (flat quant closed form, like baseline)
+    img = _decode_jpeg_parse(encode_jpeg_arith(np.full((8, 8), 55, np.uint8)))
+    assert (img == 55).all()
+
+
+def test_jpeg_arithmetic_total_on_garbage():
+    """Corrupt arithmetic scans must raise ValueError (or decode to
+    SOME image), never hang or crash — landing-zone bytes are
+    untrusted."""
+    import numpy as np
+    import pytest
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg_arith,
+    )
+
+    rng = np.random.default_rng(5)
+    good = encode_jpeg_arith(
+        rng.integers(0, 256, (16, 16), dtype=np.uint8), quant=2
+    )
+    sos = good.find(b"\xff\xda")
+    for seed in range(40):
+        r2 = np.random.default_rng(seed)
+        bad = bytearray(good)
+        # flip bytes inside the entropy span only (headers stay valid)
+        for _ in range(4):
+            i = int(r2.integers(sos + 14, len(good) - 2))
+            bad[i] = int(r2.integers(0, 256))
+        try:
+            img = _decode_jpeg_parse(bytes(bad))
+            assert img.shape == (16, 16, 3)
+        except ValueError:
+            pass
