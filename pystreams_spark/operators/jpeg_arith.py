@@ -315,20 +315,23 @@ def _decode_dc(dec: ArithDecoder, cs: _CondState, cid: int, td: int) -> int:
     return cs.last_dc[cid]
 
 
-def _decode_ac(dec: ArithDecoder, cs: _CondState, ta: int, zz) -> None:
-    """§F.2.4.2 — AC coefficients 1..63 into the zigzag block ``zz``."""
+def _decode_ac(dec: ArithDecoder, cs: _CondState, ta: int, zz,
+               ss: int = 1, se: int = 63, al: int = 0) -> None:
+    """§F.2.4.2 — AC coefficients of the spectral band ``ss..se`` into
+    the zigzag block ``zz`` (progressive first scans pass the band +
+    the successive-approximation shift ``al``; sequential = 1..63/0)."""
     stats = cs.ac_stats[ta]
     kx = cs.ac_cond.get(ta, 5)
-    k = 1
-    while k <= 63:
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats[st]):
             return  # EOB
         while dec.decode(stats[st + 1]) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("jpeg arith: AC run past k=63")
+            if k > se:
+                raise ValueError("jpeg arith: AC run past the band end")
         sign = dec.decode(cs.fixed)
         st += 2
         m = dec.decode(stats[st])
@@ -348,7 +351,49 @@ def _decode_ac(dec: ArithDecoder, cs: _CondState, ta: int, zz) -> None:
                 v |= m
             m >>= 1
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_dc_refine(dec: ArithDecoder, cs: _CondState) -> int:
+    """§G DC successive-approximation correction: ONE fixed-bin
+    decision per block — returns the bit."""
+    return dec.decode(cs.fixed)
+
+
+def _decode_ac_refine(dec: ArithDecoder, cs: _CondState, ta: int, zz,
+                      ss: int, se: int, al: int) -> None:
+    """§G.2 AC successive-approximation refinement: previously
+    significant coefficients take a correction decision at the
+    position's st+2 bin (their Al bit is clear by construction, so a
+    1 simply sets it); zero-history positions walk st+1 decisions
+    until a newly-significant coefficient (fixed-bin sign); positions
+    past the previous stage's end-of-block carry an EOB decision."""
+    stats = cs.ac_stats[ta]
+    p1 = 1 << al
+    m1 = -1 << al
+    kex = 0
+    for i in range(se, ss - 1, -1):
+        if zz[i]:
+            kex = i
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(stats[st]):
+            return  # EOB
+        while True:
+            if zz[k]:
+                if dec.decode(stats[st + 2]):
+                    zz[k] += p1 if zz[k] >= 0 else m1
+                break
+            if dec.decode(stats[st + 1]):
+                zz[k] = m1 if dec.decode(cs.fixed) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("jpeg arith: AC refinement run past band")
         k += 1
 
 
@@ -394,26 +439,33 @@ def _encode_dc(enc: ArithEncoder, cs: _CondState, cid: int, td: int,
         mm >>= 1
 
 
-def _encode_ac(enc: ArithEncoder, cs: _CondState, ta: int, zz) -> None:
-    """§F.1.4.2 mirror of _decode_ac."""
+def _encode_ac(enc: ArithEncoder, cs: _CondState, ta: int, zz,
+               ss: int = 1, se: int = 63, al: int = 0) -> None:
+    """§F.1.4.2 mirror of _decode_ac (band + point transform: AC uses
+    magnitude shift, i.e. division truncating toward zero)."""
     stats = cs.ac_stats[ta]
     kx = cs.ac_cond.get(ta, 5)
-    # last nonzero position
+
+    def pt(k):  # point-transformed coefficient at k
+        v = int(zz[k])
+        return -(-v >> al) if v < 0 else v >> al
+
+    # last position nonzero AFTER the point transform
     ke = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
+    for k in range(se, ss - 1, -1):
+        if pt(k):
             ke = k
             break
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.code(stats[st], 0)  # not EOB
-        while zz[k] == 0:
+        while pt(k) == 0:
             enc.code(stats[st + 1], 0)
             st += 3
             k += 1
         enc.code(stats[st + 1], 1)
-        v = int(zz[k])
+        v = pt(k)
         sign = 1 if v < 0 else 0
         enc.code(cs.fixed, sign)
         mag = (-v if sign else v) - 1
@@ -441,6 +493,53 @@ def _encode_ac(enc: ArithEncoder, cs: _CondState, ta: int, zz) -> None:
             enc.code(stats[st], 1 if mag & mm else 0)
             mm >>= 1
         k += 1
-    if ke < 63:
+    if ke < se:
+        st = 3 * (k - 1)
+        enc.code(stats[st], 1)  # EOB
+
+
+def _encode_dc_refine(enc: ArithEncoder, cs: _CondState, bit: int) -> None:
+    enc.code(cs.fixed, bit)
+
+
+def _encode_ac_refine(enc: ArithEncoder, cs: _CondState, ta: int, zz,
+                      ss: int, se: int, al: int) -> None:
+    """§G.2 mirror of _decode_ac_refine: zz holds the FULL-precision
+    quantized coefficients; this stage emits bit ``al`` of each."""
+    stats = cs.ac_stats[ta]
+
+    def mag_shift(k, shift):
+        v = int(zz[k])
+        return (-v if v < 0 else v) >> shift
+
+    ke = 0
+    for i in range(se, ss - 1, -1):
+        if mag_shift(i, al):
+            ke = i
+            break
+    kex = 0
+    for i in range(ke, ss - 1, -1):
+        if mag_shift(i, al + 1):
+            kex = i
+            break
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.code(stats[st], 0)  # not EOB yet
+        while True:
+            t = mag_shift(k, al)
+            if t:
+                if t > 1:  # previously significant: correction bit
+                    enc.code(stats[st + 2], t & 1)
+                else:  # newly significant at this stage
+                    enc.code(stats[st + 1], 1)
+                    enc.code(cs.fixed, 1 if int(zz[k]) < 0 else 0)
+                break
+            enc.code(stats[st + 1], 0)
+            st += 3
+            k += 1
+        k += 1
+    if k <= se:
         st = 3 * (k - 1)
         enc.code(stats[st], 1)  # EOB

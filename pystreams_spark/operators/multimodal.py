@@ -924,9 +924,9 @@ def _decode_jpeg_parse(payload: bytes):
                     dc_cond[tb] = (cs_val & 15, cs_val >> 4)  # (L, U)
                 else:
                     ac_cond[tb] = cs_val  # Kx
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/SOF1 sequential, SOF2 progressive, SOF9 sequential
-            # arithmetic (r8)
+            # arithmetic, SOF10 progressive arithmetic (both r8)
             if seg[0] != 8:
                 raise ValueError(f"JPEG {seg[0]}-bit precision unsupported (8 only)")
             h, w = struct.unpack_from(">HH", seg, 1)
@@ -945,12 +945,12 @@ def _decode_jpeg_parse(payload: bytes):
                 for i in range(nc)
             ]
             sof = (int(h), int(w), int(nc))
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF marker 0x{marker:02X} "
-                "(lossless/hierarchical/progressive-arithmetic) unsupported"
+                "(lossless/hierarchical/differential) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -962,7 +962,7 @@ def _decode_jpeg_parse(payload: bytes):
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
-            if arith:
+            if arith and not progressive:
                 if ns != sof[2]:
                     raise ValueError("JPEG multi-scan sequential unsupported")
                 return _jpeg_decode_scan_arith(
@@ -978,11 +978,18 @@ def _decode_jpeg_parse(payload: bytes):
                 )
             band = tuple(seg[1 + 2 * ns : 4 + 2 * ns])  # Ss, Se, Ah<<4|Al
             end = _jpeg_entropy_end(payload, pos)
-            _jpeg_progressive_scan(
-                payload[pos:end], grids, sof, comps, scan,
-                (band[0], band[1], band[2] >> 4, band[2] & 15),
-                huff_dc, huff_ac, restart_interval,
-            )
+            if arith:
+                _jpeg_progressive_scan_arith(
+                    payload[pos:end], grids, sof, comps, scan,
+                    (band[0], band[1], band[2] >> 4, band[2] & 15),
+                    dc_cond, ac_cond, restart_interval,
+                )
+            else:
+                _jpeg_progressive_scan(
+                    payload[pos:end], grids, sof, comps, scan,
+                    (band[0], band[1], band[2] >> 4, band[2] & 15),
+                    huff_dc, huff_ac, restart_interval,
+                )
             pos = end
         # APPn / COM / others: skipped
     if progressive and grids:
@@ -1241,6 +1248,215 @@ def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
     return _jpeg_render(
         [(c, grid) for c, _dct, _act, _q, grid in plan], H, W, hmax, vmax
     )
+
+
+def _jpeg_progressive_scan_arith(
+    data, grids, sof, comps, scan, band, dc_cond, ac_cond, ri
+):
+    """One PROGRESSIVE arithmetic scan (SOF10, r8 — T.81 Annex G with
+    the Annex D/F coder): DC first scans run the sequential DC model
+    in the point-transformed domain, DC refinements are one fixed-bin
+    decision per block, AC first scans run the banded AC model with
+    values scaled by 2^Al, AC refinements follow §G.2 (correction
+    decisions for previously-significant positions, fixed-bin signs
+    for newly-significant ones). Statistics + coder re-init at every
+    restart, per spec."""
+    import numpy as np
+
+    from . import jpeg_arith as ja
+
+    H, W, _nc = sof
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mx = -(-W // (8 * hmax))
+    my = -(-H // (8 * vmax))
+    ss, se, ah, al = band
+    for cid, _td, _ta in scan:
+        c = by_id.get(cid)
+        if c is None:
+            raise ValueError("JPEG scan references unknown component")
+        if cid not in grids:
+            grids[cid] = np.zeros((my * c["v"], mx * c["h"], 64), np.int64)
+
+    scan_comps = [
+        {"id": cid, "td": td, "ta": ta} for cid, td, ta in scan
+    ]
+    segs = _jpeg_entropy_intervals(data)
+    cs = ja._CondState(scan_comps, dc_cond, ac_cond)
+    cs.reset(scan_comps)
+    dec = ja.ArithDecoder(segs[0], destuffed=True)
+    seg_i = 0
+
+    def next_segment():
+        nonlocal dec, seg_i
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("JPEG missing expected restart marker")
+        dec = ja.ArithDecoder(segs[seg_i], destuffed=True)
+        cs.reset(scan_comps)
+
+    unit = 0
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("JPEG DC scan with nonzero Se")
+        interleaved = len(scan) > 1
+
+        def dc_block(zzb, cid, td):
+            if ah == 0:
+                zzb[0] = ja._decode_dc(dec, cs, cid, td) << al
+            elif ja._decode_dc_refine(dec, cs):
+                zzb[0] |= 1 << al
+
+        if interleaved:
+            for myi in range(my):
+                for mxi in range(mx):
+                    if ri and unit and unit % ri == 0:
+                        next_segment()
+                    for cid, td, _ta in scan:
+                        c = by_id[cid]
+                        g = grids[cid]
+                        for byi in range(c["v"]):
+                            for bxi in range(c["h"]):
+                                dc_block(
+                                    g[myi * c["v"] + byi, mxi * c["h"] + bxi],
+                                    cid, td,
+                                )
+                    unit += 1
+        else:
+            cid, td, _ta = scan[0]
+            c = by_id[cid]
+            bh = -(-(-(-H * c["v"] // vmax)) // 8)
+            bw = -(-(-(-W * c["h"] // hmax)) // 8)
+            g = grids[cid]
+            for byi in range(bh):
+                for bxi in range(bw):
+                    if ri and unit and unit % ri == 0:
+                        next_segment()
+                    dc_block(g[byi, bxi], cid, td)
+                    unit += 1
+        return
+
+    if len(scan) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    cid, _td, ta = scan[0]
+    c = by_id[cid]
+    bh = -(-(-(-H * c["v"] // vmax)) // 8)
+    bw = -(-(-(-W * c["h"] // hmax)) // 8)
+    g = grids[cid]
+    for byi in range(bh):
+        for bxi in range(bw):
+            if ri and unit and unit % ri == 0:
+                next_segment()
+            unit += 1
+            zzb = g[byi, bxi]
+            if ah == 0:
+                ja._decode_ac(dec, cs, ta, zzb, ss, se, al)
+            else:
+                ja._decode_ac_refine(dec, cs, ta, zzb, ss, se, al)
+
+
+def encode_jpeg_progressive_arith(arr, quant: int = 1) -> bytes:
+    """PROGRESSIVE arithmetic JPEG encoder (SOF10) — fixture-side
+    mirror of `_jpeg_progressive_scan_arith`. Scan script: interleaved
+    DC first at Al=1, DC refinement to Al=0, then per component AC
+    first 1..63 at Al=1 and AC refinement to Al=0 — every §G.2
+    arithmetic scan kind is exercised. 4:4:4 / grayscale, flat quant."""
+    import struct
+
+    import numpy as np
+
+    from . import jpeg_arith as ja
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        planes = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+
+    basis = _jpeg_dct_basis()
+    zz = np.asarray(_JPEG_ZIGZAG)
+    nby, nbx = -(-h // 8), -(-w // 8)
+    comp_blocks = []
+    for p in planes:
+        padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
+        blocks = (
+            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.einsum("ux,rcxy,vy->rcuv", basis, blocks, basis)
+        q = np.round(coef / float(quant)).astype(np.int64)
+        comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, zz])
+
+    nc = 1 if gray else 3
+    parts = []  # (sos_body, entropy)
+
+    def run_scan(scan_ids, band):
+        ss, se, ah, al = band
+        scan_comps = [{"id": i + 1, "td": 0, "ta": 0} for i in scan_ids]
+        cs = ja._CondState(scan_comps, {0: (0, 1)}, {0: 5})
+        cs.reset(scan_comps)
+        enc = ja.ArithEncoder()
+        if ss == 0:
+            if ah == 0:
+                for byi in range(nby):
+                    for bxi in range(nbx):
+                        for i in scan_ids:
+                            dc = int(comp_blocks[i][byi, bxi][0])
+                            ja._encode_dc(enc, cs, i + 1, 0, dc >> al)
+            else:
+                for byi in range(nby):
+                    for bxi in range(nbx):
+                        for i in scan_ids:
+                            dc = int(comp_blocks[i][byi, bxi][0])
+                            ja._encode_dc_refine(enc, cs, (dc >> al) & 1)
+        else:
+            (i,) = scan_ids
+            for byi in range(nby):
+                for bxi in range(nbx):
+                    zzb = comp_blocks[i][byi, bxi]
+                    if ah == 0:
+                        ja._encode_ac(enc, cs, 0, zzb, ss, se, al)
+                    else:
+                        ja._encode_ac_refine(enc, cs, 0, zzb, ss, se, al)
+        sos = bytes([len(scan_ids)])
+        for i in scan_ids:
+            sos += bytes([i + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        parts.append((sos, enc.flush()))
+
+    all_ids = list(range(nc))
+    run_scan(all_ids, (0, 0, 0, 1))  # DC first, Al=1
+    run_scan(all_ids, (0, 0, 1, 0))  # DC refinement → Al=0
+    for i in all_ids:
+        run_scan([i], (1, 63, 0, 1))  # AC first, Al=1
+    for i in all_ids:
+        run_scan([i], (1, 63, 1, 0))  # AC refinement → Al=0
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        sof_body += bytes([i + 1, 0x11, 0])
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
+    out += seg(0xCA, sof_body)
+    out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    for sos_body, entropy in parts:
+        out += seg(0xDA, sos_body)
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri):

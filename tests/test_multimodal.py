@@ -781,16 +781,16 @@ def test_jpeg_refusals(spark):
 
     from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
 
-    # hand-built SOF10 (PROGRESSIVE arithmetic) header — sequential
-    # arithmetic (SOF9) decodes since r8, the progressive variant
-    # still refuses by name
-    sof10 = (
+    # hand-built SOF3 (lossless) header — both arithmetic variants
+    # (SOF9 sequential, SOF10 progressive) decode since r8; lossless/
+    # hierarchical/differential still refuse by name
+    sof3 = (
         b"\xff\xd8"
-        + b"\xff\xca" + struct.pack(">H", 11) + bytes([8]) +
+        + b"\xff\xc3" + struct.pack(">H", 11) + bytes([8]) +
         struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(ValueError, match="arithmetic"):
-        _decode_jpeg(sof10)
+    with pytest.raises(ValueError, match="lossless"):
+        _decode_jpeg(sof3)
 
     with pytest.raises(ValueError, match="not a JPEG"):
         _decode_jpeg(b"\x89PNG....")
@@ -1206,3 +1206,33 @@ def test_jpeg_arithmetic_total_on_garbage():
             assert img.shape == (16, 16, 3)
         except ValueError:
             pass
+
+
+def test_jpeg_progressive_arithmetic_decode_equals_huffman_pixels(spark):
+    """r8: SOF10 progressive-arithmetic — the full §G.2 scan script
+    (interleaved DC first Al=1, DC refinement, per-component AC first
+    + AC refinement) must reproduce exactly the pixels the sequential
+    Huffman path decodes from the same quantized coefficients."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg,
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(23)
+    cases = [
+        (np.full((16, 16), 90, np.uint8), 1),
+        (rng.integers(0, 256, (24, 40), dtype=np.uint8), 2),
+        (rng.integers(0, 256, (33, 47, 3), dtype=np.uint8), 3),
+        ((np.indices((25, 18)).sum(0) * 11 % 256).astype(np.uint8), 2),
+    ]
+    for arr, quant in cases:
+        a = _decode_jpeg_parse(encode_jpeg_progressive_arith(arr, quant=quant))
+        h = _decode_jpeg_parse(encode_jpeg(arr, quant=quant))
+        assert (a == h).all(), (arr.shape, quant)
+    img = _decode_jpeg_parse(
+        encode_jpeg_progressive_arith(np.full((8, 8), 55, np.uint8))
+    )
+    assert (img == 55).all()
