@@ -948,7 +948,79 @@ def _read_header(f) -> tuple[dict, str, bytes]:
     f.seek(4 + c.pos)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    return schema, codec, sync
+    return expand_named_types(schema), codec, sync
+
+
+def expand_named_types(sc: object) -> object:
+    """Inline NAMED-TYPE REFERENCES (r8): the Avro spec lets a schema
+    define a record/enum/fixed once and refer to it later by (full)
+    name. Spark types and this module's decoders are structural, so
+    references are expanded to deep copies of their definitions here,
+    right after header parse. RECURSIVE types (a record referencing
+    itself, directly or through a cycle) cannot exist in a Spark
+    schema at all — they refuse by name, not by crash."""
+
+    names: dict[str, object] = {}
+
+    def fullname(d: dict, enclosing_ns: str | None) -> tuple[str, str | None]:
+        name = d["name"]
+        if "." in name:
+            return name, name.rsplit(".", 1)[0]
+        ns = d.get("namespace", enclosing_ns)
+        return (f"{ns}.{name}" if ns else name), ns
+
+    def walk(s: object, ns: str | None, path: tuple) -> object:
+        if isinstance(s, list):
+            return [walk(b, ns, path) for b in s]
+        if isinstance(s, str):
+            if s in _PRIMITIVES:
+                return s
+            target = names.get(s) or (names.get(f"{ns}.{s}") if ns else None)
+            if target is None:
+                raise NotImplementedError(
+                    f"avro: unresolved named type ref '{s}'"
+                )
+            tfull = target[0]
+            if tfull in path:
+                raise NotImplementedError(
+                    f"avro: recursive type '{tfull}' cannot map to a "
+                    "Spark schema"
+                )
+            import copy
+
+            return walk(copy.deepcopy(target[1]), target[2], path + (tfull,))
+        if not isinstance(s, dict):
+            return s
+        t = s.get("type")
+        if t == "record":
+            full, rec_ns = fullname(s, ns)
+            entry = (full, s, rec_ns)
+            names[full] = entry
+            names.setdefault(s["name"], entry)
+            out = dict(s)
+            out["fields"] = [
+                {**f, "type": walk(f["type"], rec_ns, path + (full,))}
+                for f in s["fields"]
+            ]
+            return out
+        if t in ("enum", "fixed"):
+            full, e_ns = fullname(s, ns)
+            entry = (full, s, e_ns)
+            names[full] = entry
+            names.setdefault(s["name"], entry)
+            return s
+        if t == "array":
+            return {**s, "items": walk(s["items"], ns, path)}
+        if t == "map":
+            return {**s, "values": walk(s["values"], ns, path)}
+        if isinstance(t, (dict, list)) or (
+            isinstance(t, str) and t not in _PRIMITIVES
+            and "logicalType" not in s and set(s) <= {"type"}
+        ):
+            return {**s, "type": walk(t, ns, path)}
+        return s
+
+    return walk(sc, None, ())
 
 
 _WRITE_CODECS = ("null", "deflate", "bzip2", "xz", "snappy", "zstandard")

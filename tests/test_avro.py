@@ -1128,3 +1128,64 @@ def test_avro_general_unions_read_like_spark_avro(spark, tmp_path):
     assert got[0].sv.member0 == "hello" and got[0].sv.member1 is None
     assert got[1].sv.member1 == 2**41 and got[1].sv.member0 is None
     assert got[2].sv is None
+
+
+def test_avro_named_type_references(spark, tmp_path):
+    """r8: named-type REUSE (record/enum/fixed defined once, referred
+    to by name later) expands structurally at header parse; a file the
+    Apache reference WRITER produces with such a schema reads
+    correctly. Recursive types refuse by name (Spark schemas cannot
+    express them)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from pystreams_spark.formats.avro import expand_named_types, iter_avro_file
+
+    schema_json = _json.dumps({
+        "type": "record", "name": "Pair", "namespace": "ex",
+        "fields": [
+            {"name": "p1", "type": {"type": "record", "name": "Point",
+                                    "fields": [{"name": "x", "type": "long"},
+                                               {"name": "y", "type": "long"}]}},
+            {"name": "p2", "type": "Point"},
+            {"name": "tag1", "type": {"type": "enum", "name": "Tag",
+                                      "symbols": ["A", "B"]}},
+            {"name": "tag2", "type": "Tag"},
+        ],
+    })
+    jvm = spark._jvm
+    sc = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    path = str(tmp_path / "named.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sc)
+    )
+    writer.create(sc, jvm.java.io.File(path))
+    point_sc = sc.getField("p1").schema()
+    tag_sc = sc.getField("tag1").schema()
+    for i in range(3):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sc)
+        for fname, (x, y) in (("p1", (i, i + 1)), ("p2", (10 * i, 10 * i + 1))):
+            pt = jvm.org.apache.avro.generic.GenericData.Record(point_sc)
+            pt.put("x", x)
+            pt.put("y", y)
+            rec.put(fname, pt)
+        rec.put("tag1", jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            tag_sc, "A" if i % 2 == 0 else "B"))
+        rec.put("tag2", jvm.org.apache.avro.generic.GenericData.EnumSymbol(
+            tag_sc, "B"))
+        writer.append(rec)
+    writer.close()
+
+    rows = list(iter_avro_file(path))
+    assert rows == [
+        ((0, 1), (0, 1), "A", "B"),
+        ((1, 2), (10, 11), "B", "B"),
+        ((2, 3), (20, 21), "A", "B"),
+    ]
+
+    with _pytest.raises(NotImplementedError, match="recursive"):
+        expand_named_types({
+            "type": "record", "name": "Node",
+            "fields": [{"name": "next", "type": ["null", "Node"]}],
+        })
