@@ -776,14 +776,15 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def _jpeg_decode_block(bits, dc_tbl, ac_tbl, q_zz, pred, cid):
+def _jpeg_decode_block(bits, dc_tbl, ac_tbl, q_zz, pred, cid, dc_max=11):
     """One 8×8 block: DC diff + RLE'd AC coefficients, dequantized, in
-    zigzag order (int32[64])."""
+    zigzag order (int32[64]). ``dc_max`` = 11 at 8-bit precision, 15
+    at 12-bit (T.81 Table F.1)."""
     import numpy as np
 
     zz = np.zeros(64, np.int64)
     s = _jpeg_huff_decode(bits, dc_tbl)
-    if s > 11:
+    if s > dc_max:
         raise ValueError("JPEG DC category out of range")
     pred[cid] += _jpeg_extend(bits.read(s), s)
     zz[0] = pred[cid] * int(q_zz[0])
@@ -874,6 +875,7 @@ def _decode_jpeg_parse(payload: bytes):
     arith = False  # SOF9: sequential arithmetic (r8, T.81 Annex D/F)
     dc_cond: dict[int, tuple] = {}  # DAC: table id → (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table id → Kx
+    adobe: int | None = None  # APP14 transform: 0 CMYK/RGB, 1 YCbCr, 2 YCCK
     grids: dict[int, object] = {}  # progressive: cid → raw coef grid
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
@@ -914,6 +916,9 @@ def _decode_jpeg_parse(payload: bytes):
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_jpeg_huff(
                     counts, syms
                 )
+        elif marker == 0xEE:  # APP14 — Adobe color-transform flag
+            if seg.startswith(b"Adobe") and len(seg) >= 12:
+                adobe = seg[11]
         elif marker == 0xCC:  # DAC — arithmetic conditioning (may carry several)
             p = 0
             while p + 1 < len(seg):
@@ -927,14 +932,14 @@ def _decode_jpeg_parse(payload: bytes):
         elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/SOF1 sequential, SOF2 progressive, SOF9 sequential
             # arithmetic, SOF10 progressive arithmetic (both r8)
-            if seg[0] != 8:
-                raise ValueError(f"JPEG {seg[0]}-bit precision unsupported (8 only)")
+            if seg[0] not in (8, 12):
+                raise ValueError(
+                    f"JPEG {seg[0]}-bit precision unsupported (8 or 12)"
+                )
             h, w = struct.unpack_from(">HH", seg, 1)
             nc = seg[5]
-            if nc not in (1, 3):
-                raise ValueError(
-                    f"JPEG with {nc} components unsupported (CMYK needs a codec)"
-                )
+            if nc not in (1, 3, 4):
+                raise ValueError(f"JPEG with {nc} components unsupported")
             comps = [
                 {
                     "id": seg[6 + 3 * i],
@@ -944,7 +949,7 @@ def _decode_jpeg_parse(payload: bytes):
                 }
                 for i in range(nc)
             ]
-            sof = (int(h), int(w), int(nc))
+            sof = (int(h), int(w), int(nc), int(seg[0]))
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -967,14 +972,14 @@ def _decode_jpeg_parse(payload: bytes):
                     raise ValueError("JPEG multi-scan sequential unsupported")
                 return _jpeg_decode_scan_arith(
                     payload[pos:], sof, comps, scan, qt, dc_cond, ac_cond,
-                    restart_interval,
+                    restart_interval, adobe,
                 )
             if not progressive:
                 if ns != sof[2]:
                     raise ValueError("JPEG multi-scan sequential unsupported")
                 return _jpeg_decode_scan(
                     payload[pos:], sof, comps, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                    restart_interval, adobe,
                 )
             band = tuple(seg[1 + 2 * ns : 4 + 2 * ns])  # Ss, Se, Ah<<4|Al
             end = _jpeg_entropy_end(payload, pos)
@@ -1003,10 +1008,10 @@ def _decode_jpeg_parse(payload: bytes):
                 raise ValueError("progressive JPEG missing a DQT table")
             q = np.asarray(qt[c["tq"]], dtype=np.int64)
             comp_grids.append((c, grids[c["id"]] * q[None, None, :]))
-        H, W, _nc = sof
+        H, W, _nc, _prec = sof
         hmax = max(c["h"] for c in comps)
         vmax = max(c["v"] for c in comps)
-        return _jpeg_render(comp_grids, H, W, hmax, vmax)
+        return _jpeg_render(comp_grids, H, W, hmax, vmax, _prec, adobe)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -1037,7 +1042,7 @@ def _jpeg_progressive_scan(
     successive-approximation bit plane Al)."""
     import numpy as np
 
-    H, W, _nc = sof
+    H, W, _nc, _prec = sof
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1078,7 +1083,7 @@ def _jpeg_progressive_scan(
         def dc_block(zzb, cid, td):
             if ah == 0:
                 s = _jpeg_huff_decode(bits, huff_dc[td])
-                if s > 11:
+                if s > (11 if _prec == 8 else 15):
                     raise ValueError("JPEG DC category out of range")
                 preds[cid] += _jpeg_extend(bits.read(s), s)
                 zzb[0] = preds[cid] << al
@@ -1202,10 +1207,11 @@ def _jpeg_progressive_scan(
                     eobrun -= 1
 
 
-def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
+def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri,
+                      adobe=None):
     import numpy as np
 
-    H, W, _nc = sof
+    H, W, _nc, _prec = sof
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1241,12 +1247,16 @@ def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri):
                 for byi in range(c["v"]):
                     for bxi in range(c["h"]):
                         grid[myi * c["v"] + byi, mxi * c["h"] + bxi] = (
-                            _jpeg_decode_block(bits, dct, act, q_zz, preds, c["id"])
+                            _jpeg_decode_block(
+                                bits, dct, act, q_zz, preds, c["id"],
+                                11 if _prec == 8 else 15,
+                            )
                         )
             mcu += 1
 
     return _jpeg_render(
-        [(c, grid) for c, _dct, _act, _q, grid in plan], H, W, hmax, vmax
+        [(c, grid) for c, _dct, _act, _q, grid in plan], H, W, hmax, vmax,
+        _prec, adobe,
     )
 
 
@@ -1265,7 +1275,7 @@ def _jpeg_progressive_scan_arith(
 
     from . import jpeg_arith as ja
 
-    H, W, _nc = sof
+    H, W, _nc, _prec = sof
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1459,7 +1469,8 @@ def encode_jpeg_progressive_arith(arr, quant: int = 1) -> bytes:
     return bytes(out)
 
 
-def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri):
+def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri,
+                            adobe=None):
     """Sequential ARITHMETIC scan (SOF9, r8): same MCU walk as
     `_jpeg_decode_scan` with the entropy layer swapped for the T.81
     Annex D/F QM decoder (`operators/jpeg_arith.py`). Restart markers
@@ -1469,7 +1480,7 @@ def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri):
 
     from . import jpeg_arith as ja
 
-    H, W, _nc = sof
+    H, W, _nc, _prec = sof
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -1515,7 +1526,8 @@ def _jpeg_decode_scan_arith(data, sof, comps, scan, qt, dc_cond, ac_cond, ri):
                         )
             mcu += 1
     return _jpeg_render(
-        [(c, grid) for c, _td, _ta, _q, grid in plan], H, W, hmax, vmax
+        [(c, grid) for c, _td, _ta, _q, grid in plan], H, W, hmax, vmax,
+        _prec, adobe,
     )
 
 
@@ -1607,11 +1619,22 @@ def encode_jpeg_arith(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
     return bytes(out)
 
 
-def _jpeg_render(comp_grids, H, W, hmax, vmax):
+def _jpeg_render(comp_grids, H, W, hmax, vmax, prec: int = 8, adobe=None):
     """Shared reconstruction tail: per-component DEQUANTIZED zigzag
     coefficient grids → de-zigzag → vectorized IDCT → crop/replicate
-    upsample → gray replicate or JFIF YCbCr→RGB."""
+    upsample → gray replicate or JFIF YCbCr→RGB. 12-bit precision
+    (r8): level shift 2^(P−1), clip to 2^P−1, then scale to the uint8
+    feature domain by round(v·255/(2^P−1))."""
     import numpy as np
+
+    level = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
+
+    def to_u8(a):
+        a = np.clip(np.round(a), 0, maxv)
+        if prec != 8:
+            a = np.round(a * (255.0 / maxv))
+        return a.astype(np.uint8)
 
     basis = _jpeg_dct_basis()
     zz = np.asarray(_JPEG_ZIGZAG)
@@ -1621,7 +1644,7 @@ def _jpeg_render(comp_grids, H, W, hmax, vmax):
         nat[:, :, zz] = grid  # de-zigzag
         r, q = nat.shape[0], nat.shape[1]
         blocks = nat.reshape(r, q, 8, 8).astype(np.float64)
-        spatial = np.einsum("ux,rcuv,vy->rcxy", basis, blocks, basis) + 128.0
+        spatial = np.einsum("ux,rcuv,vy->rcxy", basis, blocks, basis) + level
         plane = spatial.transpose(0, 2, 1, 3).reshape(r * 8, q * 8)
         # crop to the component's true resolution, then replicate up to
         # full frame resolution
@@ -1633,9 +1656,29 @@ def _jpeg_render(comp_grids, H, W, hmax, vmax):
         planes.append(plane[:H, :W])
 
     if len(planes) == 1:
-        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        g = to_u8(planes[0])
         return np.repeat(g[:, :, None], 3, axis=2)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    if len(planes) == 4:
+        # Adobe 4-component (r8): APP14 transform 2 = YCCK (YCbCr over
+        # the first three), else CMYK-direct. Samples are stored in the
+        # Adobe-INVERTED convention (maxv = no ink) — the convention
+        # libjpeg and every mainstream consumer assume; no external
+        # CMYK codec exists offline to differential against, so the
+        # inversion is pinned by our own encoder + documented here.
+        if adobe == 2:
+            y, cb, cr = planes[0], planes[1] - level, planes[2] - level
+            c_st = y + 1.402 * cr
+            m_st = y - 0.344136 * cb - 0.714136 * cr
+            y_st = y + 1.772 * cb
+        else:
+            c_st, m_st, y_st = planes[0], planes[1], planes[2]
+        k_st = planes[3]
+        rgb = np.stack(
+            [c_st * k_st / maxv, m_st * k_st / maxv, y_st * k_st / maxv],
+            axis=2,
+        )
+        return to_u8(rgb)
+    y, cb, cr = planes[0], planes[1] - level, planes[2] - level
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -1644,7 +1687,7 @@ def _jpeg_render(comp_grids, H, W, hmax, vmax):
         ],
         axis=2,
     )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return to_u8(rgb)
 
 
 class _JpegBitWriter:
@@ -1673,7 +1716,8 @@ class _JpegBitWriter:
             self.put((1 << (8 - self.nb)) - 1, 8 - self.nb)  # pad with 1s
 
 
-def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
+def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0,
+                precision: int = 8) -> bytes:
     """Minimal baseline-sequential JPEG encoder (ITU-T T.81) for an
     (H, W, 3) uint8 RGB array (4:4:4, JFIF YCbCr) or an (H, W) uint8
     grayscale array (single component, NO color transform — a constant
@@ -1685,25 +1729,38 @@ def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
     stays unused, as T.81 Annex C requires). Optional restart markers
     every ``restart_interval`` MCUs exercise the DRI/RST decode path.
     A test/fixture encoder (the Java ImageIO differential reads its
-    output), not a rate-optimized one."""
+    output), not a rate-optimized one. ``precision=12`` (r8) takes a
+    uint16 array with values 0..4095, level-shifts by 2048, and emits
+    SOF1 extended-sequential with 5-bit DC codes (categories to 15)
+    and AC sizes to 14 per T.81 Table F.1."""
     import struct
 
     import numpy as np
 
-    arr = np.asarray(arr, dtype=np.uint8)
+    if precision not in (8, 12):
+        raise ValueError("encode_jpeg: precision must be 8 or 12")
+    level = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
+    arr = np.asarray(arr, dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and arr.max(initial=0) > maxv:
+        raise ValueError("encode_jpeg: 12-bit samples must be 0..4095")
     gray = arr.ndim == 2
+    cmyk = arr.ndim == 3 and arr.shape[2] == 4
     h, w = arr.shape[:2]
     if gray:
         planes = [arr.astype(np.float64)]
+    elif cmyk:
+        # channels are Adobe-INVERTED CMYK stored samples (transform 0)
+        planes = [arr[:, :, i].astype(np.float64) for i in range(4)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         planes = [
             np.round(0.299 * r + 0.587 * g + 0.114 * b),
-            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
-            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0),
+            np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + level),
+            np.round(0.5 * r - 0.418688 * g - 0.081312 * b + level),
         ]
-        planes = [np.clip(p, 0, 255) for p in planes]
+        planes = [np.clip(p, 0, maxv) for p in planes]
 
     basis = _jpeg_dct_basis()
     zz = np.asarray(_JPEG_ZIGZAG)
@@ -1712,17 +1769,21 @@ def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
     for p in planes:
         padded = np.pad(p, ((0, nby * 8 - h), (0, nbx * 8 - w)), mode="edge")
         blocks = (
-            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+            padded.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - level
         )
         coef = np.einsum("ux,rcxy,vy->rcuv", basis, blocks, basis)
         q = np.round(coef / float(quant)).astype(np.int64)
         comp_blocks.append(q.reshape(nby, nbx, 64)[:, :, zz])  # zigzag order
 
-    # single-length canonical tables: DC symbols 0..11 at 4 bits, AC
-    # symbols (EOB, ZRL, every run/size) at 8 bits
-    dc_code = {s: (s, 4) for s in range(12)}
+    # single-length canonical tables: DC symbols at 4 bits (8-bit: 12
+    # symbols) or 5 bits (12-bit: 16 symbols — 16 four-bit codes would
+    # use the forbidden all-ones code), AC symbols at 8 bits
+    n_dc = 12 if precision == 8 else 16
+    dc_bits = 4 if precision == 8 else 5
+    max_sz = 10 if precision == 8 else 14
+    dc_code = {s: (s, dc_bits) for s in range(n_dc)}
     ac_order = [0x00, 0xF0] + [
-        (r << 4) | s for r in range(16) for s in range(1, 11)
+        (r << 4) | s for r in range(16) for s in range(1, max_sz + 1)
     ]
     ac_code = {sym: (i, 8) for i, sym in enumerate(ac_order)}
 
@@ -1777,23 +1838,25 @@ def encode_jpeg(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
-    nc = 1 if gray else 3
-    sof_body = struct.pack(">BHHB", 8, h, w, nc)
+    nc = len(planes)
+    sof_body = struct.pack(">BHHB", precision, h, w, nc)
     sos_body = bytes([nc])
     for i in range(nc):
         sof_body += bytes([i + 1, 0x11, 0])
         sos_body += bytes([i + 1, 0x00])
     sos_body += bytes([0, 63, 0])
     dht_dc = bytes([0x00]) + bytes(
-        [12 if n == 4 else 0 for n in range(1, 17)]
-    ) + bytes(range(12))
+        [n_dc if n == dc_bits else 0 for n in range(1, 17)]
+    ) + bytes(range(n_dc))
     dht_ac = bytes([0x10]) + bytes(
-        [162 if n == 8 else 0 for n in range(1, 17)]
+        [len(ac_order) if n == 8 else 0 for n in range(1, 17)]
     ) + bytes(ac_order)
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if cmyk:  # APP14: Adobe, version 100, flags 0/0, transform 0
+        out += seg(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
     out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
-    out += seg(0xC0, sof_body)
+    out += seg(0xC0 if precision == 8 else 0xC1, sof_body)
     out += seg(0xC4, dht_dc)
     out += seg(0xC4, dht_ac)
     if restart_interval:

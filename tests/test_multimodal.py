@@ -1236,3 +1236,55 @@ def test_jpeg_progressive_arithmetic_decode_equals_huffman_pixels(spark):
         encode_jpeg_progressive_arith(np.full((8, 8), 55, np.uint8))
     )
     assert (img == 55).all()
+
+
+def test_jpeg_12bit_precision_decodes(spark):
+    """r8: 12-bit extended-sequential (SOF1) — level shift 2048, DC
+    categories to 15, output scaled round(v*255/4095) into the uint8
+    feature domain. Constant planes are closed-form; random content
+    stays within DCT rounding of the direct downscale."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg,
+    )
+
+    img = _decode_jpeg_parse(
+        encode_jpeg(np.full((16, 16), 3000, np.uint16), precision=12)
+    )
+    assert (img == round(3000 * 255 / 4095)).all()
+    rng = np.random.default_rng(31)
+    g12 = rng.integers(0, 4096, (24, 40), dtype=np.uint16)
+    img = _decode_jpeg_parse(encode_jpeg(g12, precision=12))
+    ref = np.round(g12 * (255 / 4095))
+    assert np.abs(img[:, :, 0].astype(float) - ref).max() <= 1
+    c12 = rng.integers(0, 4096, (17, 19, 3), dtype=np.uint16)
+    img = _decode_jpeg_parse(encode_jpeg(c12, precision=12, quant=2))
+    assert np.abs(img.astype(float) - np.round(c12 * (255 / 4095))).max() <= 1
+
+
+def test_jpeg_cmyk_adobe_decodes(spark):
+    """r8: 4-component Adobe CMYK (APP14 transform 0) — samples in the
+    Adobe-inverted convention, RGB = stored·K/255. Constant planes are
+    closed-form. No external CMYK codec exists offline, so the
+    inversion convention is pinned by our encoder + this test."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg,
+    )
+
+    arr = np.zeros((16, 16, 4), np.uint8)
+    arr[:, :, 0], arr[:, :, 1], arr[:, :, 2], arr[:, :, 3] = 200, 150, 100, 250
+    img = _decode_jpeg_parse(encode_jpeg(arr))
+    exp = [round(v * 250 / 255) for v in (200, 150, 100)]
+    assert (img == np.array(exp, np.uint8)).all()
+    rng = np.random.default_rng(41)
+    a = rng.integers(0, 256, (24, 24, 4), dtype=np.uint8)
+    img = _decode_jpeg_parse(encode_jpeg(a))
+    ref = np.round(a[:, :, :3].astype(float) * a[:, :, 3:4].astype(float) / 255)
+    # ±2: DCT rounding in stored samples compounds through the ·K/255
+    # product
+    assert np.abs(img.astype(float) - ref).max() <= 2
