@@ -873,6 +873,7 @@ def _decode_jpeg_parse(payload: bytes):
     restart_interval = 0
     progressive = False
     arith = False  # SOF9: sequential arithmetic (r8, T.81 Annex D/F)
+    lossless = False  # SOF3 (r8, T.81 Annex H)
     dc_cond: dict[int, tuple] = {}  # DAC: table id → (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table id → Kx
     adobe: int | None = None  # APP14 transform: 0 CMYK/RGB, 1 YCbCr, 2 YCCK
@@ -929,10 +930,16 @@ def _decode_jpeg_parse(payload: bytes):
                     dc_cond[tb] = (cs_val & 15, cs_val >> 4)  # (L, U)
                 else:
                     ac_cond[tb] = cs_val  # Kx
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/SOF1 sequential, SOF2 progressive, SOF9 sequential
-            # arithmetic, SOF10 progressive arithmetic (both r8)
-            if seg[0] not in (8, 12):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
+            # (r8), SOF9 sequential arithmetic, SOF10 progressive
+            # arithmetic (both r8)
+            if marker == 0xC3:
+                if not 2 <= seg[0] <= 16:
+                    raise ValueError(
+                        f"JPEG lossless precision {seg[0]} invalid (2-16)"
+                    )
+            elif seg[0] not in (8, 12):
                 raise ValueError(
                     f"JPEG {seg[0]}-bit precision unsupported (8 or 12)"
                 )
@@ -952,10 +959,11 @@ def _decode_jpeg_parse(payload: bytes):
             sof = (int(h), int(w), int(nc), int(seg[0]))
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            lossless = marker == 0xC3
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"JPEG SOF marker 0x{marker:02X} "
-                "(lossless/hierarchical/differential) unsupported"
+                "(hierarchical/differential/arithmetic-lossless) unsupported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -967,6 +975,14 @@ def _decode_jpeg_parse(payload: bytes):
                 (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
                 for i in range(ns)
             ]
+            if lossless:
+                if ns != sof[2]:
+                    raise ValueError("JPEG multi-scan lossless unsupported")
+                band = seg[1 + 2 * ns : 4 + 2 * ns]  # Ss=pred, Se, Ah<<4|Al
+                return _jpeg_decode_scan_lossless(
+                    payload[pos:], sof, comps, scan, huff_dc,
+                    band[0], band[2] & 15, restart_interval,
+                )
             if arith and not progressive:
                 if ns != sof[2]:
                     raise ValueError("JPEG multi-scan sequential unsupported")
@@ -1611,6 +1627,197 @@ def encode_jpeg_arith(arr, quant: int = 1, restart_interval: int = 0) -> bytes:
     out += seg(0xC9, sof_body)
     # DAC: DC table 0 → Cs = (U<<4)|L = 0x10; AC table 0 → Kx = 5
     out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, sos_body)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg_decode_scan_lossless(data, sof, comps, scan, huff_dc, pred_sel,
+                               pt, ri):
+    """LOSSLESS JPEG scan (SOF3, r8 — T.81 Annex H): per-sample DPCM
+    with the 7 spec predictors (Ss selects; a=left, b=above,
+    c=above-left), Huffman-coded difference categories (DC-table
+    style; category 16 ⇒ diff 32768 with no extra bits), modulo-2^16
+    arithmetic, point transform Pt, restart-interval predictor resets.
+    Supports the common 1×1-sampling layout (every component same
+    resolution — the DNG/scientific-data shape); subsampled lossless
+    refuses by name."""
+    import numpy as np
+
+    H, W, _nc, prec = sof
+    for c in comps:
+        if c["h"] != 1 or c["v"] != 1:
+            raise ValueError(
+                "JPEG lossless with subsampled components unsupported"
+            )
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"JPEG lossless predictor {pred_sel} invalid (1-7)")
+    default = 1 << (prec - 1 - pt)
+    planes = {c["id"]: np.zeros((H, W), np.int64) for c in comps}
+
+    segs = _jpeg_entropy_intervals(data)
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    restart = True
+    mcu = 0
+    order = [cid for cid, _td, _ta in scan]
+    for _cid, td, _ta in scan:
+        if td not in huff_dc:
+            raise ValueError("JPEG lossless scan references a missing DHT")
+    start_row = {cid: 0 for cid in order}  # row where the segment began
+
+    def predict(p, y, x, x0row):
+        if y == x0row and x == 0:
+            return default
+        if x == 0:
+            return int(p[y - 1, 0])
+        a = int(p[y, x - 1])
+        if y == x0row:
+            return a
+        b = int(p[y - 1, x])
+        c = int(p[y - 1, x - 1])
+        return (
+            a if pred_sel == 1 else
+            b if pred_sel == 2 else
+            c if pred_sel == 3 else
+            a + b - c if pred_sel == 4 else
+            a + ((b - c) >> 1) if pred_sel == 5 else
+            b + ((a - c) >> 1) if pred_sel == 6 else
+            (a + b) >> 1
+        )
+
+    for y in range(H):
+        for x in range(W):
+            if ri and mcu and mcu % ri == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing expected restart marker")
+                bits = _JpegBits(segs[seg_i])
+                restart = True
+            if restart:
+                for cid in order:
+                    start_row[cid] = y
+                restart = False
+            for cid, td, _ta in scan:
+                s = _jpeg_huff_decode(bits, huff_dc[td])
+                if s > 16:
+                    raise ValueError("JPEG lossless category out of range")
+                diff = 32768 if s == 16 else _jpeg_extend(bits.read(s), s)
+                p = planes[cid]
+                # NOTE: after a restart the first sample of the segment
+                # restarts prediction from the default, and rows within
+                # the segment predict off the segment's own first row
+                val = (predict(p, y, x, start_row[cid]) + diff) & 0xFFFF
+                p[y, x] = val
+            mcu += 1
+
+    maxv = float((1 << prec) - 1)
+
+    def to_u8(p):
+        a = np.clip(p << pt, 0, maxv).astype(np.float64)
+        if prec != 8 or pt:
+            a = np.round(a * (255.0 / maxv))
+        return a.astype(np.uint8)
+
+    if len(comps) == 1:
+        g = to_u8(planes[comps[0]["id"]])
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(comps) == 3:
+        return np.stack([to_u8(planes[c["id"]]) for c in comps], axis=2)
+    raise ValueError(
+        f"JPEG lossless with {len(comps)} components unsupported"
+    )
+
+
+def encode_jpeg_lossless(arr, predictor: int = 4, precision: int = 8,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless JPEG encoder (SOF3) — fixture mirror of
+    `_jpeg_decode_scan_lossless`. (H, W) or (H, W, 3), uint8 at
+    precision 8 or uint16 at 12/16. Output decodes back EXACTLY (it is
+    lossless) modulo the uint8 feature-domain scaling."""
+    import struct
+
+    import numpy as np
+
+    if precision not in (8, 12, 16):
+        raise ValueError("encode_jpeg_lossless: precision must be 8/12/16")
+    arr = np.asarray(arr)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    nc = 1 if gray else arr.shape[2]
+    planes = [
+        (arr if gray else arr[:, :, i]).astype(np.int64) for i in range(nc)
+    ]
+    default = 1 << (precision - 1)
+
+    # single-length DC-style table: categories 0..16 at 5 bits
+    code = {s: (s, 5) for s in range(17)}
+    wtr = _JpegBitWriter()
+    entropy_parts = []
+    rst = 0
+    mcu = 0
+    start_row = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.pad_to_byte()
+                entropy_parts.append(bytes(wtr.out))
+                entropy_parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                rst += 1
+                wtr = _JpegBitWriter()
+                start_row = y
+            for p in planes:
+                if y == start_row and x == 0:
+                    pred = default
+                elif x == 0:
+                    pred = int(p[y - 1, 0])
+                elif y == start_row:
+                    pred = int(p[y, x - 1])
+                else:
+                    a, b, c = int(p[y, x - 1]), int(p[y - 1, x]), int(p[y - 1, x - 1])
+                    pred = (
+                        a if predictor == 1 else
+                        b if predictor == 2 else
+                        c if predictor == 3 else
+                        a + b - c if predictor == 4 else
+                        a + ((b - c) >> 1) if predictor == 5 else
+                        b + ((a - c) >> 1) if predictor == 6 else
+                        (a + b) >> 1
+                    )
+                diff = (int(p[y, x]) - pred) & 0xFFFF
+                if diff >= 0x8000:
+                    diff -= 0x10000  # modulo-2^16 signed representative
+                if diff == -32768 or diff == 32768:
+                    wtr.put(*code[16])
+                else:
+                    s = abs(diff).bit_length()
+                    wtr.put(*code[s])
+                    if s:
+                        wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            mcu += 1
+    wtr.pad_to_byte()
+    entropy_parts.append(bytes(wtr.out))
+    entropy = b"".join(entropy_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    sof_body = struct.pack(">BHHB", precision, h, w, nc)
+    sos_body = bytes([nc])
+    for i in range(nc):
+        sof_body += bytes([i + 1, 0x11, 0])
+        sos_body += bytes([i + 1, 0x00])
+    sos_body += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    dht = bytes([0x00]) + bytes(
+        [17 if n == 5 else 0 for n in range(1, 17)]
+    ) + bytes(range(17))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1]) * 64)  # unused by lossless
+    out += seg(0xC3, sof_body)
+    out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos_body)

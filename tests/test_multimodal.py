@@ -781,16 +781,16 @@ def test_jpeg_refusals(spark):
 
     from pystreams_spark.operators.multimodal import _decode_jpeg, encode_jpeg
 
-    # hand-built SOF3 (lossless) header — both arithmetic variants
-    # (SOF9 sequential, SOF10 progressive) decode since r8; lossless/
+    # hand-built SOF5 (differential sequential, hierarchical) header —
+    # arithmetic (SOF9/SOF10) and lossless (SOF3) decode since r8;
     # hierarchical/differential still refuse by name
-    sof3 = (
+    sof5 = (
         b"\xff\xd8"
-        + b"\xff\xc3" + struct.pack(">H", 11) + bytes([8]) +
+        + b"\xff\xc5" + struct.pack(">H", 11) + bytes([8]) +
         struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     )
-    with pytest.raises(ValueError, match="lossless"):
-        _decode_jpeg(sof3)
+    with pytest.raises(ValueError, match="hierarchical|differential"):
+        _decode_jpeg(sof5)
 
     with pytest.raises(ValueError, match="not a JPEG"):
         _decode_jpeg(b"\x89PNG....")
@@ -1288,3 +1288,38 @@ def test_jpeg_cmyk_adobe_decodes(spark):
     # ±2: DCT rounding in stored samples compounds through the ·K/255
     # product
     assert np.abs(img.astype(float) - ref).max() <= 2
+
+
+def test_jpeg_lossless_decodes_exactly(spark):
+    """r8: SOF3 lossless (T.81 Annex H) — all 7 predictors, gray/RGB,
+    restart intervals, 8/12/16-bit precision. Being lossless, decode
+    must reproduce the input EXACTLY (modulo the >8-bit feature-domain
+    scaling, which is a pure closed form)."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(59)
+    g = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    for pred in range(1, 8):
+        img = _decode_jpeg_parse(encode_jpeg_lossless(g, predictor=pred))
+        assert (img[:, :, 0] == g).all(), f"predictor {pred}"
+    c = rng.integers(0, 256, (15, 17, 3), dtype=np.uint8)
+    assert (_decode_jpeg_parse(encode_jpeg_lossless(c, predictor=4)) == c).all()
+    img = _decode_jpeg_parse(
+        encode_jpeg_lossless(g, predictor=7, restart_interval=37)
+    )
+    assert (img[:, :, 0] == g).all()
+    g16 = rng.integers(0, 65536, (12, 14), dtype=np.uint16)
+    img = _decode_jpeg_parse(
+        encode_jpeg_lossless(g16, predictor=1, precision=16)
+    )
+    assert (img[:, :, 0] == np.round(g16 * (255 / 65535)).astype(np.uint8)).all()
+    g12 = rng.integers(0, 4096, (9, 11), dtype=np.uint16)
+    img = _decode_jpeg_parse(
+        encode_jpeg_lossless(g12, predictor=5, precision=12)
+    )
+    assert (img[:, :, 0] == np.round(g12 * (255 / 4095)).astype(np.uint8)).all()
