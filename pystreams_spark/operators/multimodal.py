@@ -518,13 +518,35 @@ def _decode_tiff(payload: bytes):
         tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, off))
     try:
         w, h = tags[256][0], tags[257][0]
-        offsets, counts = tags[273], tags[279]
+        # old-JPEG (compression 6) files may legally omit strip tags —
+        # the pixel data lives behind JPEGInterchangeFormat instead
+        if tags.get(259, [1])[0] != 6:
+            offsets, counts = tags[273], tags[279]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from None
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 7, 8, 32946, 32773):
-        scheme = {6: "old-JPEG"}.get(compression, str(compression))
-        raise ValueError(f"TIFF compression {scheme} needs a codec")
+    if compression not in (1, 5, 6, 7, 8, 32946, 32773):
+        raise ValueError(f"TIFF compression {compression} needs a codec")
+
+    if compression == 6:  # old-style JPEG-in-TIFF (TIFF 6.0 §22, r8)
+        # The interoperable variant stores ONE complete JPEG stream at
+        # JPEGInterchangeFormat (513) / ...Length (514) — decode it
+        # whole. The fragmented per-tag-tables variant (JPEGQTables 519
+        # etc. with bare scan strips) is the famously broken part of
+        # the spec (TTN2 deprecates it) — refuse it by name.
+        jif = tags.get(513)
+        jlen = tags.get(514)
+        if not jif:
+            raise ValueError(
+                "TIFF old-JPEG (compression 6) without "
+                "JPEGInterchangeFormat (fragmented tables variant) "
+                "unsupported — re-encode as TTN2 new-style JPEG"
+            )
+        off = jif[0]
+        n = jlen[0] if jlen else len(payload) - off
+        px = _decode_jpeg(payload[off : off + n])[:h, :w]
+        return np.ascontiguousarray(px)
+
     strips = [payload[o : o + c] for o, c in zip(offsets, counts)]
 
     if compression == 7:  # new-style JPEG-in-TIFF (TTN2): each strip is

@@ -1323,3 +1323,45 @@ def test_jpeg_lossless_decodes_exactly(spark):
         encode_jpeg_lossless(g12, predictor=5, precision=12)
     )
     assert (img[:, :, 0] == np.round(g12 * (255 / 4095)).astype(np.uint8)).all()
+
+
+def test_tiff_old_style_jpeg_compression6(spark):
+    """r8: old-style JPEG-in-TIFF (compression 6) — the interoperable
+    JPEGInterchangeFormat variant holds one complete JPEG stream;
+    decode it whole. The fragmented per-tag-tables variant (TTN2-
+    deprecated) still refuses by name."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        _decode_tiff,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(67)
+    arr = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    jpg = encode_jpeg(arr, quant=1)
+
+    def tiff6(with_jif):
+        entries = [
+            (256, 4, 1, 32), (257, 4, 1, 24), (259, 3, 1, 6), (277, 3, 1, 3),
+        ]
+        n_all = len(entries) + (2 if with_jif else 0)
+        jpg_off = 8 + 2 + 12 * n_all + 4
+        if with_jif:
+            entries += [(513, 4, 1, jpg_off), (514, 4, 1, len(jpg))]
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", len(entries))
+        for tag, ttype, count, val in entries:
+            out += struct.pack("<HHII", tag, ttype, count, val)
+        out += struct.pack("<I", 0)
+        out += jpg
+        return bytes(out)
+
+    px = _decode_tiff(tiff6(True))
+    assert (px == _decode_jpeg_parse(jpg)).all()
+    with _pytest.raises(ValueError, match="fragmented tables"):
+        _decode_tiff(tiff6(False))
