@@ -872,13 +872,15 @@ def _decode_jpeg_parse(payload: bytes):
     einsum per component over all blocks) → chroma upsample (sample
     replication) → JFIF YCbCr→RGB. Supports baseline/extended
     sequential (SOF0/SOF1) AND progressive (SOF2 — spectral selection,
-    successive approximation, EOB runs; r7, T.81 Annex G) at 8-bit
-    precision, 1- or 3-component scans, arbitrary integer sampling
-    ratios (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and stuffed-byte
-    framing. Sequential ARITHMETIC coding (SOF9 + DAC) decodes too
-    since r8 — the T.81 Annex D/F QM coder in `jpeg_arith.py`.
-    Lossless/hierarchical/progressive-arithmetic variants, 12-bit
-    precision, and CMYK refuse loudly with the scheme named — same
+    successive approximation, EOB runs; r7, T.81 Annex G), 1- or
+    3-component scans, arbitrary integer sampling ratios (4:4:4 /
+    4:2:2 / 4:2:0), restart intervals, and stuffed-byte framing.
+    r8 additions: ARITHMETIC coding, sequential AND progressive
+    (SOF9/SOF10 + DAC — the T.81 Annex D/F QM coder in
+    `jpeg_arith.py`); LOSSLESS (SOF3, Annex H DPCM, all 7 predictors);
+    12-bit precision (SOF1); 4-component Adobe CMYK/YCCK (APP14).
+    Only hierarchical/differential variants (SOF5-7/13-15) and
+    arithmetic-lossless (SOF11) still refuse, by name — same
     honest-refusal policy as the TIFF/Avro codecs."""
     import struct
 
