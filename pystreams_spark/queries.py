@@ -7857,11 +7857,12 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END proof the REAL media decoders decode: deterministic
     payloads are synthesized per doc (ids ≡ 0 mod 4 → a solid-color
     8×8 24-bit BMP whose channel means are a pure function of the id;
-    ids ≡ 2 mod 4 → a constant-gray JPEG — ≡ 2 mod 8 ARITHMETIC-coded
-    (SOF9, r8: the full T.81 Annex D/F QM pipeline runs), ≡ 6 mod 8
-    Huffman baseline (r7) — either way a constant plane with flat
-    quantization round-trips BIT-EXACTLY, so its means stay
-    closed-form; odd ids → a 16-bit PCM square-wave WAV whose exact
+    ids ≡ 2 mod 4 → a constant-gray JPEG, one VARIANT per residue
+    mod 16 (r8): sequential ARITHMETIC (SOF9), LOSSLESS (SOF3),
+    Huffman baseline (SOF0), progressive ARITHMETIC (SOF10) — each
+    reproduces the constant plane BIT-EXACTLY, so one closed form
+    covers every JPEG entropy/predictive path;
+    odd ids → a 16-bit PCM square-wave WAV whose exact
     RMS is amp/32768 and whose zero-crossing rate is exactly 1), run
     through `operators/multimodal.decode_media_features` (numpy header
     parse + entropy decode — no codec libs), and the DECODED features
@@ -7876,6 +7877,8 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media_features,
         encode_jpeg,
         encode_jpeg_arith,
+        encode_jpeg_lossless,
+        encode_jpeg_progressive_arith,
     )
 
     def synth(batches):
@@ -7914,12 +7917,19 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
                     )
                 elif did % 2 == 0:
-                    # ids ≡ 2 mod 8 take the ARITHMETIC entropy path
-                    # (SOF9, r8), ids ≡ 6 mod 8 the Huffman baseline —
-                    # both lossless entropy layers over the same DCT
-                    # pipeline, so the constant-gray closed form holds
-                    # for either
-                    enc = encode_jpeg_arith if did % 8 == 2 else encode_jpeg
+                    # one JPEG VARIANT per residue mod 16 (r8): 2 →
+                    # sequential arithmetic (SOF9), 6 → lossless (SOF3,
+                    # exact by definition), 10 → Huffman baseline
+                    # (SOF0), 14 → progressive arithmetic (SOF10). All
+                    # four reproduce a constant-gray flat-quant plane
+                    # BIT-exactly, so the one closed-form oracle covers
+                    # every entropy/predictive path in the JPEG stack.
+                    enc = {
+                        2: encode_jpeg_arith,
+                        6: encode_jpeg_lossless,
+                        10: encode_jpeg,
+                        14: encode_jpeg_progressive_arith,
+                    }[did % 16]
                     payloads.append(
                         enc(np.full((8, 8), did * 37 % 256, np.uint8))
                     )
