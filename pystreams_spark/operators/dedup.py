@@ -493,6 +493,69 @@ def ngram_jaccard_pairs_prefix(
     return _verify_pairs_fullset(sh, cand, id_col, threshold, round_to, "jaccard")
 
 
+def ngram_novelty_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY (r8): the fraction of a document's
+    distinct word n-grams that no LOWER-id document contains — the
+    memorization-risk / marginal-content profile a curation pass reads
+    before a near-dup threshold is even chosen (a doc with novelty
+    0.1 is 90 % re-used text even if no single pair crosses a Jaccard
+    cut; training on it mostly re-weights existing content). Returns
+    (id, n_grams, novel_grams, novelty ∈ [0,1]).
+
+    Scale shape: explode distinct grams (corpus-sized, LINEAR), one
+    partial-agg'd groupBy gram → min(id) (distinct-gram keys), one
+    gram-keyed join back (co-partitioned with the agg — AQE reuses the
+    exchange), one per-doc agg. No pairwise term anywhere — novelty is
+    a first-seen property, so cost is Σ|grams|, not Σ df².
+
+    Gram construction is STRING n-grams (space-joined token windows;
+    short docs yield their full token string as one gram) — chosen
+    over hashed shingles so the DuckDB oracle can replay the exact
+    equivalence classes; a production run at 100 TB would hash the
+    gram column first (`xxhash64`) to shrink the shuffle, which
+    changes no downstream semantics."""
+    from ..functions.text import tokens
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    # bind _toks as a column BEFORE the lambda: an interpreted HOF
+    # re-evaluates free expressions per element (W_REPEATED_EXPR)
+    grams = base.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - (n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+            )
+        ).alias("_grams"),
+    )
+    posts = grams.select(id_col, F.explode("_grams").alias("_g"))
+    first = posts.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    return (
+        posts.join(first, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("_first") == F.col(id_col)).cast("long")
+            ).alias("novel_grams"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("novel_grams") / F.col("n_grams"), 6),
+        )
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     threshold: float,

@@ -10477,3 +10477,63 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "ngram_novelty_report",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, lang, unnest(list_distinct(list_transform(
+            generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+            i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+        ))) AS gram
+        FROM documents
+    ), f AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    ), d AS (
+        SELECT g.doc_id, ANY_VALUE(g.lang) AS lang,
+               COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS novel
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(ROUND(novel * 1.0 / n_grams, 6)), 6) AS avg_novelty,
+           ROUND(MIN(ROUND(novel * 1.0 / n_grams, 6)), 6) AS min_novelty,
+           CAST(SUM(CASE WHEN novel * 1.0 / n_grams < 0.5 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_mostly_seen
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-content profile (r8): per language, the average and
+    worst-case fraction of each document's distinct 3-grams that no
+    lower-id document already contains, plus how many documents are
+    MOSTLY SEEN (novelty < 0.5) — re-used text a near-dup pair
+    threshold never flags because it is spread across many partial
+    sources. First-seen is a per-gram min, so the whole metric is two
+    linear shuffles (`operators/dedup.ngram_novelty_scores`); the
+    oracle replays the identical gram classes and first-seen rule in
+    SQL, putting the gram construction, the min-attribution, AND the
+    ratio arithmetic under one value hash."""
+    from .operators.dedup import ngram_novelty_scores
+
+    d = _t(spark, sf_dir, "documents")
+    scores = ngram_novelty_scores(d, n=3)
+    from .io import broadcast_if_small
+
+    return (
+        d.select("doc_id", "lang")
+        .join(broadcast_if_small(scores), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.round(F.min("novelty"), 6).alias("min_novelty"),
+            F.sum((F.col("novelty") < 0.5).cast("long")).alias(
+                "n_mostly_seen"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -2841,3 +2841,24 @@ def test_prefix_jaccard_order_modes_agree(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="order_by"):
         ngram_jaccard_pairs_prefix(docs, threshold=0.3, order_by="nope")
+
+
+def test_ngram_novelty_scores_known_corpus(spark):
+    """r8: hand-built corpus with knowable first-seen attribution.
+    Doc 1 introduces everything (novelty 1.0); doc 2 is a verbatim
+    copy (novelty 0.0); doc 3 is half doc-1 text and half new; doc 4
+    is short (<3 tokens → its whole token string is the one gram)."""
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+
+    t1 = "alpha beta gamma delta epsilon"         # grams: 3 distinct
+    t3 = "alpha beta gamma zeta eta theta"        # shares 'alpha beta gamma'
+    rows = [(1, t1), (2, t1), (3, t3), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ngram_novelty_scores(df, n=3).collect()}
+    assert out[1].n_grams == 3 and out[1].novelty == 1.0
+    assert out[2].n_grams == 3 and out[2].novelty == 0.0
+    # doc 3: grams = [alpha beta gamma, beta gamma zeta, gamma zeta eta,
+    # zeta eta theta] — 1 of 4 seen
+    assert out[3].n_grams == 4 and out[3].novelty == 0.75
+    # doc 4: one gram ("tiny doc"), never seen before → novel
+    assert out[4].n_grams == 1 and out[4].novelty == 1.0
