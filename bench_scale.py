@@ -181,6 +181,12 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "effective_dataset_size": lambda: QUERIES["effective_dataset_size"](
             spark, data_dir
         ).count(),
+        # r8: first-seen novelty — should be exactly linear (no pairwise
+        # term by construction; the gram-min groupBy + join are the
+        # only shuffles)
+        "ngram_novelty": lambda: QUERIES["ngram_novelty_report"](
+            spark, data_dir
+        ).count(),
     }
 
 
