@@ -10537,3 +10537,122 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _cluster_sample_oracle_sql(n_cells: int = 8, iters: int = 2,
+                               per_cell: int = 5) -> str:
+    """Unrolled-CTE replay of cluster_balanced_sample_report: the
+    md5-seeded ROUND-6 Lloyd recurrence over ALL embeddings (same
+    recurrence as `_kmeans_oracle_sql` / `_ivf_oracle_sql`), then a
+    deterministic per-cell reservoir (md5(vec_id) hex order, id
+    tie-break) and per-cell norm diagnostics."""
+    assign = """
+  a{i} AS (
+    SELECT vec_id, v, cell FROM (
+      SELECT p.vec_id, p.v, s.cell,
+        ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+      FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
+  )"""
+    update = """
+  c{j} AS (
+    SELECT s.cell, COALESCE(m.v, s.v) AS v
+    FROM c{i} s LEFT JOIN (
+      SELECT cell, list(mv ORDER BY dim) AS v FROM (
+        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+          SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM a{i}
+        ) GROUP BY cell, dim
+      ) GROUP BY cell
+    ) m USING (cell)
+  )"""
+    ctes = [
+        """pts AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+  )""",
+        f"""c0 AS (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS cell, v
+    FROM pts ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_cells}
+  )""",
+    ]
+    for i in range(iters):
+        ctes.append(assign.format(i=i).strip())
+        ctes.append(update.format(i=i, j=i + 1).strip())
+    ctes.append(assign.format(i=iters).strip())
+    ctes.append(
+        f"""ranked AS (
+    SELECT vec_id, cell,
+           ROUND(SQRT(list_sum(list_transform(v, x -> x*x))), 6) AS nrm,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM a{iters}
+  )"""
+    )
+    return f"""
+WITH {", ".join(ctes)}
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN rk <= {per_cell} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       ROUND(AVG(nrm), 6) AS avg_norm,
+       ROUND(AVG(CASE WHEN rk <= {per_cell} THEN nrm END), 6)
+         AS avg_sampled_norm,
+       CAST(MIN(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
+         AS first_sampled_id
+FROM ranked GROUP BY cell ORDER BY cell
+"""
+
+
+@query("cluster_balanced_sample_report", oracle=_cluster_sample_oracle_sql())
+def cluster_balanced_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-BALANCED sampling (r8): the diversity-sampling recipe a
+    curation pipeline uses to build an eval/inspection set that covers
+    the embedding space instead of oversampling the dominant mode —
+    deterministic Lloyd cells (`kmeans_cells_deterministic`, zero
+    shuffle) + a deterministic per-cell reservoir (md5(vec_id) hex
+    order — the engine-portable randomness every seeded-sampling
+    oracle here uses), reported per cell with member/sample counts and
+    norm diagnostics (a sampled-vs-population norm gap flags a skewed
+    reservoir). The oracle unrolls the identical Lloyd recurrence as
+    CTEs and replays the reservoir rank, so the fit, the assignment,
+    the sample membership AND the diagnostics sit under one value
+    hash. Scale: the rank is one window per cell over cell-partitioned
+    rows; nothing pairwise."""
+    from .functions.vector import l2_norm
+    from .operators.similarity import kmeans_cells_deterministic
+
+    e = _t(spark, sf_dir, "embeddings")
+    cells = kmeans_cells_deterministic(e, n_cells=8, iters=2)
+    from pyspark.sql import Window
+
+    ranked = cells.select(
+        "vec_id",
+        "cell",
+        F.round(l2_norm("embedding"), 6).alias("nrm"),
+        F.row_number()
+        .over(
+            Window.partitionBy("cell").orderBy(
+                F.md5(F.col("vec_id").cast("string")), "vec_id"
+            )
+        )
+        .alias("rk"),
+    )
+    per_cell = 5
+    return (
+        ranked.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum((F.col("rk") <= per_cell).cast("long")).alias("n_sampled"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(
+                F.avg(F.when(F.col("rk") <= per_cell, F.col("nrm"))), 6
+            ).alias("avg_sampled_norm"),
+            F.min(F.when(F.col("rk") == 1, F.col("vec_id"))).alias(
+                "first_sampled_id"
+            ),
+        )
+        .orderBy("cell")
+    )
