@@ -2862,3 +2862,44 @@ def test_ngram_novelty_scores_known_corpus(spark):
     assert out[3].n_grams == 4 and out[3].novelty == 0.75
     # doc 4: one gram ("tiny doc"), never seen before → novel
     assert out[4].n_grams == 1 and out[4].novelty == 1.0
+
+
+def test_ngram_novelty_conservation_invariant(spark, sf_dir):
+    """Every distinct gram in the corpus is novel for EXACTLY ONE
+    document (its first-seen doc): Σ novel_grams == |distinct grams|,
+    and novelty ∈ [0, 1] row-wise — the conservation law that pins the
+    min-attribution join against double- or zero-counting."""
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.text import tokens
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    scores = ngram_novelty_scores(docs, n=3)
+    agg = scores.agg(
+        F.sum("novel_grams").alias("novel"),
+        F.min("novelty").alias("lo"),
+        F.max("novelty").alias("hi"),
+    ).collect()[0]
+    base = docs.select(tokens(F.col("text")).alias("_t"))
+    distinct_grams = (
+        base.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.size("_t") - 2, F.lit(1)),
+                        ),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("_t"), i, 3)
+                        ),
+                    )
+                )
+            ).alias("g")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.novel == distinct_grams
+    assert 0.0 <= agg.lo and agg.hi <= 1.0
