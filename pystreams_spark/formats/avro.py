@@ -46,8 +46,9 @@ string↔bytes promote; the first file's schema is the reader schema.
 Incompatible drift still refuses loudly naming the field.
 Codecs (ALL six spec codecs since r7): ``null``, ``deflate`` (zlib),
 ``bzip2`` (bz2), ``xz`` (lzma), plus pure-Python ``snappy`` (full
-tag-stream decode incl. overlapping copies; stored-mode encode; Avro
-big-endian CRC32 suffix) and ``zstandard`` (`formats/zstd.py` — full
+tag-stream decode incl. overlapping copies; r8: REAL greedy LZ77
+compression on encode, snappy-java-validated; Avro big-endian CRC32
+suffix) and ``zstandard`` (`formats/zstd.py` — full
 RFC 8878 decode with FSE/Huffman/sequences; raw-block stored encode),
 both implemented from the public format descriptions and
 differentially tested against snappy-java / zstd-jni on Spark's own
@@ -1108,7 +1109,14 @@ def snappy_decompress(data: bytes) -> bytes:
 
 
 def snappy_compress(data: bytes) -> bytes:
-    """Spec-valid raw-format snappy, all-literal ("stored") encoding."""
+    """Raw-format snappy with REAL compression (r8 — stored-mode-only
+    until then): greedy hash-match LZ77 per the public format
+    description — 4-byte hash candidates, match extension, copy-1
+    (len 4-11, offset < 2048) / copy-2 (16-bit offset) tags, long
+    copies split at 64 with the classic 60+remainder tail so every
+    piece stays ≥ 4. Output is validated against snappy-java's
+    decompressor on Spark's own classpath (both-direction
+    differentials in test_avro.py)."""
     out = bytearray()
     v = len(data)
     while True:
@@ -1117,16 +1125,67 @@ def snappy_compress(data: bytes) -> bytes:
         out.append(b | (0x80 if v else 0))
         if not v:
             break
-    if not data:
+    n = len(data)
+    if n == 0:
         return bytes(out)
-    lm1 = len(data) - 1
-    if lm1 < 60:
-        out.append(lm1 << 2)
-    else:
-        nb = (lm1.bit_length() + 7) // 8
-        out.append((59 + nb) << 2)
-        out += lm1.to_bytes(nb, "little")
-    out += data
+
+    def emit_literal(lo: int, hi: int) -> None:
+        if hi <= lo:
+            return
+        lm1 = hi - lo - 1
+        if lm1 < 60:
+            out.append(lm1 << 2)
+        else:
+            nb = (lm1.bit_length() + 7) // 8
+            out.append((59 + nb) << 2)
+            out.extend(lm1.to_bytes(nb, "little"))
+        out.extend(data[lo:hi])
+
+    def one_copy(off: int, ln: int) -> None:
+        if 4 <= ln <= 11 and off < 2048:
+            out.append(0x01 | ((ln - 4) << 2) | ((off >> 8) << 5))
+            out.append(off & 0xFF)
+        else:
+            out.append(0x02 | ((ln - 1) << 2))
+            out.extend(off.to_bytes(2, "little"))
+
+    def emit_copy(off: int, ln: int) -> None:
+        while ln >= 68:
+            one_copy(off, 64)
+            ln -= 64
+        if ln > 64:
+            one_copy(off, 60)
+            ln -= 60
+        one_copy(off, ln)
+
+    table: dict = {}
+    i = 0
+    lit = 0
+    # skip heuristic (the reference encoder's): on incompressible data
+    # the probe stride grows, keeping the pure-Python loop near-linear
+    miss = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        cand = table.get(key, -1)
+        table[key] = i
+        if cand >= 0 and i - cand <= 0xFFFF:
+            j = i + 4
+            k = cand + 4
+            while j < n and data[j] == data[k]:
+                j += 1
+                k += 1
+            emit_literal(lit, i)
+            emit_copy(i - cand, j - i)
+            i = j
+            lit = i
+            miss = 0
+        else:
+            miss += 1
+            # stride grows every 32 misses, capped at 32 (the reference
+            # encoder's bound) so a block that turns compressible later
+            # is still probed densely enough to catch it
+            i += 1 + min(miss >> 5, 31)
+    emit_literal(lit, n)
     return bytes(out)
 
 

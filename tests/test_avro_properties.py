@@ -125,7 +125,7 @@ def test_schema_json_is_stable():
 
 @settings(max_examples=300, deadline=None)
 @given(st.binary(min_size=0, max_size=4096))
-def test_snappy_stored_roundtrip(payload):
+def test_snappy_compress_roundtrip(payload):
     from pystreams_spark.formats.avro import snappy_compress, snappy_decompress
 
     assert snappy_decompress(snappy_compress(payload)) == payload
@@ -231,3 +231,27 @@ def test_union_info_normalizes_dict_spelled_primitives():
         [{"type": "int", "logicalType": "date"}, "string"]
     )
     assert isinstance(got, T.StructType)
+
+
+def test_snappy_really_compresses_and_survives_regime_change():
+    """r8: the encoder is no longer stored-mode — repetitive payloads
+    must SHRINK, incompressible ones stay ~1:1 fast (skip heuristic,
+    stride capped at 32 so a late compressible tail is still found)."""
+    import os
+
+    from pystreams_spark.formats.avro import snappy_compress, snappy_decompress
+
+    text = b"the same boilerplate line over and over\n" * 400
+    c = snappy_compress(text)
+    assert len(c) < len(text) / 10
+    assert snappy_decompress(c) == text
+
+    rnd = os.urandom(50_000)
+    c2 = snappy_compress(rnd)
+    assert len(c2) <= len(rnd) * 1.01
+    assert snappy_decompress(c2) == rnd
+
+    mixed = rnd + text * 5
+    c3 = snappy_compress(mixed)
+    assert len(c3) < len(rnd) + len(text) * 5 * 0.2
+    assert snappy_decompress(c3) == mixed
