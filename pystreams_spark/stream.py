@@ -335,6 +335,15 @@ class Stream:
 
         return Stream(neardup_dedup(self.df, threshold, n, text_col, id_col))
 
+    def novelty_scores(
+        self, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    ) -> "Stream":
+        """Per-doc n-gram novelty (r8): fraction of distinct n-grams no
+        lower-id doc contains — (id, n_grams, novel_grams, novelty)."""
+        from .operators.dedup import ngram_novelty_scores
+
+        return Stream(ngram_novelty_scores(self.df, n, text_col, id_col))
+
     def dedup_against(
         self, corpus: "Stream | DataFrame", text_col: str = "text"
     ) -> "Stream":

@@ -487,3 +487,15 @@ def test_facade_frontier_sugar(spark, sf_dir):
                 b.p_retailprice <= a.p_retailprice and b.p_size >= a.p_size
                 and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
             )
+
+
+def test_facade_novelty_sugar(spark, sf_dir):
+    """r8 sugar: Stream.novelty_scores routes to the novelty operator
+    and returns the documented shape with valid ratios."""
+    from pystreams_spark import Stream, load_table
+
+    docs = Stream(load_table(spark, sf_dir, "documents").limit(60))
+    rows = docs.novelty_scores().collect()
+    assert len(rows) == 60
+    assert all(0.0 <= r.novelty <= 1.0 for r in rows)
+    assert all(r.novel_grams <= r.n_grams for r in rows)
