@@ -649,9 +649,33 @@ def zstd_compress_stored(data: bytes) -> bytes:
     if n == 0:
         out += (1).to_bytes(3, "little")  # last, raw, size 0
         return bytes(out)
-    for lo in range(0, n, max_block):
-        chunk = data[lo : lo + max_block]
-        last = 1 if lo + max_block >= n else 0
-        out += (last | (len(chunk) << 3)).to_bytes(3, "little")
-        out += chunk
+
+    # r8: runs ≥ 1 KiB become RLE blocks (btype 1 — regenerated size in
+    # the header, ONE payload byte); everything else stays RAW. The run
+    # scan is one C-side regex pass, so zero-padded / constant payloads
+    # collapse ~128k:1 while the encoder stays trivially spec-valid.
+    import re as _re
+
+    pieces: list[tuple[int, int, int]] = []  # (btype, lo, hi)
+    pos = 0
+    for m in _re.finditer(rb"(.)\1{1023,}", data, _re.DOTALL):
+        if m.start() > pos:
+            pieces.append((0, pos, m.start()))
+        pieces.append((1, m.start(), m.end()))
+        pos = m.end()
+    if pos < n:
+        pieces.append((0, pos, n))
+
+    blocks: list[tuple[int, bytes, int]] = []  # (btype, payload, regen)
+    for btype, lo, hi in pieces:
+        for blo in range(lo, hi, max_block):
+            bhi = min(blo + max_block, hi)
+            if btype == 1:
+                blocks.append((1, data[blo : blo + 1], bhi - blo))
+            else:
+                blocks.append((0, data[blo:bhi], bhi - blo))
+    for bi, (btype, payload, regen) in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        out += (last | (btype << 1) | (regen << 3)).to_bytes(3, "little")
+        out += payload
     return bytes(out)

@@ -255,3 +255,19 @@ def test_snappy_really_compresses_and_survives_regime_change():
     c3 = snappy_compress(mixed)
     assert len(c3) < len(rnd) + len(text) * 5 * 0.2
     assert snappy_decompress(c3) == mixed
+
+
+def test_zstd_rle_blocks_collapse_runs():
+    """r8: runs ≥ 1 KiB emit RLE blocks — constant payloads collapse
+    ~128k:1, mixed payloads round-trip, short runs stay raw."""
+    import os
+
+    from pystreams_spark.formats.zstd import zstd_compress_stored, zstd_decompress
+
+    zeros = b"\x00" * 300_000
+    c = zstd_compress_stored(zeros)
+    assert len(c) < 64 and zstd_decompress(c) == zeros
+    mixed = os.urandom(100) + b"A" * 5000 + os.urandom(50) + b"B" * 1023
+    c2 = zstd_compress_stored(mixed)
+    assert len(c2) < len(mixed) / 3
+    assert zstd_decompress(c2) == mixed
