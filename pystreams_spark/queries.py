@@ -10656,3 +10656,148 @@ def cluster_balanced_sample_report(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cell")
     )
+
+
+@query(
+    "split_leakage_report",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+                 i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), assigned AS (
+        SELECT doc_id,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8))::BIGINT
+                     / 4294967296.0 AS frac
+            FROM documents
+        )
+    ), comp_stats AS (
+        SELECT c.component_id,
+               COUNT(*) AS n_members,
+               COUNT(DISTINCT a2.split) AS n_splits
+        FROM comp c JOIN assigned a2 USING (doc_id)
+        GROUP BY c.component_id
+    ), cross_pairs AS (
+        SELECT COUNT(*) AS n
+        FROM pairs p
+        JOIN assigned sa ON sa.doc_id = p.id_a
+        JOIN assigned sb ON sb.doc_id = p.id_b
+        WHERE sa.split != sb.split
+    )
+    SELECT CAST((SELECT COUNT(*) FROM comp_stats WHERE n_members > 1) AS BIGINT)
+             AS n_components,
+           CAST((SELECT COUNT(*) FROM comp_stats
+                 WHERE n_members > 1 AND n_splits > 1) AS BIGINT)
+             AS n_leaked_components,
+           CAST((SELECT COALESCE(SUM(n_members), 0) FROM comp_stats
+                 WHERE n_members > 1 AND n_splits > 1) AS BIGINT)
+             AS n_leaked_docs,
+           CAST((SELECT n FROM cross_pairs) AS BIGINT) AS n_cross_split_pairs,
+           ROUND(CAST((SELECT COUNT(*) FROM comp_stats
+                       WHERE n_members > 1 AND n_splits > 1) AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM comp_stats
+                             WHERE n_members > 1), 1), 6) AS leakage_rate
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup LEAKAGE across the train/val/test split (r8): the
+    eval-integrity check a random or hash split always fails on a
+    dup-bearing corpus — a near-dup component with members on both
+    sides of the split leaks training content into eval, inflating
+    every downstream metric. Counts multi-doc Jaccard-0.35 components
+    that span ≥2 splits (the md5(id:salt) 80/10/10 rule of
+    `deterministic_split_report`), the docs inside them, and the
+    direct cross-split near-dup PAIR count. The cure is splitting BY
+    COMPONENT (salt the component id, not the doc id); this report is
+    the before-number that motivates it. Oracle replays pairs, the CC
+    closure (recursive CTE), the split hash, and all the counts under
+    one value hash."""
+    from .io import broadcast_if_small, materialize
+    from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("split42"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    assigned = d.select(
+        "doc_id",
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    comp_stats = (
+        labels.join(assigned, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    cross = (
+        pairs.join(
+            broadcast_if_small(assigned.withColumnRenamed("doc_id", "id_a")
+                               .withColumnRenamed("split", "_sa")),
+            "id_a",
+        )
+        .join(
+            broadcast_if_small(assigned.withColumnRenamed("doc_id", "id_b")
+                               .withColumnRenamed("split", "_sb")),
+            "id_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    leaked = F.sum((F.col("n_splits") > 1).cast("long"))
+    return comp_stats.agg(
+        F.count(F.lit(1)).alias("n_components"),
+        leaked.alias("n_leaked_components"),
+        F.sum(
+            F.when(F.col("n_splits") > 1, F.col("n_members")).otherwise(0)
+        ).alias("n_leaked_docs"),
+        F.round(
+            leaked / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+        ).alias("leakage_rate"),
+    ).crossJoin(F.broadcast(cross)).select(
+        "n_components",
+        "n_leaked_components",
+        "n_leaked_docs",
+        F.col("n").alias("n_cross_split_pairs"),
+        "leakage_rate",
+    )
