@@ -10801,3 +10801,113 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_cross_split_pairs"),
         "leakage_rate",
     )
+
+
+@query(
+    "component_split_report",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+                 i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+               )) AS sh
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+    ), edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS unit
+        FROM documents d LEFT JOIN (
+            SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+        ) c USING (doc_id)
+    ), assigned AS (
+        SELECT doc_id, unit,
+               CASE WHEN frac < 0.8 THEN 'train'
+                    WHEN frac < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, unit,
+                   ('0x' || substr(md5(CAST(unit AS VARCHAR) || ':split42'), 1, 8))::BIGINT
+                     / 4294967296.0 AS frac
+            FROM comp
+        )
+    ), leak AS (
+        SELECT COUNT(*) AS n FROM (
+            SELECT unit FROM assigned GROUP BY unit
+            HAVING COUNT(DISTINCT split) > 1
+        )
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT unit) AS BIGINT) AS n_units,
+           CAST((SELECT n FROM leak) AS BIGINT) AS n_leaked_units
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def component_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURE for `split_leakage_report` (r8): salt the SPLIT UNIT —
+    every document carries its near-dup component id (its own id when
+    isolated) and the md5 80/10/10 hash is taken over the UNIT, so a
+    whole dup-cluster lands on one side of the split by construction.
+    The report shows per-split doc/unit counts plus the leaked-unit
+    count, which is ZERO by construction — and the oracle proves that
+    zero rather than asserting it, replaying pairs, closure, unit
+    attribution and the unit-keyed hash."""
+    from .io import materialize
+    from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    units = labels.select(
+        "doc_id", F.col("cluster_id").alias("unit")
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("unit"), F.lit("split42"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    assigned = units.select(
+        "doc_id",
+        "unit",
+        F.when(frac < 0.8, "train")
+        .when(frac < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leaked = (
+        assigned.groupBy("unit")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(
+            F.sum((F.col("_ns") > 1).cast("long")).alias("n_leaked_units")
+        )
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("unit").alias("n_units"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select("split", "n_docs", "n_units", "n_leaked_units")
+        .orderBy("split")
+    )
