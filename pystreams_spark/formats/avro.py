@@ -1605,6 +1605,11 @@ class AvroStreamReader(DataSourceStreamReader):
         return {"files": sorted(self._seen)}
 
     def partitions(self, start, end):
+        # landing dirs often start EMPTY: capture the reader schema
+        # from the first file that ever shows up, so later compatible
+        # evolution resolves instead of strict-failing (r8)
+        if self._reader_avro is None:
+            self._reader_avro = _plan_reader_avro(self.path, self._schema)
         # restart safety: fast-forward the in-memory offered-set from
         # BOTH ends of the checkpointed range. Folding only end['files']
         # (pre-r7 bug, ADVICE r6) loses the recovered START position
