@@ -1406,7 +1406,8 @@ def _jpeg_progressive_scan_arith(
                 ja._decode_ac_refine(dec, cs, ta, zzb, ss, se, al)
 
 
-def encode_jpeg_progressive_arith(arr, quant: int = 1) -> bytes:
+def encode_jpeg_progressive_arith(arr, quant: int = 1,
+                                  restart_interval: int = 0) -> bytes:
     """PROGRESSIVE arithmetic JPEG encoder (SOF10) — fixture-side
     mirror of `_jpeg_progressive_scan_arith`. Scan script: interleaved
     DC first at Al=1, DC refinement to Al=0, then per component AC
@@ -1455,33 +1456,38 @@ def encode_jpeg_progressive_arith(arr, quant: int = 1) -> bytes:
         cs = ja._CondState(scan_comps, {0: (0, 1)}, {0: 5})
         cs.reset(scan_comps)
         enc = ja.ArithEncoder()
-        if ss == 0:
-            if ah == 0:
-                for byi in range(nby):
-                    for bxi in range(nbx):
-                        for i in scan_ids:
-                            dc = int(comp_blocks[i][byi, bxi][0])
+        chunks: list[bytes] = []
+        rst = 0
+        unit = 0
+        for byi in range(nby):
+            for bxi in range(nbx):
+                if restart_interval and unit and unit % restart_interval == 0:
+                    chunks.append(enc.flush())
+                    chunks.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                    rst += 1
+                    enc = ja.ArithEncoder()
+                    cs.reset(scan_comps)
+                if ss == 0:
+                    for i in scan_ids:
+                        dc = int(comp_blocks[i][byi, bxi][0])
+                        if ah == 0:
                             ja._encode_dc(enc, cs, i + 1, 0, dc >> al)
-            else:
-                for byi in range(nby):
-                    for bxi in range(nbx):
-                        for i in scan_ids:
-                            dc = int(comp_blocks[i][byi, bxi][0])
+                        else:
                             ja._encode_dc_refine(enc, cs, (dc >> al) & 1)
-        else:
-            (i,) = scan_ids
-            for byi in range(nby):
-                for bxi in range(nbx):
+                else:
+                    (i,) = scan_ids
                     zzb = comp_blocks[i][byi, bxi]
                     if ah == 0:
                         ja._encode_ac(enc, cs, 0, zzb, ss, se, al)
                     else:
                         ja._encode_ac_refine(enc, cs, 0, zzb, ss, se, al)
+                unit += 1
+        chunks.append(enc.flush())
         sos = bytes([len(scan_ids)])
         for i in scan_ids:
             sos += bytes([i + 1, 0x00])
         sos += bytes([ss, se, (ah << 4) | al])
-        parts.append((sos, enc.flush()))
+        parts.append((sos, b"".join(chunks)))
 
     all_ids = list(range(nc))
     run_scan(all_ids, (0, 0, 0, 1))  # DC first, Al=1
@@ -1502,6 +1508,8 @@ def encode_jpeg_progressive_arith(arr, quant: int = 1) -> bytes:
     out += seg(0xDB, bytes([0x00]) + bytes([quant]) * 64)
     out += seg(0xCA, sof_body)
     out += seg(0xCC, bytes([0x00, 0x10, 0x10, 0x05]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for sos_body, entropy in parts:
         out += seg(0xDA, sos_body)
         out += entropy

@@ -1365,3 +1365,26 @@ def test_tiff_old_style_jpeg_compression6(spark):
     assert (px == _decode_jpeg_parse(jpg)).all()
     with _pytest.raises(ValueError, match="fragmented tables"):
         _decode_tiff(tiff6(False))
+
+
+def test_jpeg_progressive_arithmetic_restart_intervals(spark):
+    """r8: progressive-arithmetic scans with DRI/RST — every restart
+    re-inits the coder AND zeroes the statistics areas; pixels must
+    still match the Huffman path exactly."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import (
+        _decode_jpeg_parse,
+        encode_jpeg,
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(83)
+    for shape, q, ri in [((24, 40), 2, 3), ((33, 47, 3), 3, 5),
+                         ((16, 16), 1, 1)]:
+        arr = rng.integers(0, 256, shape, dtype=np.uint8)
+        a = _decode_jpeg_parse(
+            encode_jpeg_progressive_arith(arr, quant=q, restart_interval=ri)
+        )
+        h = _decode_jpeg_parse(encode_jpeg(arr, quant=q))
+        assert (a == h).all(), (shape, q, ri)
