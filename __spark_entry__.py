@@ -220,30 +220,56 @@ R7_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r08.json (the driver's 50-query round-8
+# window — 47/50 full oracle-PASS + 3 declared rows-only). Cumulative
+# R1 ∪ … ∪ R8 covers all 221 queries registered through r8.
+R8_DRIVER_CHECKED = {
+    "asof_join_last_order", "benchmark_decontamination",
+    "char_trigram_profiles", "chunk_long_documents",
+    "cluster_balanced_sample_report", "component_split_report",
+    "count_min_user_events", "customer_running_total",
+    "disjunctive_predicate_revenue", "distinct_order_priorities",
+    "doc_fingerprints", "effective_dataset_size", "events_sessionized",
+    "events_sliding_2h", "events_tumbling_daily",
+    "full_outer_nation_presence", "heavy_hitters_events",
+    "incremental_dedup_new_docs", "interval_join_events_in_order_week",
+    "json_props_events", "json_struct_events", "lang_id_heuristic",
+    "large_quantity_orders", "late_order_priority_counts",
+    "media_decode_report", "minhash_banded_neardup", "nation_balance_rank",
+    "neardup_components_report", "neardup_graph_triangle_census",
+    "ngram_jaccard_neardup", "ngram_novelty_report", "order_date_series",
+    "pagerank_neardup_graph", "pii_redaction_report",
+    "range_join_premium_items", "right_join_customer_orders",
+    "rollup_returns", "salted_event_counts", "salted_join_user_events",
+    "seeded_global_shuffle", "seeded_random_tags", "segment_stats",
+    "set_ops_orderkeys", "small_quantity_revenue", "split_leakage_report",
+    "tfidf_top_terms", "union_order_slices", "variant_props_events",
+    "winnowing_fingerprints", "word_freq_top20",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
     the most fresh evidence: (0) queries never driver-checked (new in
-    round 8, plus the fall-through safety net), (1) queries whose code
-    paths changed in round 8 (need re-verdicts under the new code),
+    round 9, plus the fall-through safety net), (1) queries whose code
+    paths changed in round 9 (need re-verdicts under the new code),
     (2) curated priority re-checks, (3) generic stale rows-only,
-    (4+) staleness tiers by age of last driver verdict — per the r7
-    verdict's rotation ask (#1) the r3-era tier (28 queries, oldest) is
-    drained first, so the r8 histogram's oldest tier becomes r4."""
+    (4+) staleness tiers by age of last driver verdict — per the r8
+    verdict's rotation ask (#1) the r4-era tier (31 queries, oldest) is
+    drained first, so the r9 histogram's oldest tier becomes r5."""
 
     never_checked: set[str] = {
-        # new in round 8 rank 0 via the fall-through below
+        # new in round 9 rank 0 via the fall-through below
     }
-    # code-touched in round 8 (need re-verdicts under the new code):
-    # effective_dataset_size / neardup_components_report — verified pair
-    # frame now eagerly materialized before CC (r7 verdict #3); the
-    # prefix set-similarity join's default order flipped to
-    # ascending-df (r7 verdict #5) — every query on the prefix kernel
-    # re-verifies; media_decode_report — arithmetic-coded JPEG (#7)
-    touched_r8: set[str] = {
-        "effective_dataset_size", "neardup_components_report",
-        "media_decode_report", "ngram_jaccard_neardup",
-        "pagerank_neardup_graph", "neardup_graph_triangle_census",
+    # code-touched in round 9 (need re-verdicts under the new code):
+    # ngram_novelty_report — the novelty kernel gained the hash_grams
+    # production parameter (r8 verdict #2; the registered query stays
+    # string-gram oracle mode but shares the touched kernel);
+    # media_decode_report — hierarchical/differential JPEG (SOF5-7/13-15,
+    # r8 verdict #7) routes new fixture ids through the decode kernel
+    touched_r9: set[str] = {
+        "ngram_novelty_report", "media_decode_report",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
@@ -251,7 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r8:
+        if name in touched_r9:
             return 1
         if name in stale_priority:
             return 2
@@ -260,7 +286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
-            R6_DRIVER_CHECKED, R7_DRIVER_CHECKED)]
+            R6_DRIVER_CHECKED, R7_DRIVER_CHECKED, R8_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
