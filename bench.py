@@ -80,9 +80,18 @@ def main() -> None:
     load_before = [round(x, 2) for x in os.getloadavg()]
     t_suite0 = time.perf_counter()
 
+    # Per-query load attribution (r8 verdict #8): the suite-level
+    # before/after pair says the box WAS busy but not WHEN — 9 of r8's
+    # driver >2× flags were ambient-load artifacts that needed a judge
+    # re-bench to adjudicate. Sampling the 1-min load at each run's
+    # start makes a mid-suite burst attributable to the specific rows
+    # it inflated.
+    load_samples: dict[str, list[float]] = {}
     for name in names:
         samples[name] = []
+        load_samples[name] = []
         for _ in range(runs):
+            load_samples[name].append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(round(time.perf_counter() - t0, 3))
@@ -104,6 +113,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        # 1-min load average sampled at the START of each run, aligned
+        # index-for-index with "samples" — a row whose best run started
+        # under load >> cpus is flagged contended, not regressed
+        "load_1m_at_run_start": load_samples,
         "runs_per_query": runs,
         "aggregation": "min_of_runs",
         "sf": sf,
@@ -127,6 +140,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5]),
+        # 1-min load when each slowest-5 row's BEST run started — the
+        # self-adjudication the r8 verdict asked for (#8)
+        "slowest_5_load_1m": {
+            n: load_samples[n][samples[n].index(timings[n])]
+            for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        },
         "queries_truncated_to_slowest_5": True,
         "full_detail": detail_name,
         "load_avg_before": detail["load_avg_before"],
