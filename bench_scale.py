@@ -187,7 +187,32 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "ngram_novelty": lambda: QUERIES["ngram_novelty_report"](
             spark, data_dir
         ).count(),
+        # r9 (VERDICT r8 #2): the hash_grams production path — same
+        # plan with 8-byte gram keys; the r8 string-mode 1.12 byte
+        # exponent was gram STRINGS lengthening with the fixture, so
+        # this row should bring bytes back to ~rows (~1.0)
+        "ngram_novelty_hashed": lambda: _novelty_hashed(docs()),
+        # r9 (VERDICT r8 #5): the r8 report family. The leakage audit
+        # and its component-split cure ride the df-order prefix join +
+        # CC closure (expected ≈ effective_dataset_size's 0.97); the
+        # cluster-balanced sample is a zero-shuffle Lloyd fit plus one
+        # cell-partitioned window (expect near-zero shuffle growth)
+        "split_leakage": lambda: QUERIES["split_leakage_report"](
+            spark, data_dir
+        ).count(),
+        "component_split": lambda: QUERIES["component_split_report"](
+            spark, data_dir
+        ).count(),
+        "cluster_balanced_sample": lambda: QUERIES[
+            "cluster_balanced_sample_report"
+        ](spark, data_dir).count(),
     }
+
+
+def _novelty_hashed(docs_df):
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+
+    return ngram_novelty_scores(docs_df, n=3, hash_grams=True).count()
 
 
 def main() -> None:

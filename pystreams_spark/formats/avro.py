@@ -593,6 +593,69 @@ def _default_to_value(sc: object, d: object):
     return _default_to_value(t, d)
 
 
+def _make_general_union_resolver(
+    w: object, w_is_u: bool, has_null: bool, branches: list, kind: str
+):
+    """Reader-side GENERAL-union resolution (r9, r8 verdict #4). Spec
+    rule: when the reader's schema is a union, the first reader branch
+    that resolves against the writer's (selected) schema is used; no
+    match is an error. The decoded value lands in the reader union's
+    spark-avro mapping — int+long → long, float+double → double,
+    anything else → struct<member0, member1, …> with exactly the
+    matched branch's slot set — so resolution COMPOSES with the r7
+    general-union read mapping instead of refusing."""
+    n = len(branches)
+
+    def resolve_plain(wb: object):
+        if wb == "null":
+            if has_null:
+                return lambda c: None
+            raise ValueError(
+                "avro resolution: writer wrote null but the reader "
+                "union has no null branch"
+            )
+        if kind in ("int_long", "float_double"):
+            target = "long" if kind == "int_long" else "double"
+            return _make_resolving_decoder(wb, target)
+        # struct mapping: FIRST reader branch that resolves wins
+        # (spec's declared-order match), value in that branch's slot
+        last_err: Exception | None = None
+        for slot, rb in enumerate(branches):
+            try:
+                inner = _make_resolving_decoder(wb, rb)
+            except (ValueError, NotImplementedError) as e:
+                last_err = e
+                continue
+
+            def dec(c, _inner=inner, _slot=slot):
+                out = [None] * n
+                out[_slot] = _inner(c)
+                return tuple(out)
+
+            return dec
+        raise ValueError(
+            f"avro resolution: writer type {wb!r} matches no branch of "
+            f"the reader union (last branch error: {last_err})"
+        )
+
+    if not w_is_u:
+        return resolve_plain(w)
+    # writer union: resolve each branch independently; a branch that
+    # CANNOT resolve is a runtime error only if a record holds one
+    # (same convention as the reader-plain path below)
+    branch_decs = []
+    for b in w:
+        try:
+            branch_decs.append(resolve_plain(b))
+        except ValueError as e:
+
+            def _fail(c, _msg=str(e)):
+                raise ValueError(_msg)
+
+            branch_decs.append(_fail)
+    return lambda c: branch_decs[c.long()](c)
+
+
 def _make_resolving_decoder(writer: object, reader: object):
     """fn(_Cursor) decoding WRITER-encoded bytes into READER-shaped
     values, per the spec's resolution rules. Raises ValueError (naming
@@ -607,9 +670,8 @@ def _make_resolving_decoder(writer: object, reader: object):
         if r_is_u:
             has_null, branches, kind = _union_info(r)
             if kind != "single":
-                raise ValueError(
-                    "avro resolution: reader unions beyond [null, T] are "
-                    f"unsupported (reader kind '{kind}')"
+                return _make_general_union_resolver(
+                    w, w_is_u, has_null, branches, kind
                 )
             r_target = _norm_prim(branches[0])
             if not w_is_u:

@@ -498,6 +498,7 @@ def ngram_novelty_scores(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY (r8): the fraction of a document's
     distinct word n-grams that no LOWER-id document contains — the
@@ -516,9 +517,17 @@ def ngram_novelty_scores(
     Gram construction is STRING n-grams (space-joined token windows;
     short docs yield their full token string as one gram) — chosen
     over hashed shingles so the DuckDB oracle can replay the exact
-    equivalence classes; a production run at 100 TB would hash the
-    gram column first (`xxhash64`) to shrink the shuffle, which
-    changes no downstream semantics."""
+    equivalence classes. ``hash_grams=True`` is the PRODUCTION path
+    for that recipe (r8 verdict #2): ``xxhash64`` collapses each gram
+    to 8 bytes BEFORE the explode, so the groupBy/join shuffle moves
+    fixed-width longs instead of corpus-length strings — the r8 curve
+    measured a 1.12 shuffle-BYTE exponent in string mode purely
+    because grams lengthen with the fixture corpus; hashing removes
+    that term (semantics unchanged up to 64-bit collisions, ~N²/2⁶⁵
+    expected across distinct grams — zero at any real corpus size
+    worth naming). The registered oracle query stays string mode;
+    ``test_ngram_novelty_hashed_matches_string`` pins the two modes
+    equal on real data."""
     from ..functions.text import tokens
 
     base = ensure_parallelism(df).select(
@@ -538,6 +547,14 @@ def ngram_novelty_scores(
             )
         ).alias("_grams"),
     )
+    if hash_grams:
+        # hash INSIDE the array (still one row per doc), then explode:
+        # the exploded frame — the input to both shuffles — is born
+        # 8-byte-wide and no string gram ever crosses an exchange
+        grams = grams.select(
+            id_col,
+            F.transform("_grams", lambda g: F.xxhash64(g)).alias("_grams"),
+        )
     posts = grams.select(id_col, F.explode("_grams").alias("_g"))
     first = posts.groupBy("_g").agg(F.min(id_col).alias("_first"))
     return (

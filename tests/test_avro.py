@@ -574,6 +574,111 @@ def test_avro_schema_resolution_matches_jvm_reference(spark, tmp_path):
     assert [(r["id"], r["name"], r["tag"]) for r in jrecs] == ours
 
 
+def test_avro_general_union_resolution_composes(spark, tmp_path):
+    """r9 (VERDICT r8 #4): schema resolution with a GENERAL union on
+    the reader side. A landing dir anchors on a v1 reader whose ``sv``
+    is ["null","string","long"] (JVM-written; our writer keeps its
+    general-union refusal); a later v2 file writes ``sv`` as a PLAIN
+    string and ``iv`` as int against reader ["int","long"]. Resolution
+    must land v2's values inside the reader union's spark-avro mapping
+    (string → member0 slot; int → widened long), not refuse —
+    differential vs org.apache.avro GenericDatumReader.setExpected on
+    the same (writer=v2, reader=v1) pair."""
+    import json as _json
+
+    from pystreams_spark.formats.avro import iter_avro_file
+
+    jvm = spark._jvm
+    v1 = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "iv", "type": ["int", "long"]},
+            {"name": "sv", "type": ["null", "string", "long"], "default": None},
+        ],
+    }
+    v2 = {  # plain writer types into the reader's unions
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "iv", "type": "int"},
+            {"name": "sv", "type": "string"},
+        ],
+    }
+
+    def jvm_write(path, schema_dict, rows):
+        js = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(schema_dict))
+        w = jvm.org.apache.avro.file.DataFileWriter(
+            jvm.org.apache.avro.generic.GenericDatumWriter(js)
+        )
+        w.create(js, jvm.java.io.File(path))
+        for row in rows:
+            rec = jvm.org.apache.avro.generic.GenericData.Record(js)
+            for f, v in zip([f["name"] for f in schema_dict["fields"]], row):
+                rec.put(f, v)
+            w.append(rec)
+        w.close()
+
+    land = tmp_path / "uland"
+    land.mkdir()
+    # sorted listing makes the v1 file first → v1 is the reader schema
+    jvm_write(str(land / "a-v1.avro"), v1, [(0, 7, "direct")])
+    jvm_write(str(land / "b-v2.avro"), v2, [(1, 5, "resolved")])
+
+    df = read_avro(spark, str(land))
+    assert dict(df.dtypes) == {
+        "id": "bigint",
+        "iv": "bigint",
+        "sv": "struct<member0:string,member1:bigint>",
+    }
+    got = {r.id: r for r in df.collect()}
+    assert got[0].iv == 7 and got[0].sv.member0 == "direct"
+    assert got[1].iv == 5 and got[1].sv.member0 == "resolved"
+    assert got[1].sv.member1 is None
+
+    # differential: the JVM resolving reader selects the same branch
+    rs = jvm.org.apache.avro.Schema.Parser().parse(_json.dumps(v1))
+    dr = jvm.org.apache.avro.generic.GenericDatumReader()
+    dr.setExpected(rs)
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(land / "b-v2.avro")), dr
+    )
+    jrecs = []
+    while fr.hasNext():
+        jrecs.append(_json.loads(fr.next().toString()))
+    fr.close()
+    assert jrecs == [{"id": 1, "iv": 5, "sv": "resolved"}]
+
+    # writer union REORDERED/subset vs reader general union: the long
+    # branch must land in the reader's member1 slot
+    v3 = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "iv", "type": "long"},
+            {"name": "sv", "type": ["long", "null"]},
+        ],
+    }
+    p3 = str(tmp_path / "c-v3.avro")
+    jvm_write(p3, v3, [(2, 9, 1 << 41), (3, 4, None)])
+    ours = list(iter_avro_file(p3, reader_avro=v1))
+    assert ours == [(2, 9, (None, 1 << 41)), (3, 4, None)]
+
+    # no-match is still a loud, named error: bytes into ["int","long"]
+    v_bad = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "iv", "type": "bytes"},
+            {"name": "sv", "type": "string"},
+        ],
+    }
+    pb = str(tmp_path / "d-bad.avro")
+    jvm_write(pb, v_bad, [])
+    with pytest.raises(ValueError, match="promote|matches no branch"):
+        list(iter_avro_file(pb, reader_avro=v1))
+
+
 def test_avro_incompatible_drift_still_raises_loudly(spark, tmp_path):
     """Same-name field with an unresolvable type change (string vs
     long) must still refuse, naming the field."""

@@ -2903,3 +2903,30 @@ def test_ngram_novelty_conservation_invariant(spark, sf_dir):
     )
     assert agg.novel == distinct_grams
     assert 0.0 <= agg.lo and agg.hi <= 1.0
+
+
+def test_ngram_novelty_hashed_matches_string(spark, sf_dir):
+    """r9 (r8 verdict #2): the hash_grams production path must yield
+    byte-identical novelty output to string mode — xxhash64 only
+    relabels the gram equivalence classes, so n_grams / novel_grams /
+    novelty are unchanged unless 64-bit collisions merge classes
+    (probability ~N²/2⁶⁵; zero at any testable N). Pinned on the real
+    documents table, not a toy corpus."""
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    string_mode = sorted(
+        (r.doc_id, r.n_grams, r.novel_grams, r.novelty)
+        for r in ngram_novelty_scores(docs, n=3).collect()
+    )
+    hashed_mode = sorted(
+        (r.doc_id, r.n_grams, r.novel_grams, r.novelty)
+        for r in ngram_novelty_scores(docs, n=3, hash_grams=True).collect()
+    )
+    assert string_mode == hashed_mode and len(string_mode) == 400
+    # and the hashed plan must not carry string grams into the shuffle:
+    # the exploded gram column the exchanges key on is LongType
+    hashed_plan = ngram_novelty_scores(
+        docs, n=3, hash_grams=True
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in hashed_plan
