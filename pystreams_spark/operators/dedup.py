@@ -1170,6 +1170,158 @@ def minhash_banded_candidates(
     return _banded_candidate_pairs(sigs, id_col=id_col)
 
 
+_MINHASH_P = 2147483647  # 2^31 − 1 (Mersenne prime): universal-hash modulus
+
+
+def minhash_det_constants(k: int, p: int = _MINHASH_P) -> list[tuple[int, int]]:
+    """k md5-derived (a, b) universal-hash constants for the
+    ORACLE-GRADE deterministic MinHash (r9, r8 verdict #6 — the ANN
+    trio's recipe applied to banding): a ∈ [1, p−1], b ∈ [0, p−1],
+    both from the first 60 bits of md5 over a fixed salt. Pure
+    hashlib — the constants are LITERALS in both the Spark plan and
+    the DuckDB oracle, so engine-portability is by construction."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        a = int(hashlib.md5(f"minhash-a:{j}".encode()).hexdigest()[:15], 16)
+        b = int(hashlib.md5(f"minhash-b:{j}".encode()).hexdigest()[:15], 16)
+        out.append((a % (p - 1) + 1, b % p))
+    return out
+
+
+def minhash_deterministic_candidates(
+    df: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Banded MinHash whose SIGNATURE/BAND construction is replayable
+    as DuckDB CTEs (r9, r8 verdict #6) — so the candidate set itself
+    gets a full value-hash verdict, not just the post-verify pairs
+    (``minhash_banded_neardup``'s oracle is the naive all-pairs
+    exact-Jaccard, a valid equality only while every fixture pair sits
+    at J ≥ 0.9 where banding recall ≈ 1; THIS query's oracle replays
+    the banding, so parity holds at any J).
+
+    Construction, identical in both engines:
+    - gram value v = first 60 bits of md5(space-joined word n-gram),
+      one md5 per distinct gram per doc (the value is reused for the
+      exact-Jaccard verify, so gram strings never touch a shuffle);
+    - permutation j: h_j = (a_j·(v mod p) + b_j) mod p with p = 2³¹−1
+      and md5-derived literal constants (``minhash_det_constants``) —
+      the classic universal-hash MinHash, no engine RNG anywhere;
+    - signature_j(doc) = min over the doc's grams of h_j;
+    - band key (rows_per_band ≤ 2) packs the band's minima into one
+      bigint: h·p + h′ < 2⁶² — an equi-join key, no string digests;
+    - candidates = distinct (id_a < id_b) sharing ≥ 1 band key, with
+      ``n_bands_shared`` kept as evidence, then exact Jaccard over the
+      60-bit gram values (collision odds 2⁻⁶⁰ per pair, identical in
+      both engines by construction).
+
+    Scale shape: one md5 pass + k literal-arithmetic min-aggs (one
+    shuffle of partial minima), a (band, key)-keyed self-join whose
+    row bill is the band-collision count (the LSH design parameter),
+    and a broadcast-candidate verify. The engine-seeded Arrow-kernel
+    variants (``minhash_candidates_fast``/``minhash_banded_candidates``)
+    remain the production path; this is the correctness anchor."""
+    if rows_per_band not in (1, 2):
+        raise ValueError(
+            "minhash_deterministic_candidates: rows_per_band must be 1 or "
+            "2 — the band key packs r 31-bit minima into one 62-bit bigint"
+        )
+    from ..functions.text import tokens
+
+    p = _MINHASH_P
+    k = bands * rows_per_band
+    consts = minhash_det_constants(k)
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = base.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - (n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+            )
+        ).alias("_grams"),
+    )
+    # one md5 per gram, inside the per-doc array; consumed twice
+    # (signatures + verify) → eager pin, per the repo-wide rule
+    gv = grams.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                "_grams",
+                lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("_vs"),
+    ).localCheckpoint(eager=True)
+
+    posts = gv.select(id_col, F.explode("_vs").alias("_v"))
+    x = F.col("_v") % p
+    sigs = posts.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * x + F.lit(b)) % p).alias(f"_h{j}")
+            for j, (a, b) in enumerate(consts)
+        ]
+    )
+
+    def band_key(t: int):
+        c = F.col(f"_h{t * rows_per_band}")
+        if rows_per_band == 2:
+            c = c * F.lit(p) + F.col(f"_h{t * rows_per_band + 1}")
+        return c
+
+    bposts = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_band"), band_key(t).alias("_key")
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, F.col("_b._band").alias("_band"), F.col("_b._key").alias("_key"))
+    xp = bposts.select(F.col(id_col).alias("id_a"), "_band", "_key")
+    yp = bposts.select(F.col(id_col).alias("id_b"), "_band", "_key")
+    cand = (
+        xp.join(yp, ["_band", "_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands_shared"))
+    )
+    a = gv.select(F.col(id_col).alias("id_a"), F.col("_vs").alias("_sa"))
+    b = gv.select(F.col(id_col).alias("id_b"), F.col("_vs").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = (
+        F.size("_sa").cast("double") + F.size("_sb").cast("double") - inter
+    )
+    return (
+        a.join(broadcast_if_small(cand), "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands_shared",
+            F.round(inter / union, round_to).alias("jaccard"),
+        )
+    )
+
+
 def _verify_pairs_jaccard(
     sh_a: DataFrame,
     sh_b: DataFrame,

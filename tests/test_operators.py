@@ -2905,6 +2905,36 @@ def test_ngram_novelty_conservation_invariant(spark, sf_dir):
     assert 0.0 <= agg.lo and agg.hi <= 1.0
 
 
+def test_minhash_deterministic_candidates_invariants(spark):
+    """r9 (r8 verdict #6): identical docs must collide on ALL 8 bands
+    with exact Jaccard 1.0; a doc sharing nothing must produce no
+    candidate; unsupported band widths refuse loudly. (Cross-engine
+    value parity is covered by the oracle suite — this pins the
+    operator-level semantics.)"""
+    import pytest as _pytest
+
+    from pystreams_spark.operators.dedup import (
+        minhash_det_constants,
+        minhash_deterministic_candidates,
+    )
+
+    t = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, t), (2, t), (3, "totally different words entirely here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_deterministic_candidates(df, n=3, bands=8, rows_per_band=2)
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].n_bands_shared == 8 and got[(1, 2)].jaccard == 1.0
+
+    with _pytest.raises(ValueError, match="rows_per_band"):
+        minhash_deterministic_candidates(df, rows_per_band=3)
+
+    # constants are stable literals (the oracle SQL embeds them)
+    assert minhash_det_constants(2) == minhash_det_constants(2)
+    a0, b0 = minhash_det_constants(1)[0]
+    assert 1 <= a0 <= 2147483646 and 0 <= b0 <= 2147483646
+
+
 def test_ngram_novelty_hashed_matches_string(spark, sf_dir):
     """r9 (r8 verdict #2): the hash_grams production path must yield
     byte-identical novelty output to string mode — xxhash64 only
