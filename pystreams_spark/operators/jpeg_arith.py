@@ -276,14 +276,19 @@ class _CondState:
         self.dc_context = {c["id"]: 0 for c in comps}
 
 
-def _decode_dc(dec: ArithDecoder, cs: _CondState, cid: int, td: int) -> int:
-    """§F.2.4.1 — one DC difference; updates predictor + context."""
+def _decode_dc(dec: ArithDecoder, cs: _CondState, cid: int, td: int,
+               differential: bool = False) -> int:
+    """§F.2.4.1 — one DC difference; updates predictor + context.
+    ``differential=True`` (r9, hierarchical frames — T.81 J.1/F.1.4.1):
+    the coded value IS the difference-image DC, predictors stay out of
+    the loop (prediction is zero and never accumulates); conditioning
+    still classifies the coded value, as in non-differential frames."""
     stats = cs.dc_stats[td]
     lo, up = cs.dc_cond.get(td, (0, 1))
     s0 = cs.dc_context[cid]
     if dec.decode(stats[s0]) == 0:
         cs.dc_context[cid] = 0
-        return cs.last_dc[cid]
+        return 0 if differential else cs.last_dc[cid]
     sign = dec.decode(stats[s0 + 1])
     st = s0 + 2 + sign
     m = dec.decode(stats[st])
@@ -311,6 +316,8 @@ def _decode_dc(dec: ArithDecoder, cs: _CondState, cid: int, td: int) -> int:
     v += 1
     if sign:
         v = -v
+    if differential:
+        return v
     cs.last_dc[cid] += v
     return cs.last_dc[cid]
 
@@ -398,13 +405,17 @@ def _decode_ac_refine(dec: ArithDecoder, cs: _CondState, ta: int, zz,
 
 
 def _encode_dc(enc: ArithEncoder, cs: _CondState, cid: int, td: int,
-               dc: int) -> None:
-    """§F.1.4.1 mirror of _decode_dc."""
+               dc: int, differential: bool = False) -> None:
+    """§F.1.4.1 mirror of _decode_dc (``differential``: the value
+    passed IS the coded difference; predictors untouched)."""
     stats = cs.dc_stats[td]
     lo, up = cs.dc_cond.get(td, (0, 1))
     s0 = cs.dc_context[cid]
-    v = dc - cs.last_dc[cid]
-    cs.last_dc[cid] = dc
+    if differential:
+        v = dc
+    else:
+        v = dc - cs.last_dc[cid]
+        cs.last_dc[cid] = dc
     if v == 0:
         enc.code(stats[s0], 0)
         cs.dc_context[cid] = 0
@@ -543,3 +554,118 @@ def _encode_ac_refine(enc: ArithEncoder, cs: _CondState, ta: int, zz,
     if k <= se:
         st = 3 * (k - 1)
         enc.code(stats[st], 1)  # EOB
+
+
+# ---------------------------------------------------------------------------
+# Lossless arithmetic statistical model (T.81 Annex H — r9). Used by
+# SOF11 (lossless arithmetic) and SOF15 (differential lossless
+# arithmetic, hierarchical frames).
+#
+# Layout (Table H.2's 158-bin statistics area): 25 two-dimensional
+# contexts — the 5-category classifications of the difference coded
+# for the sample ABOVE (Db) and to the LEFT (Da) — each holding 4
+# bins (zero decision S0, sign SS, first-magnitude SP/SN), followed
+# by TWO magnitude areas (X1..X15 + M2..M15 = 29 bins each), selected
+# by whether Db classifies as large.
+#
+# PINNED FOR RE-VERIFICATION (same honesty protocol as the module
+# header: no external arithmetic-lossless codec exists offline, so
+# these structural choices are validated by mirror-encoder roundtrips
+# and totality fuzz, not interop): (a) the context index orders Db
+# major / Da minor; (b) the magnitude-area selector is Db's class;
+# (c) the 5-category classification reuses the DC conditioning rule
+# verbatim (the m-space thresholds from the DAC L/U bounds, defaults
+# L=0 U=1) — each is a one-line change if a reference stream ever
+# disagrees. An error here cannot corrupt silently: both ends share
+# the table, and foreign streams would desync into the coder's loud
+# overflow/truncation errors.
+# ---------------------------------------------------------------------------
+
+LL_STAT_BINS = 158
+
+
+def _ll_classify(v: int, lo: int, up: int) -> int:
+    """5-category classification of a neighbor difference: 0, +small
+    (1), −small (2), +large (3), −large (4) — via the DC rule's
+    m-space (MSB marker of |v|−1 vs the (1<<L)>>1 / (1<<U)>>1
+    bounds)."""
+    if v == 0:
+        return 0
+    sign = 1 if v < 0 else 0
+    mag = -v if v < 0 else v
+    m = 0
+    if mag > 1:
+        m = 1
+        while (m << 1) <= mag - 1:
+            m <<= 1
+    if m < ((1 << lo) >> 1):
+        return 0  # conditioning treats it as zero-class
+    if m > ((1 << up) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _decode_ll(dec: ArithDecoder, stats: list, da: int, db: int,
+               lo: int, up: int) -> int:
+    """One lossless difference value (Annex H decode flow: zero
+    decision → sign → magnitude category walk → magnitude bits)."""
+    ca, cb = _ll_classify(da, lo, up), _ll_classify(db, lo, up)
+    s0 = 4 * (5 * cb + ca)
+    if dec.decode(stats[s0]) == 0:
+        return 0
+    sign = dec.decode(stats[s0 + 1])
+    m = dec.decode(stats[s0 + 2 + sign])
+    if m:
+        st = 100 + (29 if cb >= 3 else 0)  # X1 of the selected area
+        while dec.decode(stats[st]):
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("jpeg arith: lossless magnitude overflow")
+            st += 1
+    else:
+        st = 100 + (29 if cb >= 3 else 0)
+    v = m
+    st += 15  # M bins follow the 15 X bins of the same area
+    m >>= 1
+    while m:
+        if dec.decode(stats[st]):
+            v |= m
+        m >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _encode_ll(enc: ArithEncoder, stats: list, da: int, db: int,
+               lo: int, up: int, v: int) -> None:
+    """Annex H encode mirror of _decode_ll."""
+    ca, cb = _ll_classify(da, lo, up), _ll_classify(db, lo, up)
+    s0 = 4 * (5 * cb + ca)
+    if v == 0:
+        enc.code(stats[s0], 0)
+        return
+    enc.code(stats[s0], 1)
+    sign = 1 if v < 0 else 0
+    enc.code(stats[s0 + 1], sign)
+    mag = (-v if sign else v) - 1
+    st = s0 + 2 + sign
+    xbase = 100 + (29 if cb >= 3 else 0)
+    if mag == 0:
+        enc.code(stats[st], 0)
+        m = 0
+        st = xbase
+    else:
+        enc.code(stats[st], 1)
+        m = 1
+        st = xbase
+        while mag >= (m << 1):
+            enc.code(stats[st], 1)
+            m <<= 1
+            if m == 0x10000:
+                raise ValueError("jpeg arith: lossless magnitude overflow")
+            st += 1
+        enc.code(stats[st], 0)
+    st += 15
+    mm = m >> 1
+    while mm:
+        enc.code(stats[st], 1 if mag & mm else 0)
+        mm >>= 1

@@ -879,9 +879,12 @@ def _decode_jpeg_parse(payload: bytes):
     (SOF9/SOF10 + DAC — the T.81 Annex D/F QM coder in
     `jpeg_arith.py`); LOSSLESS (SOF3, Annex H DPCM, all 7 predictors);
     12-bit precision (SOF1); 4-component Adobe CMYK/YCCK (APP14).
-    Only hierarchical/differential variants (SOF5-7/13-15) and
-    arithmetic-lossless (SOF11) still refuse, by name — same
-    honest-refusal policy as the TIFF/Avro codecs."""
+    r9 additions: HIERARCHICAL/differential (DHP/EXP + SOF5-7/13-15,
+    Annex J — `jpeg_hier.py`) and ARITHMETIC LOSSLESS (SOF11, Annex H
+    statistical model). Every T.81 SOF process now decodes; the only
+    remaining media refusals are environmental (MP3/MP4 — no ffmpeg).
+    A differential SOF with no DHP refuses as malformed, by name —
+    same honest-refusal policy as the TIFF/Avro codecs."""
     import struct
 
     import numpy as np
@@ -954,11 +957,16 @@ def _decode_jpeg_parse(payload: bytes):
                     dc_cond[tb] = (cs_val & 15, cs_val >> 4)  # (L, U)
                 else:
                     ac_cond[tb] = cs_val  # Kx
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker == 0xDE:  # DHP: hierarchical stream (r9, Annex J)
+            from .jpeg_hier import decode_jpeg_hierarchical
+
+            return decode_jpeg_hierarchical(payload)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             # SOF0/SOF1 sequential, SOF2 progressive, SOF3 lossless
             # (r8), SOF9 sequential arithmetic, SOF10 progressive
-            # arithmetic (both r8)
-            if marker == 0xC3:
+            # arithmetic (both r8), SOF11 arithmetic lossless (r9,
+            # Annex H model in jpeg_arith/jpeg_hier)
+            if marker in (0xC3, 0xCB):
                 if not 2 <= seg[0] <= 16:
                     raise ValueError(
                         f"JPEG lossless precision {seg[0]} invalid (2-16)"
@@ -982,12 +990,12 @@ def _decode_jpeg_parse(payload: bytes):
             ]
             sof = (int(h), int(w), int(nc), int(seg[0]))
             progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            arith = marker in (0xC9, 0xCA, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"JPEG SOF marker 0x{marker:02X} "
-                "(hierarchical/differential/arithmetic-lossless) unsupported"
+                f"JPEG differential SOF marker 0x{marker:02X} outside a "
+                "hierarchical (DHP) stream — malformed"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -1003,6 +1011,13 @@ def _decode_jpeg_parse(payload: bytes):
                 if ns != sof[2]:
                     raise ValueError("JPEG multi-scan lossless unsupported")
                 band = seg[1 + 2 * ns : 4 + 2 * ns]  # Ss=pred, Se, Ah<<4|Al
+                if arith:  # SOF11 (r9)
+                    from .jpeg_hier import decode_jpeg_lossless_arith_scan
+
+                    return decode_jpeg_lossless_arith_scan(
+                        payload[pos:], sof, comps, scan, dc_cond,
+                        band[0], band[2] & 15, restart_interval,
+                    )
                 return _jpeg_decode_scan_lossless(
                     payload[pos:], sof, comps, scan, huff_dc,
                     band[0], band[2] & 15, restart_interval,
@@ -1073,13 +1088,16 @@ def _jpeg_entropy_end(payload: bytes, pos: int) -> int:
 
 
 def _jpeg_progressive_scan(
-    data, grids, sof, comps, scan, band, huff_dc, huff_ac, ri
+    data, grids, sof, comps, scan, band, huff_dc, huff_ac, ri,
+    differential=False,
 ):
     """One progressive scan (T.81 Annex G) folded into the per-component
     raw-coefficient grids: DC first/refinement scans (interleaved MCU
     order, or block-raster when single-component), AC first/refinement
     scans (always single-component, spectral band Ss..Se, EOBRUN runs,
-    successive-approximation bit plane Al)."""
+    successive-approximation bit plane Al). ``differential`` (r9,
+    hierarchical SOF6 frames — §J.1): DC values are coded without
+    prediction; AC machinery is unchanged."""
     import numpy as np
 
     H, W, _nc, _prec = sof
@@ -1125,8 +1143,12 @@ def _jpeg_progressive_scan(
                 s = _jpeg_huff_decode(bits, huff_dc[td])
                 if s > (11 if _prec == 8 else 15):
                     raise ValueError("JPEG DC category out of range")
-                preds[cid] += _jpeg_extend(bits.read(s), s)
-                zzb[0] = preds[cid] << al
+                v = _jpeg_extend(bits.read(s), s)
+                if differential:
+                    zzb[0] = v << al
+                else:
+                    preds[cid] += v
+                    zzb[0] = preds[cid] << al
             else:  # refinement: one raw bit per block
                 if bits.read(1):
                     zzb[0] |= 1 << al
@@ -1301,7 +1323,8 @@ def _jpeg_decode_scan(data, sof, comps, scan, qt, huff_dc, huff_ac, ri,
 
 
 def _jpeg_progressive_scan_arith(
-    data, grids, sof, comps, scan, band, dc_cond, ac_cond, ri
+    data, grids, sof, comps, scan, band, dc_cond, ac_cond, ri,
+    differential=False,
 ):
     """One PROGRESSIVE arithmetic scan (SOF10, r8 — T.81 Annex G with
     the Annex D/F coder): DC first scans run the sequential DC model
@@ -1354,7 +1377,7 @@ def _jpeg_progressive_scan_arith(
 
         def dc_block(zzb, cid, td):
             if ah == 0:
-                zzb[0] = ja._decode_dc(dec, cs, cid, td) << al
+                zzb[0] = ja._decode_dc(dec, cs, cid, td, differential) << al
             elif ja._decode_dc_refine(dec, cs):
                 zzb[0] |= 1 << al
 

@@ -7938,10 +7938,12 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads are synthesized per doc (ids ≡ 0 mod 4 → a solid-color
     8×8 24-bit BMP whose channel means are a pure function of the id;
     ids ≡ 2 mod 4 → a constant-gray JPEG, one VARIANT per residue
-    mod 16 (r8): sequential ARITHMETIC (SOF9), LOSSLESS (SOF3),
-    Huffman baseline (SOF0), progressive ARITHMETIC (SOF10) — each
-    reproduces the constant plane BIT-EXACTLY, so one closed form
-    covers every JPEG entropy/predictive path;
+    mod 32 (r9): sequential ARITHMETIC (SOF9), LOSSLESS (SOF3),
+    Huffman baseline (SOF0), progressive ARITHMETIC (SOF10), three
+    HIERARCHICAL pyramids (SOF5 / SOF13 differential sequential,
+    SOF7 lossless-final — Annex J) and arithmetic LOSSLESS (SOF11,
+    Annex H) — each reproduces the constant plane BIT-EXACTLY, so one
+    closed form covers every JPEG entropy/predictive path;
     odd ids → a 16-bit PCM square-wave WAV whose exact
     RMS is amp/32768 and whose zero-crossing rate is exactly 1), run
     through `operators/multimodal.decode_media_features` (numpy header
@@ -7953,6 +7955,10 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns."""
     import pandas as pd
 
+    from .operators.jpeg_hier import (
+        encode_jpeg_hierarchical,
+        encode_jpeg_lossless_arith,
+    )
     from .operators.multimodal import (
         decode_media_features,
         encode_jpeg,
@@ -7997,19 +8003,34 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
                     )
                 elif did % 2 == 0:
-                    # one JPEG VARIANT per residue mod 16 (r8): 2 →
-                    # sequential arithmetic (SOF9), 6 → lossless (SOF3,
-                    # exact by definition), 10 → Huffman baseline
-                    # (SOF0), 14 → progressive arithmetic (SOF10). All
-                    # four reproduce a constant-gray flat-quant plane
-                    # BIT-exactly, so the one closed-form oracle covers
-                    # every entropy/predictive path in the JPEG stack.
+                    # one JPEG VARIANT per residue mod 32 (r9): the r8
+                    # four — sequential arithmetic (SOF9), lossless
+                    # (SOF3), Huffman baseline (SOF0), progressive
+                    # arithmetic (SOF10) — plus the r9 HIERARCHICAL
+                    # pyramids (Annex J: SOF0+EXP+SOF5 differential
+                    # sequential; SOF9+SOF13 arithmetic differential;
+                    # SOF0+SOF7 lossless-final) and standalone SOF11
+                    # (Annex H arithmetic lossless). Every variant
+                    # reproduces a constant-gray flat-quant plane
+                    # BIT-exactly (constant planes survive every DCT /
+                    # DPCM / upsample path), so the one closed-form
+                    # oracle covers the whole JPEG stack.
                     enc = {
                         2: encode_jpeg_arith,
                         6: encode_jpeg_lossless,
                         10: encode_jpeg,
                         14: encode_jpeg_progressive_arith,
-                    }[did % 16]
+                        18: lambda a: encode_jpeg_hierarchical(
+                            a, entropy="huffman", diff_mode="seq"
+                        ),
+                        22: lambda a: encode_jpeg_hierarchical(
+                            a, entropy="arith", diff_mode="seq"
+                        ),
+                        26: lambda a: encode_jpeg_hierarchical(
+                            a, entropy="huffman", diff_mode="lossless"
+                        ),
+                        30: encode_jpeg_lossless_arith,
+                    }[did % 32]
                     payloads.append(
                         enc(np.full((8, 8), did * 37 % 256, np.uint8))
                     )
