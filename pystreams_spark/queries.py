@@ -4184,6 +4184,80 @@ def count_min_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "count_min_deterministic",
+    oracle="""
+    WITH h AS (
+        SELECT user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms1'),
+                               1, 15))::BIGINT AS h1,
+               (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms2'),
+                                1, 15))::BIGINT | 1) AS h2
+        FROM events
+    ), cells AS (
+        SELECT d.d, (h1 + d.d * h2) % 2048 AS pos, COUNT(*) AS cnt
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS d) d
+        GROUP BY 1, 2
+    ), keys AS (
+        SELECT user_id, h1, h2, COUNT(*) AS exact_n
+        FROM h GROUP BY 1, 2, 3
+    )
+    SELECT k.user_id,
+           CAST(k.exact_n AS BIGINT) AS exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cnt) - k.exact_n AS BIGINT) AS overcount
+    FROM keys k
+    JOIN cells c ON c.pos = (k.h1 + c.d * k.h2) % 2048
+    GROUP BY k.user_id, k.exact_n
+    ORDER BY user_id
+    """,
+)
+def count_min_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-GRADE count-min sketch (r9, the r8 verdict's #6 recipe
+    applied to the sketch family): the same distributed build skeleton
+    as `count_min_user_events` — per-partition local matrices in an
+    Arrow kernel, treeAggregate sum (the sketch is linear, so partial
+    sums compose exactly) — but the Kirsch–Mitzenmacher hash pair is
+    md5-derived 60-bit COLUMNS and positions are (h1 + d·h2) mod width
+    bigint arithmetic, so DuckDB replays the ENTIRE sketch — every
+    cell count, every point estimate, the per-key overcounts — under
+    one value hash. The engine-hash query stays the production path;
+    this pins the matrix construction and the min-probe exactly. CMS's
+    no-undercount guarantee stays an in-plan gate here too."""
+    from .gates import gate_rows
+    from .operators.sketches import (
+        build_count_min_portable,
+        cms_estimate_portable_udf,
+    )
+
+    width, depth = 2048, 5
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    h1 = F.conv(
+        F.substring(F.md5(F.concat(uid, F.lit(":cms1"))), 1, 15), 16, 10
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(uid, F.lit(":cms2"))), 1, 15), 16, 10
+    ).cast("long").bitwiseOR(F.lit(1))
+    hashed = ev.select("user_id", h1.alias("h1"), h2.alias("h2"))
+    cms = build_count_min_portable(hashed, "h1", "h2", width, depth)
+    est = cms_estimate_portable_udf(spark, cms, depth)
+    out = (
+        hashed.groupBy("user_id", "h1", "h2")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            est(F.col("h1"), F.col("h2")).alias("cms_est"),
+        )
+        .withColumn("overcount", F.col("cms_est") - F.col("exact_n"))
+    )
+    out = gate_rows(
+        out, F.col("overcount") >= 0, "count_min: sketch undercounted a key"
+    )
+    return out.orderBy("user_id")
+
+
+@query(
     "merge_upsert_orders",
     oracle="""
     WITH u AS (
