@@ -1170,6 +1170,130 @@ def minhash_banded_candidates(
     return _banded_candidate_pairs(sigs, id_col=id_col)
 
 
+def simhash_deterministic_candidates(
+    df: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ORACLE-GRADE SimHash (r9 — the deterministic-anchor recipe once
+    more): a 60-bit signature from per-gram md5 values with explicit
+    bit voting, banded candidates, and bit_count-XOR Hamming verify —
+    every stage plain integer Column algebra an SQL engine replays
+    exactly (no engine hash, no Arrow kernel).
+
+    Construction, identical in both engines: gram value v = first 60
+    bits of md5(space-joined word n-gram); signature bit b = 1 iff
+    Σ over the doc's DISTINCT grams of (2·((v≫b)∧1) − 1) > 0 (ties →
+    0, fixed in both engines); candidates share any of ``bands``
+    ``band_bits``-wide signature slices; pairs keep
+    hamming = bit_count(sig_a ⊕ sig_b) ≤ ``max_hamming``.
+
+    Scale shape: the voting is ``60·|grams|`` partial-aggregated adds
+    behind ONE per-doc groupBy (no row explosion — the 60 sums are
+    agg expressions, not rows), the band join shuffles (band, value,
+    id) triples, and the verify joins two 8-byte signatures per
+    candidate. The xxhash64+numpy `simhash_candidates` stays the
+    production path (one kernel pass beats 60 agg expressions); this
+    anchors the voting and banding semantics under a value hash."""
+    from ..functions.text import tokens
+
+    import functools
+    import operator
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = base.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("_toks") - (n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+            )
+        ).alias("_grams"),
+    )
+    gv = grams.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    "_grams",
+                    lambda g: F.conv(
+                        F.substring(F.md5(g), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            )
+        ).alias("_v"),
+    )
+    nbits = bands * band_bits
+    votes = gv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.shiftright("_v", b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"_b{b}")
+            for b in range(nbits)
+        ]
+    )
+    sig_expr = functools.reduce(
+        operator.add,
+        [
+            F.shiftleft((F.col(f"_b{b}") > 0).cast("long"), b)
+            for b in range(nbits)
+        ],
+    )
+    sig = votes.select(id_col, sig_expr.alias("_sig")).localCheckpoint(
+        eager=True
+    )
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("_band"),
+                        F.shiftright("_sig", t * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("_val"),
+                    )
+                    for t in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b._band", "_b._val")
+    other = banded.select(
+        F.col(id_col).alias("id_b"), "_band", "_val"
+    )
+    pairs = (
+        banded.withColumnRenamed(id_col, "id_a")
+        .join(other, ["_band", "_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    return (
+        sa.join(broadcast_if_small(pairs), "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 _MINHASH_P = 2147483647  # 2^31 − 1 (Mersenne prime): universal-hash modulus
 
 

@@ -625,7 +625,9 @@ def _decode_ll(dec: ArithDecoder, stats: list, da: int, db: int,
     else:
         st = 100 + (29 if cb >= 3 else 0)
     v = m
-    st += 15  # M bins follow the 15 X bins of the same area
+    # M_k sits 14 past X_k (the Table F.4 X->M distance: 15 X bins,
+    # 14 M bins, both indexed by the magnitude category)
+    st += 14
     m >>= 1
     while m:
         if dec.decode(stats[st]):
@@ -664,7 +666,7 @@ def _encode_ll(enc: ArithEncoder, stats: list, da: int, db: int,
                 raise ValueError("jpeg arith: lossless magnitude overflow")
             st += 1
         enc.code(stats[st], 0)
-    st += 15
+    st += 14
     mm = m >> 1
     while mm:
         enc.code(stats[st], 1 if mag & mm else 0)

@@ -1532,3 +1532,80 @@ def test_jpeg_hierarchical_total_on_garbage():
             assert img.shape == (16, 16, 3)
         except ValueError:
             pass
+
+
+def test_jpeg_annexh_lossless_model_roundtrip_randomized():
+    """r9: the Annex H lossless statistical model — randomized signed
+    difference sequences with realistic 2D conditioning (each value
+    conditioned on the previous value and a pseudo-'above' value) must
+    round-trip exactly through _encode_ll/_decode_ll, across the full
+    magnitude range including the ±32768 mod-2^16 edge."""
+    import random
+
+    from pystreams_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        LL_STAT_BINS,
+        _decode_ll,
+        _encode_ll,
+        new_stats,
+    )
+
+    rng = random.Random(77)
+    for trial in range(40):
+        n = rng.randint(1, 800)
+        # mixture of small diffs (typical) and large ones (edges)
+        vals = [
+            rng.choice(
+                [0, 0, 0, rng.randint(-4, 4), rng.randint(-255, 255),
+                 rng.randint(-32767, 32768)]
+            )
+            for _ in range(n)
+        ]
+        # conditioning streams: previous value = Da; a lagged value = Db
+        das = [0] + vals[:-1]
+        dbs = [0] * min(7, n) + vals[: max(0, n - 7)]
+        lo, up = rng.choice([(0, 1), (0, 2), (1, 3)])
+        enc, es = ArithEncoder(), new_stats(LL_STAT_BINS)
+        for v, da, db in zip(vals, das, dbs):
+            _encode_ll(enc, es, da, db, lo, up, v)
+        data = enc.flush()
+        dec, ds = ArithDecoder(data), new_stats(LL_STAT_BINS)
+        got = [
+            _decode_ll(dec, ds, da, db, lo, up)
+            for da, db in zip(das, dbs)
+        ]
+        assert got == vals, trial
+        assert es == ds  # identical final context states
+
+
+def test_jpeg_hierarchical_upsampler_properties():
+    """§J.1.1.2 filter invariants: constants stay constant, even
+    output samples copy the input exactly, odd samples are the rounded
+    neighbor average, trailing edge replicates — on random planes and
+    odd crops."""
+    import numpy as np
+
+    from pystreams_spark.operators.jpeg_hier import _upsample_ref
+
+    rng = np.random.RandomState(4)
+    for _ in range(20):
+        h, w = rng.randint(1, 12), rng.randint(1, 12)
+        p = rng.randint(0, 256, (h, w)).astype(np.int64)
+        fh, fw = 2 * h - rng.randint(0, min(2, h)), 2 * w
+        u = _upsample_ref(p, 1, 1, fh, fw)
+        assert u.shape == (fh, fw)
+        assert (u[0::2, 0::2] == p[: (fh + 1) // 2, :w]).all()
+        if w > 1:
+            expect = (p[:, :-1] + p[:, 1:] + 1) >> 1
+            assert (u[0::2, 1 : 2 * w - 1 : 2]
+                    == expect[: (fh + 1) // 2]).all()
+        c = np.full((3, 5), 201, np.int64)
+        assert (_upsample_ref(c, 1, 1, 6, 10) == 201).all()
+    # no-expansion call validates/crops only
+    p = rng.randint(0, 256, (6, 6)).astype(np.int64)
+    assert (_upsample_ref(p, 0, 0, 4, 5) == p[:4, :5]).all()
+    import pytest
+
+    with pytest.raises(ValueError, match="smaller than the frame"):
+        _upsample_ref(p, 0, 0, 8, 8)
