@@ -61,13 +61,23 @@ def _build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
     doc_parts = []
     emb_parts = []
+    ev_parts = []
     for k in range(factor):
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(emb)
+            ev_parts.append(ev)
             continue
+        # events: replica k shifts ids AND users — row count ×K with
+        # key cardinality ×K (the honest regime for sketch/agg curves:
+        # per-key frequency distribution preserved)
+        ev_parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(k * 10_000_000))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * 10_000_000))
+        )
         stride = int(os.environ.get("SCALE_MUTATE_STRIDE", "3"))
         tag = F.lit(f"r{k}")
         toks = F.split(F.trim(F.col("text")), r"\s+")
@@ -102,6 +112,9 @@ def _build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     reduce(lambda a, b: a.unionByName(b), emb_parts).repartition(32).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/embeddings.parquet")
+    reduce(lambda a, b: a.unionByName(b), ev_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/events.parquet")
 
 
 def _families(spark, data_dir: str, ckpt_dir: str):
@@ -205,6 +218,18 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         ).count(),
         "cluster_balanced_sample": lambda: QUERIES[
             "cluster_balanced_sample_report"
+        ](spark, data_dir).count(),
+        # r9: the deterministic-anchor trio — banding/voting/sketch
+        # shuffles should all be ~linear (postings/votes) or constant
+        # (the CMS matrix is fixed-size by construction)
+        "minhash_deterministic": lambda: QUERIES[
+            "minhash_deterministic_candidates"
+        ](spark, data_dir).count(),
+        "simhash_deterministic": lambda: QUERIES[
+            "simhash_deterministic_candidates"
+        ](spark, data_dir).count(),
+        "count_min_deterministic": lambda: QUERIES[
+            "count_min_deterministic"
         ](spark, data_dir).count(),
     }
 

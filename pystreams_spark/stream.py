@@ -344,6 +344,36 @@ class Stream:
 
         return Stream(ngram_novelty_scores(self.df, n, text_col, id_col))
 
+    def neardup_candidates_deterministic(
+        self, n: int = 3, bands: int = 8, rows_per_band: int = 2,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "Stream":
+        """Banded-MinHash candidate pairs under md5-derived
+        universal-hash permutations (r9) — engine-reproducible AND
+        SQL-replayable; (id_a, id_b, n_bands_shared, jaccard)."""
+        from .operators.dedup import minhash_deterministic_candidates
+
+        return Stream(
+            minhash_deterministic_candidates(
+                self.df, n, bands, rows_per_band, text_col, id_col
+            )
+        )
+
+    def simhash_candidates_deterministic(
+        self, n: int = 3, max_hamming: int = 8,
+        text_col: str = "text", id_col: str = "doc_id",
+    ) -> "Stream":
+        """Hamming near-dup candidate pairs from 60-bit md5 bit-vote
+        SimHash signatures (r9) — (id_a, id_b, hamming)."""
+        from .operators.dedup import simhash_deterministic_candidates
+
+        return Stream(
+            simhash_deterministic_candidates(
+                self.df, n=n, max_hamming=max_hamming,
+                text_col=text_col, id_col=id_col,
+            )
+        )
+
     def dedup_against(
         self, corpus: "Stream | DataFrame", text_col: str = "text"
     ) -> "Stream":

@@ -499,3 +499,24 @@ def test_facade_novelty_sugar(spark, sf_dir):
     assert len(rows) == 60
     assert all(0.0 <= r.novelty <= 1.0 for r in rows)
     assert all(r.novel_grams <= r.n_grams for r in rows)
+
+
+def test_facade_deterministic_candidate_sugar(spark):
+    """r9 sugar: the deterministic MinHash/SimHash candidate methods
+    route to their operators — identical docs collide on every band
+    (jaccard 1.0 / hamming 0)."""
+    from pystreams_spark import Stream
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    s = Stream(
+        spark.createDataFrame(
+            [(1, t), (2, t), (3, "entirely different words over here now")],
+            "doc_id long, text string",
+        )
+    )
+    mh = {(r.id_a, r.id_b): r for r in
+          s.neardup_candidates_deterministic().collect()}
+    assert set(mh) == {(1, 2)} and mh[(1, 2)].jaccard == 1.0
+    sh = {(r.id_a, r.id_b): r for r in
+          s.simhash_candidates_deterministic().collect()}
+    assert (1, 2) in sh and sh[(1, 2)].hamming == 0
