@@ -5605,6 +5605,88 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "novelty_budget_selection",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+            i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')
+        ))) AS gram
+        FROM documents
+    ), f AS (
+        SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    ), nv AS (
+        SELECT g.doc_id, COUNT(*) AS n_grams,
+               SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 AS novel
+        FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    ), base AS (
+        SELECT d.doc_id, d.lang,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               ROUND(nv.novel * 1.0 / nv.n_grams, 6) AS novelty
+        FROM documents d JOIN nv ON nv.doc_id = d.doc_id
+    ), c AS (
+        SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY novelty DESC, doc_id)
+                 AS BIGINT) AS cum
+        FROM base
+    ), sel AS (
+        SELECT * FROM c WHERE cum - n_tokens < 8000
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
+           ROUND(AVG(novelty), 6) AS avg_novelty,
+           ROUND(MIN(novelty), 6) AS min_novelty
+    FROM sel GROUP BY lang ORDER BY lang
+    """,
+)
+def novelty_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY-budgeted corpus selection (r9): spend a token budget on
+    marginal CONTENT, not just high quality — documents ranked by
+    first-seen n-gram novelty (descending, id tie-break) fill an
+    8k-token budget, so near-verbatim re-tellings of already-selected
+    text lose their slots to genuinely new material (the selection-
+    time complement of post-hoc dedup: re-used text never gets picked
+    instead of being removed later). Composition of two existing
+    scale-shaped primitives: the linear-shuffle novelty kernel
+    (`dedup.ngram_novelty_scores`) and the two-pass distributed prefix
+    sum (`selection.select_token_budget` — range shuffle + broadcast
+    offsets, NOT a single-task global window). Per-language report of
+    the selected set; oracle replays grams, first-seen, the ranked
+    cumulative sum, the boundary rule, and the aggregation. This query
+    runs the `hash_grams=True` PRODUCTION path (8-byte gram keys in
+    the shuffle) against the string-gram oracle — hashed ≡ string is
+    exact (pinned by `test_ngram_novelty_hashed_matches_string`, and a
+    60-bit collision would fail this very value hash), so the oracle
+    verdict certifies the production plan, not just the replay-mode
+    one."""
+    from .functions.text import token_count
+    from .operators.dedup import ngram_novelty_scores
+    from .operators.selection import select_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    scores = ngram_novelty_scores(d, n=3, hash_grams=True)
+    base = d.select(
+        "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
+    ).join(scores.select("doc_id", "novelty"), "doc_id")
+    sel = select_token_budget(
+        base,
+        [F.col("novelty").desc(), F.col("doc_id").asc()],
+        "n_tokens",
+        budget=8_000,
+    )
+    return (
+        sel.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sel_tokens"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.round(F.min("novelty"), 6).alias("min_novelty"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
     "vocab_coverage_curve",
     oracle=f"""
     WITH words AS (
@@ -6457,13 +6539,11 @@ def semantic_dedup_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(n_cells: int = 8, iters: int = 2, threshold: float = 0.35) -> str:
-    """Unrolled-CTE DuckDB replay of kmeans_cells_deterministic +
-    semantic_dedup_pairs: md5-ordered seeds, ``iters`` Lloyd rounds
-    with ROUND(dist,6) argmin (cell tie-break) and ROUND(avg,6)
-    centroids (empty cells keep the previous centroid via left join),
-    then within-cell cosine pairs — the same unroll technique as the
-    pagerank oracle."""
+def _lloyd_ctes(n_cells: int, iters: int) -> list:
+    """Shared unrolled-CTE prefix (r9 refactor): pts → md5-ordered
+    seeds c0 → alternating assign/update rounds → final assignment
+    a{iters}. Used by the kmeans-pair oracle and the r9 semantic
+    leakage oracle."""
     assign = """
   a{i} AS (
     SELECT vec_id, v, cell FROM (
@@ -6499,6 +6579,17 @@ def _kmeans_oracle_sql(n_cells: int = 8, iters: int = 2, threshold: float = 0.35
         ctes.append(assign.format(i=i).strip())
         ctes.append(update.format(i=i, j=i + 1).strip())
     ctes.append(assign.format(i=iters).strip())
+    return ctes
+
+
+def _kmeans_oracle_sql(n_cells: int = 8, iters: int = 2, threshold: float = 0.35) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_cells_deterministic +
+    semantic_dedup_pairs: md5-ordered seeds, ``iters`` Lloyd rounds
+    with ROUND(dist,6) argmin (cell tie-break) and ROUND(avg,6)
+    centroids (empty cells keep the previous centroid via left join),
+    then within-cell cosine pairs — the same unroll technique as the
+    pagerank oracle."""
+    ctes = _lloyd_ctes(n_cells, iters)
     return f"""
 WITH {", ".join(ctes)}
 SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6546,6 +6637,112 @@ def semantic_dedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.filter(F.coalesce(chk, F.lit(True))).orderBy(
         "cluster", "id_a", "id_b"
+    )
+
+
+def _semantic_leakage_oracle_sql(
+    n_cells: int = 8, iters: int = 2, threshold: float = 0.35
+) -> str:
+    """r9: the Lloyd prefix + within-cell cosine pairs + the md5 split
+    hash + the leakage aggregation, all under one value hash — the
+    SEMANTIC twin of `split_leakage_report`'s n-gram audit."""
+    ctes = _lloyd_ctes(n_cells, iters)
+    cos = """ROUND(
+    list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+    / (CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
+            ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END
+       * CASE WHEN SQRT(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 1
+              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END),
+  6)"""
+    return f"""
+WITH {", ".join(ctes)}, pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS score
+  FROM a{iters} a JOIN a{iters} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE score >= {threshold}
+), lab AS (
+  SELECT vec_id,
+         CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                || ':semsplit42'), 1, 8))::BIGINT / 4294967296.0 < 0.9
+              THEN 'train' ELSE 'eval' END AS split
+  FROM embeddings
+), j AS (
+  SELECT p.id_a, p.id_b, p.score, la.split AS sa, lb.split AS sb
+  FROM pr p JOIN lab la ON la.vec_id = p.id_a
+            JOIN lab lb ON lb.vec_id = p.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN sa <> sb THEN
+              (CASE WHEN sa = 'eval' THEN id_a ELSE id_b END) END)
+         AS BIGINT) AS n_leaked_eval_vecs,
+       ROUND(MAX(CASE WHEN sa <> sb THEN score END), 6)
+         AS max_cross_score
+FROM j
+"""
+
+
+@query("semantic_split_leakage_report", oracle=_semantic_leakage_oracle_sql())
+def semantic_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC split-leakage audit (r9) — the embedding-space twin of
+    `split_leakage_report`: paraphrase-level near-neighbors (cosine ≥
+    0.35 inside deterministic Lloyd cells) that span an md5-derived
+    90/10 train/eval split. N-gram leakage audits miss these by
+    construction (no shared surface text); at eval time they inflate
+    metrics exactly the same way. Reports total near-pairs, cross-split
+    pairs, DISTINCT leaked eval vectors, and the worst cross-split
+    similarity. Every stage — Lloyd cells, the cell-bounded cosine
+    pairs, the split hash, the aggregation — is deterministic Column
+    algebra; the oracle replays all of it (unrolled Lloyd CTEs + pair
+    + hash + agg) under one value hash. Scale shape: rides the
+    zero-shuffle Lloyd fit + the cell-bounded pairwise pass
+    (`semantic_dedup_kmeans`'s measured plan) plus one broadcast-sized
+    label join and a 1-row agg."""
+    from .operators.similarity import (
+        kmeans_cells_deterministic,
+        semantic_dedup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    cells = kmeans_cells_deterministic(e, n_cells=8, iters=2)
+    pairs = semantic_dedup_pairs(cells, threshold=0.35, cluster_col="cell")
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("vec_id"), F.lit("semsplit42"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    lab = e.select(
+        "vec_id",
+        F.when(frac < 0.9, "train").otherwise("eval").alias("split"),
+    )
+    from .io import broadcast_if_small
+
+    la = lab.select(F.col("vec_id").alias("id_a"), F.col("split").alias("sa"))
+    lb = lab.select(F.col("vec_id").alias("id_b"), F.col("split").alias("sb"))
+    j = (
+        pairs.join(broadcast_if_small(la), "id_a")
+        .join(broadcast_if_small(lb), "id_b")
+    )
+    cross = F.col("sa") != F.col("sb")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cross.cast("long")).alias("n_cross_pairs"),
+        F.countDistinct(
+            F.when(
+                cross,
+                F.when(F.col("sa") == "eval", F.col("id_a")).otherwise(
+                    F.col("id_b")
+                ),
+            )
+        ).alias("n_leaked_eval_vecs"),
+        F.round(F.max(F.when(cross, F.col("score"))), 6).alias(
+            "max_cross_score"
+        ),
     )
 
 
