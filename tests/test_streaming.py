@@ -1000,3 +1000,112 @@ def test_quality_stats_maintainer_streaming_equals_batch(spark, sf_dir, tmp_path
     for g in want:
         for f in ("n", "sum", "min", "max", "mean", "stddev"):
             assert getattr(got[g], f) == getattr(want[g], f), (g, f)
+
+
+def test_novelty_ingest_equals_batch_and_replays(spark, sf_dir, tmp_path):
+    """r9: continuous novelty scoring — id-ordered micro-batches must
+    reproduce the BATCH hashed-gram novelty scores exactly (first
+    arrival == min id in that regime), replay of a finished epoch must
+    be idempotent, and a changed gram width against existing state
+    must refuse."""
+    import pytest as _pytest
+
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+    from pystreams_spark.streaming.novelty_ingest import NoveltyIngest
+
+    docs = load_table(spark, sf_dir, "documents").limit(240).select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    rows.sort(key=lambda r: r.doc_id)
+    thirds = [rows[:80], rows[80:160], rows[160:]]
+
+    ing = NoveltyIngest(str(tmp_path / "state"), n=3)
+    for epoch, chunk in enumerate(thirds):
+        ing.process_batch(
+            spark.createDataFrame(chunk, "doc_id long, text string"), epoch
+        )
+
+    streamed = {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ing.scores(spark).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ngram_novelty_scores(docs, n=3, hash_grams=True).collect()
+    }
+    assert streamed == batch and len(streamed) == 240
+
+    # replay the final epoch: same state view -> identical output
+    ing.process_batch(
+        spark.createDataFrame(thirds[2], "doc_id long, text string"), 2
+    )
+    assert {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ing.scores(spark).collect()
+    } == batch
+
+    # state is bound to its gram width
+    with _pytest.raises(ValueError, match="gram classes"):
+        NoveltyIngest(str(tmp_path / "state"), n=2).process_batch(
+            spark.createDataFrame(thirds[0], "doc_id long, text string"), 3
+        )
+
+
+def test_novelty_ingest_under_structured_streaming(spark, tmp_path):
+    """End-to-end under a real file stream (availableNow, one file per
+    micro-batch): the order-independent invariant — every distinct
+    gram is novel for EXACTLY one document, whichever carried it
+    first — plus a planted verbatim copy scoring novelty 0."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.streaming.novelty_ingest import NoveltyIngest
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon zeta",   # verbatim copy of 1
+        3: "one two three four five six seven",
+        4: "one two three completely new tail here",
+    }
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for epoch, ids in enumerate([[1, 2], [3], [4]]):
+        spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{epoch}")
+        time.sleep(0.05)
+
+    ing = NoveltyIngest(str(tmp_path / "state"), n=3)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ing.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.doc_id: r for r in ing.scores(spark).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # copy pair: exactly one of {1, 2} owns all its grams
+    pair = sorted((got[1].novelty, got[2].novelty))
+    assert pair == [0.0, 1.0]
+    assert got[3].novelty == 1.0
+    # doc 4 shares the 'one two three' window with doc 3: 1 of 5 grams seen
+    assert got[4].n_grams == 5 and got[4].novel_grams == 4
+    # conservation: every distinct gram novel exactly once
+    total_novel = sum(r.novel_grams for r in got.values())
+    distinct = (
+        ing.scores(spark).sparkSession.read.parquet(
+            str(tmp_path / "state" / "grams")
+        ).select("g").distinct().count()
+    )
+    assert total_novel == distinct
