@@ -1300,9 +1300,12 @@ def _compress(codec: str, payload: bytes) -> bytes:
             zlib.crc32(payload) & 0xFFFFFFFF
         ).to_bytes(4, "big")
     if codec == "zstandard":
-        from .zstd import zstd_compress_stored
+        # r9: REAL compression (LZ77 + predefined-FSE sequences +
+        # Huffman literals) — zstd-jni-differential-validated; the
+        # stored/RLE encoder remains for callers that want write speed
+        from .zstd import zstd_compress
 
-        return zstd_compress_stored(payload)
+        return zstd_compress(payload)
     raise NotImplementedError(
         f"avro: write codec '{codec}' unsupported ({'/'.join(_WRITE_CODECS)})"
     )

@@ -1,5 +1,5 @@
-"""Pure-Python Zstandard codec (RFC 8878, public spec) — decode + a
-raw-block ("stored") encoder.
+"""Pure-Python Zstandard codec (RFC 8878, public spec) — full decode,
+a REAL compressor (r9), and a raw/RLE-block ("stored") encoder.
 
 Why it exists: zstd is the second production landing-zone codec (with
 snappy) whose C module is absent from this container. The FORMAT is
@@ -17,11 +17,15 @@ a spec-level implementation beats an env-gate for the read path:
   cross-block match windows. Skippable frames are skipped; multiple
   concatenated frames append. The optional xxhash64 content checksum
   is verified when present (pure-Python xxh64 below).
-- ``zstd_compress_stored`` emits a spec-valid frame of RAW blocks:
-  every conforming reader accepts it (zstd-jni reads it back in the
-  differential tests); it does not shrink — the same honesty trade as
-  the snappy stored encoder and encode_gif. Re-encode through deflate
-  when size matters.
+- ``zstd_compress`` (r9) is REAL compression: greedy LZ77 hash
+  matching → sequences under the PREDEFINED FSE tables, literals as
+  Huffman (direct weights) / RLE / raw, per-block raw fallback when
+  compression does not pay. LIBZSTD (zstd-jni, Spark's classpath)
+  decompresses its frames byte-exactly in the differential tests —
+  encoder validation by the reference decoder itself.
+- ``zstd_compress_stored`` emits a spec-valid frame of RAW/RLE blocks:
+  cheapest spec-valid write path; kept for callers that want write
+  speed over ratio.
 
 Bit-level conventions ported carefully from the RFC: FSE table
 descriptions read FORWARD (LSB-first); Huffman literal streams and
@@ -36,7 +40,7 @@ files; a throughput pipeline should run where the C module exists.
 
 from __future__ import annotations
 
-__all__ = ["zstd_decompress", "zstd_compress_stored"]
+__all__ = ["zstd_decompress", "zstd_compress", "zstd_compress_stored"]
 
 _MAGIC = 0xFD2FB528
 _SKIP_LO, _SKIP_HI = 0x184D2A50, 0x184D2A5F
@@ -678,4 +682,410 @@ def zstd_compress_stored(data: bytes) -> bytes:
         last = 1 if bi == len(blocks) - 1 else 0
         out += (last | (btype << 1) | (regen << 3)).to_bytes(3, "little")
         out += payload
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# REAL compression (r9): LZ77 hash-chain matches → sequences coded with
+# the PREDEFINED FSE tables (mode 0 — the same `_fse_build` cells the
+# decoder uses become the encoder's transition map), literals coded as
+# Huffman (direct 4-bit weights, 1 stream small / 4 streams large),
+# RLE, or raw — whichever is smallest. Everything this encoder emits is
+# within the decoder's supported surface, and zstd-jni (Spark's
+# classpath) decompresses it — the both-direction differential that
+# `zstd_compress_stored` could never give the compressed-block paths.
+#
+# Encoder-side FSE: the decode cell (sym, nbits, base) at index i
+# recovers its normalized counter x = (base + size) >> nbits; encoding
+# runs the symbol chain BACKWARD, and for a target next-state t the
+# unique (x, nbits) with x = (t + size) >> nbits ∈ [count, 2·count)
+# names both the cell to stand on and the bits to emit — the textbook
+# tANS duality, no second table construction.
+#
+# Scope (stated, not hidden): offsets always use the direct form
+# (offset_value = offset + 3; repeat-offset codes are a rate
+# optimization the decoder handles but this encoder never emits), and
+# Huffman literal trees use the DIRECT weight header, which caps the
+# alphabet at byte values ≤ 128 — blocks whose literals use higher
+# bytes fall back to raw literals (sequences still compress). Both are
+# spec-valid choices, not corners cut on correctness.
+# ---------------------------------------------------------------------------
+
+
+class _BitAcc:
+    """Backward-bitstream builder: push fields in DECODER READ order;
+    `bytes()` lays them out so `_Back` (and libzstd) reads them back in
+    exactly that order, sentinel bit included."""
+
+    __slots__ = ("acc", "n")
+
+    def __init__(self):
+        self.acc = 1  # the sentinel bit
+        self.n = 0
+
+    def push(self, v: int, nb: int) -> None:
+        if nb == 0:
+            return
+        if not 0 <= v < (1 << nb):
+            raise ValueError("zstd encode: bit field out of range")
+        self.acc = (self.acc << nb) | v
+        self.n += nb
+
+    def bytes(self) -> bytes:
+        total = self.n + 1
+        return self.acc.to_bytes((total + 7) >> 3, "little")
+
+
+def _fse_enc_map(cells: list) -> dict:
+    """symbol → {normalized counter x: cell index} from decode cells."""
+    size = len(cells)
+    m: dict[int, dict[int, int]] = {}
+    for i, (sym, nb, base) in enumerate(cells):
+        m.setdefault(sym, {})[(base + size) >> nb] = i
+    return m
+
+
+def _fse_encode_chain(codes: list[int], cells: list, accuracy: int):
+    """State chain for one channel: returns (init_state_index,
+    [(bits, nbits) read at sequence i to reach sequence i+1's state])."""
+    size = 1 << accuracy
+    m = _fse_enc_map(cells)
+    n = len(codes)
+    idx = [0] * n
+    trans: list[tuple[int, int]] = [(0, 0)] * (n - 1) if n > 1 else []
+    xs_last = m.get(codes[-1])
+    if xs_last is None:
+        raise ValueError(f"zstd encode: code {codes[-1]} not in FSE table")
+    idx[n - 1] = min(xs_last.values())
+    for i in range(n - 2, -1, -1):
+        target = idx[i + 1] + size
+        xs = m.get(codes[i])
+        if xs is None:
+            raise ValueError(f"zstd encode: code {codes[i]} not in FSE table")
+        count = len(xs)
+        max_nb = accuracy - (count.bit_length() - 1)
+        for nb in (max_nb, max_nb - 1):
+            x = target >> nb
+            if x in xs:
+                idx[i] = xs[x]
+                trans[i] = (target - (x << nb), nb)
+                break
+        else:
+            raise AssertionError("zstd encode: FSE ranges failed to tile")
+    return idx[0], trans
+
+
+def _code_of(value: int, base: list[int], max_code: int) -> int:
+    """Largest code whose baseline is <= value (bases ascend)."""
+    import bisect
+
+    c = bisect.bisect_right(base, value, 0, max_code + 1) - 1
+    if c < 0:
+        raise ValueError("zstd encode: value below code range")
+    return c
+
+
+def _find_sequences(data: bytes, lo: int, hi: int):
+    """Greedy 4-byte hash matcher over data[lo:hi]; matches may start
+    anywhere in data[:i] (single-segment window). Returns
+    (sequences [(lit_len, offset, match_len)], literals bytes)."""
+    table: dict[bytes, int] = {}
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    # seed the table with (a sample of) earlier positions so
+    # cross-block back-references exist without a full rescan
+    for j in range(max(0, lo - 4096), max(0, lo - 3)):
+        table[data[j : j + 4]] = j
+    i, lit_start = lo, lo
+    max_ml = 131074  # ML code 52 ceiling
+    max_ll = 131071  # LL code 35 ceiling
+    while i + 4 <= hi:
+        key = data[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and data[j : j + 4] == key:
+            ml = 4
+            while i + ml < hi and ml < max_ml and data[j + ml] == data[i + ml]:
+                ml += 1
+            ll = i - lit_start
+            if ll > max_ll:
+                # split the run: flush a max-length all-literal chunk
+                # by NOT matching here (rare; costs one byte of ratio)
+                i += 1
+                continue
+            lits += data[lit_start:i]
+            seqs.append((ll, i - j, ml))
+            i += ml
+            lit_start = i
+        else:
+            i += 1
+    lits += data[lit_start:hi]
+    return seqs, bytes(lits)
+
+
+def _huf_lengths(freqs: dict[int, int], max_len: int = 11) -> dict[int, int]:
+    """Code lengths: Huffman tree, clamp to ``max_len``, integer Kraft
+    repair to EXACT equality (the decoder requires weight totals to
+    complete a power of two)."""
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) < 2:
+        raise ValueError("zstd encode: huffman needs >= 2 symbols")
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    nid = len(heap)
+    lengths = {s: 0 for s in syms}
+    while len(heap) > 1:
+        fa, _, ga = heapq.heappop(heap)
+        fb, _, gb = heapq.heappop(heap)
+        for s in ga + gb:
+            lengths[s] += 1
+        heapq.heappush(heap, (fa + fb, nid, ga + gb))
+        nid += 1
+    for s in lengths:
+        if lengths[s] > max_len:
+            lengths[s] = max_len
+    # Kraft sum in units of 2^-max_len; target exact 2^max_len
+    target = 1 << max_len
+    ksum = sum(1 << (max_len - l) for l in lengths.values())
+    order = sorted(syms, key=lambda s: (lengths[s], -freqs[s]))
+    guard = 0
+    while ksum != target:
+        guard += 1
+        if guard > 10000:
+            raise ValueError("zstd encode: kraft repair did not converge")
+        if ksum > target:
+            # lengthen the longest-codable symbol that still fits
+            for s in reversed(order):
+                if lengths[s] < max_len:
+                    ksum -= 1 << (max_len - lengths[s] - 1)
+                    lengths[s] += 1
+                    break
+            else:
+                raise ValueError("zstd encode: kraft overflow")
+        else:
+            # shorten the deepest symbol whose promotion still fits
+            for s in reversed(order):
+                if lengths[s] > 1 and (
+                    ksum + (1 << (max_len - lengths[s])) <= target
+                ):
+                    ksum += 1 << (max_len - lengths[s])
+                    lengths[s] -= 1
+                    break
+            else:
+                raise ValueError("zstd encode: kraft underflow")
+        order.sort(key=lambda s: (lengths[s], -freqs[s]))
+    return lengths
+
+
+def _huf_encode_stream(payload: bytes, codes: dict[int, tuple[int, int]]):
+    """One backward Huffman stream: symbols are READ first-to-last, so
+    push them in order (the decoder peeks top-of-stream first)."""
+    acc = _BitAcc()
+    for b in payload:
+        code, nb = codes[b]
+        acc.push(code, nb)
+    return acc.bytes()
+
+
+def _huf_literals(lits: bytes):
+    """Huffman-compressed literals payload (weights header + stream(s))
+    or None when the direct-weight form cannot express the alphabet or
+    nothing is saved. Returns (payload, n_streams)."""
+    freqs: dict[int, int] = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    if len(freqs) < 2 or max(freqs) > 128:
+        return None
+    lengths = _huf_lengths(freqs)
+    max_bits = max(lengths.values())
+    weights = {s: max_bits + 1 - l for s, l in lengths.items()}
+    last_sym = max(weights)
+    if last_sym > 128:
+        return None
+    # canonical codes matching `_huf_build`: longer codes first, then
+    # by symbol — same rank layout, expressed as (code, len) pairs
+    rank_count = [0] * (max_bits + 1)
+    for l in lengths.values():
+        rank_count[l] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for i in range(max_bits, 0, -1):
+        rank_idx[i - 1] = rank_idx[i] + rank_count[i] * (1 << (max_bits - i))
+    codes: dict[int, tuple[int, int]] = {}
+    next_at = list(rank_idx)
+    for s in sorted(lengths):
+        l = lengths[s]
+        codes[s] = (next_at[l] >> (max_bits - l), l)
+        next_at[l] += 1 << (max_bits - l)
+    # direct weight header: weights for symbols 0..last_sym-1, the
+    # last one inferred by the decoder
+    wlist = [weights.get(s, 0) for s in range(last_sym)]
+    hdr = bytes([127 + len(wlist)]) + bytes(
+        (
+            (wlist[i] << 4) | (wlist[i + 1] if i + 1 < len(wlist) else 0)
+            for i in range(0, len(wlist), 2)
+        )
+    )
+    n = len(lits)
+    if n <= 1023:
+        return hdr + _huf_encode_stream(lits, codes), 1
+    per = (n + 3) >> 2
+    parts = [
+        _huf_encode_stream(lits[i * per : min((i + 1) * per, n)], codes)
+        for i in range(4)
+    ]
+    jump = b"".join(len(p).to_bytes(2, "little") for p in parts[:3])
+    return hdr + jump + b"".join(parts), 4
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Smallest spec-valid literals section: RLE, Huffman, or raw."""
+    n = len(lits)
+    if n == 0:
+        return bytes([0])  # raw, size 0, 1-byte header
+    if len(set(lits)) == 1:
+        if n < 32:
+            return bytes([(n << 3) | 1, lits[0]])
+        if n < 4096:
+            return bytes([((n << 4) | 0x04 | 1) & 0xFF, n >> 4, lits[0]])
+        return bytes(
+            [((n << 4) | 0x0C | 1) & 0xFF, (n >> 4) & 0xFF, n >> 12, lits[0]]
+        )
+    huf = _huf_literals(lits) if n >= 32 else None
+    if huf is not None:
+        payload, streams = huf
+        c = len(payload)
+        overhead = 3 if (streams == 1 or (n <= 1023 and c <= 1023)) else (
+            4 if (n <= 16383 and c <= 16383) else 5
+        )
+        if c + overhead < n:
+            if streams == 1:
+                b0 = (2 | (0 << 2) | ((n & 15) << 4)) & 0xFF
+                hdr = bytes([b0, ((n >> 4) | ((c & 3) << 6)) & 0xFF, c >> 2])
+            elif n <= 1023 and c <= 1023:
+                b0 = (2 | (1 << 2) | ((n & 15) << 4)) & 0xFF
+                hdr = bytes([b0, ((n >> 4) | ((c & 3) << 6)) & 0xFF, c >> 2])
+            elif n <= 16383 and c <= 16383:
+                b0 = (2 | (2 << 2) | ((n & 15) << 4)) & 0xFF
+                hdr = bytes(
+                    [
+                        b0,
+                        (n >> 4) & 0xFF,
+                        ((n >> 12) | ((c & 0x3F) << 2)) & 0xFF,
+                        c >> 6,
+                    ]
+                )
+            else:
+                # size_format 3: 5-byte header, 18-bit regen + csize
+                b0 = (2 | (3 << 2) | ((n & 15) << 4)) & 0xFF
+                hdr = bytes(
+                    [
+                        b0,
+                        (n >> 4) & 0xFF,
+                        ((n >> 12) & 0x3F) | ((c & 3) << 6),
+                        (c >> 2) & 0xFF,
+                        (c >> 10) & 0xFF,
+                    ]
+                )
+            return hdr + payload
+    # raw literals
+    if n < 32:
+        return bytes([n << 3]) + lits
+    if n < 4096:
+        return bytes([((n << 4) | 0x04) & 0xFF, n >> 4]) + lits
+    return bytes([((n << 4) | 0x0C) & 0xFF, (n >> 4) & 0xFF, n >> 12]) + lits
+
+
+def _sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Number_of_Sequences + modes (all predefined) + the interleaved
+    backward FSE/extra bitstream, in the decoder's exact read order."""
+    n = len(seqs)
+    if n == 0:
+        return bytes([0])
+    if n < 128:
+        head = bytes([n])
+    elif n < 0x7F00:
+        head = bytes([128 + (n >> 8), n & 0xFF])
+    else:
+        head = bytes([255]) + (n - 0x7F00).to_bytes(2, "little")
+    head += bytes([0])  # modes: LL/OF/ML all predefined
+
+    ll_cells = _fse_build(*_LL_DEFAULT)
+    of_cells = _fse_build(*_OF_DEFAULT)
+    ml_cells = _fse_build(*_ML_DEFAULT)
+    ll_log, of_log, ml_log = _LL_DEFAULT[1], _OF_DEFAULT[1], _ML_DEFAULT[1]
+
+    ll_codes, of_codes, ml_codes = [], [], []
+    ll_extra, of_extra, ml_extra = [], [], []
+    for ll, offset, ml in seqs:
+        ov = offset + 3
+        oc = ov.bit_length() - 1
+        of_codes.append(oc)
+        of_extra.append((ov - (1 << oc), oc))
+        mc = _code_of(ml, _ML_BASE, 52)
+        ml_codes.append(mc)
+        ml_extra.append((ml - _ML_BASE[mc], _ML_BITS[mc]))
+        lc = _code_of(ll, _LL_BASE, 35)
+        ll_codes.append(lc)
+        ll_extra.append((ll - _LL_BASE[lc], _LL_BITS[lc]))
+
+    ll0, ll_tr = _fse_encode_chain(ll_codes, ll_cells, ll_log)
+    of0, of_tr = _fse_encode_chain(of_codes, of_cells, of_log)
+    ml0, ml_tr = _fse_encode_chain(ml_codes, ml_cells, ml_log)
+
+    acc = _BitAcc()
+    acc.push(ll0, ll_log)
+    acc.push(of0, of_log)
+    acc.push(ml0, ml_log)
+    for i in range(n):
+        acc.push(*of_extra[i])
+        acc.push(*ml_extra[i])
+        acc.push(*ll_extra[i])
+        if i < n - 1:
+            acc.push(*ll_tr[i])
+            acc.push(*ml_tr[i])
+            acc.push(*of_tr[i])
+    return head + acc.bytes()
+
+
+def zstd_compress(data: bytes) -> bytes:
+    """Real zstd compression (single frame, single-segment window,
+    compressed blocks; raw-block fallback per block when compression
+    does not pay). `zstd_decompress` AND libzstd read the output."""
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    n = len(data)
+    if n < 256:
+        fcs_code = 0
+    elif n - 256 < 65536:
+        fcs_code = 1
+    elif n < 1 << 32:
+        fcs_code = 2
+    else:
+        fcs_code = 3
+    out.append((fcs_code << 6) | (1 << 5))
+    if fcs_code == 0:
+        out.append(n)
+    elif fcs_code == 1:
+        out += (n - 256).to_bytes(2, "little")
+    elif fcs_code == 2:
+        out += n.to_bytes(4, "little")
+    else:
+        out += n.to_bytes(8, "little")
+    if n == 0:
+        out += (1).to_bytes(3, "little")
+        return bytes(out)
+    max_block = 128 * 1024
+    blocks = [(lo, min(lo + max_block, n)) for lo in range(0, n, max_block)]
+    for bi, (lo, hi) in enumerate(blocks):
+        last = 1 if bi == len(blocks) - 1 else 0
+        regen = hi - lo
+        seqs, lits = _find_sequences(data, lo, hi)
+        body = _literals_section(lits) + _sequences_section(seqs)
+        if len(body) < regen:
+            out += (last | (2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+        else:
+            out += (last | (0 << 1) | (regen << 3)).to_bytes(3, "little")
+            out += data[lo:hi]
     return bytes(out)

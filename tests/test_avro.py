@@ -1294,3 +1294,48 @@ def test_avro_named_type_references(spark, tmp_path):
             "type": "record", "name": "Node",
             "fields": [{"name": "next", "type": ["null", "Node"]}],
         })
+
+
+def test_zstd_real_compressor_differential_vs_zstd_jni(spark):
+    """r9: the REAL compressor (`zstd_compress` — LZ77 sequences under
+    the predefined FSE tables, Huffman/RLE/raw literals) produces
+    frames that LIBZSTD (zstd-jni, Spark's classpath) decompresses
+    byte-exactly — the strongest validation available for an encoder:
+    the reference implementation is the decoder. Also: our own decoder
+    round-trips the same frames, and compression is REAL (repetitive
+    payloads shrink >5×), not stored-mode relabeled."""
+    import os
+
+    from pystreams_spark.formats.zstd import zstd_compress, zstd_decompress
+
+    jvm = spark._jvm
+    Z = jvm.com.github.luben.zstd.Zstd
+    big = open("pystreams_spark/queries.py", "rb").read()[:300_000]
+    cases = {
+        "empty": b"",
+        "tiny": b"a",
+        "pair": b"ab" * 6,
+        "repetitive": b"repetitive payload " * 200,
+        "mixed": b"".join(
+            bytes([i % 120]) + b"hello" * (i % 7) for i in range(500)
+        ),
+        "random": os.urandom(5000),
+        "text": b"the quick brown fox jumps over the lazy dog. " * 100,
+        "long_runs": b"\x00" * 10000 + b"A" * 5000 + bytes(range(120)) * 40,
+        "highbytes": bytes(range(256)) * 100 + os.urandom(2000),
+        "source_multiblock": big + big[::-1],
+    }
+    for name, payload in cases.items():
+        comp = zstd_compress(payload)
+        # libzstd reads it
+        assert bytes(
+            Z.decompress(bytearray(comp), max(len(payload), 1))
+        ) == payload, name
+        # and so do we
+        assert zstd_decompress(comp) == payload, name
+    # the ratio is real on compressible shapes
+    assert len(zstd_compress(cases["repetitive"])) * 5 < len(
+        cases["repetitive"]
+    )
+    assert len(zstd_compress(cases["text"])) * 5 < len(cases["text"])
+    assert len(zstd_compress(big)) * 2 < len(big)

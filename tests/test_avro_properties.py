@@ -271,3 +271,31 @@ def test_zstd_rle_blocks_collapse_runs():
     c2 = zstd_compress_stored(mixed)
     assert len(c2) < len(mixed) / 3
     assert zstd_decompress(c2) == mixed
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_zstd_real_compress_roundtrip(payload):
+    """r9: the REAL compressor round-trips arbitrary bytes through our
+    own decoder (the zstd-jni differential covers the libzstd side)."""
+    from pystreams_spark.formats.zstd import zstd_compress, zstd_decompress
+
+    assert zstd_decompress(zstd_compress(payload)) == payload
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.binary(min_size=1, max_size=24),
+                  st.integers(min_value=1, max_value=60)),
+        min_size=1, max_size=40,
+    )
+)
+def test_zstd_real_compress_roundtrip_repetitive(chunks):
+    """Repetition-heavy payloads exercise the sequence path (matches,
+    long literal runs, multi-block when large) — the shapes the raw
+    fallback would otherwise hide."""
+    from pystreams_spark.formats.zstd import zstd_compress, zstd_decompress
+
+    payload = b"".join(c * k for c, k in chunks)
+    assert zstd_decompress(zstd_compress(payload)) == payload
