@@ -2250,6 +2250,7 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             or payload[:4] in (b"II*\x00", b"MM\x00*")
             or payload[:6] in (b"GIF87a", b"GIF89a")
             or payload[:2] == b"\xff\xd8"
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
         ):
             if payload[:2] == b"BM":
                 arr = _decode_bmp(payload)
@@ -2261,6 +2262,10 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
                 arr = _decode_gif(payload)
             elif payload[:2] == b"\xff\xd8":
                 arr = _decode_jpeg(payload)
+            elif payload[:4] == b"RIFF":
+                from .vp8l import decode_webp
+
+                arr = decode_webp(payload)
             else:
                 arr = _decode_tiff(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)

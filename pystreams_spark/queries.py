@@ -8263,7 +8263,10 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END proof the REAL media decoders decode: deterministic
     payloads are synthesized per doc (ids ≡ 0 mod 4 → a solid-color
-    8×8 24-bit BMP whose channel means are a pure function of the id;
+    8×8 image whose channel means are a pure function of the id —
+    24-bit BMP for ids ≡ 0 mod 8, WebP VP8L (r9: LZ77+subtract-green
+    or palette variant) for ids ≡ 4 mod 8, lossless so the closed form
+    is unchanged;
     ids ≡ 2 mod 4 → a constant-gray JPEG, one VARIANT per residue
     mod 32 (r9): sequential ARITHMETIC (SOF9), LOSSLESS (SOF3),
     Huffman baseline (SOF0), progressive ARITHMETIC (SOF10), three
@@ -8293,6 +8296,7 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_lossless,
         encode_jpeg_progressive_arith,
     )
+    from .operators.vp8l import encode_webp_lossless
 
     def synth(batches):
         import struct
@@ -8326,9 +8330,25 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 if did % 4 == 0:
-                    payloads.append(
-                        bmp(did * 37 % 256, did * 59 % 256, did * 83 % 256)
-                    )
+                    # r9: ids ≡ 4 mod 8 route the SAME solid color
+                    # through WebP VP8L instead of BMP (lossless →
+                    # identical channel means, oracle unchanged);
+                    # 4 mod 16 exercises LZ77 + subtract-green,
+                    # 12 mod 16 the palette/color-indexing path
+                    r, g, b = did * 37 % 256, did * 59 % 256, did * 83 % 256
+                    if did % 8 == 0:
+                        payloads.append(bmp(r, g, b))
+                    else:
+                        solid = np.full((8, 8, 3), [r, g, b], np.uint8)
+                        payloads.append(
+                            encode_webp_lossless(
+                                solid, use_lz77=True, subtract_green=True
+                            )
+                            if did % 16 == 4
+                            else encode_webp_lossless(
+                                solid, palette=True, use_lz77=False
+                            )
+                        )
                 elif did % 2 == 0:
                     # one JPEG VARIANT per residue mod 32 (r9): the r8
                     # four — sequential arithmetic (SOF9), lossless

@@ -1609,3 +1609,137 @@ def test_jpeg_hierarchical_upsampler_properties():
 
     with pytest.raises(ValueError, match="smaller than the frame"):
         _upsample_ref(p, 0, 0, 8, 8)
+
+
+def test_webp_vp8l_roundtrips_every_path(spark):
+    """r9: WebP lossless (VP8L) — every encoder-exercised decode path
+    round-trips pixel-exactly: plain literals, LZ77 references
+    (neighborhood AND plain distance codes), color cache,
+    subtract-green, fixed-mode predictor blocks, palette with sub-byte
+    bundling (2/4/16/256-color), odd dimensions."""
+    import numpy as np
+
+    from pystreams_spark.operators.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (13, 17, 3), dtype=np.uint8)
+    quant = rng.randint(0, 4, (20, 20, 3), dtype=np.uint8) * 80
+    tiled = np.tile(img[:4, :4], (6, 8, 1))
+    two = (quant > 100).astype(np.uint8) * 255
+    cases = [
+        ("literals", encode_webp_lossless(img, use_lz77=False), img),
+        ("lz77", encode_webp_lossless(tiled, use_lz77=True), tiled),
+        ("cache", encode_webp_lossless(quant, use_lz77=False, cache_bits=4), quant),
+        ("subgreen", encode_webp_lossless(img, use_lz77=False, subtract_green=True), img),
+        ("pred_left", encode_webp_lossless(img, use_lz77=False, predictor_mode=1), img),
+        ("pred_top", encode_webp_lossless(img, use_lz77=False, predictor_mode=2), img),
+        ("palette16", encode_webp_lossless(quant, palette=True, use_lz77=False), quant),
+        ("palette2", encode_webp_lossless(two, palette=True, use_lz77=False), two),
+    ]
+    for name, payload, ref in cases:
+        out = decode_webp(payload)
+        assert out.shape == ref.shape and (out == ref).all(), name
+    # compression is real on redundant shapes
+    assert len(encode_webp_lossless(tiled, use_lz77=True)) * 5 < tiled.size
+    # refusals name the missing scheme
+    import pytest as _pytest
+
+    lossy = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (
+        8
+    ).to_bytes(4, "little") + b"\x00" * 8
+    with _pytest.raises(ValueError, match="lossy VP8"):
+        decode_webp(lossy)
+
+
+def test_webp_vp8l_flows_through_media_kernel(spark):
+    """A WebP payload flows through decode_media_features as
+    kind='image' with exact solid-color means."""
+    import numpy as np
+    import pandas as pd
+
+    from pystreams_spark.operators.multimodal import decode_media_features
+    from pystreams_spark.operators.vp8l import encode_webp_lossless
+
+    solid = np.full((8, 8, 3), [10, 140, 200], np.uint8)
+    payloads = [
+        encode_webp_lossless(solid, use_lz77=True, subtract_green=True),
+        encode_webp_lossless(solid, palette=True, use_lz77=False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "payload": payloads})
+    )
+    rows = {r.doc_id: r for r in decode_media_features(df).collect()}
+    for r in rows.values():
+        assert r.kind == "image" and (r.width, r.height) == (8, 8)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (10.0, 140.0, 200.0)
+
+
+def test_webp_vp8l_total_on_garbage():
+    """Corrupt VP8L payloads raise ValueError (or decode to the right
+    shape), never hang/IndexError."""
+    import numpy as np
+
+    from pystreams_spark.operators.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    good = encode_webp_lossless(
+        rng.integers(0, 256, (12, 12, 3), dtype=np.uint8), use_lz77=True
+    )
+    for seed in range(60):
+        r2 = np.random.default_rng(seed)
+        bad = bytearray(good)
+        for _ in range(3):
+            i = int(r2.integers(20, len(good)))
+            bad[i] = int(r2.integers(0, 256))
+        try:
+            img = decode_webp(bytes(bad))
+            assert img.shape == (12, 12, 3)
+        except ValueError:
+            pass
+    for cut in range(12, len(good), 17):
+        try:
+            img = decode_webp(good[:cut])
+            assert img.shape == (12, 12, 3)
+        except ValueError:
+            pass
+
+
+def test_webp_vp8l_random_roundtrip_sweep(spark):
+    """Randomized shape/path sweep: 40 random images through random
+    encoder configurations must round-trip exactly."""
+    import numpy as np
+
+    from pystreams_spark.operators.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(40):
+        h = int(rng.randint(1, 25))
+        w = int(rng.randint(1, 25))
+        depth = int(rng.choice([2, 8, 256]))
+        img = (
+            rng.randint(0, depth, (h, w, 3)) * (255 // (depth - 1))
+        ).astype(np.uint8)
+        mode = trial % 5
+        if mode == 0:
+            p = encode_webp_lossless(img, use_lz77=False)
+        elif mode == 1:
+            p = encode_webp_lossless(img, use_lz77=True)
+        elif mode == 2:
+            p = encode_webp_lossless(
+                img, use_lz77=False, cache_bits=int(rng.randint(1, 8))
+            )
+        elif mode == 3:
+            p = encode_webp_lossless(img, use_lz77=False, subtract_green=True)
+        else:
+            p = encode_webp_lossless(img, palette=True, use_lz77=False)
+        out = decode_webp(p)
+        assert (out == img).all(), (trial, mode, h, w, depth)
