@@ -140,6 +140,10 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # the per-cluster pairwise kernel — two distinct kernels, each
         # pass-once (the label-clustered variant plans just one)
         "semantic_dedup_kmeans": 2,
+        # r9: the semantic leakage audit composes the SAME two
+        # pass-once kernels as semantic_dedup_kmeans (cell assignment
+        # + per-cluster pairwise) before its label join and 1-row agg
+        "semantic_split_leakage_report": 2,
         # PQ chains two distinct kernels in ONE narrow pipeline: encode
         # (vector → m codes) then ADC probe (codes → local top-k); each
         # row passes each kernel exactly once. At ingest scale the
