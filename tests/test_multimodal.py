@@ -1743,3 +1743,34 @@ def test_webp_vp8l_random_roundtrip_sweep(spark):
             p = encode_webp_lossless(img, palette=True, use_lz77=False)
         out = decode_webp(p)
         assert (out == img).all(), (trial, mode, h, w, depth)
+
+
+def test_webp_vp8l_meta_groups_and_combined_cache_lz77(spark):
+    """r9 follow-up: the decoder's META prefix-group path (per-block
+    code-group selection) and the LZ77+color-cache COMBINATION (the
+    decoder inserts every copied pixel into the cache) are both
+    encoder-exercised — no claimed decode path is fixture-blind."""
+    import numpy as np
+
+    from pystreams_spark.operators.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(21)
+    # left half smooth / right half noisy: two genuinely different
+    # histograms, so the two meta groups carry different codes
+    img = np.zeros((16, 24, 3), np.uint8)
+    img[:, :12] = 37
+    img[:, 12:] = rng.randint(0, 256, (16, 12, 3))
+    p = encode_webp_lossless(img, use_lz77=False, meta_split=True)
+    assert (decode_webp(p) == img).all()
+
+    tiled = np.tile(rng.randint(0, 3, (4, 4, 3), dtype=np.uint8) * 90,
+                    (5, 7, 1))
+    p2 = encode_webp_lossless(tiled, use_lz77=True, cache_bits=5)
+    assert (decode_webp(p2) == tiled).all()
+    p3 = encode_webp_lossless(
+        tiled, use_lz77=True, cache_bits=4, meta_split=True
+    )
+    assert (decode_webp(p3) == tiled).all()
