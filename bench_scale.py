@@ -231,6 +231,14 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "count_min_deterministic": lambda: QUERIES[
             "count_min_deterministic"
         ](spark, data_dir).count(),
+        # r9 composites: hashed-novelty + distributed prefix sum, and
+        # the Lloyd + cell-pair + split-hash semantic audit
+        "novelty_budget_selection": lambda: QUERIES[
+            "novelty_budget_selection"
+        ](spark, data_dir).count(),
+        "semantic_split_leakage": lambda: QUERIES[
+            "semantic_split_leakage_report"
+        ](spark, data_dir).count(),
     }
 
 

@@ -705,9 +705,9 @@ def zstd_compress_stored(data: bytes) -> bytes:
 # Scope (stated, not hidden): offsets always use the direct form
 # (offset_value = offset + 3; repeat-offset codes are a rate
 # optimization the decoder handles but this encoder never emits), and
-# Huffman literal trees use the DIRECT weight header, which caps the
-# alphabet at byte values ≤ 128 — blocks whose literals use higher
-# bytes fall back to raw literals (sequences still compress). Both are
+# Huffman literal trees use the DIRECT weight header up to 128
+# explicit weights and the FSE-COMPRESSED weight stream beyond (the
+# r9 follow-up below), so the FULL byte alphabet compresses. All
 # spec-valid choices, not corners cut on correctness.
 # ---------------------------------------------------------------------------
 
@@ -896,14 +896,12 @@ def _huf_literals(lits: bytes):
     freqs: dict[int, int] = {}
     for b in lits:
         freqs[b] = freqs.get(b, 0) + 1
-    if len(freqs) < 2 or max(freqs) > 128:
+    if len(freqs) < 2:
         return None
     lengths = _huf_lengths(freqs)
     max_bits = max(lengths.values())
     weights = {s: max_bits + 1 - l for s, l in lengths.items()}
     last_sym = max(weights)
-    if last_sym > 128:
-        return None
     # canonical codes matching `_huf_build`: longer codes first, then
     # by symbol — same rank layout, expressed as (code, len) pairs
     rank_count = [0] * (max_bits + 1)
@@ -918,15 +916,20 @@ def _huf_literals(lits: bytes):
         l = lengths[s]
         codes[s] = (next_at[l] >> (max_bits - l), l)
         next_at[l] += 1 << (max_bits - l)
-    # direct weight header: weights for symbols 0..last_sym-1, the
-    # last one inferred by the decoder
+    # weight header: direct 4-bit form up to 128 explicit weights,
+    # the FSE-compressed stream beyond (r9 — full byte alphabets)
     wlist = [weights.get(s, 0) for s in range(last_sym)]
-    hdr = bytes([127 + len(wlist)]) + bytes(
-        (
-            (wlist[i] << 4) | (wlist[i + 1] if i + 1 < len(wlist) else 0)
-            for i in range(0, len(wlist), 2)
+    if len(wlist) <= 128:
+        hdr = bytes([127 + len(wlist)]) + bytes(
+            (
+                (wlist[i] << 4) | (wlist[i + 1] if i + 1 < len(wlist) else 0)
+                for i in range(0, len(wlist), 2)
+            )
         )
-    )
+    else:
+        hdr = _huf_weights_fse(wlist)
+        if hdr is None:
+            return None
     n = len(lits)
     if n <= 1023:
         return hdr + _huf_encode_stream(lits, codes), 1
@@ -1089,3 +1092,169 @@ def zstd_compress(data: bytes) -> bytes:
             out += (last | (0 << 1) | (regen << 3)).to_bytes(3, "little")
             out += data[lo:hi]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# FSE-compressed Huffman-weight emission (r9 follow-up): lifts the
+# direct-form cap (<= 128 explicit weights) so Huffman literals cover
+# the FULL byte alphabet. The weight stream is the decoder's own
+# 2-interleaved-state layout run in reverse: the decoder reads
+# s1, s2, then alternating state updates until the stream EXHAUSTS
+# mid-read — so the encoder pushes exactly m-2 update fields and must
+# park the second-to-last weight on a cell with nbits > 0 (a 0-bit
+# read cannot overrun, and the decoder would run past the end).
+# ---------------------------------------------------------------------------
+
+
+def _fse_write_distribution(counts: list[int], accuracy: int) -> bytes:
+    """Inverse of `_fse_read_distribution` (RFC 4.1.1 header)."""
+    out = _FwdWriter()
+    out.write(accuracy - 5, 4)
+    remaining = 1 << accuracy
+    i = 0
+    while remaining > 0:
+        proba = counts[i] if i < len(counts) else 0
+        val = proba + 1
+        nbits = (remaining + 1).bit_length()
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - (remaining + 1)
+        if val < threshold:
+            out.write(val, nbits - 1)
+        elif val <= lower_mask:
+            out.write(val, nbits - 1)
+            out.write(0, 1)
+        else:
+            full = val + threshold
+            out.write(full & lower_mask, nbits - 1)
+            out.write(1, 1)
+        remaining -= -proba if proba < 0 else proba
+        i += 1
+        if proba == 0:
+            z = 0
+            while i + z < len(counts) and counts[i + z] == 0 and remaining > 0:
+                z += 1
+            zz = z
+            while True:
+                rep = min(zz, 3)
+                out.write(rep, 2)
+                zz -= rep
+                if rep != 3:
+                    break
+            i += z
+    return out.bytes()
+
+
+class _FwdWriter:
+    """LSB-first forward bit writer (FSE distribution headers)."""
+
+    __slots__ = ("acc", "n")
+
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, k: int) -> None:
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+
+    def bytes(self) -> bytes:
+        return self.acc.to_bytes((self.n + 7) >> 3 or 1, "little")
+
+
+def _fse_normalize(freqs: dict[int, int], accuracy: int) -> list[int]:
+    """Normalized counts (all >= 1 for present symbols) summing to
+    2^accuracy, indexed 0..max_symbol."""
+    total = sum(freqs.values())
+    size = 1 << accuracy
+    top = max(freqs)
+    counts = [0] * (top + 1)
+    for s, f in freqs.items():
+        counts[s] = max(1, (f * size) // total)
+    drift = size - sum(counts)
+    order = sorted(freqs, key=lambda s: -freqs[s])
+    gi = 0
+    while drift != 0:
+        s = order[gi % len(order)]
+        if drift > 0:
+            counts[s] += 1
+            drift -= 1
+        elif counts[s] > 1:
+            counts[s] -= 1
+            drift += 1
+        gi += 1
+        if gi > 100000:
+            raise ValueError("zstd encode: weight normalization stuck")
+    return counts
+
+
+def _huf_weights_fse(wlist: list[int]) -> bytes | None:
+    """FSE-compressed weight payload (header byte = csize < 128), or
+    None when this stream cannot express it."""
+    m = len(wlist)
+    if m < 5 or m > 255:
+        return None
+    freqs: dict[int, int] = {}
+    for w in wlist:
+        freqs[w] = freqs.get(w, 0) + 1
+    if len(freqs) < 2:
+        return None  # degenerate; caller should use RLE-ish direct form
+    accuracy = 6
+    counts = _fse_normalize(freqs, accuracy)
+    cells = _fse_build(counts, accuracy)
+    size = 1 << accuracy
+    m_map: dict[int, dict[int, int]] = {}
+    for i, (sym, nb, base) in enumerate(cells):
+        m_map.setdefault(sym, {})[(base + size) >> nb] = i
+
+    chain_a = wlist[0::2]
+    chain_b = wlist[1::2]
+    # the second-to-last weight terminates the stream: its chain's
+    # LAST cell must read > 0 bits, so pick the max-nbits cell (x =
+    # count); the truly-last weight's cell is unconstrained
+    second_last_in_a = (m % 2) == 0
+
+    def chain(codes: list[int], force_bits_last: bool):
+        idx = [0] * len(codes)
+        trans: list[tuple[int, int]] = [(0, 0)] * (len(codes) - 1)
+        xs = m_map[codes[-1]]
+        if force_bits_last:
+            x0 = min(xs)  # smallest counter = widest nbits
+            if cells[xs[x0]][1] == 0:
+                raise ValueError("zstd encode: weight cell needs bits")
+            idx[-1] = xs[x0]
+        else:
+            idx[-1] = min(xs.values())
+        for i in range(len(codes) - 2, -1, -1):
+            target = idx[i + 1] + size
+            xs = m_map[codes[i]]
+            count = len(xs)
+            max_nb = accuracy - (count.bit_length() - 1)
+            for nb in (max_nb, max_nb - 1):
+                x = target >> nb
+                if x in xs:
+                    idx[i] = xs[x]
+                    trans[i] = (target - (x << nb), nb)
+                    break
+            else:
+                raise AssertionError("zstd encode: weight FSE tiling")
+        return idx, trans
+
+    try:
+        idx_a, tr_a = chain(chain_a, second_last_in_a)
+        idx_b, tr_b = chain(chain_b, not second_last_in_a)
+    except ValueError:
+        return None
+
+    acc = _BitAcc()
+    acc.push(idx_a[0], accuracy)  # decoder reads s1 first
+    acc.push(idx_b[0], accuracy)
+    # alternating updates for w0..w_{m-3}
+    for i in range(m - 2):
+        if i % 2 == 0:
+            acc.push(*tr_a[i // 2])
+        else:
+            acc.push(*tr_b[i // 2])
+    payload = _fse_write_distribution(counts, accuracy) + acc.bytes()
+    if len(payload) >= 128:
+        return None
+    return bytes([len(payload)]) + payload

@@ -1323,6 +1323,11 @@ def test_zstd_real_compressor_differential_vs_zstd_jni(spark):
         "text": b"the quick brown fox jumps over the lazy dog. " * 100,
         "long_runs": b"\x00" * 10000 + b"A" * 5000 + bytes(range(120)) * 40,
         "highbytes": bytes(range(256)) * 100 + os.urandom(2000),
+        # high-byte-dominated compressible shapes: Huffman literals
+        # with the FSE-COMPRESSED weight stream (alphabet > 128)
+        "highbyte_huffman": bytes(
+            (137 + (i * i) % 113) for i in range(220)
+        ) * 40,
         "source_multiblock": big + big[::-1],
     }
     for name, payload in cases.items():
