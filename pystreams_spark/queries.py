@@ -4144,6 +4144,130 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
+@query(
+    "kmv_rollup_deterministic",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv42'),
+                               1, 15))::BIGINT AS v
+        FROM events
+    ), r AS (
+        SELECT event_type, v,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS nd
+        FROM h
+    ), per AS (
+        SELECT event_type,
+               CAST(MAX(nd) AS BIGINT) AS exact_users,
+               CASE WHEN MAX(nd) < 8 THEN CAST(MAX(nd) AS DOUBLE)
+                    ELSE ROUND(7.0 * 1152921504606846976.0
+                               / CAST(MAX(CASE WHEN rk = 8 THEN v END)
+                                      AS DOUBLE), 6)
+               END AS est_users
+        FROM r GROUP BY event_type
+    ), g AS (
+        SELECT DISTINCT v FROM r WHERE rk <= 8
+    ), gr AS (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM g
+    ), allrow AS (
+        SELECT 'ALL' AS event_type,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM (SELECT DISTINCT v FROM h)) AS exact_users,
+               CASE WHEN (SELECT COUNT(*) FROM g) < 8
+                    THEN (SELECT CAST(COUNT(*) AS DOUBLE)
+                          FROM (SELECT DISTINCT v FROM h))
+                    ELSE ROUND(7.0 * 1152921504606846976.0
+                               / CAST((SELECT v FROM gr WHERE rk = 8)
+                                      AS DOUBLE), 6)
+               END AS est_users
+    )
+    SELECT event_type, exact_users, est_users FROM per
+    UNION ALL SELECT event_type, exact_users, est_users FROM allrow
+    ORDER BY event_type
+    """,
+)
+def kmv_rollup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-GRADE mergeable-sketch rollup (r9 — the deterministic
+    anchor for the LAST engine-internal sketch family,
+    `hll_sketch_rollup`): per-event-type KMV sketches (k = 8 minimum
+    md5 values — Bar-Yossef et al., the same estimator
+    `doc_minhash_cardinality` uses per-doc) are MERGED into the global
+    estimate without rescanning the base — the k smallest of the
+    sketch union provably equal the k smallest of the full corpus, so
+    KMV rollups are exactly mergeable, the property HLL unions provide
+    only approximately and engine-internally. Every step — the hash,
+    the per-group k-minima, the merge, the (k−1)/R_k estimate — is
+    replayed by DuckDB under one value hash. Scale shape: one distinct
+    (type, hash) aggregation (key-only shuffle), a per-type window
+    over the distinct frame, and KB-sized sketch frames thereafter;
+    HLL stays the production rollup (fixed 2 KB sketches vs KMV's
+    k·8 B — both mergeable, only this one SQL-replayable)."""
+    k = 8
+    two60 = 1152921504606846976.0
+    ev = _t(spark, sf_dir, "events")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":kmv42"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    h = ev.select("event_type", v.alias("v")).distinct()
+    wrk = Window.partitionBy("event_type").orderBy("v")
+    wnd = Window.partitionBy("event_type")
+    r = h.withColumn("rk", F.row_number().over(wrk)).withColumn(
+        "nd", F.count(F.lit(1)).over(wnd)
+    )
+    per = r.groupBy("event_type").agg(
+        F.max("nd").alias("exact_users"),
+        F.max(F.when(F.col("rk") == k, F.col("v"))).alias("_vk"),
+    )
+    per = per.select(
+        "event_type",
+        "exact_users",
+        F.when(
+            F.col("exact_users") < k, F.col("exact_users").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(7.0) * F.lit(two60) / F.col("_vk").cast("double"), 6
+            )
+        )
+        .alias("est_users"),
+    )
+    g = r.filter(F.col("rk") <= k).select("v").distinct()
+    gr = g.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v"))
+    )  # merged sketch is <= n_types*k rows — KB-sized, single window OK
+    # one-row aggregate (a crossJoin against the rk == k row would
+    # DROP the ALL row entirely when the merged sketch holds < k
+    # values — the small-corpus exact branch)
+    merged = gr.agg(
+        F.count(F.lit(1)).alias("_gn"),
+        F.max(F.when(F.col("rk") == k, F.col("v"))).alias("_vk"),
+    )
+    exact_all = h.select("v").distinct().agg(
+        F.count(F.lit(1)).alias("exact_users")
+    )
+    allrow = exact_all.crossJoin(merged).select(
+        F.lit("ALL").alias("event_type"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(F.col("_gn") < k, F.col("exact_users").cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(7.0) * F.lit(two60) / F.col("_vk").cast("double"), 6
+            )
+        )
+        .alias("est_users"),
+    )
+    return (
+        per.select("event_type", F.col("exact_users").cast("long").alias("exact_users"), "est_users")
+        .unionByName(allrow)
+        .orderBy("event_type")
+    )
+
+
 @query("hll_sketch_rollup")
 def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL sketches (§2.D scale path): per-event-type Datasketches
