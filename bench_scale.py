@@ -239,6 +239,9 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "semantic_split_leakage": lambda: QUERIES[
             "semantic_split_leakage_report"
         ](spark, data_dir).count(),
+        "kmv_rollup": lambda: QUERIES[
+            "kmv_rollup_deterministic"
+        ](spark, data_dir).count(),
     }
 
 
