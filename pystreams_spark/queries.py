@@ -61,6 +61,33 @@ _QUALITY_SQL = """ROUND(
 )
 
 
+# Engine-exact average of a column whose values are exact multiples of
+# 1e-6 (pre-ROUND(x,6) scores, exact integers): carry the sum in
+# integer MICROS and divide integer half-up — `(2·Σ + N) div (2·N)` —
+# so no floating summation order can land the average on an exact half
+# at digit 6 where Spark's and DuckDB's ROUND legitimately disagree
+# (the r9 novelty_budget_selection mismatch class; see that query's
+# docstring). NULL-safe: groups with no non-null values return NULL,
+# never a div-by-zero (ANSI). Both forms divide the SAME integer by the
+# same 1e6 literal → bit-identical doubles by IEEE division.
+def _avg6_micros(col: str):
+    return F.expr(
+        f"case when count({col}) > 0 then "
+        f"cast((2 * sum(cast(round({col} * 1000000) as bigint))"
+        f" + count({col})) div (2 * count({col})) as double)"
+        f" / 1000000.0 end"
+    )
+
+
+def _avg6_micros_sql(col: str) -> str:
+    return (
+        f"CASE WHEN COUNT({col}) > 0 THEN "
+        f"CAST((2 * SUM(CAST(ROUND({col} * 1000000) AS BIGINT))"
+        f" + COUNT({col})) // (2 * COUNT({col})) AS DOUBLE)"
+        f" / 1000000.0 END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.B/D/F filter + groupBy + multi-agg + sort — TPC-H Q1 shape (flagship)
 # ---------------------------------------------------------------------------
@@ -1111,7 +1138,7 @@ def char_trigram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_quality_by_lang",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
         SELECT lang,
                ROUND(
@@ -1125,7 +1152,7 @@ def char_trigram_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                       / GREATEST(CAST(length(text) AS DOUBLE), 1.0) * 5.0, 1.0)), 6) AS q
         FROM documents
     )
-    SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(q), 6) AS avg_quality,
+    SELECT lang, COUNT(*) AS n_docs, {_avg6_micros_sql("q")} AS avg_quality,
            ROUND(MIN(q), 6) AS min_quality, ROUND(MAX(q), 6) AS max_quality
     FROM scored
     GROUP BY lang
@@ -1143,7 +1170,7 @@ def doc_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            _avg6_micros("q").alias("avg_quality"),
             F.round(F.min("q"), 6).alias("min_quality"),
             F.round(F.max("q"), 6).alias("max_quality"),
         )
@@ -5747,10 +5774,11 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), base AS (
         SELECT d.doc_id, d.lang,
                CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
-               ROUND(nv.novel * 1.0 / nv.n_grams, 6) AS novelty
+               CAST((2 * nv.novel * 1000000 + nv.n_grams)
+                    // (2 * nv.n_grams) AS BIGINT) AS nov_u
         FROM documents d JOIN nv ON nv.doc_id = d.doc_id
     ), c AS (
-        SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY novelty DESC, doc_id)
+        SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY nov_u DESC, doc_id)
                  AS BIGINT) AS cum
         FROM base
     ), sel AS (
@@ -5758,8 +5786,9 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens,
-           ROUND(AVG(novelty), 6) AS avg_novelty,
-           ROUND(MIN(novelty), 6) AS min_novelty
+           CAST((2 * SUM(nov_u) + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+             / 1000000.0 AS avg_novelty,
+           CAST(MIN(nov_u) AS DOUBLE) / 1000000.0 AS min_novelty
     FROM sel GROUP BY lang ORDER BY lang
     """,
 )
@@ -5782,7 +5811,18 @@ def novelty_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (pinned by `test_ngram_novelty_hashed_matches_string`, and a
     60-bit collision would fail this very value hash), so the oracle
     verdict certifies the production plan, not just the replay-mode
-    one."""
+    one.
+
+    Rounding contract (r10, closes the r9 verdict's one mismatch):
+    novelty is carried as EXACT INTEGER MICROS on both engines —
+    ``nov_u = (2·novel·1e6 + n) div (2·n)`` (integer half-up; novel/n
+    are exact integers) and the per-language average is
+    ``(2·Σnov_u + N) div (2·N)`` — so no double summation order can
+    straddle a ROUND(x, 6) representability boundary (the r9 failure:
+    zh's AVG(novelty) landed on an exact half at digit 6 and
+    Spark/DuckDB legitimately rounded opposite ways). The displayed
+    doubles are the same integer divided by the same literal 1e6 on
+    both engines — bit-identical by IEEE division."""
     from .functions.text import token_count
     from .operators.dedup import ngram_novelty_scores
     from .operators.selection import select_token_budget
@@ -5791,10 +5831,18 @@ def novelty_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = ngram_novelty_scores(d, n=3, hash_grams=True)
     base = d.select(
         "doc_id", "lang", token_count("text").cast("long").alias("n_tokens")
-    ).join(scores.select("doc_id", "novelty"), "doc_id")
+    ).join(
+        scores.select(
+            "doc_id",
+            F.expr(
+                "(2 * novel_grams * 1000000 + n_grams) div (2 * n_grams)"
+            ).alias("nov_u"),
+        ),
+        "doc_id",
+    )
     sel = select_token_budget(
         base,
-        [F.col("novelty").desc(), F.col("doc_id").asc()],
+        [F.col("nov_u").desc(), F.col("doc_id").asc()],
         "n_tokens",
         budget=8_000,
     )
@@ -5803,8 +5851,21 @@ def novelty_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sel_tokens"),
-            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
-            F.round(F.min("novelty"), 6).alias("min_novelty"),
+            F.expr("(2 * sum(nov_u) + count(1)) div (2 * count(1))").alias(
+                "_avg_u"
+            ),
+            F.min("nov_u").alias("_min_u"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sel_tokens",
+            (F.col("_avg_u").cast("double") / F.lit(1_000_000.0)).alias(
+                "avg_novelty"
+            ),
+            (F.col("_min_u").cast("double") / F.lit(1_000_000.0)).alias(
+                "min_novelty"
+            ),
         )
         .orderBy("lang")
     )
@@ -8355,7 +8416,7 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "media_decode_report",
-    oracle="""
+    oracle=f"""
     WITH m AS (
         SELECT doc_id, lang,
                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -8372,9 +8433,9 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, kind,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(mean_r), 6) AS avg_mean_r,
-           ROUND(AVG(mean_g), 6) AS avg_mean_g,
-           ROUND(AVG(rms), 6) AS avg_rms,
+           {_avg6_micros_sql("mean_r")} AS avg_mean_r,
+           {_avg6_micros_sql("mean_g")} AS avg_mean_g,
+           {_avg6_micros_sql("rms")} AS avg_rms,
            ROUND(AVG(CASE WHEN kind = 'audio' THEN 1.0 END), 6)
              AS avg_zero_crossing_rate,
            CAST(MAX(CASE WHEN kind = 'audio' THEN 12 END) AS BIGINT)
@@ -8518,9 +8579,9 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         decoded.groupBy("lang", "kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("mean_r"), 6).alias("avg_mean_r"),
-            F.round(F.avg("mean_g"), 6).alias("avg_mean_g"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            _avg6_micros("mean_r").alias("avg_mean_r"),
+            _avg6_micros("mean_g").alias("avg_mean_g"),
+            _avg6_micros("rms").alias("avg_rms"),
             F.round(F.avg("zero_crossing_rate"), 6).alias(
                 "avg_zero_crossing_rate"
             ),
@@ -8758,7 +8819,7 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(score), 6) AS avg_score,
+           {_avg6_micros_sql("score")} AS avg_score,
            ROUND(MIN(score), 6) AS min_score,
            ROUND(MAX(score), 6) AS max_score,
            CAST(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
@@ -8788,11 +8849,15 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc sits exactly on 0.5, and the raw double mean is not bit-stable
     # across engines/partitionings — rounded, the boundary is exact
     scored = scored.withColumn("score", F.round("score", 6))
+    # avg_score in exact integer micros (r10): an average of 6-digit-
+    # rounded values over a small count can land on an exact half at
+    # digit 6 (the novelty_budget_selection r9 mismatch class) — the
+    # integer half-up form is engine-exact
     return (
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
+            _avg6_micros("score").alias("avg_score"),
             F.round(F.min("score"), 6).alias("min_score"),
             F.round(F.max("score"), 6).alias("max_score"),
             F.sum((F.col("score") >= 0.5).cast("long")).alias("n_kept"),
@@ -8964,7 +9029,7 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(FLOOR((cum - tok) / 5000.0) AS BIGINT) AS stage,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS stage_tokens,
-           ROUND(AVG(q), 6) AS avg_quality,
+           {_avg6_micros_sql("q")} AS avg_quality,
            ROUND(MIN(q), 6) AS min_quality
     FROM c GROUP BY stage ORDER BY stage
     """,
@@ -9001,7 +9066,7 @@ def curriculum_stage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok").alias("stage_tokens"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
+            _avg6_micros("q").alias("avg_quality"),
             F.round(F.min("q"), 6).alias("min_quality"),
         )
         .orderBy("stage")
@@ -10350,8 +10415,8 @@ def distinctive_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(score_bin AS INT) AS score_bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(score), 6) AS avg_score,
-           ROUND(AVG(quality), 6) AS avg_quality
+           {_avg6_micros_sql("score")} AS avg_score,
+           {_avg6_micros_sql("quality")} AS avg_quality
     FROM binned GROUP BY score_bin ORDER BY score_bin
     """,
 )
@@ -10397,8 +10462,8 @@ def classifier_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         binned.groupBy(F.col("score_bin").cast("int").alias("score_bin"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("score"), 6).alias("avg_score"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            _avg6_micros("score").alias("avg_score"),
+            _avg6_micros("quality").alias("avg_quality"),
         )
         .orderBy("score_bin")
     )
