@@ -248,28 +248,61 @@ R8_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r09.json (the driver's 50-query round-9
+# window — 48 full oracle-PASS + 1 declared rows-only + 1 hash mismatch,
+# novelty_budget_selection, fixed and re-ranked first in r10). Cumulative
+# R1 ∪ … ∪ R9 covers all 227 queries registered through r9.
+R9_DRIVER_CHECKED = {
+    "bpe_corpus_compression", "bpe_top_pairs", "cohort_weekly_retention",
+    "constraint_violations_report", "count_min_deterministic",
+    "cross_doc_repeated_spans", "customer_order_distribution",
+    "dedup_survivor_quality_shift", "deterministic_reservoir_per_lang",
+    "deterministic_split_report", "domain_balance_report",
+    "dormant_rich_customers", "dup_rate_by_source",
+    "event_funnel_conversion", "events_value_drift", "filter_funnel_report",
+    "forecast_revenue_increase", "important_part_values",
+    "jaccard_similarity_histogram", "join_key_skew_report",
+    "kmv_rollup_deterministic", "language_mixture_weights",
+    "lineitem_discount_drift", "media_decode_report", "min_cost_supplier",
+    "minhash_deterministic_candidates", "nation_market_share",
+    "ngram_novelty_report", "novelty_budget_selection", "orders_profile",
+    "pack_training_sequences_sorted", "part_supplier_counts",
+    "product_type_profit", "promo_revenue_effect",
+    "promotion_part_suppliers", "remove_repeated_spans_report",
+    "resample_user_purchases_daily", "returned_items_report",
+    "scd2_user_state_history", "semantic_split_leakage_report",
+    "shipping_delay_classes", "shipping_priority_top10",
+    "simhash_deterministic_candidates", "source_lang_contingency",
+    "token_budget_selection", "tokens_per_byte_by_lang",
+    "top_supplier_revenue", "vocab_coverage_curve",
+    "volume_shipping_nations", "waiting_supplier_ranking",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
     the most fresh evidence: (0) queries never driver-checked (new in
-    round 9, plus the fall-through safety net), (1) queries whose code
-    paths changed in round 9 (need re-verdicts under the new code),
-    (2) curated priority re-checks, (3) generic stale rows-only,
-    (4+) staleness tiers by age of last driver verdict — per the r8
-    verdict's rotation ask (#1) the r4-era tier (31 queries, oldest) is
-    drained first, so the r9 histogram's oldest tier becomes r5."""
+    round 10, plus the fall-through safety net), (1) queries whose code
+    paths changed in round 10 (need re-verdicts under the new code —
+    novelty_budget_selection leads: it is the r9 window's one hash
+    mismatch, fixed this round via the integer-micros rounding
+    contract), (2) curated priority re-checks, (3) generic stale
+    rows-only, (4+) staleness tiers by age of last driver verdict — per
+    the r9 verdict's rotation ask (#2) the r5-era tier (33 queries,
+    oldest) drains next, so the r10 histogram's oldest tier becomes
+    r6."""
 
     never_checked: set[str] = {
-        # new in round 9 rank 0 via the fall-through below
+        # new in round 10 rank 0 via the fall-through below
     }
-    # code-touched in round 9 (need re-verdicts under the new code):
-    # ngram_novelty_report — the novelty kernel gained the hash_grams
-    # production parameter (r8 verdict #2; the registered query stays
-    # string-gram oracle mode but shares the touched kernel);
-    # media_decode_report — hierarchical/differential JPEG (SOF5-7/13-15,
-    # r8 verdict #7) routes new fixture ids through the decode kernel
-    touched_r9: set[str] = {
-        "ngram_novelty_report", "media_decode_report",
+    # code-touched in round 10 (need re-verdicts under the new code):
+    # the six queries whose averaged report columns moved to the
+    # engine-exact integer-micros contract (r9 verdict #1)
+    touched_r10: set[str] = {
+        "novelty_budget_selection", "linear_quality_classifier",
+        "doc_quality_by_lang", "curriculum_stage_report",
+        "classifier_calibration_curve", "media_decode_report",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
@@ -277,7 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r9:
+        if name in touched_r10:
             return 1
         if name in stale_priority:
             return 2
@@ -286,7 +319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         checked_in = [name in s for s in (
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
-            R6_DRIVER_CHECKED, R7_DRIVER_CHECKED, R8_DRIVER_CHECKED)]
+            R6_DRIVER_CHECKED, R7_DRIVER_CHECKED, R8_DRIVER_CHECKED,
+            R9_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
