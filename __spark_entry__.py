@@ -298,11 +298,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # code-touched in round 10 (need re-verdicts under the new code):
     # the six queries whose averaged report columns moved to the
-    # engine-exact integer-micros contract (r9 verdict #1)
+    # engine-exact integer-micros contract (r9 verdict #1), plus
+    # kmv_rollup_deterministic (k-minima rewritten mergeable two-stage,
+    # r9 verdict #4) and bpe_corpus_compression (rows-only → FULL
+    # oracle via unrolled merge CTEs, r9 verdict #6)
     touched_r10: set[str] = {
         "novelty_budget_selection", "linear_quality_classifier",
         "doc_quality_by_lang", "curriculum_stage_report",
         "classifier_calibration_curve", "media_decode_report",
+        "kmv_rollup_deterministic", "bpe_corpus_compression",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()

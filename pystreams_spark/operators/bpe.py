@@ -200,6 +200,10 @@ def segment_corpus_report(
     w = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
     group = [group_col] if group_col else []
     exploded = docs.select(*group, w).filter(F.col("word") != "")
+    # ratio columns in exact integer micros — integer half-up
+    # `(2·S·1e6 + q) div (2·q)` — so a ratio of exact integer totals can
+    # never land on an exact ROUND half where engines disagree (the r9
+    # novelty_budget_selection mismatch class; see queries._avg6_micros)
     return (
         exploded.join(seg, "word")
         .groupBy(*group)
@@ -207,11 +211,19 @@ def segment_corpus_report(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("_n_sub").cast("long").alias("n_subwords"),
             F.sum("_n_chars").cast("long").alias("n_chars"),
-            F.round(F.sum("_n_sub") / F.count(F.lit(1)), 6).alias(
-                "subwords_per_word"
-            ),
-            F.round(F.sum("_n_chars") / F.sum("_n_sub"), 6).alias(
-                "chars_per_subword"
-            ),
+            (
+                F.expr(
+                    "(2 * sum(_n_sub) * 1000000 + count(1))"
+                    " div (2 * count(1))"
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("subwords_per_word"),
+            (
+                F.expr(
+                    "(2 * sum(_n_chars) * 1000000 + sum(_n_sub))"
+                    " div (2 * sum(_n_sub))"
+                ).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("chars_per_subword"),
         )
     )

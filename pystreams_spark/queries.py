@@ -7448,15 +7448,90 @@ def resample_user_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("user_id", "bucket")
 
 
-@query("bpe_corpus_compression")  # depends on the iterative merge chain — no
-# single-SQL oracle; fully deterministic, differential-tested against the
-# pure-Python BPE reference (counts are the value-level self-check).
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """DuckDB replay of the ENTIRE BPE training + segmentation chain as
+    unrolled CTEs (the Lloyd-CTE recipe applied to BPE, r9 verdict #6):
+    per merge k, a pair-count CTE over the current symbolized word
+    table, a 1-row argmax CTE (weight DESC, left, right — the exact
+    Spark tie-break), and a fold CTE applying the merge via
+    ``list_reduce`` — the accumulator is a chr(1)-delimited string, and
+    because merged = left || right the merge step is just
+    ``acc || right`` (the last symbol then reads as the merged token,
+    so the pair can't re-fire within the pass — identical semantics to
+    ``operators/bpe._merge_fold``). chr(1) never occurs in the fixture
+    corpora (verified at every SF), so the delimiter is collision-free.
+    The ratio columns use the integer-micros half-up contract. The word
+    tables are MATERIALIZED CTEs — each w{{k}} is referenced twice
+    (pair count + next fold), so default inlining would expand the
+    chain 2^num_merges-fold."""
+    sql = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, CAST(i AS INT), 1)) AS syms
+        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+        GROUP BY word
+    )"""
+    ]
+    for k in range(1, num_merges + 1):
+        sql.append(
+            f""", p{k} AS (
+        SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+               SUM(freq) AS weight
+        FROM w{k - 1}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ), m{k} AS (
+        SELECT l, r FROM p{k} ORDER BY weight DESC, l, r LIMIT 1
+    ), w{k} AS MATERIALIZED (
+        SELECT word, freq,
+               string_split(
+                 list_reduce(syms, (acc, x) -> CASE
+                   WHEN x = m{k}.r AND (acc = m{k}.l
+                        OR ends_with(acc, chr(1) || m{k}.l))
+                   THEN acc || m{k}.r ELSE acc || chr(1) || x END),
+                 chr(1)) AS syms
+        FROM w{k - 1}, m{k}
+    )"""
+        )
+    sql.append(
+        f""", seg AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,
+               CAST(length(word) AS BIGINT) AS n_chars
+        FROM w{num_merges}
+    ), corpus AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST((2 * SUM(n_sub) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+             AS subwords_per_word,
+           CAST((2 * SUM(n_chars) * 1000000 + SUM(n_sub))
+                // (2 * SUM(n_sub)) AS DOUBLE) / 1000000.0
+             AS chars_per_subword
+    FROM corpus JOIN seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+    )
+    return "".join(sql)
+
+
+@query("bpe_corpus_compression", oracle=_bpe_oracle_sql(15))
 def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language segmentation report after 15 learned BPE merges:
     how many subwords the vocabulary produces per word and characters
     per subword (`operators/bpe.segment_corpus_report`). Segmentation
     runs on the vocabulary-sized word table; the corpus is touched
-    exactly twice (train count + report explode)."""
+    exactly twice (train count + report explode).
+
+    FULL oracle since r10 (was rows-only r5–r9): DuckDB replays the
+    whole training chain — 15 unrolled (pair-count → argmax →
+    list_reduce merge fold) CTE stages with the exact Spark tie-break —
+    then the segmentation join, so the driver value hash certifies the
+    learned merges AND the report arithmetic (`_bpe_oracle_sql`)."""
     from .gates import gate_rows
     from .operators.bpe import segment_corpus_report
 
