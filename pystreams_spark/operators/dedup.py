@@ -1251,6 +1251,37 @@ def simhash_deterministic_candidates(
     sig = votes.select(id_col, sig_expr.alias("_sig")).localCheckpoint(
         eager=True
     )
+    return banded_hamming_pairs(
+        sig,
+        id_col=id_col,
+        sig_col="_sig",
+        bands=bands,
+        band_bits=band_bits,
+        max_hamming=max_hamming,
+    )
+
+
+def banded_hamming_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "_sig",
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Banded-Hamming candidate generation + verify over ANY integer
+    bit-signature column (r10 — factored out of
+    ``simhash_deterministic_candidates`` so the perceptual-hash image
+    dedup in ``operators/imagehash.py`` rides the identical machinery):
+    candidates share any of ``bands`` ``band_bits``-wide signature
+    slices (a pair within Hamming distance d < bands survives by
+    pigeonhole); pairs keep hamming = bit_count(sig_a ⊕ sig_b) ≤
+    ``max_hamming``. Scale shape: the band join shuffles (band, value,
+    id) triples — never all pairs — and the verify joins two 8-byte
+    signatures per candidate. Pure integer Column algebra, SQL-
+    replayable (both the simhash and image-neardup oracles unroll it).
+    ``sig`` should be materialized by the caller if it is expensive to
+    recompute (it is consumed three times: two band sides + verify)."""
     mask = (1 << band_bits) - 1
     banded = sig.select(
         id_col,
@@ -1259,7 +1290,7 @@ def simhash_deterministic_candidates(
                 *[
                     F.struct(
                         F.lit(t).alias("_band"),
-                        F.shiftright("_sig", t * band_bits)
+                        F.shiftright(sig_col, t * band_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("_val"),
                     )
@@ -1278,8 +1309,8 @@ def simhash_deterministic_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sa"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sb"))
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col(sig_col).alias("_sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col(sig_col).alias("_sb"))
     return (
         sa.join(broadcast_if_small(pairs), "id_a")
         .join(sb, "id_b")

@@ -2232,6 +2232,32 @@ def image_thumbnail(arr, grid: int = 4):
     return [float(v) for v in gray.ravel()]
 
 
+def decode_image_pixels(payload: bytes):
+    """Magic-byte dispatch of a raw image payload to the matching numpy
+    decoder → H×W×3 uint8 RGB array (r10 — split out of `_decode_one`
+    so the perceptual-hash operator in ``operators/imagehash.py`` can
+    hash the SAME decoded pixels the feature kernel reads). Raises
+    ValueError / NotImplementedError on non-image or unsupported
+    payloads; callers choose degrade-vs-strict."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .vp8l import decode_webp
+
+        return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
+    raise ValueError("not a recognized image payload")
+
+
 def _decode_one(payload: bytes, thumb_grid: int) -> dict:
     """Magic-byte sniff → decoder → unified feature dict."""
     out: dict = {
@@ -2252,22 +2278,7 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
             or payload[:2] == b"\xff\xd8"
             or (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP")
         ):
-            if payload[:2] == b"BM":
-                arr = _decode_bmp(payload)
-            elif payload[:2] == b"P6":
-                arr = _decode_ppm(payload)
-            elif payload[:1] == b"\x89":
-                arr = _decode_png(payload)
-            elif payload[:3] == b"GIF":
-                arr = _decode_gif(payload)
-            elif payload[:2] == b"\xff\xd8":
-                arr = _decode_jpeg(payload)
-            elif payload[:4] == b"RIFF":
-                from .vp8l import decode_webp
-
-                arr = decode_webp(payload)
-            else:
-                arr = _decode_tiff(payload)
+            arr = decode_image_pixels(payload)
             means = arr.astype("float64").reshape(-1, 3).mean(axis=0)
             out.update(
                 kind="image",

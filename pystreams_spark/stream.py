@@ -618,6 +618,25 @@ class Stream:
 
         return Stream(decode_media_features(self.df, payload_col, **kwargs))
 
+    def image_neardup_candidates(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        **kwargs,
+    ) -> "Stream":
+        """Perceptual-hash (dHash) image near-dup candidate pairs (r10):
+        decode → integer-exact 60-bit dHash → banded-Hamming candidates
+        → bit_count verify; (id_a, id_b, hamming). Catches re-encoded /
+        resized copies text and embedding dedup cannot see
+        (operators/imagehash.py)."""
+        from .operators.imagehash import image_dhash, image_dhash_candidates
+
+        sig = image_dhash(self.df, payload_col, id_col, **kwargs)
+        return Stream(
+            image_dhash_candidates(sig, id_col=id_col, max_hamming=max_hamming)
+        )
+
     def nfc_report(
         self, text_col: str = "text", group_cols: tuple = ("lang",)
     ) -> "Stream":
