@@ -1086,7 +1086,16 @@ def expand_named_types(sc: object) -> object:
     return walk(sc, None, ())
 
 
-_WRITE_CODECS = ("null", "deflate", "bzip2", "xz", "snappy", "zstandard")
+# "zstandard-stored" is a WRITE-SPEED variant, not a spec codec: it
+# emits stored-mode zstd frames (header name stays "zstandard", any
+# zstd reader decompresses them) for callers who preferred the pre-r9
+# throughput — the real "zstandard" encoder is pure-Python LZ77 +
+# FSE/Huffman and trades write speed for ratio (ADVICE r9: the r9
+# switch from stored to real compression was silent at this surface).
+_WRITE_CODECS = (
+    "null", "deflate", "bzip2", "xz", "snappy", "zstandard",
+    "zstandard-stored",
+)
 
 
 # --- snappy (r7) ------------------------------------------------------------
@@ -1301,11 +1310,18 @@ def _compress(codec: str, payload: bytes) -> bytes:
         ).to_bytes(4, "big")
     if codec == "zstandard":
         # r9: REAL compression (LZ77 + predefined-FSE sequences +
-        # Huffman literals) — zstd-jni-differential-validated; the
-        # stored/RLE encoder remains for callers that want write speed
+        # Huffman literals) — zstd-jni-differential-validated. Pure
+        # Python, so it trades write throughput for ratio; use
+        # 'zstandard-stored' to keep the pre-r9 write speed.
         from .zstd import zstd_compress
 
         return zstd_compress(payload)
+    if codec == "zstandard-stored":
+        # stored-mode frames: spec-valid zstd any reader decompresses,
+        # ~zero encode cost, no ratio (the pre-r9 write path)
+        from .zstd import zstd_compress_stored
+
+        return zstd_compress_stored(payload)
     raise NotImplementedError(
         f"avro: write codec '{codec}' unsupported ({'/'.join(_WRITE_CODECS)})"
     )
@@ -1443,11 +1459,16 @@ def write_avro_file(
     n_total = 0
     with open(path, "wb") as f:
         f.write(MAGIC)
+        # header name for the stored variant is the SPEC codec name —
+        # readers (ours, org.apache.avro) see plain "zstandard"
+        header_codec = (
+            "zstandard" if codec == "zstandard-stored" else codec
+        )
         head = bytearray()
         _enc_long(2, head)
         for k, v in (
             (b"avro.schema", schema_bytes),
-            (b"avro.codec", codec.encode()),
+            (b"avro.codec", header_codec.encode()),
         ):
             _enc_long(len(k), head)
             head.extend(k)
@@ -1746,9 +1767,16 @@ def read_avro(spark, path: str, split_target_bytes: int = 32 << 20):
 
 
 def write_avro(df, path: str, codec: str = "deflate", mode: str = "append") -> None:
-    """Avro sink (two-phase commit; ``codec`` null|deflate|bzip2|xz|snappy|zstandard;
-    ``mode`` append|overwrite — appends accumulate per-job-token part
-    files, overwrite clears prior parts at commit time)."""
+    """Avro sink (two-phase commit; ``codec`` null|deflate|bzip2|xz|
+    snappy|zstandard|zstandard-stored; ``mode`` append|overwrite —
+    appends accumulate per-job-token part files, overwrite clears prior
+    parts at commit time).
+
+    Codec trade (r10, ADVICE r9): ``zstandard`` is REAL pure-Python
+    compression (LZ77 + FSE/Huffman, libzstd-validated) — best ratio,
+    slowest writes; ``zstandard-stored`` writes stored-mode zstd frames
+    (header still says "zstandard", every reader decompresses them) at
+    ~zero encode cost for throughput-bound landing zones."""
     df.sparkSession.dataSource.register(AvroDataSource)
     (
         df.write.format("pyavro")

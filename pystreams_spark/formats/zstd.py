@@ -785,10 +785,14 @@ def _code_of(value: int, base: list[int], max_code: int) -> int:
     return c
 
 
-def _find_sequences(data: bytes, lo: int, hi: int):
+def _find_sequences(
+    data: bytes, lo: int, hi: int, max_offset: int = (1 << 29) - 3
+):
     """Greedy 4-byte hash matcher over data[lo:hi]; matches may start
     anywhere in data[:i] (single-segment window). Returns
-    (sequences [(lit_len, offset, match_len)], literals bytes)."""
+    (sequences [(lit_len, offset, match_len)], literals bytes).
+    ``max_offset`` caps back-reference distance at the predefined OF
+    table's reach (overridable for tests)."""
     table: dict[bytes, int] = {}
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
@@ -799,11 +803,15 @@ def _find_sequences(data: bytes, lo: int, hi: int):
     i, lit_start = lo, lo
     max_ml = 131074  # ML code 52 ceiling
     max_ll = 131071  # LL code 35 ceiling
+    # predefined OF table tops out at code 28 (offset_value < 2^29):
+    # a farther back-reference would make _fse_encode_chain raise
+    # instead of degrade — skip such matches (ADVICE r9; reachable
+    # only on single payloads past ~512 MB at the default cap)
     while i + 4 <= hi:
         key = data[i : i + 4]
         j = table.get(key)
         table[key] = i
-        if j is not None and data[j : j + 4] == key:
+        if j is not None and data[j : j + 4] == key and i - j <= max_offset:
             ml = 4
             while i + ml < hi and ml < max_ml and data[j + ml] == data[i + ml]:
                 ml += 1

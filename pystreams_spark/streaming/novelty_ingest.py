@@ -96,16 +96,40 @@ class NoveltyIngest:
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Gram store strictly before ``before_epoch``; None when empty.
-        Only a missing path reads as empty — corruption fails loudly."""
-        from pyspark.errors import AnalysisException
 
-        try:
-            df = spark.read.parquet(f"{self.state_dir}/grams")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return None
-            raise
-        return df.filter(F.col("epoch") < F.lit(before_epoch))
+        Commit filter (r10, ADVICE r9): only ``epoch=N`` directories
+        whose ``_SUCCESS`` marker exists are read — a crash mid-write
+        of an epoch leaves part files without the marker, and a blanket
+        ``read.parquet(grams/)`` on the next batch could trip over (or
+        partially read) them; enumerating committed epochs makes
+        exactly-once hold across dirty crashes, not just clean replays
+        (same pattern as ``StatsMaintainer.current``). The epoch bound
+        is applied on the directory NAME, so no partition column is
+        materialized."""
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/grams")
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        committed = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch >= before_epoch:
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(
+                status.getPath(), "_SUCCESS"
+            )
+            if fs.exists(marker):
+                committed.append(status.getPath().toString())
+        if not committed:
+            return None
+        return spark.read.parquet(*committed)
 
     def scores(self, spark: SparkSession) -> DataFrame:
         """All scored rows emitted so far (union of epoch outputs)."""

@@ -1344,3 +1344,68 @@ def test_zstd_real_compressor_differential_vs_zstd_jni(spark):
     )
     assert len(zstd_compress(cases["text"])) * 5 < len(cases["text"])
     assert len(zstd_compress(big)) * 2 < len(big)
+
+
+def test_zstd_encoder_offset_cap_degrades_not_raises(spark):
+    """r10 (ADVICE r9): a back-reference farther than the predefined OF
+    table's reach (code 28) must be SKIPPED by the matcher — degraded
+    compression, never a ValueError from _fse_encode_chain. Exercised
+    at a small cap so the test doesn't need a 512 MB payload; the
+    output still round-trips through our decoder and libzstd."""
+    from pystreams_spark.formats.zstd import (
+        _find_sequences,
+        zstd_decompress,
+    )
+    from pystreams_spark.formats import zstd as zmod
+
+    # marker appears at 0 and again far past the test cap
+    payload = b"UNIQ0123" + bytes(range(200)) * 30 + b"UNIQ0123" + b"tail"
+    seqs, lits = _find_sequences(payload, 0, len(payload), max_offset=1000)
+    assert all(off <= 1000 for _, off, _ in seqs)
+    # full-pipeline guard: monkeypatch the cap into the compressor path
+    orig = zmod._find_sequences
+    zmod._find_sequences = lambda d, lo, hi: orig(d, lo, hi, max_offset=1000)
+    try:
+        comp = zmod.zstd_compress(payload)
+    finally:
+        zmod._find_sequences = orig
+    assert zstd_decompress(comp) == payload
+    jvm = spark._jvm
+    Z = jvm.com.github.luben.zstd.Zstd
+    assert bytes(Z.decompress(bytearray(comp), len(payload))) == payload
+
+
+def test_avro_zstandard_stored_codec(spark, tmp_path):
+    """r10 (ADVICE r9): 'zstandard-stored' writes stored-mode zstd
+    frames at ~zero encode cost; the header codec name stays the SPEC
+    name 'zstandard', so our reader AND org.apache.avro decode it."""
+    from pystreams_spark.formats.avro import iter_avro_file, write_avro_file
+
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "s", "type": "string"},
+        ],
+    }
+    rows = [(i, "payload " * 10 + str(i)) for i in range(500)]
+    path = str(tmp_path / "stored.avro")
+    write_avro_file(path, rows, schema, codec="zstandard-stored")
+    hdr = open(path, "rb").read(4096)
+    assert b"zstandard" in hdr and b"zstandard-stored" not in hdr
+    got = list(iter_avro_file(path))
+    assert len(got) == 500 and got[0][0] == 0 and got[7][1] == rows[7][1]
+    # the reference stack reads the stored frames too
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    assert reader.getMetaString("avro.codec") == "zstandard"
+    n = 0
+    while reader.hasNext():
+        rec = reader.next()
+        assert int(rec.get("id")) == n
+        n += 1
+    reader.close()
+    assert n == 500

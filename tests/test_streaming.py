@@ -1053,6 +1053,45 @@ def test_novelty_ingest_equals_batch_and_replays(spark, sf_dir, tmp_path):
         )
 
 
+def test_novelty_ingest_skips_uncommitted_epoch_dirs(spark, sf_dir, tmp_path):
+    """r10 (ADVICE r9): a crash mid-write of ``grams/epoch=N`` leaves
+    part files WITHOUT ``_SUCCESS`` — the store read must skip the
+    torn directory entirely (not trip on listing/schema inference, not
+    read partial state), and the replayed epoch must rewrite it."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.dedup import ngram_novelty_scores
+    from pystreams_spark.streaming.novelty_ingest import NoveltyIngest
+
+    docs = load_table(spark, sf_dir, "documents").limit(120).select(
+        "doc_id", "text"
+    )
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    halves = [rows[:60], rows[60:]]
+
+    ing = NoveltyIngest(str(tmp_path / "state"), n=3)
+    ing.process_batch(
+        spark.createDataFrame(halves[0], "doc_id long, text string"), 0
+    )
+    # simulate the torn write: a garbage part file, no _SUCCESS marker
+    torn = tmp_path / "state" / "grams" / "epoch=1"
+    torn.mkdir(parents=True)
+    (torn / "part-00000.snappy.parquet").write_bytes(b"torn, not parquet")
+    # restart replays epoch 1 over the dirty directory
+    ing.process_batch(
+        spark.createDataFrame(halves[1], "doc_id long, text string"), 1
+    )
+    assert (torn / "_SUCCESS").exists()
+    streamed = {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ing.scores(spark).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_grams, r.novel_grams, r.novelty)
+        for r in ngram_novelty_scores(docs, n=3, hash_grams=True).collect()
+    }
+    assert streamed == batch and len(streamed) == 120
+
+
 def test_novelty_ingest_under_structured_streaming(spark, tmp_path):
     """End-to-end under a real file stream (availableNow, one file per
     micro-batch): the order-independent invariant — every distinct
