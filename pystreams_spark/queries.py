@@ -3149,27 +3149,28 @@ def simhash_deterministic_candidates_q(
     return simhash_deterministic_candidates(d).orderBy("id_a", "id_b")
 
 
-@query(
-    "image_neardup_candidates",
-    oracle="""
-    WITH grid AS (
-        SELECT doc_id, CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y
-        FROM documents,
-             generate_series(0, 10) AS xs(x),
-             generate_series(0, 5) AS ys(y)
-    ), px AS (
+# Shared DuckDB CTE prefix for the image-dedup pair (r10): closed-form
+# 11×6 gray grids (md5 of 'img:{group}:{x}:{y}' + per-id cell flips) →
+# dHash comparison bits → 60-bit signature `sig(doc_id, s)` →
+# 4×15-bit bands → banded candidates verified at Hamming ≤ 8
+# (`ipairs(id_a, id_b, hamming)`). Mirrors operators/imagehash.py over
+# the payloads `_synth_images` writes.
+_IMG_PAIR_CTES = """px AS MATERIALIZED (
         SELECT doc_id, x, y,
                CASE WHEN (doc_id % 3 >= 1 AND x + y * 11 = (doc_id * 5) % 66)
                       OR (doc_id % 3 = 2
                           AND x + y * 11 = (doc_id * 5 + 17) % 66)
                     THEN 255 - base ELSE base END AS g
         FROM (
-            SELECT doc_id, x, y,
+            SELECT doc_id, CAST(xs.x AS BIGINT) AS x,
+                   CAST(ys.y AS BIGINT) AS y,
                    ('0x' || substr(md5('img:' || CAST(doc_id // 4 AS VARCHAR)
-                      || ':' || CAST(x AS VARCHAR)
-                      || ':' || CAST(y AS VARCHAR)), 1, 2))::BIGINT AS base
-            FROM grid)
-    ), sig AS (
+                      || ':' || CAST(xs.x AS VARCHAR)
+                      || ':' || CAST(ys.y AS VARCHAR)), 1, 2))::BIGINT AS base
+            FROM documents,
+                 generate_series(0, 10) AS xs(x),
+                 generate_series(0, 5) AS ys(y))
+    ), sig AS MATERIALIZED (
         SELECT a.doc_id,
                CAST(SUM(CASE WHEN b.g > a.g THEN
                         1::BIGINT << CAST(a.y * 10 + a.x AS INT)
@@ -3179,58 +3180,32 @@ def simhash_deterministic_candidates_q(
         WHERE a.x < 10
         GROUP BY a.doc_id
     ), bands AS (
-        SELECT doc_id, ts.t AS band, (s >> CAST(ts.t * 15 AS INT)) & 32767 AS val
+        SELECT doc_id, ts.t AS band,
+               (s >> CAST(ts.t * 15 AS INT)) & 32767 AS val
         FROM sig, generate_series(0, 3) AS ts(t)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.id_a
-    JOIN sig sb ON sb.doc_id = c.id_b
-    WHERE bit_count(xor(sa.s, sb.s)) <= 8
-    ORDER BY id_a, id_b
-    """,
-)
-def image_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCEPTUAL-HASH image near-dup dedup (r10, the r9 verdict's one
-    genuine capability gap): re-encoded / resized copies of the same
-    image — invisible to exact-byte dedup, text MinHash, and embedding
-    screens alike — are caught by a 60-bit integer-exact dHash over the
-    DECODED pixels (`operators/imagehash.py`), banded into 4×15-bit
-    Hamming buckets by the shared `dedup.banded_hamming_pairs`
-    machinery (the SimHash anchor's exact plan).
+    ), ipairs AS (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE bit_count(xor(sa.s, sb.s)) <= 8
+    )"""
 
-    END-TO-END like `media_decode_report`: per doc a REAL 11×6 BMP is
-    synthesized whose grayscale grid is a closed form of the id —
-    base(x, y) = first md5 byte of 'img:{group}:{x}:{y}' with
-    group = doc_id div 4, plus 0–2 id-dependent cell inversions (the
-    "mild edit" a perceptual hash must tolerate) — decoded by the
-    oracle-grade BMP decoder, hashed, banded, and verified. The DuckDB
-    oracle replays gray grid, comparison bits, signature, bands, and
-    bit_count-XOR Hamming from the same closed form, so a decode,
-    grayscale, box-sum, bit-order, banding, or Hamming bug anywhere
-    breaks the value hash. Same-group variants land at small Hamming
-    distance (near-dups found); different groups are md5-independent
-    grids (~30 bits apart — band collisions occur but the ≤ 8 verify
-    rejects them, and the oracle replays exactly that).
 
-    Scale shape: one Arrow decode+hash pass (payloads never leave the
-    kernel, output is id + one long), band join shuffles (band, value,
-    id) triples, 8-byte signature verify per candidate. No all-pairs
-    term; the resized/re-encode invariances are pinned in pytest
-    (pixel-doubled upscale and BMP↔PPM re-encode hash identically)."""
+def _synth_images(d: DataFrame) -> DataFrame:
+    """doc_id frame → (doc_id, payload) of REAL 11×6 BMPs whose gray
+    grid is the `_IMG_PAIR_CTES` closed form: base gray = first md5
+    byte of 'img:{doc_id div 4}:{x}:{y}' with 0–2 id-dependent cell
+    inversions (groups of 4 consecutive ids are near-dup variants)."""
     import hashlib
     import struct
 
     import pandas as pd
-
-    from .operators.imagehash import image_dhash, image_dhash_candidates
-
-    d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         for pdf in batches:
@@ -3267,9 +3242,125 @@ def image_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    imgs = d.mapInPandas(synth, schema="doc_id bigint, payload binary")
+    return d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+@query(
+    "image_neardup_candidates",
+    oracle=f"""
+    WITH {_IMG_PAIR_CTES}
+    SELECT id_a, id_b, hamming FROM ipairs ORDER BY id_a, id_b
+    """,
+)
+def image_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL-HASH image near-dup dedup (r10, the r9 verdict's one
+    genuine capability gap): re-encoded / resized copies of the same
+    image — invisible to exact-byte dedup, text MinHash, and embedding
+    screens alike — are caught by a 60-bit integer-exact dHash over the
+    DECODED pixels (`operators/imagehash.py`), banded into 4×15-bit
+    Hamming buckets by the shared `dedup.banded_hamming_pairs`
+    machinery (the SimHash anchor's exact plan).
+
+    END-TO-END like `media_decode_report`: per doc a REAL 11×6 BMP is
+    synthesized whose grayscale grid is a closed form of the id —
+    base(x, y) = first md5 byte of 'img:{group}:{x}:{y}' with
+    group = doc_id div 4, plus 0–2 id-dependent cell inversions (the
+    "mild edit" a perceptual hash must tolerate) — decoded by the
+    oracle-grade BMP decoder, hashed, banded, and verified. The DuckDB
+    oracle replays gray grid, comparison bits, signature, bands, and
+    bit_count-XOR Hamming from the same closed form, so a decode,
+    grayscale, box-sum, bit-order, banding, or Hamming bug anywhere
+    breaks the value hash. Same-group variants land at small Hamming
+    distance (near-dups found); different groups are md5-independent
+    grids (~30 bits apart — band collisions occur but the ≤ 8 verify
+    rejects them, and the oracle replays exactly that).
+
+    Scale shape: one Arrow decode+hash pass (payloads never leave the
+    kernel, output is id + one long), band join shuffles (band, value,
+    id) triples, 8-byte signature verify per candidate. No all-pairs
+    term; the resized/re-encode invariances are pinned in pytest
+    (pixel-doubled upscale and BMP↔PPM re-encode hash identically)."""
+    from .operators.imagehash import image_dhash, image_dhash_candidates
+
+    imgs = _synth_images(_t(spark, sf_dir, "documents"))
     sig = image_dhash(imgs, on_undecodable="error")
     return image_dhash_candidates(sig, max_hamming=8).orderBy("id_a", "id_b")
+
+
+@query(
+    "image_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_IMG_PAIR_CTES}, edges AS (
+        SELECT id_a AS a, id_b AS b FROM ipairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM ipairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, c.component_id, z.component_size,
+           c.doc_id = c.component_id AS keep
+    FROM comp c JOIN sizes z USING (component_id)
+    WHERE z.component_size > 1
+    ORDER BY doc_id
+    """,
+)
+def image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image-dedup PIPELINE end-to-end (r10): decode → dHash →
+    banded-Hamming pairs → connected components → keep-min survivor
+    rule — the "which image files do we actually drop" map, composing
+    `operators/imagehash.py` with the adaptive `dedup.cc_keep_min`
+    (union-find / alternating-stars) exactly the way the text near-dup
+    pipeline composes its pair kernel with CC. Every doc in a size>1
+    perceptual-hash component, its component id (= min doc_id, the
+    survivor) and size, and the keep flag. The oracle replays the
+    whole chain: the `_IMG_PAIR_CTES` closed-form signatures and
+    verified pairs, a recursive-CTE transitive closure, min-label
+    components, sizes, and the survivor rule — so the driver hash
+    certifies dHash, banding, Hamming, CC labels, AND the keep rule
+    under one value hash. Scale shape: pair frame is dup-graph-sized
+    (pinned before CC per the r8 variance fix); CC rounds touch the
+    dup graph only, never the corpus."""
+    from .io import broadcast_if_small, materialize
+    from .operators.dedup import cc_keep_min
+    from .operators.imagehash import image_dhash, image_dhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = _synth_images(d)
+    sig = image_dhash(imgs, on_undecodable="error")
+    pairs = materialize(
+        image_dhash_candidates(sig, max_hamming=8).select("id_a", "id_b")
+    )
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        labels.join(
+            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            "cluster_id",
+        )
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("component_id"),
+            F.col("component_size").cast("long").alias("component_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @query(
