@@ -242,6 +242,16 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "kmv_rollup": lambda: QUERIES[
             "kmv_rollup_deterministic"
         ](spark, data_dir).count(),
+        # r10: perceptual-hash image dedup — one Arrow decode+hash pass
+        # (linear) + the banded-Hamming join (postings: 4 × 12-byte
+        # triples per image); the components pipeline adds dup-graph-
+        # sized CC on top. Expect ~linear wall, ~linear shuffle.
+        "image_neardup": lambda: QUERIES[
+            "image_neardup_candidates"
+        ](spark, data_dir).count(),
+        "image_components": lambda: QUERIES[
+            "image_neardup_components"
+        ](spark, data_dir).count(),
     }
 
 
