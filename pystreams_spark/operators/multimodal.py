@@ -175,11 +175,15 @@ _FEATURE_FIELDS = (
 )
 
 
-def _decode_wav(payload: bytes) -> dict:
-    """RIFF/WAVE PCM parser: fmt chunk → sample layout, data chunk →
-    uint8/int16/int32 integer or (r7) float32/float64 IEEE-float
-    samples via np.frombuffer. Raises ValueError on malformed headers
-    or compressed encodings."""
+def decode_audio_samples(payload: bytes):
+    """RIFF/WAVE PCM parser → ``(samples, sample_rate, bits, audio_fmt)``
+    with ``samples`` an (n, channels) array in the RAW dtype (uint8 /
+    int16 / int32 integer PCM, float32/float64 IEEE-float) — no
+    normalization, so integer-exact consumers (the audio fingerprint
+    in ``operators/audiohash.py``, r10) see the container's own
+    values. Raises ValueError on malformed headers or compressed
+    encodings. Split out of ``_decode_wav`` the way
+    ``decode_image_pixels`` was."""
     import struct
 
     import numpy as np
@@ -210,9 +214,26 @@ def _decode_wav(payload: bytes) -> dict:
     else:
         raise ValueError(f"non-PCM WAV (format {audio_fmt}) needs a codec")
     samples = np.frombuffer(data, dtype=dtype)
-    if n_channels > 1:
-        samples = samples[: len(samples) - len(samples) % n_channels]
-        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    n_channels = max(int(n_channels), 1)
+    samples = samples[: len(samples) - len(samples) % n_channels]
+    return (
+        samples.reshape(-1, n_channels),
+        int(sample_rate),
+        int(bits),
+        int(audio_fmt),
+    )
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """RIFF/WAVE PCM → unified audio feature dict (rms, zcr, …) via
+    ``decode_audio_samples``."""
+    import numpy as np
+
+    samples2d, sample_rate, bits, audio_fmt = decode_audio_samples(payload)
+    n_channels = samples2d.shape[1]
+    samples = (
+        samples2d.mean(axis=1) if n_channels > 1 else samples2d[:, 0]
+    )
     x = samples.astype(np.float64)
     if audio_fmt == 1:
         if bits == 8:

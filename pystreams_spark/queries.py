@@ -3363,6 +3363,128 @@ def image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_audio(d: DataFrame) -> DataFrame:
+    """doc_id frame → (doc_id, payload) of REAL 16-bit mono PCM WAVs
+    whose energy contour is a closed form: 61 windows × 8 samples of a
+    ±a_w square wave with a_w = 1 + first md5 byte of
+    'aud:{doc_id div 4}:{w}', plus 0–2 id-dependent window inversions
+    (a → 257 − a) — groups of 4 consecutive ids are near-dup variants
+    (re-levelings of the same contour)."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid = did // 4
+                flips = {(did * 7 + j * 13) % 61 for j in range(did % 3)}
+                vals: list[int] = []
+                for w in range(61):
+                    a = 1 + int(
+                        hashlib.md5(
+                            f"aud:{gid}:{w}".encode()
+                        ).hexdigest()[:2],
+                        16,
+                    )
+                    if w in flips:
+                        a = 257 - a
+                    vals.extend([a, -a] * 4)  # 8-sample square window
+                data = struct.pack(f"<{len(vals)}h", *vals)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return d.select("doc_id").mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+@query(
+    "audio_neardup_candidates",
+    oracle="""
+    WITH apx AS MATERIALIZED (
+        SELECT doc_id, w,
+               CASE WHEN (doc_id % 3 >= 1 AND w = (doc_id * 7) % 61)
+                      OR (doc_id % 3 = 2 AND w = (doc_id * 7 + 13) % 61)
+                    THEN 257 - base ELSE base END AS a
+        FROM (
+            SELECT doc_id, CAST(ws.w AS BIGINT) AS w,
+                   1 + ('0x' || substr(md5('aud:'
+                      || CAST(doc_id // 4 AS VARCHAR)
+                      || ':' || CAST(ws.w AS VARCHAR)), 1, 2))::BIGINT
+                     AS base
+            FROM documents, generate_series(0, 60) AS ws(w))
+    ), asig AS MATERIALIZED (
+        SELECT l.doc_id,
+               CAST(SUM(CASE WHEN r.a * r.a > l.a * l.a THEN
+                        1::BIGINT << CAST(l.w AS INT)
+                        ELSE 0 END) AS BIGINT) AS s
+        FROM apx l JOIN apx r ON l.doc_id = r.doc_id AND r.w = l.w + 1
+        WHERE l.w < 60
+        GROUP BY l.doc_id
+    ), abands AS (
+        SELECT doc_id, ts.t AS band,
+               (s >> CAST(ts.t * 15 AS INT)) & 32767 AS val
+        FROM asig, generate_series(0, 3) AS ts(t)
+    ), acand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM abands a JOIN abands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
+    FROM acand c
+    JOIN asig sa ON sa.doc_id = c.id_a
+    JOIN asig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.s, sb.s)) <= 8
+    ORDER BY id_a, id_b
+    """,
+)
+def audio_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACOUSTIC-FINGERPRINT audio near-dup dedup (r10, the audio
+    sibling of `image_neardup_candidates`): re-encoded / re-leveled
+    copies of the same recording — invisible to byte and text dedup —
+    caught by a 60-bit integer-exact energy-contour fingerprint over
+    DECODED PCM (`operators/audiohash.py`: exact integer window
+    energies, cross-multiplied comparisons, volume- and
+    mono→stereo-invariant by construction), banded into 4×15-bit
+    Hamming buckets by the shared `dedup.banded_hamming_pairs`.
+
+    END-TO-END like the image pair: per doc a REAL 16-bit PCM WAV is
+    synthesized whose 61-window energy contour is a closed form of the
+    id (square-wave amplitudes from md5 of 'aud:{group}:{w}' with 0–2
+    id-dependent window inversions); the REAL RIFF parser decodes it,
+    the fingerprint hashes it, and the DuckDB oracle replays
+    amplitudes, comparison bits, signature, bands, and bit_count-XOR
+    Hamming from the same closed form. A header-parse, sample-math,
+    window-boundary, bit-order, or banding bug breaks the value hash.
+
+    Scale shape: one Arrow decode+hash pass (payloads stay in the
+    kernel; output is id + one long), (band, value, id) triple
+    shuffles, 8-byte verify per candidate — no all-pairs term. The
+    volume/stereo invariances are pinned in pytest."""
+    from .operators.audiohash import (
+        audio_fingerprint,
+        audio_fingerprint_candidates,
+    )
+
+    wavs = _synth_audio(_t(spark, sf_dir, "documents"))
+    sig = audio_fingerprint(wavs, on_undecodable="error")
+    return audio_fingerprint_candidates(sig, max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @query(
     "json_struct_events",
     oracle="""

@@ -637,6 +637,29 @@ class Stream:
             image_dhash_candidates(sig, id_col=id_col, max_hamming=max_hamming)
         )
 
+    def audio_neardup_candidates(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        max_hamming: int = 8,
+        **kwargs,
+    ) -> "Stream":
+        """Acoustic-fingerprint audio near-dup candidate pairs (r10):
+        WAV decode → integer-exact 60-bit energy-contour hash (volume-
+        and mono→stereo-invariant) → banded-Hamming candidates;
+        (id_a, id_b, hamming) (operators/audiohash.py)."""
+        from .operators.audiohash import (
+            audio_fingerprint,
+            audio_fingerprint_candidates,
+        )
+
+        sig = audio_fingerprint(self.df, payload_col, id_col, **kwargs)
+        return Stream(
+            audio_fingerprint_candidates(
+                sig, id_col=id_col, max_hamming=max_hamming
+            )
+        )
+
     def nfc_report(
         self, text_col: str = "text", group_cols: tuple = ("lang",)
     ) -> "Stream":
