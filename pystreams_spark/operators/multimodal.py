@@ -105,6 +105,32 @@ def decode_features(
     return df.mapInPandas(kernel, out_schema)
 
 
+def encode_bmp(arr) -> bytes:
+    """H×W×3 uint8 RGB → a 24-bit uncompressed BMP (bottom-up BGR,
+    4-byte row stride) — the mirror of ``_decode_bmp``, so decoded
+    video frames re-enter the image pipeline (``frame_sample``'s real
+    path emits BMP frames that ``decode_image_pixels`` reads back
+    pixel-exactly)."""
+    import struct
+
+    import numpy as np
+
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    stride = (w * 3 + 3) & ~3
+    bgr = np.ascontiguousarray(arr[::-1, :, ::-1]).astype(np.uint8)
+    if stride != w * 3:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr.reshape(h, w * 3)
+        pixels = padded.tobytes()
+    else:
+        pixels = bgr.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    return header + info + pixels
+
+
 def frame_sample(
     df: DataFrame,
     every_ms: int = 1000,
@@ -114,8 +140,16 @@ def frame_sample(
 ) -> DataFrame:
     """Sample video payloads into per-frame rows (1→N via mapInPandas).
 
-    Output: (media_id, frame_idx, frame_ts_ms, frame BinaryType). Stub
-    slices the payload bytes deterministically per frame index.
+    Output: (media_id, frame_idx, frame_ts_ms, frame BinaryType).
+    Uncompressed-AVI payloads decode for REAL (r10 —
+    ``operators/videohash.decode_video_frames``): every ``every_ms``
+    of timeline the frame at-or-before that instant is emitted as a
+    BMP payload ``decode_image_pixels`` reads back pixel-exactly, with
+    its true timestamp (integer math over the container's own
+    µs-per-frame). Non-AVI payloads keep the deterministic byte-slice
+    stub when ``decode_stub=True``; with ``decode_stub=False`` they
+    refuse naming the missing codec (MP4/MOV need ffmpeg, not in this
+    container).
     """
     import pandas as pd
 
@@ -129,13 +163,36 @@ def frame_sample(
     )
 
     def kernel(batches):
+        from .videohash import decode_video_frames
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                if not decode_stub:
-                    raise NotImplementedError("real frame extraction needs ffmpeg")
-                duration = (r[meta_col]["duration_ms"] or 0) if r[meta_col] is not None else 0
                 payload = bytes(r[payload_col] or b"")
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames, usec, _, _ = decode_video_frames(payload)
+                    if usec <= 0:
+                        raise ValueError("AVI carries no frame timing")
+                    total_ms = (len(frames) * usec) // 1000
+                    for i, ts in enumerate(
+                        range(0, max(int(total_ms), 1), every_ms)
+                    ):
+                        fi = min(len(frames) - 1, (ts * 1000) // usec)
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": i,
+                                "frame_ts_ms": ts,
+                                "frame": encode_bmp(frames[fi]),
+                            }
+                        )
+                    continue
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real frame extraction for non-AVI containers "
+                        "needs ffmpeg"
+                    )
+                duration = (r[meta_col]["duration_ms"] or 0) if r[meta_col] is not None else 0
                 for i, ts in enumerate(range(0, max(int(duration), 1), every_ms)):
                     rows.append(
                         {
@@ -2309,6 +2366,16 @@ def _decode_one(payload: bytes, thumb_grid: int) -> dict:
                 mean_g=round(float(means[1]), 6),
                 mean_b=round(float(means[2]), 6),
                 thumb=image_thumbnail(arr, thumb_grid),
+            )
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+            from .videohash import decode_video_frames
+
+            frames, usec, w, h = decode_video_frames(payload)
+            out.update(
+                kind="video",
+                width=w,
+                height=h,
+                duration_ms=(len(frames) * usec) // 1000,
             )
         else:
             raise NotImplementedError(

@@ -3242,7 +3242,12 @@ def _synth_images(d: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return d.select("doc_id").mapInPandas(
+    from .io import ensure_parallelism
+
+    # fixture parquet arrives in 1 file → 1 partition; one cheap
+    # shuffle of the bare ids parallelizes the synth+decode+hash
+    # pipeline across every core (no-op on already-wide inputs)
+    return ensure_parallelism(d.select("doc_id")).mapInPandas(
         synth, schema="doc_id bigint, payload binary"
     )
 
@@ -3404,7 +3409,12 @@ def _synth_audio(d: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads}
             )
 
-    return d.select("doc_id").mapInPandas(
+    from .io import ensure_parallelism
+
+    # fixture parquet arrives in 1 file → 1 partition; one cheap
+    # shuffle of the bare ids parallelizes the synth+decode+hash
+    # pipeline across every core (no-op on already-wide inputs)
+    return ensure_parallelism(d.select("doc_id")).mapInPandas(
         synth, schema="doc_id bigint, payload binary"
     )
 
@@ -3481,6 +3491,167 @@ def audio_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     wavs = _synth_audio(_t(spark, sf_dir, "documents"))
     sig = audio_fingerprint(wavs, on_undecodable="error")
     return audio_fingerprint_candidates(sig, max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _synth_videos(d: DataFrame) -> DataFrame:
+    """doc_id frame → (doc_id, payload) of REAL uncompressed 24-bit
+    AVIs (4 frames of 11×6 gray) whose pixel grid is a closed form:
+    frame f cell (x, y) gray = first md5 byte of
+    'vid:{doc_id div 4}:{f}:{x}:{y}', plus 0–2 id-dependent cell
+    inversions landing in id-dependent FRAMES (flip j hits cell
+    (doc_id·5 + j·17) mod 66 of frame (doc_id + j) mod 4) — groups of
+    4 consecutive ids are near-dup clips differing in a few frames."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators.videohash import encode_avi
+
+    def synth(batches):
+        base_cache: dict[int, list] = {}  # gid → 4 base gray grids
+        # (groups of 4 consecutive ids share all 264 md5 cells)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid = did // 4
+                if gid not in base_cache:
+                    base_cache[gid] = [
+                        np.array(
+                            [
+                                [
+                                    int(
+                                        hashlib.md5(
+                                            f"vid:{gid}:{f}:{x}:{y}".encode()
+                                        ).hexdigest()[:2],
+                                        16,
+                                    )
+                                    for x in range(11)
+                                ]
+                                for y in range(6)
+                            ],
+                            dtype=np.uint8,
+                        )
+                        for f in range(4)
+                    ]
+                frames = []
+                for f in range(4):
+                    g = base_cache[gid][f].copy()
+                    for j in range(did % 3):
+                        if (did + j) % 4 == f:
+                            c = (did * 5 + j * 17) % 66
+                            g[c // 11, c % 11] = 255 - g[c // 11, c % 11]
+                    frames.append(np.repeat(g[:, :, None], 3, axis=2))
+                payloads.append(encode_avi(frames, 40_000))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from .io import ensure_parallelism
+
+    # fixture parquet arrives in 1 file → 1 partition; one cheap
+    # shuffle of the bare ids parallelizes the synth+decode+hash
+    # pipeline across every core (no-op on already-wide inputs)
+    return ensure_parallelism(d.select("doc_id")).mapInPandas(
+        synth, schema="doc_id bigint, payload binary"
+    )
+
+
+@query(
+    "video_neardup_candidates",
+    oracle="""
+    WITH vpx AS MATERIALIZED (
+        SELECT doc_id, f, x, y,
+               CASE WHEN (doc_id % 3 >= 1 AND f = doc_id % 4
+                          AND x + y * 11 = (doc_id * 5) % 66)
+                      OR (doc_id % 3 = 2 AND f = (doc_id + 1) % 4
+                          AND x + y * 11 = (doc_id * 5 + 17) % 66)
+                    THEN 255 - base ELSE base END AS g
+        FROM (
+            SELECT doc_id, CAST(fs.f AS BIGINT) AS f,
+                   CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y,
+                   ('0x' || substr(md5('vid:' || CAST(doc_id // 4 AS VARCHAR)
+                      || ':' || CAST(fs.f AS VARCHAR)
+                      || ':' || CAST(xs.x AS VARCHAR)
+                      || ':' || CAST(ys.y AS VARCHAR)), 1, 2))::BIGINT AS base
+            FROM documents,
+                 generate_series(0, 3) AS fs(f),
+                 generate_series(0, 10) AS xs(x),
+                 generate_series(0, 5) AS ys(y))
+    ), vsig AS MATERIALIZED (
+        SELECT a.doc_id, a.f AS slot,
+               CAST(SUM(CASE WHEN b.g > a.g THEN
+                        1::BIGINT << CAST(a.y * 10 + a.x AS INT)
+                        ELSE 0 END) AS BIGINT) AS s
+        FROM vpx a JOIN vpx b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y
+         AND b.x = a.x + 1
+        WHERE a.x < 10
+        GROUP BY a.doc_id, a.f
+    ), vbands AS (
+        SELECT doc_id, slot * 4 + ts.t AS band,
+               (s >> CAST(ts.t * 15 AS INT)) & 32767 AS val
+        FROM vsig, generate_series(0, 3) AS ts(t)
+    ), vcand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM vbands a JOIN vbands b
+          ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    ), vtot AS (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(bit_count(xor(sa.s, sb.s))) AS BIGINT)
+                 AS total_hamming
+        FROM vcand c
+        JOIN vsig sa ON sa.doc_id = c.id_a
+        JOIN vsig sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, total_hamming FROM vtot
+    WHERE total_hamming <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def video_neardup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL-FINGERPRINT video near-dup dedup (r10 — completes the
+    image/audio/video modality triple): re-containered / re-scaled
+    copies of the same clip — invisible to byte dedup, text dedup, and
+    a first-frame-only image hash — caught by sampling 4 frames at
+    floor-boundary slots from the REAL uncompressed-AVI decoder
+    (`operators/videohash.py`: RIFF hdrl/strl/movi walk, BI_RGB DIB
+    frames, compressed streams refuse by name), dHashing each with the
+    image dedup's integer-exact kernel, and banding per (slot, band)
+    bucket; the verify is the SUMMED per-slot bit_count-XOR Hamming.
+
+    END-TO-END like the image/audio pair: per doc a REAL 4-frame AVI
+    is synthesized whose gray grids are a closed form of the id
+    (md5 of 'vid:{group}:{frame}:{x}:{y}' with 0–2 id-dependent cell
+    inversions landing in id-dependent frames — the "few edited
+    frames" a temporal fingerprint must tolerate); the container
+    parser decodes it, the per-slot hashes band it, and the DuckDB
+    oracle replays pixel grids, per-frame signatures, slot-band keys,
+    candidate collisions, and the summed Hamming from the same closed
+    form. A RIFF-walk, DIB-decode, slot-boundary, bit-order, banding,
+    or sum bug anywhere breaks the value hash. Same-group variants
+    differ in ≤ 4 frame-local bits per doc (total ≤ 8 ≤ 10); different
+    groups are md5-independent (~120 bits apart — random band
+    collisions occur and the ≤ 10 verify rejects them, which the
+    oracle replays exactly).
+
+    Scale shape: one Arrow decode+hash pass (payloads never leave the
+    kernel; output is id + 4 longs as rows), (slot·4+band, value, id)
+    triple shuffles, and a slot-aligned 8-byte verify join per
+    candidate — no all-pairs term. The per-frame upscale invariance
+    and the container roundtrip are pinned in pytest."""
+    from .operators.videohash import (
+        video_frame_hashes,
+        video_neardup_candidates,
+    )
+
+    vids = _synth_videos(_t(spark, sf_dir, "documents"))
+    hashes = video_frame_hashes(vids, n_slots=4, on_undecodable="error")
+    return video_neardup_candidates(hashes, max_total_hamming=10).orderBy(
         "id_a", "id_b"
     )
 

@@ -660,6 +660,32 @@ class Stream:
             )
         )
 
+    def video_neardup_candidates(
+        self,
+        payload_col: str = "payload",
+        id_col: str = "doc_id",
+        n_slots: int = 4,
+        max_total_hamming: int = 10,
+        **kwargs,
+    ) -> "Stream":
+        """Temporal-fingerprint video near-dup candidate pairs (r10):
+        uncompressed-AVI decode → per-slot integer-exact frame dHashes
+        → slot-banded Hamming candidates; (id_a, id_b, total_hamming)
+        (operators/videohash.py)."""
+        from .operators.videohash import (
+            video_frame_hashes,
+            video_neardup_candidates,
+        )
+
+        hashes = video_frame_hashes(
+            self.df, payload_col, id_col, n_slots=n_slots, **kwargs
+        )
+        return Stream(
+            video_neardup_candidates(
+                hashes, id_col=id_col, max_total_hamming=max_total_hamming
+            )
+        )
+
     def nfc_report(
         self, text_col: str = "text", group_cols: tuple = ("lang",)
     ) -> "Stream":
