@@ -252,6 +252,15 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "image_components": lambda: QUERIES[
             "image_neardup_components"
         ](spark, data_dir).count(),
+        # r10: the audio and video siblings — same shape as image
+        # (one Arrow decode+hash pass + banded join); video shuffles
+        # 4 slot-hashes per clip instead of 1, still ~linear
+        "audio_neardup": lambda: QUERIES[
+            "audio_neardup_candidates"
+        ](spark, data_dir).count(),
+        "video_neardup": lambda: QUERIES[
+            "video_neardup_candidates"
+        ](spark, data_dir).count(),
     }
 
 
