@@ -3170,7 +3170,7 @@ _IMG_PAIR_CTES = """px AS MATERIALIZED (
             FROM documents,
                  generate_series(0, 10) AS xs(x),
                  generate_series(0, 5) AS ys(y))
-    ), sig AS MATERIALIZED (
+    ), isig AS MATERIALIZED (
         SELECT a.doc_id,
                CAST(SUM(CASE WHEN b.g > a.g THEN
                         1::BIGINT << CAST(a.y * 10 + a.x AS INT)
@@ -3179,20 +3179,20 @@ _IMG_PAIR_CTES = """px AS MATERIALIZED (
           ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
         WHERE a.x < 10
         GROUP BY a.doc_id
-    ), bands AS (
+    ), ibands AS (
         SELECT doc_id, ts.t AS band,
                (s >> CAST(ts.t * 15 AS INT)) & 32767 AS val
-        FROM sig, generate_series(0, 3) AS ts(t)
-    ), cand AS (
+        FROM isig, generate_series(0, 3) AS ts(t)
+    ), icand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
+        FROM ibands a JOIN ibands b
           ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
     ), ipairs AS (
         SELECT c.id_a, c.id_b,
                CAST(bit_count(xor(sa.s, sb.s)) AS BIGINT) AS hamming
-        FROM cand c
-        JOIN sig sa ON sa.doc_id = c.id_a
-        JOIN sig sb ON sb.doc_id = c.id_b
+        FROM icand c
+        JOIN isig sa ON sa.doc_id = c.id_a
+        JOIN isig sb ON sb.doc_id = c.id_b
         WHERE bit_count(xor(sa.s, sb.s)) <= 8
     )"""
 
@@ -3653,6 +3653,175 @@ def video_neardup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = video_frame_hashes(vids, n_slots=4, on_undecodable="error")
     return video_neardup_candidates(hashes, max_total_hamming=10).orderBy(
         "id_a", "id_b"
+    )
+
+
+@query(
+    "crossmodal_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+            i -> ('0x' || substr(md5(array_to_string(
+                     list_slice({_TOKS_SQL}, i, i + 2), ' ')), 1, 15))::BIGINT
+        ))) AS v
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               {_MH_MINS_SQL}
+        FROM g GROUP BY doc_id
+    ), bp AS (
+        {_MH_BANDS_SQL}
+    ), mcand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bp x JOIN bp y ON x.band = y.band AND x.key = y.key
+                           AND x.doc_id < y.doc_id
+    ), sets AS (
+        SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+    ), iv AS (
+        SELECT c.id_a, c.id_b, COUNT(gb.v) AS shared
+        FROM mcand c
+        LEFT JOIN g ga ON ga.doc_id = c.id_a
+        LEFT JOIN g gb ON gb.doc_id = c.id_b AND gb.v = ga.v
+        GROUP BY 1, 2
+    ), tpairs AS MATERIALIZED (
+        SELECT i.id_a, i.id_b
+        FROM iv i JOIN sets sa ON sa.doc_id = i.id_a
+                  JOIN sets sb ON sb.doc_id = i.id_b
+        WHERE CAST(i.shared AS DOUBLE)
+              / (sa.sz + sb.sz - i.shared) >= 0.5
+    ), {_IMG_PAIR_CTES}, edges AS (
+        SELECT id_a AS a, id_b AS b FROM ipairs
+        UNION SELECT id_b, id_a FROM ipairs
+        UNION SELECT id_a, id_b FROM tpairs
+        UNION SELECT id_b, id_a FROM tpairs
+    ), reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM edges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component_id
+    ), icnt AS (
+        SELECT m.component_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ipairs p JOIN comp m ON m.doc_id = p.id_a GROUP BY 1
+    ), tcnt AS (
+        SELECT m.component_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tpairs p JOIN comp m ON m.doc_id = p.id_a GROUP BY 1
+    )
+    SELECT c.doc_id, c.component_id, z.component_size,
+           COALESCE(ic.n, 0) AS n_image_edges,
+           COALESCE(tc.n, 0) AS n_text_edges,
+           c.doc_id = c.component_id AS keep
+    FROM comp c JOIN sizes z USING (component_id)
+    LEFT JOIN icnt ic ON ic.component_id = c.component_id
+    LEFT JOIN tcnt tc ON tc.component_id = c.component_id
+    WHERE z.component_size > 1
+    ORDER BY doc_id
+    """,
+)
+def crossmodal_neardup_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-MODAL near-dup clustering (r10): the (image, caption)
+    pair-dedup decision a multimodal training corpus actually needs —
+    drop a pair when EITHER its image is a perceptual near-dup OR its
+    caption is a text near-dup of a kept document. Text-only dedup
+    keeps re-captioned copies of the same image; image-only dedup
+    keeps the same caption pasted onto different images; the union
+    graph catches both, and transitive closure merges the chains they
+    form together (img-dup A~B, caption-dup B~C ⇒ one component).
+
+    Composition of two proven pair kernels over the SAME doc ids:
+    deterministic banded MinHash (md5 universal-hash permutations,
+    exact 60-bit-gram Jaccard verify ≥ 0.5) for captions, and the
+    perceptual dHash banded-Hamming pairs (≤ 8) over the synthesized
+    closed-form images, unioned into one edge set → adaptive connected
+    components → keep-min survivor rule, with per-component edge
+    counts BY MODALITY (the audit columns: a component with
+    n_image_edges = 0 was merged purely by caption similarity and
+    vice versa). The DuckDB oracle replays BOTH similarity graphs
+    (the MinHash signature/band/verify CTEs and the image-hash CTEs),
+    the union, a recursive-CTE closure, min-label components, sizes,
+    modality counts, and the keep flag under one value hash.
+
+    Scale shape: each edge kernel is the registered query's own plan
+    (banded joins, no all-pairs); the union graph is dup-sized, CC
+    touches only it, and the modality counts are two dup-sized joins.
+    At 100 TB this is exactly the LAION-style curation topology —
+    modality-specific candidate generation feeding one shared
+    component/survivor stage."""
+    from .io import broadcast_if_small, materialize
+    from .operators.dedup import (
+        cc_keep_min,
+        minhash_deterministic_candidates,
+    )
+    from .operators.imagehash import image_dhash, image_dhash_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    tpairs = materialize(
+        minhash_deterministic_candidates(d, n=3, bands=8, rows_per_band=2)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    sig = image_dhash(_synth_images(d), on_undecodable="error")
+    ipairs = materialize(
+        image_dhash_candidates(sig, max_hamming=8).select("id_a", "id_b")
+    )
+    edges = materialize(tpairs.unionByName(ipairs).distinct())
+    labels = materialize(cc_keep_min(edges, d.select("doc_id")))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    icnt = (
+        ipairs.join(
+            labels.select(
+                F.col("doc_id").alias("id_a"), "cluster_id"
+            ),
+            "id_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_image_edges"))
+    )
+    tcnt = (
+        tpairs.join(
+            labels.select(
+                F.col("doc_id").alias("id_a"), "cluster_id"
+            ),
+            "id_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_text_edges"))
+    )
+    return (
+        labels.join(
+            broadcast_if_small(
+                sizes.filter(F.col("component_size") > 1)
+            ),
+            "cluster_id",
+        )
+        .join(broadcast_if_small(icnt), "cluster_id", "left")
+        .join(broadcast_if_small(tcnt), "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("component_id"),
+            F.col("component_size").cast("long").alias("component_size"),
+            F.coalesce(F.col("n_image_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_image_edges"),
+            F.coalesce(F.col("n_text_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_text_edges"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 
