@@ -261,6 +261,11 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "video_neardup": lambda: QUERIES[
             "video_neardup_candidates"
         ](spark, data_dir).count(),
+        # r10: union of the two banded pair kernels + dup-sized CC —
+        # expect ~the sum of the minhash and image curves
+        "crossmodal_components": lambda: QUERIES[
+            "crossmodal_neardup_components"
+        ](spark, data_dir).count(),
     }
 
 

@@ -1148,3 +1148,163 @@ def test_novelty_ingest_under_structured_streaming(spark, tmp_path):
         ).select("g").distinct().count()
     )
     assert total_novel == distinct
+
+
+# ---------------------------------------------------------------------------
+# Continuous perceptual-hash image ingest (streaming/imagedup_ingest.py)
+# ---------------------------------------------------------------------------
+
+
+def _image_corpus():
+    """Synthetic BMP corpus: 45 distinct 11x6 images + planted
+    perceptual-dup cliques split over 3 batches. Copies are a 2x
+    pixel-duplication upscale (identical dHash) or a one-cell
+    inversion (Hamming <= 2); distinct grids are rng-independent
+    (~30 bits apart). Clique A spans batches 0->1->2."""
+    import numpy as np
+
+    from pystreams_spark.operators.multimodal import encode_bmp
+
+    grids = {}
+    for i in range(45):
+        rng = np.random.RandomState(1000 + i)
+        grids[i] = rng.randint(0, 256, size=(6, 11, 3)).astype(np.uint8)
+
+    def upscale_of(src, new_id):
+        grids[new_id] = np.repeat(np.repeat(grids[src], 2, 0), 2, 1)
+
+    def edit_of(src, new_id):
+        g = grids[src].copy()
+        g[2, 5] = 255 - g[2, 5]
+        grids[new_id] = g
+
+    upscale_of(3, 100)   # batch 1
+    edit_of(3, 101)      # batch 2
+    upscale_of(20, 120)  # batch 2
+    edit_of(7, 50)       # batch 0 (intra-batch pair)
+    payloads = {i: encode_bmp(g) for i, g in grids.items()}
+    batches = [
+        sorted([*range(0, 15), 50]),
+        sorted([*range(15, 30), 100]),
+        sorted([*range(30, 45), 101, 120]),
+    ]
+    return payloads, batches
+
+
+def _image_bdf(spark, payloads, ids):
+    return spark.createDataFrame(
+        [(i, bytearray(payloads[i])) for i in ids],
+        "doc_id long, payload binary",
+    )
+
+
+def test_imagedup_ingest_across_batches_and_replay(spark, tmp_path):
+    from pystreams_spark.operators.dedup import cc_keep_min
+    from pystreams_spark.operators.imagehash import (
+        image_dhash,
+        image_dhash_candidates,
+    )
+    from pystreams_spark.streaming.imagedup_ingest import ImagedupIngest
+
+    payloads, batches = _image_corpus()
+    ingest = ImagedupIngest(str(tmp_path / "state"))
+
+    for epoch, ids in enumerate(batches):
+        ingest.process_batch(_image_bdf(spark, payloads, ids), epoch)
+
+    surv = {r.doc_id for r in ingest.survivors(spark).collect()}
+    assert {100, 101, 120, 50}.isdisjoint(surv)
+    assert {3, 20, 7}.issubset(surv)
+
+    # cliques -> online result equals the batch pipeline on the corpus
+    all_df = _image_bdf(spark, payloads, sorted(payloads))
+    sig = image_dhash(all_df)
+    pairs = image_dhash_candidates(sig, max_hamming=8).select("id_a", "id_b")
+    labels = cc_keep_min(pairs, all_df.select("doc_id"))
+    batch_surv = {
+        r.doc_id
+        for r in labels.filter(
+            F.col("doc_id") == F.col("cluster_id")
+        ).collect()
+    }
+    assert surv == batch_surv
+
+    # replay of the final epoch is idempotent
+    ingest.process_batch(_image_bdf(spark, payloads, batches[2]), 2)
+    surv2 = {r.doc_id for r in ingest.survivors(spark).collect()}
+    assert surv2 == surv
+
+
+def test_imagedup_ingest_under_structured_streaming(spark, tmp_path):
+    """End-to-end under a real file stream (one parquet drop per
+    micro-batch); batch order may vary, so assert the order-free
+    invariant: exactly one survivor per perceptual clique."""
+    import os
+    import time
+
+    from pystreams_spark.streaming.imagedup_ingest import ImagedupIngest
+
+    payloads, batches = _image_corpus()
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    for epoch, ids in enumerate(batches):
+        _image_bdf(spark, payloads, ids).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b{epoch}")
+        time.sleep(0.05)
+
+    ingest = ImagedupIngest(str(tmp_path / "state"))
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest.foreach_batch())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    surv = {r.doc_id for r in ingest.survivors(spark).collect()}
+    n_total = sum(len(b) for b in batches)
+    assert len(surv) == n_total - 4
+    for clique in ({3, 100, 101}, {20, 120}, {7, 50}):
+        assert len(clique & surv) == 1
+
+
+def test_imagedup_ingest_commit_filter_and_params(spark, tmp_path):
+    """A torn (marker-less) epoch dir in the signature store must be
+    skipped, not crash the next batch; and a restart with different
+    hash parameters must refuse (the NeardupIngest contract)."""
+    import os
+
+    from pystreams_spark.streaming.imagedup_ingest import ImagedupIngest
+
+    payloads, batches = _image_corpus()
+    state = str(tmp_path / "state")
+    ImagedupIngest(state).process_batch(
+        _image_bdf(spark, payloads, batches[0]), 0
+    )
+
+    # torn epoch BELOW the next read's bound: garbage part file, no
+    # _SUCCESS marker — the commit filter must skip it entirely
+    torn = f"{state}/sigs/epoch=1"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not parquet")
+    ImagedupIngest(state).process_batch(
+        _image_bdf(spark, payloads, batches[1]), 2
+    )
+    # cross-batch dedup still worked through the filter: 100 dropped
+    surv = {
+        r.doc_id
+        for r in ImagedupIngest(state).survivors(spark).collect()
+    }
+    assert 100 not in surv and 3 in surv
+
+    with pytest.raises(ValueError, match="never match"):
+        ImagedupIngest(state, band_bits=12, bands=5).process_batch(
+            _image_bdf(spark, payloads, batches[2]), 3
+        )
