@@ -124,19 +124,37 @@ class NeardupIngest:
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —
-        partition-pruned parquet read; None when nothing is stored yet.
-        Only a missing path reads as empty — a corrupt store must fail
-        loudly, not silently disable deduplication."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = spark.read.parquet(f"{self.state_dir}/sigs")
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-                return None
-            raise
-        df = df.filter(F.col("epoch") < F.lit(before_epoch))
-        return df
+        only ``epoch=N`` directories carrying a ``_SUCCESS`` marker are
+        read (r10, the ADVICE-r9 commit filter retrofitted from
+        ``novelty_ingest``: a crash mid-write leaves no marker, so a
+        torn epoch can neither trip the next batch's listing nor
+        partially count); None when nothing committed yet. The epoch
+        bound applies on the directory NAME, so no partition column is
+        materialized."""
+        jvm = spark.sparkContext._jvm
+        root = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/sigs")
+        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return None
+        committed = []
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if not name.startswith("epoch="):
+                continue
+            try:
+                epoch = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if epoch >= before_epoch:
+                continue
+            marker = jvm.org.apache.hadoop.fs.Path(
+                status.getPath(), "_SUCCESS"
+            )
+            if fs.exists(marker):
+                committed.append(status.getPath().toString())
+        if not committed:
+            return None
+        return spark.read.parquet(*committed)
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """All survivor rows emitted so far (union of epoch outputs)."""

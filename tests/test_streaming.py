@@ -1308,3 +1308,35 @@ def test_imagedup_ingest_commit_filter_and_params(spark, tmp_path):
         ImagedupIngest(state, band_bits=12, bands=5).process_batch(
             _image_bdf(spark, payloads, batches[2]), 3
         )
+
+
+def test_neardup_ingest_commit_filter_skips_torn_epoch(spark, tmp_path):
+    """r10 retrofit of the ADVICE-r9 commit filter: a torn
+    (marker-less) epoch dir in the text signature store is skipped,
+    and cross-batch dedup still works through it."""
+    import os
+
+    from pystreams_spark.streaming.neardup_ingest import NeardupIngest
+
+    docs, batches = _ingest_corpus()
+    state = str(tmp_path / "state")
+
+    def bdf(ids):
+        return spark.createDataFrame(
+            [(i, docs[i]) for i in ids], "doc_id long, text string"
+        )
+
+    NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[0]), 0)
+    torn = f"{state}/sigs/epoch=1"
+    os.makedirs(torn)
+    with open(f"{torn}/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not parquet")
+    NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[1]), 2)
+    surv = {
+        r.doc_id
+        for r in NeardupIngest(state, threshold=0.6)
+        .survivors(spark)
+        .collect()
+    }
+    # 100 (copy of 3, which landed in epoch 0) dropped via the store
+    assert 100 not in surv and 3 in surv
