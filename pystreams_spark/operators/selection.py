@@ -284,6 +284,130 @@ def mixture_weights(
     )
 
 
+def waterfill_allocation(
+    caps: DataFrame,
+    budget: DataFrame,
+    group_col: str = "lang",
+    cap_col: str = "available_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Weighted WATERFILLING of a token budget across sources under
+    availability caps — the allocation step `mixture_weights` stops
+    short of: a target mixture says "30% of the budget from de", but a
+    source can only supply what it HAS, and naive proportional
+    allocation either overdraws small sources or silently wastes
+    budget. Waterfilling is the standard fix (the Pile/ROOTS-style
+    mixture construction): sources whose supply runs out at the common
+    water level λ are CAPPED at their availability, and their unmet
+    demand redistributes over the remaining sources in weight
+    proportion — allocation_s = min(cap_s, λ·w_s) with λ solving
+    Σ allocation = budget.
+
+    INTEGER-EXACT by construction (this repo's oracle discipline, and
+    the winsorize/novelty knife-edge lesson): the capped prefix is
+    found by CROSS-MULTIPLIED integer comparisons — candidate prefix
+    at row i (sources sorted by cap/weight ascending) is valid iff
+    ``(B − C_{i−1})·w_i ≤ c_i·W_i`` and the predecessor fails the
+    mirrored test — and uncapped allocations are
+    ``((B − C)·w) div W`` (floor), so no float ever decides a
+    boundary. Doubles appear only in the SORT key (cap/weight), where
+    both engines compute the identical IEEE quotient. If the budget
+    exceeds total availability every source caps (the shortfall is
+    visible as Σ allocated < budget).
+
+    Scale shape: ``caps`` is the SOURCE-COUNT-sized frame (the corpus
+    work — one partial-agg'd token groupBy — happens before this);
+    the windows here order dozens of rows, never data. ``budget`` is
+    a 1-row frame with column ``budget`` (derive it from the same
+    scan to stay engine-exact).
+
+    Output: (group, available_tokens, weight, allocated_tokens,
+    capped) — floor allocations, Σ ≤ budget with remainder < n_groups
+    (documented; distribute it by any explicit policy downstream).
+    """
+    from pyspark.sql import Window
+
+    ratio = F.col(cap_col).cast("double") / F.col(weight_col)
+    wo = Window.orderBy(ratio, group_col)
+    ord_df = (
+        caps.crossJoin(F.broadcast(budget))
+        .withColumn("_i", F.row_number().over(wo))
+        .withColumn(
+            "_cprev",
+            F.coalesce(
+                F.sum(cap_col).over(
+                    wo.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_wsuf",
+            F.sum(weight_col).over(
+                wo.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn("_lagc", F.lag(cap_col).over(wo))
+        .withColumn("_lagw", F.lag(weight_col).over(wo))
+    )
+    valid = (
+        (F.col("budget") - F.col("_cprev")) * F.col(weight_col)
+        <= F.col(cap_col) * F.col("_wsuf")
+    ) & (
+        (F.col("_i") == 1)
+        | (
+            (F.col("budget") - F.col("_cprev")) * F.col("_lagw")
+            >= F.col("_lagc") * F.col("_wsuf")
+        )
+    )
+    # min-of-struct orders by the first field, so this picks the
+    # smallest valid prefix; an EMPTY valid set (budget ≥ Σ caps)
+    # still aggregates to one NULL row, which the select below reads
+    # as "every source capped" — a bare limit(1) would instead vanish
+    # in the cross join and silently return zero rows
+    pivot = (
+        ord_df.filter(valid)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("_i").alias("_k"),
+                    (F.col("budget") - F.col("_cprev")).alias("_num"),
+                    F.col("_wsuf").alias("_den"),
+                )
+            ).alias("_p")
+        )
+        .select(
+            F.col("_p._k").alias("_k"),
+            F.col("_p._num").alias("_num"),
+            F.col("_p._den").alias("_den"),
+        )
+    )
+    return (
+        ord_df.crossJoin(F.broadcast(pivot))
+        .select(
+            group_col,
+            F.col(cap_col).cast("long").alias(cap_col),
+            F.col(weight_col).cast("long").alias(weight_col),
+            F.when(
+                F.col("_k").isNull() | (F.col("_i") < F.col("_k")),
+                F.col(cap_col),
+            )
+            .otherwise(
+                F.least(
+                    F.col(cap_col),
+                    F.expr(f"(_num * {weight_col}) div _den"),
+                )
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+            (F.col("_k").isNull() | (F.col("_i") < F.col("_k"))).alias(
+                "capped"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
 def bigram_surprisal_scores(
     docs: DataFrame,
     text_col: str = "text",

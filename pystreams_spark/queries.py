@@ -6769,6 +6769,107 @@ def language_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(d, "lang", "n_tokens").orderBy("lang")
 
 
+_WATERFILL_WEIGHTS = {"de": 30, "en": 25, "es": 15, "fr": 15, "zh": 15}
+
+
+@query(
+    "mixture_waterfill_allocation",
+    oracle=f"""
+    WITH caps AS (
+        SELECT d.lang, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS c, w.w
+        FROM documents d
+        JOIN (VALUES ('de', 30), ('en', 25), ('es', 15),
+                     ('fr', 15), ('zh', 15)) AS w(lang, w)
+          ON w.lang = d.lang
+        GROUP BY d.lang, w.w
+    ), b AS (
+        SELECT (8 * SUM(c)) // 10 AS budget FROM caps
+    ), ord AS (
+        SELECT lang, c, w, b.budget,
+               ROW_NUMBER() OVER
+                 (ORDER BY CAST(c AS DOUBLE) / w, lang) AS i,
+               COALESCE(SUM(c) OVER
+                 (ORDER BY CAST(c AS DOUBLE) / w, lang
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS cprev,
+               SUM(w) OVER
+                 (ORDER BY CAST(c AS DOUBLE) / w, lang
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                 AS wsuf,
+               LAG(c) OVER
+                 (ORDER BY CAST(c AS DOUBLE) / w, lang) AS lagc,
+               LAG(w) OVER
+                 (ORDER BY CAST(c AS DOUBLE) / w, lang) AS lagw
+        FROM caps, b
+    ), piv AS (
+        SELECT MIN_BY(i, i) AS k,
+               MIN_BY(budget - cprev, i) AS num,
+               MIN_BY(wsuf, i) AS den
+        FROM ord
+        WHERE (budget - cprev) * w <= c * wsuf
+          AND (i = 1 OR (budget - cprev) * lagw >= lagc * wsuf)
+    )
+    SELECT o.lang, o.c AS available_tokens,
+           CAST(o.w AS BIGINT) AS weight,
+           CAST(CASE WHEN p.k IS NULL OR o.i < p.k THEN o.c
+                ELSE LEAST(o.c, (p.num * o.w) // p.den)
+           END AS BIGINT) AS allocated_tokens,
+           (p.k IS NULL OR o.i < p.k) AS capped
+    FROM ord o, piv p
+    ORDER BY o.lang
+    """,
+)
+def mixture_waterfill_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED WATERFILLING of a token budget across languages under
+    availability caps (r10) — the allocation step `mixture_weights`
+    stops short of: the target mixture here demands 30% of the budget
+    from `de`, but `de` only HAS ~13% of the corpus tokens, so naive
+    proportional allocation overdraws it. Waterfilling caps `de` at
+    its availability and redistributes its unmet demand over the
+    other languages in weight proportion (the Pile/ROOTS-style
+    mixture construction): allocation = min(cap, λ·w) with λ solving
+    Σ allocation = budget (80% of total tokens here).
+
+    Integer-exact end to end (`operators/selection.
+    waterfill_allocation`): the capped prefix is found by
+    cross-multiplied bigint comparisons, allocations are integer
+    floor divisions, and the only double — the sort key cap/weight —
+    is the identical IEEE quotient on both engines. The DuckDB oracle
+    replays the ordering, prefix/suffix sums, the pivot predicate,
+    and the floor allocations, so a boundary bug on either side
+    breaks the value hash.
+
+    Scale shape: the ONLY corpus-sized work is one partial-agg'd
+    token groupBy; the solver windows order the language-count-sized
+    frame (dozens of rows at any corpus scale), and the budget is a
+    1-row broadcast."""
+    from .functions.text import token_count
+    from .operators.selection import waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    mapping = F.create_map(
+        *[
+            x
+            for k, v in _WATERFILL_WEIGHTS.items()
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    caps = (
+        d.select("lang", token_count("text").cast("long").alias("_t"))
+        .groupBy("lang")
+        .agg(F.sum("_t").alias("available_tokens"))
+        .withColumn("weight", mapping[F.col("lang")].cast("long"))
+        # tiny frame, corpus-scan lineage, two consumers (budget + solve)
+        .localCheckpoint(eager=True)
+    )
+    budget = caps.agg(
+        F.expr("(8 * sum(available_tokens)) div 10").alias("budget")
+    )
+    return waterfill_allocation(caps, budget)
+
+
 # ---------------------------------------------------------------------------
 # §2 event-analytics completeness (r4): SCD2 history, funnel, cohorts
 # ---------------------------------------------------------------------------

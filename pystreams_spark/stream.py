@@ -507,6 +507,27 @@ class Stream:
             mixture_weights(self.df, group_col, token_col, target_shares, alpha)
         )
 
+    def waterfill_allocation(
+        self,
+        budget: "DataFrame",
+        group_col: str = "lang",
+        cap_col: str = "available_tokens",
+        weight_col: str = "weight",
+    ) -> "Stream":
+        """Weighted waterfilling of a token budget across sources
+        under availability caps — integer-exact allocations with
+        capped sources' unmet demand redistributed in weight
+        proportion (operators/selection.waterfill_allocation). The
+        stream frame is the per-source caps table; ``budget`` is a
+        1-row frame with column ``budget``."""
+        from .operators.selection import waterfill_allocation
+
+        return Stream(
+            waterfill_allocation(
+                self.df, budget, group_col, cap_col, weight_col
+            )
+        )
+
     def pack_sequences(
         self,
         max_tokens: int,

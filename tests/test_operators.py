@@ -2960,3 +2960,72 @@ def test_ngram_novelty_hashed_matches_string(spark, sf_dir):
         docs, n=3, hash_grams=True
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in hashed_plan
+
+
+def _waterfill_ref(caps: dict, weights: dict, budget: int) -> dict:
+    """Brute-force reference: integer water level found by scanning the
+    sorted cap/weight prefix exactly as the operator's math states."""
+    order = sorted(caps, key=lambda g: (caps[g] / weights[g], g))
+    n = len(order)
+    for k, g in enumerate(order, start=1):
+        cprev = sum(caps[x] for x in order[: k - 1])
+        wsuf = sum(weights[x] for x in order[k - 1 :])
+        lam_num, lam_den = budget - cprev, wsuf
+        ok_here = lam_num * weights[g] <= caps[g] * wsuf
+        if k == 1:
+            ok_prev = True
+        else:
+            pg = order[k - 2]
+            ok_prev = lam_num * weights[pg] >= caps[pg] * wsuf
+        if ok_here and ok_prev:
+            out = {}
+            for j, h in enumerate(order, start=1):
+                if j < k:
+                    out[h] = (caps[h], True)
+                else:
+                    out[h] = (
+                        min(caps[h], (lam_num * weights[h]) // lam_den),
+                        False,
+                    )
+            return out
+    return {g: (caps[g], True) for g in order}  # budget >= total supply
+
+
+def test_waterfill_allocation_matches_reference(spark):
+    from pystreams_spark.operators.selection import waterfill_allocation
+
+    caps = {"a": 1000, "b": 5000, "c": 300, "d": 2200}
+    weights = {"a": 40, "b": 20, "c": 25, "d": 15}
+    for budget in (100, 2000, 6000, 8000, 8500, 100_000):
+        cdf = spark.createDataFrame(
+            [(g, caps[g], weights[g]) for g in sorted(caps)],
+            "lang string, available_tokens long, weight long",
+        )
+        bdf = spark.createDataFrame([(budget,)], "budget long")
+        got = {
+            r.lang: (r.allocated_tokens, r.capped)
+            for r in waterfill_allocation(cdf, bdf).collect()
+        }
+        want = _waterfill_ref(caps, weights, budget)
+        assert got == want, (budget, got, want)
+        total = sum(a for a, _ in got.values())
+        if budget <= sum(caps.values()):
+            # floor allocations: within n_groups of the budget, never over
+            assert budget - len(caps) < total <= budget
+        else:
+            assert total == sum(caps.values())  # shortfall is visible
+
+
+def test_waterfill_allocation_uncapped_is_proportional(spark):
+    from pystreams_spark.operators.selection import waterfill_allocation
+
+    cdf = spark.createDataFrame(
+        [("x", 10_000, 3), ("y", 10_000, 1)],
+        "lang string, available_tokens long, weight long",
+    )
+    bdf = spark.createDataFrame([(4000,)], "budget long")
+    got = {
+        r.lang: (r.allocated_tokens, r.capped)
+        for r in waterfill_allocation(cdf, bdf).collect()
+    }
+    assert got == {"x": (3000, False), "y": (1000, False)}
