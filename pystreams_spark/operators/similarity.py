@@ -1481,3 +1481,102 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(broadcast_if_small(dropped), on=id_col, how="left_anti")
+
+
+def margin_bitext_mine(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    margin_ppm_threshold: int = 1_060_000,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MARGIN-BASED bitext mining (the Artetxe–Schwenk criterion from
+    the public LASER mining literature): align two embedding sets by
+    scoring each cross pair with its cosine RELATIVE to the two
+    endpoints' neighborhood densities — margin(x, y) =
+    cos(x, y) / ((avg top-k cos of x over Y + avg top-k cos of y over
+    X) / 2) — then keep MUTUAL best pairs above a margin threshold.
+    Raw-cosine thresholds fail at alignment: a vector in a dense
+    region has many high-cosine neighbors (all spurious), while an
+    isolated true translation pair may sit at a modest absolute
+    cosine; the margin normalizes both away.
+
+    INTEGER-EXACT decision arithmetic (this repo's oracle
+    discipline): cosines are converted ONCE to integer micros
+    (``round(cos·1e6)`` — the only float step, the identical IEEE
+    expression both engines), the top-k neighborhood sums are integer
+    sums over window-ranked rows (ties broken by id), and the margin
+    is the integer floor ``(2k·10⁶·cos_u) div (d_x + d_y)`` in ppm —
+    no float ever decides a rank or a threshold.
+
+    Scale shape: this is the EXACT variant — one |X|×|Y| cosine pass
+    (norms precomputed per side, arrays dropped at projection), then
+    id-keyed windows and two KB-per-group joins. At corpus scale,
+    block the cross pass by `kmeans_cells_deterministic` cells first
+    (the SemDeDup composition) and mine within cells; the criterion
+    itself is unchanged.
+
+    Output: (x_id, y_id, cos_micros, margin_ppm), mutual-best pairs
+    with margin_ppm ≥ threshold.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.vector import as_double, dot, l2_norm
+    from ..io import broadcast_if_small, ensure_parallelism
+
+    xs = ensure_parallelism(x).select(
+        F.col(x_id),
+        as_double(vec_col).alias("_xv"),
+        l2_norm(vec_col).alias("_xn"),
+    )
+    ys = y.select(
+        F.col(y_id),
+        as_double(vec_col).alias("_yv"),
+        l2_norm(vec_col).alias("_yn"),
+    )
+    cos = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
+    scored = (
+        xs.crossJoin(broadcast_if_small(ys))
+        .select(
+            x_id,
+            y_id,
+            F.round(F.lit(1_000_000) * cos).cast("long").alias("cos_micros"),
+        )
+        .localCheckpoint(eager=True)  # 4 consumers: dx, dy, 2 best-windows
+    )
+    wx = Window.partitionBy(x_id).orderBy(F.desc("cos_micros"), y_id)
+    wy = Window.partitionBy(y_id).orderBy(F.desc("cos_micros"), x_id)
+    dx = (
+        scored.withColumn("_rn", F.row_number().over(wx))
+        .filter(F.col("_rn") <= k)
+        .groupBy(x_id)
+        .agg(F.sum("cos_micros").alias("_dx"))
+    )
+    dy = (
+        scored.withColumn("_rn", F.row_number().over(wy))
+        .filter(F.col("_rn") <= k)
+        .groupBy(y_id)
+        .agg(F.sum("cos_micros").alias("_dy"))
+    )
+    m = (
+        scored.join(broadcast_if_small(dx), x_id)
+        .join(broadcast_if_small(dy), y_id)
+        .withColumn(
+            "margin_ppm",
+            F.expr(f"({2 * k} * 1000000 * cos_micros) div (_dx + _dy)"),
+        )
+    )
+    wmx = Window.partitionBy(x_id).orderBy(F.desc("margin_ppm"), y_id)
+    wmy = Window.partitionBy(y_id).orderBy(F.desc("margin_ppm"), x_id)
+    return (
+        m.withColumn("_bx", F.row_number().over(wmx))
+        .withColumn("_by", F.row_number().over(wmy))
+        .filter(
+            (F.col("_bx") == 1)
+            & (F.col("_by") == 1)
+            & (F.col("margin_ppm") >= margin_ppm_threshold)
+        )
+        .select(x_id, y_id, "cos_micros", "margin_ppm")
+    )

@@ -6870,6 +6870,93 @@ def mixture_waterfill_allocation(
     return waterfill_allocation(caps, budget)
 
 
+@query(
+    "bitext_margin_mining",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id AS x_id, embedding AS ex,
+               SQRT(list_sum(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS nx
+        FROM embeddings WHERE vec_id % 2 = 0
+    ), y AS (
+        SELECT vec_id AS y_id, embedding AS ey,
+               SQRT(list_sum(list_transform(embedding,
+                    v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) AS ny
+        FROM embeddings WHERE vec_id % 2 = 1
+    ), scored AS MATERIALIZED (
+        SELECT x_id, y_id,
+               CAST(ROUND(1000000 *
+                    list_sum(list_transform(list_zip(ex, ey),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (nx * ny)) AS BIGINT) AS cos_micros
+        FROM x CROSS JOIN y
+    ), dx AS (
+        SELECT x_id, CAST(SUM(cos_micros) AS BIGINT) AS dx FROM (
+            SELECT x_id, cos_micros, ROW_NUMBER() OVER
+                (PARTITION BY x_id ORDER BY cos_micros DESC, y_id) AS rn
+            FROM scored) WHERE rn <= 4 GROUP BY x_id
+    ), dy AS (
+        SELECT y_id, CAST(SUM(cos_micros) AS BIGINT) AS dy FROM (
+            SELECT y_id, cos_micros, ROW_NUMBER() OVER
+                (PARTITION BY y_id ORDER BY cos_micros DESC, x_id) AS rn
+            FROM scored) WHERE rn <= 4 GROUP BY y_id
+    ), m AS (
+        SELECT s.x_id, s.y_id, s.cos_micros,
+               CAST((8 * 1000000 * s.cos_micros) // (dx.dx + dy.dy)
+                    AS BIGINT) AS margin_ppm
+        FROM scored s JOIN dx USING (x_id) JOIN dy USING (y_id)
+    ), ranked AS (
+        SELECT m.*,
+               ROW_NUMBER() OVER
+                 (PARTITION BY x_id ORDER BY margin_ppm DESC, y_id) AS bx,
+               ROW_NUMBER() OVER
+                 (PARTITION BY y_id ORDER BY margin_ppm DESC, x_id) AS by_
+        FROM m
+    )
+    SELECT x_id, y_id, cos_micros, margin_ppm
+    FROM ranked
+    WHERE bx = 1 AND by_ = 1 AND margin_ppm >= 1060000
+    ORDER BY x_id
+    """,
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARGIN-BASED bitext mining (r10 — the Artetxe–Schwenk criterion
+    from the public LASER mining literature): align two embedding sets
+    by each pair's cosine RELATIVE to its endpoints' top-k
+    neighborhood densities, then keep MUTUAL best pairs above a 1.06
+    margin. Raw-cosine thresholds fail at alignment — a vector in a
+    dense region has many high-cosine spurious neighbors while an
+    isolated true pair sits at a modest absolute cosine; the margin
+    normalizes both away. Sides here are the deterministic vec_id
+    parity split of the embeddings fixture (in production: the two
+    languages' encoder outputs).
+
+    Integer-exact decisions (`operators/similarity.margin_bitext_mine`):
+    cosines become integer micros once (the identical IEEE expression
+    both engines — the knn_exact idiom), neighborhood sums are integer
+    sums over id-tie-broken window ranks, and the margin is the
+    integer floor (2k·10⁶·cos_u) div (d_x + d_y) in ppm — no float
+    ever decides a rank or the threshold. The DuckDB oracle replays
+    the cross cosines, both top-k sums, the margin, both mutual-best
+    rankings, and the threshold under one value hash.
+
+    Scale shape: exact |X|×|Y| cosine pass (norms precomputed, arrays
+    dropped at projection), then id-keyed windows over per-id groups
+    and KB-sized joins. At corpus scale, block the cross pass by
+    `kmeans_cells_deterministic` cells first (the SemDeDup
+    composition) and mine within cells — the criterion is unchanged."""
+    from .operators.similarity import margin_bitext_mine
+
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    return margin_bitext_mine(x, y, k=4).orderBy("x_id")
+
+
 # ---------------------------------------------------------------------------
 # §2 event-analytics completeness (r4): SCD2 history, funnel, cohorts
 # ---------------------------------------------------------------------------

@@ -3029,3 +3029,58 @@ def test_waterfill_allocation_uncapped_is_proportional(spark):
         for r in waterfill_allocation(cdf, bdf).collect()
     }
     assert got == {"x": (3000, False), "y": (1000, False)}
+
+
+def test_margin_bitext_mine_beats_raw_cosine(spark):
+    """The margin criterion's reason to exist: a dense hub pair with a
+    HIGHER raw cosine than an isolated true pair must lose to it on
+    margin. x1 sits in a dense Y-region (y1, y2, y3 all ~equally
+    close, so its neighborhood average is high and its margin ~1);
+    x0/y0 are an isolated true pair (modest cosine, low-density
+    neighborhoods, margin >> 1)."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import margin_bitext_mine
+
+    rng = np.random.RandomState(3)
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return (v / np.linalg.norm(v)).tolist()
+
+    base = rng.randn(8)
+    hub = rng.randn(8)
+    far = [unit(rng.randn(8)) for _ in range(4)]
+    xs = [
+        (0, unit(base)),                      # isolated true pair w/ y0
+        (2, unit(hub + 0.02 * rng.randn(8))), # dense hub members: their
+        (4, unit(hub + 0.02 * rng.randn(8))), # and the hub ys' top-k
+        (6, unit(hub + 0.02 * rng.randn(8))), # neighborhoods saturate
+    ]
+    ys = [
+        (1, unit(base + 0.35 * rng.randn(8))),  # true partner (modest cos)
+        (3, unit(hub + 0.02 * rng.randn(8))),   # hub: near-identical trio
+        (5, unit(hub + 0.02 * rng.randn(8))),
+        (7, unit(hub + 0.02 * rng.randn(8))),
+        (9, far[0]), (11, far[1]), (13, far[2]), (15, far[3]),
+    ]
+    x = spark.createDataFrame(xs, "x_id long, embedding array<double>")
+    y = spark.createDataFrame(ys, "y_id long, embedding array<double>")
+    mined = {
+        r.x_id: (r.y_id, r.cos_micros, r.margin_ppm)
+        for r in margin_bitext_mine(x, y, k=3).collect()
+    }
+    # the isolated true pair is mined...
+    assert 0 in mined and mined[0][0] == 1
+    # ...even though the hub pair's RAW cosine is higher
+    assert mined[0][1] < 980_000  # true pair is a modest cosine
+    # the hub x is NOT mined: its margin ~1 (its top-3 are all ~equal)
+    assert 2 not in mined
+    # partitioning independence
+    mined2 = {
+        r.x_id: (r.y_id, r.cos_micros, r.margin_ppm)
+        for r in margin_bitext_mine(
+            x.repartition(5), y.repartition(3), k=3
+        ).collect()
+    }
+    assert mined2 == mined
