@@ -266,6 +266,12 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "crossmodal_components": lambda: QUERIES[
             "crossmodal_neardup_components"
         ](spark, data_dir).count(),
+        # r10: the EXACT |X|x|Y| margin-mining pass — quadratic BY
+        # DESIGN (measure at 1x/3x, not 10x); the documented scale
+        # path blocks the cross pass by kmeans cells first
+        "bitext_margin": lambda: QUERIES[
+            "bitext_margin_mining"
+        ](spark, data_dir).count(),
     }
 
 

@@ -6957,6 +6957,112 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_bitext_mine(x, y, k=4).orderBy("x_id")
 
 
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM documents
+    ), b_src AS (
+        SELECT CASE WHEN doc_id % 7 = 2 THEN doc_id + 1000000
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 7 = 1 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               'fresh content ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 7 = 3
+    ), b AS (
+        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        FROM b_src
+    ), bth AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.h AS ha, b.h AS hb
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ), removed AS (
+        SELECT doc_id AS rid, ha AS h,
+               ROW_NUMBER() OVER (PARTITION BY ha ORDER BY doc_id) AS rn
+        FROM bth WHERE hb IS NULL
+    ), added AS (
+        SELECT doc_id AS aid, hb AS h,
+               ROW_NUMBER() OVER (PARTITION BY hb ORDER BY doc_id) AS rn
+        FROM bth WHERE ha IS NULL
+    ), moved AS (
+        SELECT rid, aid FROM removed JOIN added USING (h, rn)
+    ), mm AS (
+        SELECT rid AS doc_id, aid AS mid FROM moved
+        UNION ALL
+        SELECT aid, rid FROM moved
+    )
+    SELECT bth.doc_id,
+           CASE WHEN ha IS NOT NULL AND hb IS NOT NULL THEN
+                    CASE WHEN ha = hb THEN 'unchanged' ELSE 'modified' END
+                WHEN hb IS NULL THEN
+                    CASE WHEN mm.mid IS NOT NULL THEN 'moved_away'
+                         ELSE 'removed' END
+                ELSE
+                    CASE WHEN mm.mid IS NOT NULL THEN 'moved_in'
+                         ELSE 'added' END
+           END AS status,
+           CAST(mm.mid AS BIGINT) AS match_id
+    FROM bth LEFT JOIN mm ON mm.doc_id = bth.doc_id
+    ORDER BY bth.doc_id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS SNAPSHOT DIFF (r10): the "what changed between crawl N
+    and N+1" audit (`operators/snapshot.py`) — a plain id diff
+    misreads the two commonest crawl events: re-hosted content (same
+    bytes, new id) shows as a remove + an unrelated add, and
+    re-crawled content (same id, edited page) shows as nothing.
+    Every id in A ∪ B classifies as unchanged / modified /
+    moved_away / moved_in (exact content hash matched across the
+    removed×added sets, deterministic rank-paired 1:1, counterpart in
+    match_id) / removed / added.
+
+    Snapshot B is synthesized from the documents fixture by pure
+    Column algebra: id%7==0 dropped (removed), ==1 text-edited
+    in place (modified), ==2 re-hosted under id+10⁶ (the moved
+    pair), ==3 additionally spawns a brand-new doc (added); the
+    fixture's planted exact-dup texts make the rank-pairing
+    non-trivial (a removed dup can legitimately match a different
+    doc's re-host), and the oracle replays synthesis, both content
+    hashes, the full outer join, per-hash rank pairing, and the
+    status/match columns under one value hash.
+
+    Scale shape: ONE full-outer id join of 16-byte rows is the only
+    corpus-sized shuffle (text never crosses an exchange — the
+    60-bit md5 key travels instead); moved matching joins the
+    removed/added-sized slices with per-hash windows over those
+    slices only. Near-dup 'moved AND edited' chains are the MinHash
+    kernels' job, composed downstream."""
+    from .operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.col("doc_id") % 7
+    b = (
+        d.filter(mod != 0)
+        .select(
+            F.when(mod == 2, F.col("doc_id") + 1000000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.when(mod == 1, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(mod == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh content "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(d, b).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # §2 event-analytics completeness (r4): SCD2 history, funnel, cohorts
 # ---------------------------------------------------------------------------
