@@ -1546,6 +1546,25 @@ def margin_bitext_mine(
         )
         .localCheckpoint(eager=True)  # 4 consumers: dx, dy, 2 best-windows
     )
+    return _margin_mine_from_scored(
+        scored, k, margin_ppm_threshold, x_id, y_id
+    )
+
+
+def _margin_mine_from_scored(
+    scored: DataFrame,
+    k: int,
+    margin_ppm_threshold: int,
+    x_id: str,
+    y_id: str,
+) -> DataFrame:
+    """Shared margin pipeline over a pre-materialized scored frame
+    (x_id, y_id, cos_micros): top-k neighborhood integer sums per
+    side, integer ppm margin, mutual-best, threshold."""
+    from pyspark.sql import Window
+
+    from ..io import broadcast_if_small
+
     wx = Window.partitionBy(x_id).orderBy(F.desc("cos_micros"), y_id)
     wy = Window.partitionBy(y_id).orderBy(F.desc("cos_micros"), x_id)
     dx = (
@@ -1579,4 +1598,75 @@ def margin_bitext_mine(
             & (F.col("margin_ppm") >= margin_ppm_threshold)
         )
         .select(x_id, y_id, "cos_micros", "margin_ppm")
+    )
+
+
+def margin_bitext_mine_blocked(
+    x: DataFrame,
+    y: DataFrame,
+    k: int = 4,
+    margin_ppm_threshold: int = 1_060_000,
+    n_cells: int = 8,
+    iters: int = 2,
+    x_id: str = "x_id",
+    y_id: str = "y_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SCALE PATH for margin mining: block the |X|×|Y| cross pass
+    by deterministic-Lloyd cells fit on X ∪ Y, then run the identical
+    margin criterion WITHIN each cell — the SemDeDup composition.
+    Cost drops from |X|·|Y| to Σ_cells |X_c|·|Y_c| (the
+    `semantic_dedup` shape, measured curve on file).
+
+    VALIDITY DOMAIN — measured, stated honestly: blocking preserves
+    the criterion only when nearest neighbors co-cell. On
+    WELL-CLUSTERED embeddings (real encoder outputs for alignable
+    corpora — tight translation clusters) blocked ≡ exact, pinned in
+    pytest. On weakly-clustered / near-random embeddings it is NOT a
+    drop-in: on this repo's synthetic fixture only 28% of top-1
+    neighbors co-cell at n_cells=8 (measured r10), so mutual-best
+    pairs reshuffle and pair-identity recall drops to ~0.3. That is
+    why NO registered query ships this variant against the fixture —
+    the exact miner is the oracle anchor; at production scale use
+    more Lloyd iterations / multi-probe assignment or verify the
+    co-cell rate on YOUR embedding distribution before trusting the
+    blocked path.
+    """
+    ux = x.select(
+        (F.col(x_id) * 2).alias("_uid"), F.col(vec_col).alias("_v"),
+        F.col(x_id).alias("_oid"), F.lit(0).alias("_side"),
+    )
+    uy = y.select(
+        (F.col(y_id) * 2 + 1).alias("_uid"), F.col(vec_col).alias("_v"),
+        F.col(y_id).alias("_oid"), F.lit(1).alias("_side"),
+    )
+    cells = kmeans_cells_deterministic(
+        ux.unionByName(uy), id_col="_uid", vec_col="_v",
+        n_cells=n_cells, iters=iters,
+    )
+    from ..functions.vector import as_double, dot, l2_norm
+    from ..io import broadcast_if_small, ensure_parallelism
+
+    xs = ensure_parallelism(
+        cells.filter(F.col("_side") == 0).select(
+            F.col("_oid").alias(x_id), "cell",
+            as_double("_v").alias("_xv"), l2_norm("_v").alias("_xn"),
+        )
+    )
+    ys = cells.filter(F.col("_side") == 1).select(
+        F.col("_oid").alias(y_id), "cell",
+        as_double("_v").alias("_yv"), l2_norm("_v").alias("_yn"),
+    )
+    cos = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
+    scored = (
+        xs.join(broadcast_if_small(ys), "cell")  # within-cell pairs only
+        .select(
+            x_id,
+            y_id,
+            F.round(F.lit(1_000_000) * cos).cast("long").alias("cos_micros"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return _margin_mine_from_scored(
+        scored, k, margin_ppm_threshold, x_id, y_id
     )

@@ -3084,3 +3084,51 @@ def test_margin_bitext_mine_beats_raw_cosine(spark):
         ).collect()
     }
     assert mined2 == mined
+
+
+def test_margin_bitext_blocked_equals_exact_on_clustered_data(spark):
+    """The blocked miner's validity domain, pinned: on WELL-SEPARATED
+    clusters (each cluster lands in one Lloyd cell; cross-cluster
+    cosines are low) within-cell neighborhoods equal global ones, so
+    blocked ≡ exact. Its docstring states the measured failure domain
+    (near-random embeddings: ~28% top-1 co-cell rate on the synthetic
+    fixture) — that is why no registered query ships it."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine,
+        margin_bitext_mine_blocked,
+    )
+
+    rng = np.random.RandomState(9)
+    # 4 tight, near-orthogonal clusters in 16-d; 8 members each
+    centers = np.linalg.qr(rng.randn(16, 16))[0][:4] * 4.0
+    rows = []
+    uid = 0
+    for c in centers:
+        for _ in range(8):
+            v = c + 0.05 * rng.randn(16)
+            rows.append((uid, (v / np.linalg.norm(v)).tolist()))
+            uid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from pyspark.sql import functions as F
+
+    x = df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = df.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    exact = {
+        (r.x_id, r.y_id, r.cos_micros, r.margin_ppm)
+        for r in margin_bitext_mine(
+            x, y, k=3, margin_ppm_threshold=1_000_000
+        ).collect()
+    }
+    blocked = {
+        (r.x_id, r.y_id, r.cos_micros, r.margin_ppm)
+        for r in margin_bitext_mine_blocked(
+            x, y, k=3, margin_ppm_threshold=1_000_000, n_cells=4, iters=4
+        ).collect()
+    }
+    assert exact and blocked == exact
