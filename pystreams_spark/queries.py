@@ -3657,6 +3657,96 @@ def video_neardup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "video_frame_index",
+    oracle="""
+    WITH vpx AS MATERIALIZED (
+        SELECT doc_id, f, x, y,
+               CASE WHEN (doc_id % 3 >= 1 AND f = doc_id % 4
+                          AND x + y * 11 = (doc_id * 5) % 66)
+                      OR (doc_id % 3 = 2 AND f = (doc_id + 1) % 4
+                          AND x + y * 11 = (doc_id * 5 + 17) % 66)
+                    THEN 255 - base ELSE base END AS g
+        FROM (
+            SELECT doc_id, CAST(fs.f AS BIGINT) AS f,
+                   CAST(xs.x AS BIGINT) AS x, CAST(ys.y AS BIGINT) AS y,
+                   ('0x' || substr(md5('vid:' || CAST(doc_id // 4 AS VARCHAR)
+                      || ':' || CAST(fs.f AS VARCHAR)
+                      || ':' || CAST(xs.x AS VARCHAR)
+                      || ':' || CAST(ys.y AS VARCHAR)), 1, 2))::BIGINT AS base
+            FROM documents,
+                 generate_series(0, 3) AS fs(f),
+                 generate_series(0, 10) AS xs(x),
+                 generate_series(0, 5) AS ys(y))
+    ), vsig AS (
+        SELECT a.doc_id, a.f,
+               CAST(SUM(CASE WHEN b.g > a.g THEN
+                        1::BIGINT << CAST(a.y * 10 + a.x AS INT)
+                        ELSE 0 END) AS BIGINT) AS s
+        FROM vpx a JOIN vpx b
+          ON a.doc_id = b.doc_id AND a.f = b.f AND a.y = b.y
+         AND b.x = a.x + 1
+        WHERE a.x < 10
+        GROUP BY a.doc_id, a.f
+    ), samples AS (
+        -- frame_sample contract: 4 frames × 40 ms = 160 ms timeline,
+        -- every 60 ms → ts 0/60/120, frame = min(3, ts·1000 div 40000)
+        SELECT CAST(i.i AS INT) AS frame_idx,
+               CAST(60 * i.i AS BIGINT) AS frame_ts_ms,
+               LEAST(3, (60 * i.i * 1000) // 40000) AS f
+        FROM generate_series(0, 2) AS i(i)
+    )
+    SELECT v.doc_id AS media_id, s.frame_idx, s.frame_ts_ms,
+           v.s AS dhash
+    FROM samples s JOIN vsig v ON v.f = s.f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `frame_sample` plumbing chain certified END-TO-END under
+    the driver oracle (r10): synthesized closed-form AVIs →
+    `multimodal.frame_sample`'s REAL path (RIFF decode, the
+    at-or-before timestamp rule `frame = min(n−1, ts·1000 div µspf)`,
+    BMP re-encode via `encode_bmp`) → the sampled frames re-enter the
+    IMAGE pipeline through `imagehash.image_dhash` (BMP decode +
+    dHash). One row per (clip, sampled instant) with the frame's
+    60-bit hash — so an AVI-walk, timing, BMP round-trip, or hash bug
+    anywhere in the chain breaks the value hash: the oracle recomputes
+    the per-frame signatures from the same closed form and replays the
+    every-60 ms sampling arithmetic over the 4×40 ms timeline
+    (frames 0, 1, 3 — the floor rule lands mid-frame at ts=60 and
+    clamps at ts=120).
+
+    Scale shape: two chained Arrow kernels (decode+sample, then
+    decode+hash) over payloads that never leave them; output is
+    id + 3 small rows per clip; no joins, no shuffle beyond the synth
+    repartition."""
+    from pyspark.sql import Row
+
+    from .operators.imagehash import image_dhash
+    from .operators.multimodal import frame_sample
+
+    vids = _synth_videos(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").alias("media_id"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("string").alias("uri"),
+            F.lit("video/avi").alias("mime"),
+            F.lit(11).alias("width"),
+            F.lit(6).alias("height"),
+            F.lit(160).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = frame_sample(vids, every_ms=60)
+    hashed = image_dhash(
+        frames, payload_col="frame", id_col="media_id",
+        on_undecodable="error",
+    )
+    return hashed.select(
+        "media_id", "frame_idx", "frame_ts_ms", "dhash"
+    ).orderBy("media_id", "frame_idx")
+
+
+@query(
     "crossmodal_neardup_components",
     oracle=f"""
     WITH RECURSIVE g AS (

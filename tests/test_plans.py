@@ -161,6 +161,10 @@ def test_no_rowwise_python_udfs_anywhere(spark, sf_dir):
         # payload synthesis kernel + the real decode kernel — a
         # deliberate two-stage pipeline, each row passing each once
         "media_decode_report": 2,
+        # r10: the frame_sample certification chain is THREE deliberate
+        # kernels — AVI synth, decode+sample (BMP re-encode), and the
+        # image dHash over the sampled frames — each pass-once
+        "video_frame_index": 3,
     }
 
     for name, fn in QUERIES.items():
