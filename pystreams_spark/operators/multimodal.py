@@ -167,8 +167,12 @@ def frame_sample(
 
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r[payload_col] or b"")
+            # plain column zip, not iterrows: row materialization cost
+            # matters at 1→N explode volume
+            for mid, pay, meta in zip(
+                pdf["media_id"], pdf[payload_col], pdf[meta_col]
+            ):
+                payload = bytes(pay or b"")
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
                     frames, usec, _, _ = decode_video_frames(payload)
                     if usec <= 0:
@@ -180,7 +184,7 @@ def frame_sample(
                         fi = min(len(frames) - 1, (ts * 1000) // usec)
                         rows.append(
                             {
-                                "media_id": r["media_id"],
+                                "media_id": mid,
                                 "frame_idx": i,
                                 "frame_ts_ms": ts,
                                 "frame": encode_bmp(frames[fi]),
@@ -192,11 +196,11 @@ def frame_sample(
                         "real frame extraction for non-AVI containers "
                         "needs ffmpeg"
                     )
-                duration = (r[meta_col]["duration_ms"] or 0) if r[meta_col] is not None else 0
+                duration = (meta["duration_ms"] or 0) if meta is not None else 0
                 for i, ts in enumerate(range(0, max(int(duration), 1), every_ms)):
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_ts_ms": ts,
                             "frame": payload[i % max(len(payload), 1) :][:16],
