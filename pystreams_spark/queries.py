@@ -3560,10 +3560,12 @@ def _synth_videos(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "video_neardup_candidates",
-    oracle="""
-    WITH vpx AS MATERIALIZED (
+# Shared DuckDB CTE prefix for the video-dedup pair (r10): closed-form
+# 4-frame 11x6 gray grids -> per-frame dHash signatures `vsig(doc_id,
+# slot, s)` -> (slot*4+band) keys -> banded candidates -> summed per-slot
+# Hamming `vtot(id_a, id_b, total_hamming)`. Mirrors operators/videohash.py
+# over the payloads `_synth_videos` writes.
+_VID_PAIR_CTES = """vpx AS MATERIALIZED (
         SELECT doc_id, f, x, y,
                CASE WHEN (doc_id % 3 >= 1 AND f = doc_id % 4
                           AND x + y * 11 = (doc_id * 5) % 66)
@@ -3607,7 +3609,13 @@ def _synth_videos(d: DataFrame) -> DataFrame:
         JOIN vsig sa ON sa.doc_id = c.id_a
         JOIN vsig sb ON sb.doc_id = c.id_b AND sb.slot = sa.slot
         GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "video_neardup_candidates",
+    oracle=f"""
+    WITH {_VID_PAIR_CTES}
     SELECT id_a, id_b, total_hamming FROM vtot
     WHERE total_hamming <= 10
     ORDER BY id_a, id_b
@@ -3653,6 +3661,81 @@ def video_neardup_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = video_frame_hashes(vids, n_slots=4, on_undecodable="error")
     return video_neardup_candidates(hashes, max_total_hamming=10).orderBy(
         "id_a", "id_b"
+    )
+
+
+@query(
+    "video_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_VID_PAIR_CTES}, vp AS (
+        SELECT id_a, id_b FROM vtot WHERE total_hamming <= 10
+    ), vedges AS (
+        SELECT id_a AS a, id_b AS b FROM vp
+        UNION
+        SELECT id_b AS a, id_a AS b FROM vp
+    ), reach(a, b) AS (
+        SELECT a, b FROM vedges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN vedges e ON r.b = e.a
+        WHERE e.b != r.a
+    ), closure AS (
+        SELECT a, b FROM reach
+        UNION
+        SELECT DISTINCT a, a FROM vedges
+    ), comp AS (
+        SELECT a AS doc_id, MIN(b) AS component_id FROM closure GROUP BY a
+    ), sizes AS (
+        SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM comp GROUP BY component_id
+    )
+    SELECT c.doc_id, c.component_id, z.component_size,
+           c.doc_id = c.component_id AS keep
+    FROM comp c JOIN sizes z USING (component_id)
+    WHERE z.component_size > 1
+    ORDER BY doc_id
+    """,
+)
+def video_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO-dedup pipeline end-to-end (r10, the video sibling of
+    `image_neardup_components`): decode → per-slot dHash → slot-banded
+    summed-Hamming pairs → adaptive connected components → keep-min
+    survivor rule — the "which clips do we drop" map. The oracle
+    replays the shared `_VID_PAIR_CTES` closed form, a recursive-CTE
+    transitive closure, min-label components, sizes, and the keep
+    flag. Scale shape: the pair frame is dup-graph-sized and pinned
+    before CC; CC rounds never touch the corpus."""
+    from .io import broadcast_if_small, materialize
+    from .operators.dedup import cc_keep_min
+    from .operators.videohash import (
+        video_frame_hashes,
+        video_neardup_candidates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hashes = video_frame_hashes(
+        _synth_videos(d), n_slots=4, on_undecodable="error"
+    )
+    pairs = materialize(
+        video_neardup_candidates(hashes, max_total_hamming=10).select(
+            "id_a", "id_b"
+        )
+    )
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return (
+        labels.join(
+            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            "cluster_id",
+        )
+        .select(
+            "doc_id",
+            F.col("cluster_id").alias("component_id"),
+            F.col("component_size").cast("long").alias("component_size"),
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -8706,6 +8789,150 @@ _PAGERANK_ORACLE = r"""WITH
     SELECT node, ROUND(rank, 6) AS rank
     FROM r8 ORDER BY rank DESC, node LIMIT 20
     """
+
+
+@query(
+    "nn_descent_candidates",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings WHERE vec_id < 1000
+    ), scored AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(ROUND(1000000 *
+                    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (a.nrm * b.nrm)) AS BIGINT) AS cu
+        FROM v a JOIN v b ON a.vec_id != b.vec_id
+    ), knn AS (
+        SELECT id_a, id_b FROM (
+            SELECT id_a, id_b, ROW_NUMBER() OVER
+                (PARTITION BY id_a ORDER BY cu DESC, id_b) AS rn
+            FROM scored) WHERE rn <= 3
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM knn
+        UNION
+        SELECT id_b, id_a FROM knn
+    ), wedges AS (
+        SELECT e1.src AS id_a, e2.dst AS id_b
+        FROM edges e1 JOIN edges e2
+          ON e1.dst = e2.src AND e1.src < e2.dst
+    ), cand AS (
+        SELECT w.id_a, w.id_b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedges w
+        LEFT JOIN edges e ON e.src = w.id_a AND e.dst = w.id_b
+        WHERE e.src IS NULL
+        GROUP BY w.id_a, w.id_b
+    )
+    SELECT c.id_a, c.id_b, c.common_neighbors, s.cu AS cos_micros
+    FROM cand c JOIN scored s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    WHERE c.common_neighbors >= 2
+    ORDER BY c.common_neighbors DESC, cos_micros DESC, c.id_a, c.id_b
+    LIMIT 20
+    """,
+)
+def nn_descent_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE NN-DESCENT refinement round over the exact kNN graph (r10
+    — the core move of the public NN-Descent algorithm, Dong et al.:
+    "neighbors of neighbors are likely neighbors"): the 2-hop pairs
+    the current k=3 cosine graph does NOT yet connect, scored by how
+    many shared neighbors propose them and verified with their actual
+    cosine — exactly the candidate set a graph-ANN build evaluates
+    next round, and the post-banding augmentation pass a production
+    similarity pipeline runs (the near-dup graph itself is pure
+    cliques on this fixture — zero open wedges, measured — so the kNN
+    graph is where 2-hop refinement genuinely has work to do).
+
+    Determinism: the kNN graph ranks by the integer-micros cosine
+    (id tie-breaks), common_neighbors is a count, and the verify
+    column is the same cos_micros — no float sum-order anywhere
+    (the knn_exact idiom). The DuckDB oracle replays the pairwise
+    cosines, the top-3 graph, the undirected wedge join, the
+    existing-edge anti-join, the counts, and the top-20.
+
+    Scale shape: the all-pairs kNN build here is the fixture-scale
+    oracle anchor (nodes sliced to vec_id < 1000, the bitext pass's
+    measured 1M-pair shape); at corpus scale the graph comes from the
+    IVF/LSH ANN operators and THIS step is cheap — wedges cost
+    Σ deg² = |V|·k² over the kNN graph, and the verify touches only
+    candidate pairs."""
+    from .io import broadcast_if_small, ensure_parallelism
+    from .operators.similarity import knn_exact
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    q = e.select(F.col("vec_id").alias("query_id"), "embedding")
+    # k=4 then drop the self-pair → top-3 true neighbors per node
+    knn = (
+        knn_exact(q, ensure_parallelism(e), k=4)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= 3)
+        .select(
+            F.col("query_id").alias("id_a"), F.col("vec_id").alias("id_b")
+        )
+        .localCheckpoint(eager=True)  # graph read 3x: edges both sides + anti
+    )
+    edges = knn.unionByName(
+        knn.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).distinct().select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.localCheckpoint(eager=True)
+    e1 = edges.select(F.col("src").alias("_a"), F.col("dst").alias("_z"))
+    e2 = edges.select(F.col("src").alias("_z"), F.col("dst").alias("_b"))
+    cand = (
+        e1.join(e2, "_z")
+        .filter(F.col("_a") < F.col("_b"))
+        .join(
+            broadcast_if_small(
+                edges.select(
+                    F.col("src").alias("_a"),
+                    F.col("dst").alias("_b"),
+                    F.lit(1).alias("_edge"),
+                )
+            ),
+            ["_a", "_b"],
+            "left",
+        )
+        .filter(F.col("_edge").isNull())
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= 2)
+    )
+    from .functions.vector import as_double, dot, l2_norm
+
+    va = e.select(
+        F.col("vec_id").alias("_a"),
+        as_double("embedding").alias("_va"),
+        l2_norm("embedding").alias("_na"),
+    )
+    vb = e.select(
+        F.col("vec_id").alias("_b"),
+        as_double("embedding").alias("_vb"),
+        l2_norm("embedding").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.join(broadcast_if_small(va), "_a")
+        .join(broadcast_if_small(vb), "_b")
+        .select(
+            F.col("_a").alias("id_a"),
+            F.col("_b").alias("id_b"),
+            F.col("common_neighbors").cast("long").alias("common_neighbors"),
+            F.round(F.lit(1_000_000) * cos).cast("long").alias("cos_micros"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("cos_micros"), "id_a", "id_b"
+        )
+        .limit(20)
+    )
 
 
 @query("pagerank_neardup_graph", oracle=_PAGERANK_ORACLE)
