@@ -272,6 +272,12 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "bitext_margin": lambda: QUERIES[
             "bitext_margin_mining"
         ](spark, data_dir).count(),
+        # r10: crawl-over-crawl diff — ONE full-outer 16-byte id join
+        # (text never shuffles) + removed/added-sized rank pairing;
+        # expect ~linear bytes, near-flat wall
+        "snapshot_diff": lambda: QUERIES[
+            "corpus_snapshot_diff"
+        ](spark, data_dir).count(),
     }
 
 
