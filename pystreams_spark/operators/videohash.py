@@ -65,6 +65,8 @@ def _dib_to_rgb(body: bytes, width: int, height: int, bits: int):
 
     topdown = height < 0
     h, w = abs(int(height)), int(width)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate AVI frame dimensions {w}x{height}")
     bpp = bits // 8
     stride = (w * bpp + 3) & ~3
     if len(body) < stride * h:
@@ -118,18 +120,25 @@ def decode_video_frames(payload: bytes):
     scale = rate = 0
     frames_raw: list[bytes] = []
     stream_no = 0
+    # a corrupt size field can point any header past the buffer, and a
+    # crafted LIST nest can recurse without bound — both must surface
+    # as a clean ValueError (the on_undecodable='keep' contract: one
+    # corrupt payload degrades, it never kills an ingest task)
+    _MAX_DEPTH = 32
 
-    def walk(pos: int, end: int) -> None:
+    def walk(pos: int, end: int, depth: int = 0) -> None:
         nonlocal usec_per_frame, vids_stream, width, height, bits
         nonlocal compression, scale, rate, stream_no
+        if depth > _MAX_DEPTH:
+            raise ValueError("AVI LIST nesting exceeds sane depth")
         for cid, body, size in _iter_chunks(payload, pos, end):
             if cid == b"LIST":
                 ltype = payload[body : body + 4]
                 if ltype == b"strl":
                     stream_no += 1
-                walk(body + 4, body + size)
+                walk(body + 4, body + size, depth + 1)
                 if ltype == b"movi":
-                    _collect_movi(body + 4, body + size)
+                    _collect_movi(body + 4, body + size, depth + 1)
             elif cid == b"avih":
                 (usec_per_frame,) = struct.unpack_from("<I", payload, body)
             elif cid == b"strh" and vids_stream is None:
@@ -147,10 +156,12 @@ def decode_video_frames(payload: bytes):
                     "<IiiHHI", payload, body
                 )
 
-    def _collect_movi(pos: int, end: int) -> None:
+    def _collect_movi(pos: int, end: int, depth: int = 0) -> None:
+        if depth > _MAX_DEPTH:
+            raise ValueError("AVI LIST nesting exceeds sane depth")
         for cid, body, size in _iter_chunks(payload, pos, end):
             if cid == b"LIST":  # 'rec ' interleave groups
-                _collect_movi(body + 4, body + size)
+                _collect_movi(body + 4, body + size, depth + 1)
                 continue
             if vids_stream is None or not cid[:2].isdigit():
                 continue
@@ -159,7 +170,10 @@ def decode_video_frames(payload: bytes):
             if cid[2:4] in (b"db", b"dc"):
                 frames_raw.append(payload[body : body + size])
 
-    walk(12, len(payload))
+    try:
+        walk(12, len(payload))
+    except struct.error as exc:  # header points past the buffer
+        raise ValueError(f"malformed AVI header: {exc}") from exc
 
     if vids_stream is None or width is None:
         raise ValueError("AVI has no video ('vids') stream")

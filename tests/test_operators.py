@@ -3132,3 +3132,34 @@ def test_margin_bitext_blocked_equals_exact_on_clustered_data(spark):
         ).collect()
     }
     assert exact and blocked == exact
+
+
+def test_waterfill_allocation_randomized_sweep(spark):
+    """Seeded random instances vs the brute-force reference: caps,
+    weights, and budgets drawn across regimes (tight budget, overdraw,
+    exact-total, single source) — every allocation and capped flag
+    must match the prefix-scan math exactly."""
+    import random
+
+    from pystreams_spark.operators.selection import waterfill_allocation
+
+    rng = random.Random(42)
+    for trial in range(12):
+        n = rng.randrange(1, 8)
+        caps = {f"s{i}": rng.randrange(1, 10_000) for i in range(n)}
+        weights = {f"s{i}": rng.randrange(1, 60) for i in range(n)}
+        total = sum(caps.values())
+        budget = rng.choice(
+            [rng.randrange(1, total + 1), total, total + rng.randrange(1, 500)]
+        )
+        cdf = spark.createDataFrame(
+            [(g, caps[g], weights[g]) for g in sorted(caps)],
+            "lang string, available_tokens long, weight long",
+        )
+        bdf = spark.createDataFrame([(budget,)], "budget long")
+        got = {
+            r.lang: (r.allocated_tokens, r.capped)
+            for r in waterfill_allocation(cdf, bdf).collect()
+        }
+        want = _waterfill_ref(caps, weights, budget)
+        assert got == want, (trial, budget, caps, weights, got, want)

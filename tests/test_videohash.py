@@ -221,3 +221,31 @@ def test_video_candidates_match_bruteforce(spark):
         for r in Stream(df).video_neardup_candidates().df.collect()
     }
     assert got3 == got
+
+
+def test_decode_totality_under_corruption():
+    """One corrupt payload must degrade, never kill an ingest task:
+    random bit flips over a valid container and a crafted LIST-nest
+    bomb both surface as ValueError/NotImplementedError — no
+    struct.error, RecursionError, or anything else escapes (the
+    on_undecodable='keep' contract)."""
+    import random
+
+    rng = random.Random(0)
+    base = encode_avi([np.zeros((6, 11, 3), np.uint8)] * 2)
+    for _ in range(3000):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 8)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_video_frames(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+    inner = b""
+    for _ in range(5000):
+        inner = (
+            b"LIST" + (len(inner) + 4).to_bytes(4, "little") + b"rec " + inner
+        )
+    bomb = b"RIFF" + (len(inner) + 4).to_bytes(4, "little") + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting"):
+        decode_video_frames(bomb)
