@@ -133,7 +133,11 @@ def audio_fingerprint(
                     )
                     sigs.append(afp_from_samples(s2d, windows))
                     meta.append((rate, int(s2d.shape[0])))
-                except (ValueError, NotImplementedError):
+                except Exception:
+                    # named refusals AND truncated-chunk struct.error
+                    # both degrade in keep mode (one corrupt payload
+                    # must not fail a 100 TB ingest task); error mode
+                    # surfaces everything
                     if on_undecodable == "error":
                         raise
                     sigs.append(None)

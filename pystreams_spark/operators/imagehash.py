@@ -134,7 +134,12 @@ def image_dhash(
                     )
                     sigs.append(dhash_from_pixels(arr, h_cells, w_cells))
                     dims.append((int(arr.shape[1]), int(arr.shape[0])))
-                except (ValueError, NotImplementedError) as exc:
+                except Exception:
+                    # ValueError/NotImplementedError are the named
+                    # refusals; struct.error / zlib.error / IndexError
+                    # on truncated bytes land here too — one corrupt
+                    # payload must not fail a 100 TB ingest task
+                    # (keep mode); error mode surfaces everything
                     if on_undecodable == "error":
                         raise
                     sigs.append(None)

@@ -295,7 +295,11 @@ def video_frame_hashes(
                             )
                         )
                         counts.append(nf)
-                except (ValueError, NotImplementedError):
+                except Exception:
+                    # named refusals AND any residual parse crash
+                    # degrade in keep mode (one corrupt payload must
+                    # not fail a 100 TB ingest task); error mode
+                    # surfaces everything
                     if on_undecodable == "error":
                         raise
                     ids.append(did)
