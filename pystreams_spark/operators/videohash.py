@@ -40,6 +40,19 @@ Scale shape: one mapInPandas decode+hash pass per corpus (payloads
 never leave the kernel; output is id + k longs as rows), then
 (slot·bands + band, value, id) triple shuffles — no all-pairs term,
 and the verify join touches k·|candidates| 8-byte rows.
+
+Validation honesty (the VP8L protocol): the encoder and decoder are
+mirror implementations from the public RIFF/AVI layout — no
+externally-produced uncompressed AVI exists in this container to
+differential against (searched 2026-08-16: zero ``*.avi`` on the
+filesystem, no ffmpeg). Mitigations: DIB frame bodies are the SAME
+layout the BMP decoder reads (and ``frame_sample``'s BMP round-trip
+pins that cross-decoder agreement), headers follow the spec field
+offsets verbatim (strh dwScale/dwRate at +20/+24, BITMAPINFOHEADER in
+strf), and a 3000-mutation fuzz plus a LIST-nest bomb pin totality.
+The two header-interpretation choices worth external re-verification:
+avih dwMicroSecPerFrame preferred over strh scale/rate when both
+present, and '##dc' chunks accepted as DIB when biCompression=0.
 """
 
 from __future__ import annotations
