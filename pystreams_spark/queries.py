@@ -6945,10 +6945,11 @@ def language_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WATERFILL_WEIGHTS = {"de": 30, "en": 25, "es": 15, "fr": 15, "zh": 15}
 
 
-@query(
-    "mixture_waterfill_allocation",
-    oracle=f"""
-    WITH caps AS (
+# Shared DuckDB CTE prefix for the waterfilling pair (r10): per-lang
+# token caps + literal weights -> 80%-budget -> cap/weight ordering
+# with prefix/suffix sums -> the integer pivot `piv(k, num, den)`.
+# Mirrors operators/selection.waterfill_allocation.
+_WF_CTES = f"""caps AS (
         SELECT d.lang, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS c, w.w
         FROM documents d
         JOIN (VALUES ('de', 30), ('en', 25), ('es', 15),
@@ -6981,7 +6982,13 @@ _WATERFILL_WEIGHTS = {"de": 30, "en": 25, "es": 15, "fr": 15, "zh": 15}
         FROM ord
         WHERE (budget - cprev) * w <= c * wsuf
           AND (i = 1 OR (budget - cprev) * lagw >= lagc * wsuf)
-    )
+    )"""
+
+
+@query(
+    "mixture_waterfill_allocation",
+    oracle=f"""
+    WITH {_WF_CTES}
     SELECT o.lang, o.c AS available_tokens,
            CAST(o.w AS BIGINT) AS weight,
            CAST(CASE WHEN p.k IS NULL OR o.i < p.k THEN o.c
@@ -7041,6 +7048,155 @@ def mixture_waterfill_allocation(
         F.expr("(8 * sum(available_tokens)) div 10").alias("budget")
     )
     return waterfill_allocation(caps, budget)
+
+
+@query(
+    "training_mix_manifest",
+    oracle=f"""
+    WITH {{_WF_CTES}}, alloc AS (
+        SELECT o.lang,
+               CAST(CASE WHEN p.k IS NULL OR o.i < p.k THEN o.c
+                    ELSE LEAST(o.c, (p.num * o.w) // p.den)
+               END AS BIGINT) AS allocated,
+               (p.k IS NULL OR o.i < p.k) AS capped
+        FROM ord o, piv p
+    ), ranked AS (
+        SELECT lang, doc_id,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS rk
+        FROM documents
+    ), cum AS (
+        SELECT lang, doc_id, n_tokens,
+               SUM(n_tokens) OVER
+                 (PARTITION BY lang ORDER BY rk, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum_in_lang
+        FROM ranked
+    ), sel AS (
+        SELECT c.lang, c.doc_id, c.n_tokens
+        FROM cum c JOIN alloc a ON a.lang = c.lang
+        WHERE c.cum_in_lang <= a.allocated
+    )
+    SELECT a.lang, a.allocated AS allocated_tokens, a.capped,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_docs_selected,
+           CAST(COALESCE(SUM(s.n_tokens), 0) AS BIGINT)
+             AS tokens_selected,
+           CAST(CASE WHEN a.allocated = 0 THEN 0
+                ELSE (COALESCE(SUM(s.n_tokens), 0) * 1000000)
+                     // a.allocated END AS BIGINT) AS fill_ppm
+    FROM alloc a LEFT JOIN sel s ON s.lang = a.lang
+    GROUP BY a.lang, a.allocated, a.capped
+    ORDER BY a.lang
+    """.replace("{_WF_CTES}", _WF_CTES),
+)
+def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From TARGET MIXTURE to MATERIALIZED SELECTION (r10) — the final
+    step of the mixture pipeline: the waterfilled per-language token
+    allocations (`mixture_waterfill_allocation`'s exact math) are
+    FILLED with concrete documents, deterministically — docs within a
+    language are ordered by md5(doc_id) (the engine-portable shuffle)
+    and taken greedily while the language's running token total stays
+    ≤ its allocation. The report is the per-language manifest: docs
+    selected, tokens landed, and the fill rate in exact ppm (floor
+    selection undershoots by at most one document per language).
+
+    Scale shape — no corpus-sized low-cardinality window (the KMV-r9
+    lesson): the per-language running totals come from ONE global
+    `ordered_cumsum` over (lang, md5-rank) — a range shuffle + narrow
+    offset kernel — minus each language's broadcast prefix offset
+    (a source-count-sized frame), so the plan holds at 100× where a
+    `Window.partitionBy(lang)` over the corpus would sort billions of
+    rows in |langs| tasks. The DuckDB oracle replays the waterfill
+    CTEs, the md5 ordering, per-language cumulative sums, the greedy
+    cut, and the manifest under one value hash."""
+    from .functions.text import token_count
+    from .io import broadcast_if_small
+    from .operators.selection import ordered_cumsum, waterfill_allocation
+
+    d = _t(spark, sf_dir, "documents")
+    mapping = F.create_map(
+        *[
+            x
+            for k, v in _WATERFILL_WEIGHTS.items()
+            for x in (F.lit(k), F.lit(v))
+        ]
+    )
+    docs = d.select(
+        "lang",
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_rk"),
+    ).localCheckpoint(eager=True)  # feeds caps AND the cumsum sort
+    caps = (
+        docs.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("available_tokens"))
+        .withColumn("weight", mapping[F.col("lang")].cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    budget = caps.agg(
+        F.expr("(8 * sum(available_tokens)) div 10").alias("budget")
+    )
+    alloc = waterfill_allocation(caps, budget).select(
+        "lang",
+        F.col("allocated_tokens").alias("_alloc"),
+        "capped",
+    )
+    g = ordered_cumsum(
+        docs, order=[F.col("lang"), F.col("_rk"), F.col("doc_id")],
+        value_col="n_tokens", out_col="_cum",
+    )
+    # per-lang running total = global cum − the lang's prefix offset
+    # (offsets from the source-count-sized caps frame: running sum of
+    # preceding langs' totals in the SAME (lang) order the cumsum used)
+    from pyspark.sql import Window
+
+    offsets = caps.select(
+        "lang",
+        (
+            F.coalesce(
+                F.sum("available_tokens").over(
+                    Window.orderBy("lang").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_off"),
+    )
+    sel = (
+        g.join(broadcast_if_small(offsets), "lang")
+        .join(broadcast_if_small(alloc), "lang")
+        .withColumn("_cum_in_lang", F.col("_cum") - F.col("_off"))
+        .filter(F.col("_cum_in_lang") <= F.col("_alloc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_selected"),
+            F.sum("n_tokens").alias("tokens_selected"),
+        )
+    )
+    return (
+        alloc.join(broadcast_if_small(sel), "lang", "left")
+        .select(
+            "lang",
+            F.col("_alloc").cast("long").alias("allocated_tokens"),
+            "capped",
+            F.coalesce(F.col("n_docs_selected"), F.lit(0))
+            .cast("long")
+            .alias("n_docs_selected"),
+            F.coalesce(F.col("tokens_selected"), F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+            F.when(F.col("_alloc") == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "(coalesce(tokens_selected, 0) * 1000000) div _alloc"
+                )
+            )
+            .cast("long")
+            .alias("fill_ppm"),
+        )
+        .orderBy("lang")
+    )
 
 
 @query(
