@@ -174,23 +174,36 @@ def frame_sample(
             ):
                 payload = bytes(pay or b"")
                 if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    frames, usec, _, _ = decode_video_frames(payload)
-                    if usec <= 0:
-                        raise ValueError("AVI carries no frame timing")
-                    total_ms = (len(frames) * usec) // 1000
-                    for i, ts in enumerate(
-                        range(0, max(int(total_ms), 1), every_ms)
-                    ):
-                        fi = min(len(frames) - 1, (ts * 1000) // usec)
-                        rows.append(
-                            {
-                                "media_id": mid,
-                                "frame_idx": i,
-                                "frame_ts_ms": ts,
-                                "frame": encode_bmp(frames[fi]),
-                            }
-                        )
-                    continue
+                    # Real decode can fail on AVI-magic payloads this
+                    # container can't handle (compressed streams,
+                    # truncated container, usec<=0). With
+                    # decode_stub=True that degrades to the byte-slice
+                    # stub like any other non-decodable container —
+                    # one corrupt clip must not kill the job (ADVICE
+                    # r10); decode_stub=False surfaces the named error.
+                    try:
+                        frames, usec, _, _ = decode_video_frames(payload)
+                        if usec <= 0:
+                            raise ValueError("AVI carries no frame timing")
+                    except Exception:
+                        if not decode_stub:
+                            raise
+                        frames = None
+                    if frames is not None:
+                        total_ms = (len(frames) * usec) // 1000
+                        for i, ts in enumerate(
+                            range(0, max(int(total_ms), 1), every_ms)
+                        ):
+                            fi = min(len(frames) - 1, (ts * 1000) // usec)
+                            rows.append(
+                                {
+                                    "media_id": mid,
+                                    "frame_idx": i,
+                                    "frame_ts_ms": ts,
+                                    "frame": encode_bmp(frames[fi]),
+                                }
+                            )
+                        continue
                 if not decode_stub:
                     raise NotImplementedError(
                         "real frame extraction for non-AVI containers "

@@ -327,6 +327,21 @@ def waterfill_allocation(
     """
     from pyspark.sql import Window
 
+    from ..gates import gate_rows
+
+    # Contract (ADVICE r10): a NULL or non-positive weight is a caller
+    # bug, not a degenerate allocation — under nulls-first ordering a
+    # NULL-weight source would sort ahead of every real ratio, be
+    # granted its full cap as 'capped', and silently shrink everyone
+    # else's budget. Raise in-plan instead; callers that want the
+    # inner-join semantics filter unknown sources out BEFORE calling.
+    caps = gate_rows(
+        caps,
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        f"waterfill_allocation: NULL or non-positive {weight_col} — "
+        "filter unknown sources out before allocating",
+    )
+
     ratio = F.col(cap_col).cast("double") / F.col(weight_col)
     wo = Window.orderBy(ratio, group_col)
     ord_df = (

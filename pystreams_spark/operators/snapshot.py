@@ -41,7 +41,14 @@ __all__ = ["snapshot_diff"]
 
 
 def _content_key(text_col: str):
-    return F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10).cast("long")
+    # NULL text coalesces to '' before hashing (ADVICE r10): md5(NULL)
+    # is NULL, which would eject a both-sides id from the unchanged/
+    # modified branch into added+removed, and two NULL-text docs could
+    # never exact-match. NULL and '' are deliberately one equivalence
+    # class — both mean "no content".
+    return F.conv(
+        F.substring(F.md5(F.coalesce(text_col, F.lit(""))), 1, 15), 16, 10
+    ).cast("long")
 
 
 def snapshot_diff(

@@ -294,20 +294,31 @@ def video_frame_hashes(
             sigs: list = []
             counts: list = []
             for did, b in zip(pdf[id_col], pdf[payload_col]):
+                # Per-doc staging: a failure AFTER some slots hashed
+                # (decode ok, later slot hash crashed) must not leave
+                # partial slot rows + a NULL row for the same doc —
+                # downstream sums Hamming over however many slots
+                # exist, so partial docs would bias total_hamming low
+                # and admit spurious pairs (ADVICE r10). Output lists
+                # only extend once the WHOLE doc succeeds.
                 try:
                     frames, _, _, _ = decode_video_frames(
                         bytes(b) if b is not None else b""
                     )
                     nf = len(frames)
+                    doc_slots: list = []
+                    doc_sigs: list = []
                     for s in range(n_slots):
-                        ids.append(did)
-                        slots.append(s)
-                        sigs.append(
+                        doc_slots.append(s)
+                        doc_sigs.append(
                             dhash_from_pixels(
                                 frames[s * nf // n_slots], h_cells, w_cells
                             )
                         )
-                        counts.append(nf)
+                    ids.extend([did] * n_slots)
+                    slots.extend(doc_slots)
+                    sigs.extend(doc_sigs)
+                    counts.extend([nf] * n_slots)
                 except Exception:
                     # named refusals AND any residual parse crash
                     # degrade in keep mode (one corrupt payload must

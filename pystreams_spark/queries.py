@@ -7041,6 +7041,11 @@ def mixture_waterfill_allocation(
         .groupBy("lang")
         .agg(F.sum("_t").alias("available_tokens"))
         .withColumn("weight", mapping[F.col("lang")].cast("long"))
+        # inner-join semantics, matching the oracle's weight JOIN
+        # (ADVICE r10): a lang outside the target mixture drops BEFORE
+        # the budget sum — waterfill_allocation itself raises on any
+        # NULL weight that slips through
+        .filter(F.col("weight").isNotNull())
         # tiny frame, corpus-scan lineage, two consumers (budget + solve)
         .localCheckpoint(eager=True)
     )
@@ -7131,6 +7136,9 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(F.sum("n_tokens").alias("available_tokens"))
         .withColumn("weight", mapping[F.col("lang")].cast("long"))
+        # inner-join semantics, matching the oracle's weight JOIN
+        # (ADVICE r10) — see mixture_waterfill_allocation
+        .filter(F.col("weight").isNotNull())
         .localCheckpoint(eager=True)
     )
     budget = caps.agg(
@@ -7290,7 +7298,8 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_snapshot_diff",
     oracle="""
     WITH a AS (
-        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        SELECT doc_id,
+               ('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT AS h
         FROM documents
     ), b_src AS (
         SELECT CASE WHEN doc_id % 7 = 2 THEN doc_id + 1000000
@@ -7303,7 +7312,8 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                'fresh content ' || CAST(doc_id AS VARCHAR)
         FROM documents WHERE doc_id % 7 = 3
     ), b AS (
-        SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        SELECT doc_id,
+               ('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT AS h
         FROM b_src
     ), bth AS (
         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,

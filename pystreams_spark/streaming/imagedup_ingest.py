@@ -91,8 +91,13 @@ class ImagedupIngest:
         first use and REFUSE different ones later: a changed grid or
         banding makes new signatures silently never match stored ones
         — duplicates would leak through with no error (the
-        ``NeardupIngest`` contract)."""
+        ``NeardupIngest`` contract). Also refuses a session configured
+        not to write ``_SUCCESS`` markers (ADVICE r10)."""
         import json
+
+        from .epoch_store import assert_markers_enabled
+
+        assert_markers_enabled(spark, "ImagedupIngest")
 
         from pyspark.errors import AnalysisException
 
@@ -121,36 +126,16 @@ class ImagedupIngest:
         self, spark: SparkSession, before_epoch: int
     ) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —
-        only ``epoch=N`` directories carrying a ``_SUCCESS`` marker are
-        read (commit filter: a crash mid-write leaves no marker, so a
-        torn epoch can neither trip the listing nor partially count);
-        None when nothing committed yet."""
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/sigs")
-        fs = root.getFileSystem(
-            spark.sparkContext._jsc.hadoopConfiguration()
+        the hardened shared commit filter (`epoch_store`, ADVICE r10):
+        committed epochs are read, torn (empty marker-less) epochs are
+        skipped, and a marker-less OLD epoch holding part files raises
+        instead of silently dropping its signatures from dedup; None
+        when nothing committed yet."""
+        from .epoch_store import read_epoch_store
+
+        return read_epoch_store(
+            spark, f"{self.state_dir}/sigs", before_epoch, "ImagedupIngest"
         )
-        if not fs.exists(root):
-            return None
-        committed = []
-        for status in fs.listStatus(root):
-            name = status.getPath().getName()
-            if not name.startswith("epoch="):
-                continue
-            try:
-                epoch = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if epoch >= before_epoch:
-                continue
-            marker = jvm.org.apache.hadoop.fs.Path(
-                status.getPath(), "_SUCCESS"
-            )
-            if fs.exists(marker):
-                committed.append(status.getPath().toString())
-        if not committed:
-            return None
-        return spark.read.parquet(*committed)
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """All survivor rows emitted so far (union of epoch outputs)."""

@@ -97,10 +97,17 @@ class NeardupIngest:
         """Persist the signature parameters next to the store on first
         use and REFUSE to run with different ones later: a changed seed
         or banding would make new signatures silently never match the
-        stored ones — duplicates would leak through with no error."""
+        stored ones — duplicates would leak through with no error.
+        Also refuses a session configured not to write ``_SUCCESS``
+        markers (the commit filter would read every epoch as
+        uncommitted — ADVICE r10)."""
         import json
 
         from pyspark.errors import AnalysisException
+
+        from .epoch_store import assert_markers_enabled
+
+        assert_markers_enabled(spark, "NeardupIngest")
 
         path = f"{self.state_dir}/_params"
         try:
@@ -124,37 +131,17 @@ class NeardupIngest:
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —
-        only ``epoch=N`` directories carrying a ``_SUCCESS`` marker are
-        read (r10, the ADVICE-r9 commit filter retrofitted from
-        ``novelty_ingest``: a crash mid-write leaves no marker, so a
-        torn epoch can neither trip the next batch's listing nor
-        partially count); None when nothing committed yet. The epoch
-        bound applies on the directory NAME, so no partition column is
-        materialized."""
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/sigs")
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return None
-        committed = []
-        for status in fs.listStatus(root):
-            name = status.getPath().getName()
-            if not name.startswith("epoch="):
-                continue
-            try:
-                epoch = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if epoch >= before_epoch:
-                continue
-            marker = jvm.org.apache.hadoop.fs.Path(
-                status.getPath(), "_SUCCESS"
-            )
-            if fs.exists(marker):
-                committed.append(status.getPath().toString())
-        if not committed:
-            return None
-        return spark.read.parquet(*committed)
+        the hardened shared commit filter (`epoch_store`, ADVICE r10):
+        committed epochs are read, torn (empty marker-less) epochs are
+        skipped, and a marker-less OLD epoch holding part files raises
+        instead of silently dropping its signatures from dedup. The
+        epoch bound applies on the directory NAME, so no partition
+        column is materialized."""
+        from .epoch_store import read_epoch_store
+
+        return read_epoch_store(
+            spark, f"{self.state_dir}/sigs", before_epoch, "NeardupIngest"
+        )
 
     def survivors(self, spark: SparkSession) -> DataFrame:
         """All survivor rows emitted so far (union of epoch outputs)."""

@@ -69,8 +69,14 @@ class NoveltyIngest:
 
     def _check_params(self, spark: SparkSession) -> None:
         """Same guard as NeardupIngest: a changed gram width against an
-        existing store would silently mis-score every later doc."""
+        existing store would silently mis-score every later doc. Also
+        refuses a session configured not to write ``_SUCCESS`` markers
+        (ADVICE r10)."""
         import json
+
+        from .epoch_store import assert_markers_enabled
+
+        assert_markers_enabled(spark, "NoveltyIngest")
 
         from pyspark.errors import AnalysisException
 
@@ -97,39 +103,18 @@ class NoveltyIngest:
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Gram store strictly before ``before_epoch``; None when empty.
 
-        Commit filter (r10, ADVICE r9): only ``epoch=N`` directories
-        whose ``_SUCCESS`` marker exists are read — a crash mid-write
-        of an epoch leaves part files without the marker, and a blanket
-        ``read.parquet(grams/)`` on the next batch could trip over (or
-        partially read) them; enumerating committed epochs makes
-        exactly-once hold across dirty crashes, not just clean replays
-        (same pattern as ``StatsMaintainer.current``). The epoch bound
-        is applied on the directory NAME, so no partition column is
-        materialized."""
-        jvm = spark.sparkContext._jvm
-        root = jvm.org.apache.hadoop.fs.Path(f"{self.state_dir}/grams")
-        fs = root.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        if not fs.exists(root):
-            return None
-        committed = []
-        for status in fs.listStatus(root):
-            name = status.getPath().getName()
-            if not name.startswith("epoch="):
-                continue
-            try:
-                epoch = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if epoch >= before_epoch:
-                continue
-            marker = jvm.org.apache.hadoop.fs.Path(
-                status.getPath(), "_SUCCESS"
-            )
-            if fs.exists(marker):
-                committed.append(status.getPath().toString())
-        if not committed:
-            return None
-        return spark.read.parquet(*committed)
+        Commit filter (r10, ADVICE r9; hardened r11 via the shared
+        `epoch_store`): committed epochs are read, torn (empty
+        marker-less) epochs are skipped, and a marker-less OLD epoch
+        holding part files raises instead of silently dropping its
+        grams (same pattern as ``StatsMaintainer.current``). The epoch
+        bound is applied on the directory NAME, so no partition column
+        is materialized."""
+        from .epoch_store import read_epoch_store
+
+        return read_epoch_store(
+            spark, f"{self.state_dir}/grams", before_epoch, "NoveltyIngest"
+        )
 
     def scores(self, spark: SparkSession) -> DataFrame:
         """All scored rows emitted so far (union of epoch outputs)."""

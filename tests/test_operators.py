@@ -3016,6 +3016,54 @@ def test_waterfill_allocation_matches_reference(spark):
             assert total == sum(caps.values())  # shortfall is visible
 
 
+def test_waterfill_allocation_rejects_bad_weights(spark):
+    """ADVICE r10: a NULL (or non-positive) weight is a caller bug —
+    under nulls-first ordering it would be granted its full cap as
+    'capped' and silently shrink everyone else's budget. The operator
+    raises in-plan instead."""
+    import pytest as _pytest
+
+    from pystreams_spark.operators.selection import waterfill_allocation
+
+    bdf = spark.createDataFrame([(4000,)], "budget long")
+    for bad in (None, 0, -3):
+        cdf = spark.createDataFrame(
+            [("x", 10_000, 3), ("y", 10_000, bad)],
+            "lang string, available_tokens long, weight long",
+        )
+        with _pytest.raises(Exception, match="non-positive weight"):
+            waterfill_allocation(cdf, bdf).collect()
+
+
+def test_snapshot_diff_null_text_is_content(spark):
+    """ADVICE r10: NULL text coalesces to '' before hashing — an id
+    present in both snapshots with NULL text on one side classifies
+    as modified (vs ''), two NULL-text docs exact-match (unchanged /
+    moved), never fall out into added+removed."""
+    from pystreams_spark.operators.snapshot import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, None), (2, "kept"), (3, None), (5, None)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, ""), (2, None), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in snapshot_diff(a, b).collect()
+    }
+    # NULL ≡ '' by design: id 1 unchanged; id 2 text→NULL is modified
+    assert got[1] == ("unchanged", None)
+    assert got[2] == ("modified", None)
+    # NULL-text content matches across the removed×added sets: the
+    # rank-paired move picks the smaller removed id (3, not 5)
+    assert got[3] == ("moved_away", 4)
+    assert got[4] == ("moved_in", 3)
+    assert got[5][0] == "removed"
+
+
 def test_waterfill_allocation_uncapped_is_proportional(spark):
     from pystreams_spark.operators.selection import waterfill_allocation
 

@@ -1275,9 +1275,12 @@ def test_imagedup_ingest_under_structured_streaming(spark, tmp_path):
 
 
 def test_imagedup_ingest_commit_filter_and_params(spark, tmp_path):
-    """A torn (marker-less) epoch dir in the signature store must be
-    skipped, not crash the next batch; and a restart with different
-    hash parameters must refuse (the NeardupIngest contract)."""
+    """Hardened commit filter (ADVICE r10): a torn EMPTY marker-less
+    epoch dir is skipped; a marker-less dir below the replay horizon
+    that holds committed-looking part files RAISES (silently skipping
+    it would silently drop its signatures from dedup); and a restart
+    with different hash parameters must refuse (the NeardupIngest
+    contract)."""
     import os
 
     from pystreams_spark.streaming.imagedup_ingest import ImagedupIngest
@@ -1288,12 +1291,10 @@ def test_imagedup_ingest_commit_filter_and_params(spark, tmp_path):
         _image_bdf(spark, payloads, batches[0]), 0
     )
 
-    # torn epoch BELOW the next read's bound: garbage part file, no
-    # _SUCCESS marker — the commit filter must skip it entirely
+    # torn EMPTY epoch below the next read's bound (crash between
+    # mkdir and first task commit): carries no data, skipped
     torn = f"{state}/sigs/epoch=1"
     os.makedirs(torn)
-    with open(f"{torn}/part-00000.parquet", "wb") as fh:
-        fh.write(b"\x00not parquet")
     ImagedupIngest(state).process_batch(
         _image_bdf(spark, payloads, batches[1]), 2
     )
@@ -1304,16 +1305,36 @@ def test_imagedup_ingest_commit_filter_and_params(spark, tmp_path):
     }
     assert 100 not in surv and 3 in surv
 
+    # marker-less dir WITH part files below the horizon: nothing will
+    # ever rewrite it → loud failure naming the dir, not a silent
+    # recall hole
+    os.makedirs(f"{state}/sigs/epoch=3")
+    with open(f"{state}/sigs/epoch=3/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not parquet")
+    with pytest.raises(Exception, match="no\\s+_SUCCESS|committed-"):
+        ImagedupIngest(state).process_batch(
+            _image_bdf(spark, payloads, batches[2]), 4
+        )
+    # documented recovery: restore the marker after verifying -> but
+    # the garbage part file is unreadable, so discard the epoch
+    os.remove(f"{state}/sigs/epoch=3/part-00000.parquet")
+    os.rmdir(f"{state}/sigs/epoch=3")
+    ImagedupIngest(state).process_batch(
+        _image_bdf(spark, payloads, batches[2]), 4
+    )
+
     with pytest.raises(ValueError, match="never match"):
         ImagedupIngest(state, band_bits=12, bands=5).process_batch(
-            _image_bdf(spark, payloads, batches[2]), 3
+            _image_bdf(spark, payloads, batches[2]), 5
         )
 
 
 def test_neardup_ingest_commit_filter_skips_torn_epoch(spark, tmp_path):
-    """r10 retrofit of the ADVICE-r9 commit filter: a torn
-    (marker-less) epoch dir in the text signature store is skipped,
-    and cross-batch dedup still works through it."""
+    """Hardened commit filter (ADVICE r10): a torn EMPTY marker-less
+    epoch dir in the text signature store is skipped (cross-batch
+    dedup still works through it); a marker-less dir WITH part files
+    below the replay horizon raises loudly; and a session configured
+    not to write _SUCCESS markers is refused at the first batch."""
     import os
 
     from pystreams_spark.streaming.neardup_ingest import NeardupIngest
@@ -1329,8 +1350,6 @@ def test_neardup_ingest_commit_filter_skips_torn_epoch(spark, tmp_path):
     NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[0]), 0)
     torn = f"{state}/sigs/epoch=1"
     os.makedirs(torn)
-    with open(f"{torn}/part-00000.parquet", "wb") as fh:
-        fh.write(b"\x00not parquet")
     NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[1]), 2)
     surv = {
         r.doc_id
@@ -1340,3 +1359,33 @@ def test_neardup_ingest_commit_filter_skips_torn_epoch(spark, tmp_path):
     }
     # 100 (copy of 3, which landed in epoch 0) dropped via the store
     assert 100 not in surv and 3 in surv
+
+    # committed-looking part files without a marker below the horizon:
+    # raise, never silently drop the epoch's signatures
+    os.makedirs(f"{state}/sigs/epoch=3")
+    with open(f"{state}/sigs/epoch=3/part-00000.parquet", "wb") as fh:
+        fh.write(b"\x00not parquet")
+    with pytest.raises(Exception, match="no\\s+_SUCCESS|committed-"):
+        NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[2]), 4)
+
+
+def test_epoch_store_refuses_markerless_session(spark, tmp_path):
+    """ADVICE r10: with mapreduce.fileoutputcommitter.
+    marksuccessfuljobs=false the commit filter would read every epoch
+    as uncommitted forever — the ingest must refuse at init instead of
+    silently disabling cross-batch dedup."""
+    from pystreams_spark.streaming.neardup_ingest import NeardupIngest
+
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = conf.get(key, "true")
+    conf.set(key, "false")
+    try:
+        docs, batches = _ingest_corpus()
+        bdf = spark.createDataFrame(
+            [(i, docs[i]) for i in batches[0]], "doc_id long, text string"
+        )
+        with pytest.raises(RuntimeError, match="marksuccessfuljobs"):
+            NeardupIngest(str(tmp_path / "state")).process_batch(bdf, 0)
+    finally:
+        conf.set(key, old)

@@ -109,6 +109,35 @@ def test_frame_sample_real_avi_path(spark):
     assert np.array_equal(decode_image_pixels(bytes(rows[1].frame)), frames[2])
 
 
+def test_frame_sample_corrupt_avi_falls_back_to_stub(spark):
+    """ADVICE r10: an AVI-magic payload that fails real decode
+    (truncated container here) must degrade to the byte-slice stub
+    under decode_stub=True — one corrupt clip cannot kill the job —
+    and raise by name under decode_stub=False."""
+    from pyspark.sql import Row
+
+    from pystreams_spark.operators.multimodal import frame_sample
+
+    truncated = encode_avi(_frames(5), 500_000)[:40]  # RIFF/AVI magic kept
+    df = spark.createDataFrame(
+        [
+            Row(
+                media_id=9,
+                payload=bytearray(truncated),
+                meta=Row(
+                    uri="x", mime="video/avi", width=11, height=6,
+                    duration_ms=2000,
+                ),
+            )
+        ]
+    )
+    rows = frame_sample(df, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in sorted(rows, key=lambda r: r.frame_idx)] \
+        == [0, 1000]  # stub path: meta duration drives the timeline
+    with pytest.raises(Exception):
+        frame_sample(df, every_ms=1000, decode_stub=False).collect()
+
+
 def test_decode_one_reports_video_features():
     from pystreams_spark.operators.multimodal import _decode_one
 
@@ -154,6 +183,11 @@ def test_video_hashes_undecodable_modes(spark):
         [
             (1, bytearray(encode_avi(_frames(9)))),
             (2, bytearray(b"not video at all")),
+            # decodes fine but the 3x2 frames are smaller than the
+            # hash grid: decode-ok-hash-fail must degrade to EXACTLY
+            # one NULL row — never partial slot rows that would bias
+            # total_hamming low downstream (ADVICE r10)
+            (3, bytearray(encode_avi(_frames(5, h=2, w=3)))),
         ],
         "doc_id long, payload binary",
     )
@@ -163,7 +197,8 @@ def test_video_hashes_undecodable_modes(spark):
         by_id.setdefault(r.doc_id, []).append(r.fhash)
     assert len(by_id[1]) == 4 and all(v is not None for v in by_id[1])
     assert by_id[2] == [None]
-    with pytest.raises(Exception, match="RIFF/AVI"):
+    assert by_id[3] == [None]
+    with pytest.raises(Exception, match="RIFF/AVI|hash grid"):
         video_frame_hashes(df, on_undecodable="error").collect()
 
 
