@@ -125,13 +125,19 @@ def main() -> None:
         "suite_wall_sec": round(time.perf_counter() - t_suite0, 1),
     }
     # subset runs (BENCH_QUERIES) go to a separate file so they never
-    # clobber the last full-suite detail record
+    # clobber the last full-suite detail record — and each subset run
+    # ALSO appends to a run log, so a flag adjudication survives the
+    # next subset run (r10 verdict: two consecutive subset runs must
+    # both stay on disk)
     detail_name = "BENCH_DETAIL_SUBSET.json" if subset else "BENCH_DETAIL.json"
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
-    )
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    if subset:
+        detail["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(os.path.join(here, "BENCH_SUBSET_LOG.jsonl"), "a") as f:
+            f.write(json.dumps(detail) + "\n")
     print(json.dumps(detail))
     compact = {
         "metric": "total_query_wall_clock",

