@@ -7597,6 +7597,193 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(d, b).orderBy("doc_id")
 
 
+@query(
+    "snapshot_neardup_moves",
+    oracle=f"""
+    WITH b_src AS (
+        SELECT CASE WHEN doc_id % 7 = 2 THEN doc_id + 1000000
+                    ELSE doc_id END AS doc_id,
+               CASE WHEN doc_id % 7 = 1 THEN text || ' v2'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 != 0
+        UNION ALL
+        SELECT doc_id + 2000000,
+               'fresh content ' || CAST(doc_id AS VARCHAR)
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 3000000, text || ' rev2 micro edit'
+        FROM documents WHERE doc_id % 7 = 0
+    ), a AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT AS h
+        FROM documents
+    ), b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(COALESCE(text, '')), 1, 15))::BIGINT AS h
+        FROM b_src
+    ), bth AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.h AS ha, b.h AS hb
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    ), removed0 AS (
+        SELECT doc_id, ha AS h,
+               ROW_NUMBER() OVER (PARTITION BY ha ORDER BY doc_id) AS rn
+        FROM bth WHERE hb IS NULL
+    ), added0 AS (
+        SELECT doc_id, hb AS h,
+               ROW_NUMBER() OVER (PARTITION BY hb ORDER BY doc_id) AS rn
+        FROM bth WHERE ha IS NULL
+    ), moved AS (
+        SELECT removed0.doc_id AS rid, added0.doc_id AS aid
+        FROM removed0 JOIN added0 USING (h, rn)
+    ), slice AS (
+        SELECT r0.doc_id * 2 AS doc_id, d.text
+        FROM removed0 r0 JOIN documents d ON d.doc_id = r0.doc_id
+        WHERE r0.doc_id NOT IN (SELECT rid FROM moved)
+        UNION ALL
+        SELECT a0.doc_id * 2 + 1 AS doc_id, bs.text
+        FROM added0 a0 JOIN b_src bs ON bs.doc_id = a0.doc_id
+        WHERE a0.doc_id NOT IN (SELECT aid FROM moved)
+    ), g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, GREATEST(len({_TOKS_SQL}) - 2, 1)),
+            i -> ('0x' || substr(md5(array_to_string(
+                     list_slice({_TOKS_SQL}, i, i + 2), ' ')), 1, 15))::BIGINT
+        ))) AS v
+        FROM slice
+    ), sig AS (
+        SELECT doc_id,
+               {{_MH_MINS_SQL}}
+        FROM g GROUP BY doc_id
+    ), bp AS (
+        {{_MH_BANDS_SQL}}
+    ), cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_bands_shared
+        FROM bp x JOIN bp y ON x.band = y.band AND x.key = y.key
+                           AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ), sets AS (
+        SELECT doc_id, COUNT(*) AS sz FROM g GROUP BY doc_id
+    ), iv AS (
+        SELECT c.id_a, c.id_b, c.n_bands_shared, COUNT(gb.v) AS shared
+        FROM cand c
+        LEFT JOIN g ga ON ga.doc_id = c.id_a
+        LEFT JOIN g gb ON gb.doc_id = c.id_b AND gb.v = ga.v
+        GROUP BY 1, 2, 3
+    ), scored AS (
+        SELECT i.id_a, i.id_b, i.n_bands_shared,
+               ROUND(CAST(i.shared AS DOUBLE) / (sa.sz + sb.sz - i.shared),
+                     6) AS jaccard
+        FROM iv i JOIN sets sa ON sa.doc_id = i.id_a
+                  JOIN sets sb ON sb.doc_id = i.id_b
+    )
+    SELECT CAST((CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+                AS BIGINT) AS removed_id,
+           CAST((CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) // 2
+                AS BIGINT) AS added_id,
+           n_bands_shared, jaccard
+    FROM scored
+    WHERE (id_a % 2) != (id_b % 2) AND jaccard >= 0.5
+    ORDER BY removed_id, added_id
+    """.replace("{_MH_MINS_SQL}", _MH_MINS_SQL)
+       .replace("{_MH_BANDS_SQL}", _MH_BANDS_SQL),
+)
+def snapshot_neardup_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOVED-AND-EDITED crawl diff (r11 — the r10 verdict's missing
+    composition #2): `corpus_snapshot_diff` ends at exact content
+    match, but the commonest real crawl event is a page re-hosted
+    under a new id AND lightly edited — invisible to the exact layer
+    (it reads as an unrelated remove + add). This query closes the
+    loop: the snapshot classification's residual removed × added
+    slices (moved pairs already consumed by the exact rank-pairing)
+    feed `minhash_deterministic_candidates` (side-tagged ids: removed
+    → 2·id, added → 2·id+1), and cross-side candidates with exact
+    gram Jaccard ≥ 0.5 are reported as (removed_id, added_id,
+    n_bands_shared, jaccard) — the re-host-with-edits pairs.
+
+    Snapshot B extends the `corpus_snapshot_diff` synthesis with the
+    planted ground truth: every id%7==0 doc (dropped from B's exact
+    view) reappears under id+3·10⁶ with ' rev2 micro edit' appended —
+    high-but-not-unit Jaccard, so ONLY the near-dup layer can pair
+    them; fixture exact-dups that happen to exact-match a re-host are
+    consumed by the MOVED classification first (the oracle replays
+    that precedence). Both stages are the already-anchored kernels:
+    the md5 content-key diff and the md5-universal-hash banded
+    MinHash; the DuckDB oracle replays synthesis, classification,
+    rank-paired moves, slice extraction, signatures, banding, exact
+    Jaccard, and the ≥0.5 cut under one value hash.
+
+    Scale shape: the diff is ONE full-outer 16-byte id join; the
+    MinHash composition runs over the removed+added residue ONLY
+    (a fraction of a crawl delta, itself a fraction of the corpus),
+    banded — never all-pairs. Text crosses no exchange in the diff
+    and only the residue's grams enter the signature shuffle."""
+    from .operators.dedup import minhash_deterministic_candidates
+    from .operators.snapshot import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mod = F.col("doc_id") % 7
+    b = (
+        d.filter(mod != 0)
+        .select(
+            F.when(mod == 2, F.col("doc_id") + 1000000)
+            .otherwise(F.col("doc_id"))
+            .alias("doc_id"),
+            F.when(mod == 1, F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.filter(mod == 3).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.lit("fresh content "), F.col("doc_id").cast("string")
+                ).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(mod == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" rev2 micro edit")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    # two slice consumers (removed + added) of one classification pass
+    diff = snapshot_diff(d, b).localCheckpoint(eager=True)
+    rem = (
+        diff.filter(F.col("status") == "removed")
+        .select("doc_id")
+        .join(d, "doc_id")
+        .select((F.col("doc_id") * 2).alias("doc_id"), "text")
+    )
+    add = (
+        diff.filter(F.col("status") == "added")
+        .select("doc_id")
+        .join(b, "doc_id")
+        .select((F.col("doc_id") * 2 + 1).alias("doc_id"), "text")
+    )
+    pairs = minhash_deterministic_candidates(
+        rem.unionByName(add), n=3, bands=8, rows_per_band=2
+    )
+    return (
+        pairs.filter((F.col("id_a") % 2) != (F.col("id_b") % 2))
+        .select(
+            F.expr(
+                "(CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) div 2"
+            ).alias("removed_id"),
+            F.expr(
+                "(CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END) div 2"
+            ).alias("added_id"),
+            "n_bands_shared",
+            "jaccard",
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("removed_id", "added_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2 event-analytics completeness (r4): SCD2 history, funnel, cohorts
 # ---------------------------------------------------------------------------
@@ -8137,6 +8324,105 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _bpe_chain_ctes(num_merges: int) -> str:
+    """Shared DuckDB replay of the BPE TRAINING chain as unrolled CTEs
+    (the Lloyd-CTE recipe applied to BPE, r9 verdict #6): per merge k,
+    a pair-count CTE over the current symbolized word table, a 1-row
+    argmax CTE m{{k}} (weight DESC, left, right — the exact Spark
+    tie-break; carries the winning weight), and a fold CTE applying
+    the merge via ``list_reduce`` — the accumulator is a
+    chr(1)-delimited string, and because merged = left || right the
+    merge step is just ``acc || right`` (the last symbol then reads as
+    the merged token, so the pair can't re-fire within the pass —
+    identical semantics to ``operators/bpe._merge_fold``). chr(1)
+    never occurs in the fixture corpora (verified at every SF), so the
+    delimiter is collision-free. The word tables are MATERIALIZED
+    CTEs — each w{{k}} is referenced twice (pair count + next fold),
+    so default inlining would expand the chain 2^num_merges-fold.
+    Both BPE oracles (`bpe_corpus_compression`,
+    `bpe_learned_merges` — full oracle since r11) compose their final
+    SELECT over this chain."""
+    sql = [
+        f"""
+    WITH w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, CAST(i AS INT), 1)) AS syms
+        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+        GROUP BY word
+    )"""
+    ]
+    for k in range(1, num_merges + 1):
+        sql.append(
+            f""", p{k} AS (
+        SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+               SUM(freq) AS weight
+        FROM w{k - 1}, unnest(range(1, len(syms))) AS t(i)
+        GROUP BY 1, 2
+    ), m{k} AS (
+        SELECT l, r, weight FROM p{k} ORDER BY weight DESC, l, r LIMIT 1
+    ), w{k} AS MATERIALIZED (
+        SELECT word, freq,
+               string_split(
+                 list_reduce(syms, (acc, x) -> CASE
+                   WHEN x = m{k}.r AND (acc = m{k}.l
+                        OR ends_with(acc, chr(1) || m{k}.l))
+                   THEN acc || m{k}.r ELSE acc || chr(1) || x END),
+                 chr(1)) AS syms
+        FROM w{k - 1}, m{k}
+    )"""
+        )
+    return "".join(sql)
+
+
+def _bpe_merges_oracle_sql(num_merges: int) -> str:
+    """The learned-merge table itself off the shared training chain:
+    one row per m{k} argmax with its rank and winning weight."""
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, CAST(weight AS BIGINT) AS weight FROM m{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        _bpe_chain_ctes(num_merges)
+        + f"""
+    SELECT * FROM (
+        {rows}
+    ) ORDER BY rank
+    """
+    )
+
+
+def _bpe_oracle_sql(num_merges: int) -> str:
+    """Per-language segmentation report off the shared training chain
+    (`_bpe_chain_ctes`); the ratio columns use the integer-micros
+    half-up contract."""
+    sql = [_bpe_chain_ctes(num_merges)]
+    sql.append(
+        f""", seg AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,
+               CAST(length(word) AS BIGINT) AS n_chars
+        FROM w{num_merges}
+    ), corpus AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST((2 * SUM(n_sub) * 1000000 + COUNT(*))
+                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
+             AS subwords_per_word,
+           CAST((2 * SUM(n_chars) * 1000000 + SUM(n_sub))
+                // (2 * SUM(n_sub)) AS DOUBLE) / 1000000.0
+             AS chars_per_subword
+    FROM corpus JOIN seg USING (word)
+    GROUP BY lang ORDER BY lang
+    """
+    )
+    return "".join(sql)
+
+
 @query(
     "bpe_top_pairs",
     oracle=r"""
@@ -8178,14 +8464,20 @@ def bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_learned_merges")  # iterative argmax chain — no single-SQL oracle;
-# deterministic (weight DESC, left, right tie-break): the differential pytest
-# replays pure-Python BPE on the same corpus and must match merge-for-merge.
+@query("bpe_learned_merges", oracle=_bpe_merges_oracle_sql(15))
 def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 15 learned BPE merges on `documents` (rank, pair, merged
     symbol, weight — weight is the value-level self-check column). Each
     iteration: vocabulary-sized pair count → 1-row argmax → narrow
-    symbol-array fold (`operators/bpe.bpe_train`)."""
+    symbol-array fold (`operators/bpe.bpe_train`).
+
+    FULL oracle since r11 (was rows-only + pure-Python differential
+    r5–r10): the r10 `bpe_corpus_compression` unrolled-CTE recipe
+    replays the merge table directly — per merge, the pair-count CTE,
+    the (weight DESC, left, right) argmax, and the list_reduce fold —
+    so the driver value hash now certifies every learned merge AND its
+    weight (`_bpe_merges_oracle_sql`). The differential pytest stays
+    as the third independent witness."""
     from .operators.bpe import bpe_train
 
     from .gates import gate_rows
@@ -8955,77 +9247,6 @@ def resample_user_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     return resample_fill(
         ev, "ts", "value", ["user_id"], step_seconds=86400
     ).orderBy("user_id", "bucket")
-
-
-def _bpe_oracle_sql(num_merges: int) -> str:
-    """DuckDB replay of the ENTIRE BPE training + segmentation chain as
-    unrolled CTEs (the Lloyd-CTE recipe applied to BPE, r9 verdict #6):
-    per merge k, a pair-count CTE over the current symbolized word
-    table, a 1-row argmax CTE (weight DESC, left, right — the exact
-    Spark tie-break), and a fold CTE applying the merge via
-    ``list_reduce`` — the accumulator is a chr(1)-delimited string, and
-    because merged = left || right the merge step is just
-    ``acc || right`` (the last symbol then reads as the merged token,
-    so the pair can't re-fire within the pass — identical semantics to
-    ``operators/bpe._merge_fold``). chr(1) never occurs in the fixture
-    corpora (verified at every SF), so the delimiter is collision-free.
-    The ratio columns use the integer-micros half-up contract. The word
-    tables are MATERIALIZED CTEs — each w{{k}} is referenced twice
-    (pair count + next fold), so default inlining would expand the
-    chain 2^num_merges-fold."""
-    sql = [
-        f"""
-    WITH w0 AS MATERIALIZED (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-               list_transform(generate_series(1, length(word)),
-                              i -> substr(word, CAST(i AS INT), 1)) AS syms
-        FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
-        GROUP BY word
-    )"""
-    ]
-    for k in range(1, num_merges + 1):
-        sql.append(
-            f""", p{k} AS (
-        SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
-               SUM(freq) AS weight
-        FROM w{k - 1}, unnest(range(1, len(syms))) AS t(i)
-        GROUP BY 1, 2
-    ), m{k} AS (
-        SELECT l, r FROM p{k} ORDER BY weight DESC, l, r LIMIT 1
-    ), w{k} AS MATERIALIZED (
-        SELECT word, freq,
-               string_split(
-                 list_reduce(syms, (acc, x) -> CASE
-                   WHEN x = m{k}.r AND (acc = m{k}.l
-                        OR ends_with(acc, chr(1) || m{k}.l))
-                   THEN acc || m{k}.r ELSE acc || chr(1) || x END),
-                 chr(1)) AS syms
-        FROM w{k - 1}, m{k}
-    )"""
-        )
-    sql.append(
-        f""", seg AS (
-        SELECT word, CAST(len(syms) AS BIGINT) AS n_sub,
-               CAST(length(word) AS BIGINT) AS n_chars
-        FROM w{num_merges}
-    ), corpus AS (
-        SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
-           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
-           CAST((2 * SUM(n_sub) * 1000000 + COUNT(*))
-                // (2 * COUNT(*)) AS DOUBLE) / 1000000.0
-             AS subwords_per_word,
-           CAST((2 * SUM(n_chars) * 1000000 + SUM(n_sub))
-                // (2 * SUM(n_sub)) AS DOUBLE) / 1000000.0
-             AS chars_per_subword
-    FROM corpus JOIN seg USING (word)
-    GROUP BY lang ORDER BY lang
-    """
-    )
-    return "".join(sql)
 
 
 @query("bpe_corpus_compression", oracle=_bpe_oracle_sql(15))
