@@ -279,34 +279,69 @@ R9_DRIVER_CHECKED = {
 }
 
 
+# Literal key set of CORRECTNESS_r10.json (the driver's 50-query round-10
+# window — 48 full oracle-PASS + 2 declared rows-only, 0 mismatches).
+# Cumulative R1 ∪ … ∪ R10 covers all 239 queries registered through r10.
+R10_DRIVER_CHECKED = {
+    "ann_ivf_recall_curve", "audio_neardup_candidates",
+    "bitext_margin_mining", "bm25_retrieval_top20",
+    "bpe_corpus_compression", "classifier_calibration_curve",
+    "containment_neardup_pairs", "contamination_overlap_profile",
+    "corpus_snapshot_diff", "crossmodal_neardup_components",
+    "curation_pipeline_funnel", "curriculum_stage_report",
+    "customer_k_anonymity", "customer_record_linkage",
+    "distinctive_terms_by_lang", "doc_minhash_cardinality",
+    "doc_quality_by_lang", "dsir_selection_report",
+    "embedding_outlier_report", "embedding_truncation_fidelity",
+    "event_transition_matrix", "events_value_outliers",
+    "image_neardup_candidates", "image_neardup_components",
+    "incremental_token_stats", "kmv_rollup_deterministic",
+    "knn_pq_refined", "length_bucketing_report",
+    "linear_quality_classifier", "media_decode_report",
+    "minhash_banding_calibration", "mixture_waterfill_allocation",
+    "nn_descent_candidates", "novelty_budget_selection",
+    "oov_rate_report", "part_pair_affinity", "part_price_size_skyline",
+    "source_content_overlap", "temperature_mixture_weights",
+    "temporal_split_report", "token_frequency_spectrum",
+    "training_mix_manifest", "unicode_normalization_report",
+    "video_frame_index", "video_neardup_candidates",
+    "video_neardup_components", "weighted_sample_by_length",
+    "weighted_sample_per_lang", "winsorize_clip_report",
+    "zipf_fit_by_lang",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
     the most fresh evidence: (0) queries never driver-checked (new in
-    round 10, plus the fall-through safety net), (1) queries whose code
-    paths changed in round 10 (need re-verdicts under the new code —
-    novelty_budget_selection leads: it is the r9 window's one hash
-    mismatch, fixed this round via the integer-micros rounding
-    contract), (2) curated priority re-checks, (3) generic stale
-    rows-only, (4+) staleness tiers by age of last driver verdict — per
-    the r9 verdict's rotation ask (#2) the r5-era tier (33 queries,
-    oldest) drains next, so the r10 histogram's oldest tier becomes
-    r6."""
+    round 11: the oracle-checked multi-probe blocked bitext miner and
+    the moved-AND-edited snapshot composition, plus the fall-through
+    safety net), (1) queries whose code paths changed in round 11
+    (need re-verdicts under the new code), (2) curated priority
+    re-checks, (3) generic stale rows-only, (4+) staleness tiers by
+    age of last driver verdict — per the r10 verdict's rotation ask
+    (#2) the r6-era tier (47 queries, oldest) drains next. 2 new + 9
+    touched (6 of them already r6-tier) leaves 39 window slots for the
+    remaining 41 pure-tier r6 queries, so 2 r6 stragglers drain first
+    thing in r12."""
 
     never_checked: set[str] = {
-        # new in round 10 rank 0 via the fall-through below
+        # new in round 11 rank 0 via the fall-through below
     }
-    # code-touched in round 10 (need re-verdicts under the new code):
-    # the six queries whose averaged report columns moved to the
-    # engine-exact integer-micros contract (r9 verdict #1), plus
-    # kmv_rollup_deterministic (k-minima rewritten mergeable two-stage,
-    # r9 verdict #4) and bpe_corpus_compression (rows-only → FULL
-    # oracle via unrolled merge CTEs, r9 verdict #6)
-    touched_r10: set[str] = {
-        "novelty_budget_selection", "linear_quality_classifier",
-        "doc_quality_by_lang", "curriculum_stage_report",
-        "classifier_calibration_curve", "media_decode_report",
-        "kmv_rollup_deterministic", "bpe_corpus_compression",
+    # code-touched in round 11 (need re-verdicts under the new code):
+    # the ADVICE-r10 robustness fixes (waterfill NULL-weight guard +
+    # oracle-matching inner-join filter; snapshot NULL-text coalesce)
+    # and the r10-verdict #5/#6 drains (bpe_learned_merges rows-only →
+    # FULL oracle via the shared merge-chain CTEs; five ROUND(AVG(raw))
+    # oracles moved to the integer-micros contract — all five of those
+    # already r6-tier, as is bpe_learned_merges, so they double as tier
+    # drains)
+    touched_r11: set[str] = {
+        "mixture_waterfill_allocation", "training_mix_manifest",
+        "corpus_snapshot_diff", "bpe_learned_merges",
+        "acctbal_quartiles", "price_buckets_case", "token_stats_by_lang",
+        "stopword_ratio_by_lang", "last_touch_attribution",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
@@ -314,7 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r10:
+        if name in touched_r11:
             return 1
         if name in stale_priority:
             return 2
@@ -324,7 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
             R6_DRIVER_CHECKED, R7_DRIVER_CHECKED, R8_DRIVER_CHECKED,
-            R9_DRIVER_CHECKED)]
+            R9_DRIVER_CHECKED, R10_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a

@@ -664,9 +664,9 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "acctbal_quartiles",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, quartile, COUNT(*) AS n,
-           ROUND(AVG(c_acctbal), 4) AS avg_bal
+           {_avg6_micros_sql("c_acctbal")} AS avg_bal
     FROM (
         SELECT c_mktsegment, c_acctbal,
                CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
@@ -679,13 +679,18 @@ def order_gaps_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile bucketing with a unique tie-break to keep both engines on the
-    same total order."""
+    same total order. avg_bal uses the integer-micros half-up contract
+    (r11 drain of the ROUND(AVG(raw)) class — c_acctbal is exact
+    cents, so the micros sum is exact on both engines)."""
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
     return (
         c.select("c_mktsegment", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
         .groupBy("c_mktsegment", "quartile")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _avg6_micros("c_acctbal").alias("avg_bal"),
+        )
         .orderBy("c_mktsegment", "quartile")
     )
 
@@ -881,20 +886,22 @@ def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "price_buckets_case",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 150000 THEN 'mid'
                 WHEN o_totalprice < 300000 THEN 'high'
                 ELSE 'very_high' END AS bucket,
            COUNT(*) AS n,
-           ROUND(AVG(o_totalprice), 4) AS avg_price
+           {_avg6_micros_sql("o_totalprice")} AS avg_price
     FROM orders
     GROUP BY bucket
     ORDER BY bucket
     """,
 )
 def price_buckets_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """when/otherwise conditional family."""
+    """when/otherwise conditional family. avg_price uses the
+    integer-micros half-up contract (r11 drain — o_totalprice is exact
+    cents)."""
     o = _t(spark, sf_dir, "orders")
     bucket = (
         F.when(F.col("o_totalprice") < 50000, "low")
@@ -906,7 +913,7 @@ def price_buckets_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            _avg6_micros("o_totalprice").alias("avg_price"),
         )
         .orderBy("bucket")
     )
@@ -1015,14 +1022,16 @@ def dup_clusters_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_stats_by_lang",
-    oracle="""
+    oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           ROUND(AVG(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS DOUBLE)), 6) AS avg_tokens,
+           {_avg6_micros_sql("len(" + _TOKS_SQL + ")")} AS avg_tokens,
            -- BPE-ish subword proxy: each alnum run collapses to one piece,
            -- every other char is its own piece (== Spark's boundary split)
-           ROUND(AVG(CAST(length(regexp_replace(text, '[A-Za-z0-9]+', 'X', 'g')) AS DOUBLE)), 6) AS avg_bpe_tokens,
-           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           {_avg6_micros_sql(
+               "length(regexp_replace(text, '[A-Za-z0-9]+', 'X', 'g'))"
+           )} AS avg_bpe_tokens,
+           {_avg6_micros_sql("n_chars")} AS avg_chars,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM documents
     GROUP BY lang
@@ -1033,19 +1042,24 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + per-language stats: whitespace tokens AND the
     BPE-ish boundary-split proxy (alnum runs + individual symbols —
     approximates subword token counts for ASCII text; cross-checked
-    piece-exact against the DuckDB regexp_replace formulation)."""
+    piece-exact against the DuckDB regexp_replace formulation). All
+    three averages use the integer-micros half-up contract (r11 drain
+    — counts are exact integers, so the micros sums are exact)."""
     from .functions.text import bpe_ish_token_count, token_count
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select(
+        "lang",
+        "n_chars",
+        token_count("text").alias("_tok"),
+        bpe_ish_token_count("text").alias("_bpe"),
+    )
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(token_count("text").cast("double")), 6).alias("avg_tokens"),
-            F.round(
-                F.avg(bpe_ish_token_count("text").cast("double")), 6
-            ).alias("avg_bpe_tokens"),
-            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            _avg6_micros("_tok").alias("avg_tokens"),
+            _avg6_micros("_bpe").alias("avg_bpe_tokens"),
+            _avg6_micros("n_chars").alias("avg_chars"),
             F.sum("n_chars").alias("sum_chars"),
         )
         .orderBy("lang")
@@ -1054,19 +1068,24 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stopword_ratio_by_lang",
-    oracle="""
-    WITH toks AS (
+    oracle=f"""
+    WITH ratios AS (
         SELECT lang,
-               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
-        FROM documents
+               ROUND(
+                 CAST(len(list_filter(t, w -> list_contains(
+                   ['the','and','of','to','a','in','is','that','it','for'],
+                   w))) AS DOUBLE)
+                 / GREATEST(CAST(len(t) AS DOUBLE), 1.0), 6) AS r
+        FROM (
+            SELECT lang,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               x -> x != '') AS t
+            FROM documents
+        )
     )
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(AVG(
-             CAST(len(list_filter(t, w -> list_contains(
-               ['the','and','of','to','a','in','is','that','it','for'], w))) AS DOUBLE)
-             / GREATEST(CAST(len(t) AS DOUBLE), 1.0)
-           ), 6) AS avg_en_stopword_ratio
-    FROM toks
+           {_avg6_micros_sql("r")} AS avg_en_stopword_ratio
+    FROM ratios
     GROUP BY lang
     ORDER BY lang
     """,
@@ -1074,17 +1093,20 @@ def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stopword_ratio_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """English-stopword density per language — the quality/language
     signal feature (en documents should dominate). Pure Column algebra
-    over the token array; one shuffle on lang."""
+    over the token array; one shuffle on lang. The per-doc ratio is
+    pre-rounded to 6 digits (the identical IEEE quotient on both
+    engines) and averaged under the integer-micros half-up contract
+    (r11 drain of the ROUND(AVG(raw)) class)."""
     from .functions.text import stopword_ratio
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.round(stopword_ratio("text", "en"), 6).alias("_r")
+    )
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(stopword_ratio("text", "en")), 6).alias(
-                "avg_en_stopword_ratio"
-            ),
+            _avg6_micros("_r").alias("avg_en_stopword_ratio"),
         )
         .orderBy("lang")
     )
@@ -13042,7 +13064,11 @@ def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(touch_type, 'direct') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
            ROUND(SUM(value), 2) AS attributed_revenue,
-           ROUND(AVG(date_diff('second', touch_ts, ts) / 3600.0), 6)
+           CASE WHEN COUNT(date_diff('second', touch_ts, ts)) > 0 THEN
+             CAST((2 * SUM(date_diff('second', touch_ts, ts)) * 1000000
+                   + 3600 * COUNT(date_diff('second', touch_ts, ts)))
+                  // (2 * 3600 * COUNT(date_diff('second', touch_ts, ts)))
+                  AS DOUBLE) / 1000000.0 END
              AS avg_hours_to_convert
     FROM seq WHERE event_type = 'purchase'
     GROUP BY 1 ORDER BY 1
@@ -13056,7 +13082,11 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, in-partition sort; last(..., ignorenulls) over an
     unbounded-preceding frame), then a channel-sized aggregate.
     Latencies in exact epoch seconds before the hour division, both
-    engines (same rule as signup_to_purchase_latency)."""
+    engines (same rule as signup_to_purchase_latency); the hours
+    average is the integer half-up
+    ``(2·Σsec·10⁶ + 3600·N) div (2·3600·N)`` over those exact seconds
+    (r11 drain of the ROUND(AVG(raw)) class — no float ever decides
+    the 6th digit)."""
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -13076,18 +13106,18 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         seq.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "_sec",
+            F.unix_timestamp("ts") - F.unix_timestamp("touch_ts"),
+        )
         .groupBy(F.coalesce(F.col("touch_type"), F.lit("direct")).alias("channel"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_purchases"),
             F.round(F.sum("value"), 2).alias("attributed_revenue"),
-            F.round(
-                F.avg(
-                    (
-                        F.unix_timestamp("ts") - F.unix_timestamp("touch_ts")
-                    ).cast("double")
-                    / 3600.0
-                ),
-                6,
+            F.expr(
+                "case when count(_sec) > 0 then "
+                "cast((2 * sum(_sec) * 1000000 + 3600 * count(_sec)) "
+                "div (2 * 3600 * count(_sec)) as double) / 1000000.0 end"
             ).alias("avg_hours_to_convert"),
         )
         .orderBy("channel")
