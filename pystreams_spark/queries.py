@@ -699,17 +699,25 @@ def acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_moving_avg",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           CAST((2 * SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                     OVER w
+                 + COUNT(o_totalprice) OVER w)
+                // (2 * COUNT(o_totalprice) OVER w) AS DOUBLE) / 1000000.0
                AS moving_avg
     FROM orders
     WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
 )
 def price_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding row-frame aggregate."""
+    """Sliding row-frame aggregate. The frame average uses the
+    integer-micros half-up contract in WINDOW form (r11 drain —
+    o_totalprice is exact cents, so the micros sum is exact on both
+    engines; the frame is ≤3 rows but the contract removes the ROUND
+    half-case class entirely)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
     w = (
         Window.partitionBy("o_custkey")
@@ -720,7 +728,17 @@ def price_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_custkey",
             "o_orderkey",
-            F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+            F.sum(F.round(F.col("o_totalprice") * 1000000).cast("long"))
+            .over(w)
+            .alias("_s"),
+            F.count("o_totalprice").over(w).alias("_n"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr(
+                "cast((2 * _s + _n) div (2 * _n) as double) / 1000000.0"
+            ).alias("moving_avg"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )
@@ -850,9 +868,9 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "math_funcs_lineitem",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
-           ROUND(AVG(SQRT(l_quantity)), 6) AS avg_sqrt_qty,
+           {_avg6_micros_sql("ROUND(SQRT(l_quantity), 6)")} AS avg_sqrt_qty,
            ROUND(SUM(FLOOR(l_extendedprice)), 2) AS sum_floor_price,
            ROUND(SUM(CEIL(l_discount * 100)), 2) AS sum_ceil_disc,
            ROUND(SUM(ABS(l_tax - 0.04)), 6) AS sum_abs_tax_dev,
@@ -863,12 +881,18 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sqrt/floor/ceil/abs/pow math family."""
-    li = _t(spark, sf_dir, "lineitem")
+    """sqrt/floor/ceil/abs/pow math family. avg_sqrt_qty pre-rounds
+    each sqrt to 6 digits (IEEE-754 REQUIRES correctly-rounded sqrt,
+    so the per-value doubles are identical on both engines) and
+    averages under the integer-micros half-up contract (r11 drain of
+    the ROUND(AVG(raw)) class)."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_sq", F.round(F.sqrt("l_quantity"), 6)
+    )
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.avg(F.sqrt("l_quantity")), 6).alias("avg_sqrt_qty"),
+            _avg6_micros("_sq").alias("avg_sqrt_qty"),
             # floor/ceil return LONG in Spark but DOUBLE in DuckDB — cast
             # before summing so the output schemas agree
             F.round(F.sum(F.floor("l_extendedprice").cast("double")), 2).alias(
