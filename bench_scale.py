@@ -272,6 +272,14 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "bitext_margin": lambda: QUERIES[
             "bitext_margin_mining"
         ](spark, data_dir).count(),
+        # r11: the SCALE path — multi-probe blocked mining with the
+        # in-plan recall gate executing (clusterable construction).
+        # n_cells is FIXED (4) in the registered query, so the curve
+        # shows the ~2·n_probe/n_cells constant vs the exact pass;
+        # production scales n_cells with the corpus
+        "bitext_blocked": lambda: QUERIES[
+            "bitext_margin_mining_blocked"
+        ](spark, data_dir).count(),
         # r10: crawl-over-crawl diff — ONE full-outer 16-byte id join
         # (text never shuffles) + removed/added-sized rank pairing;
         # expect ~linear bytes, near-flat wall
