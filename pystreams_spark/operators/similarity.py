@@ -1005,6 +1005,14 @@ def kmeans_centers_deterministic(
                 counts += np.bincount(cells, minlength=len(c))
                 np.add.at(sums, cells, m)
             nz = np.nonzero(counts)[0]
+            if len(nz) == 0:
+                # empty partition (or every row filtered upstream):
+                # yielding here would emit an EMPTY python-list "s"
+                # column, which pandas types float64 and Arrow then
+                # cannot convert to list<double> — the r11 facade test
+                # hit exactly this on a 12-row frame with empty
+                # partitions. Yield nothing instead.
+                return
             yield pd.DataFrame(
                 {"cell": nz.astype(np.int32), "n": counts[nz], "s": list(sums[nz])}
             )

@@ -707,6 +707,53 @@ class Stream:
             )
         )
 
+    def snapshot_diff(
+        self,
+        other: "Stream",
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> "Stream":
+        """Crawl-over-crawl diff vs ``other`` (this stream = snapshot A,
+        other = snapshot B): per id in A ∪ B, status ∈ {unchanged,
+        modified, moved_away, moved_in, removed, added} with the
+        re-host counterpart in match_id (operators/snapshot.py). One
+        full-outer 16-byte id join; text never crosses an exchange."""
+        from .operators.snapshot import snapshot_diff
+
+        return Stream(snapshot_diff(self.df, other.df, id_col, text_col))
+
+    def margin_bitext_mine(
+        self,
+        other: "Stream",
+        k: int = 4,
+        margin_ppm_threshold: int = 1_060_000,
+        x_id: str = "x_id",
+        y_id: str = "y_id",
+        vec_col: str = "embedding",
+        blocked: bool = False,
+        **kwargs,
+    ) -> "Stream":
+        """Artetxe–Schwenk margin-based bitext mining of this stream's
+        vectors (X) against ``other``'s (Y): mutual-best pairs above
+        the ppm margin threshold, integer-exact decision arithmetic
+        (operators/similarity.margin_bitext_mine). ``blocked=True``
+        runs the multi-probe Lloyd-blocked scale path with its in-plan
+        seeded-sample recall gate (kwargs: n_cells, iters, n_probe,
+        gate_sample, min_sample_top1_recall)."""
+        from .operators.similarity import (
+            margin_bitext_mine,
+            margin_bitext_mine_blocked,
+        )
+
+        fn = margin_bitext_mine_blocked if blocked else margin_bitext_mine
+        return Stream(
+            fn(
+                self.df, other.df, k=k,
+                margin_ppm_threshold=margin_ppm_threshold,
+                x_id=x_id, y_id=y_id, vec_col=vec_col, **kwargs,
+            )
+        )
+
     def nfc_report(
         self, text_col: str = "text", group_cols: tuple = ("lang",)
     ) -> "Stream":

@@ -1817,6 +1817,26 @@ def test_kmeans_cells_clamped_on_tiny_corpus(spark):
     assert out.count() == 3
 
 
+def test_kmeans_fit_survives_empty_partitions(spark):
+    """r11 regression: the fused Lloyd fit's partial kernel used to
+    yield an EMPTY python-list 's' column on empty partitions (pandas
+    types it float64, Arrow cannot convert to list<double>) — a small
+    frame spread over many partitions crashed the fit. Empty partials
+    must simply yield nothing."""
+    from pystreams_spark.operators.similarity import (
+        kmeans_centers_deterministic,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i)]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    ).repartition(32)  # 5 rows over 32 partitions: most are empty
+    centers = kmeans_centers_deterministic(
+        df, n_cells=2, iters=2
+    )
+    assert centers.shape == (2, 2)
+
+
 def test_mixture_weights_rejects_incomplete_shares(spark):
     from pystreams_spark.operators.selection import mixture_weights
 

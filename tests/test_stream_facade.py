@@ -520,3 +520,46 @@ def test_facade_deterministic_candidate_sugar(spark):
     sh = {(r.id_a, r.id_b): r for r in
           s.simhash_candidates_deterministic().collect()}
     assert (1, 2) in sh and sh[(1, 2)].hamming == 0
+
+
+def test_facade_snapshot_and_bitext_sugar(spark):
+    """r11 sugar: the two-frame Stream.snapshot_diff and
+    Stream.margin_bitext_mine route to their operators (exact and
+    blocked paths) and return the documented shapes."""
+    import numpy as np
+
+    from pystreams_spark import Stream
+    from pyspark.sql import functions as F
+
+    a = Stream(spark.createDataFrame(
+        [(1, "kept text"), (2, "old text"), (3, "moving text")],
+        "doc_id long, text string",
+    ))
+    b = Stream(spark.createDataFrame(
+        [(1, "kept text"), (2, "edited text"), (9, "moving text")],
+        "doc_id long, text string",
+    ))
+    got = {r.doc_id: r.status for r in a.snapshot_diff(b).collect()}
+    assert got == {
+        1: "unchanged", 2: "modified", 3: "moved_away", 9: "moved_in",
+    }
+
+    rng = np.random.RandomState(3)
+    centers = np.linalg.qr(rng.randn(8, 8))[0][:2] * 4.0
+    rows = []
+    for uid in range(12):
+        v = centers[uid % 2] + 0.05 * rng.randn(8)
+        rows.append((uid, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = Stream(df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"))
+    y = Stream(df.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"))
+    exact = {(r.x_id, r.y_id, r.margin_ppm)
+             for r in x.margin_bitext_mine(
+                 y, k=2, margin_ppm_threshold=1_000_000).collect()}
+    blocked = {(r.x_id, r.y_id, r.margin_ppm)
+               for r in x.margin_bitext_mine(
+                   y, k=2, margin_ppm_threshold=1_000_000,
+                   blocked=True, n_cells=2, iters=3).collect()}
+    assert exact and blocked == exact
