@@ -286,6 +286,18 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "snapshot_diff": lambda: QUERIES[
             "corpus_snapshot_diff"
         ](spark, data_dir).count(),
+        # r11: the moved-AND-edited composition — the exact diff plus
+        # MinHash over the removed+added residue only; expect the diff's
+        # flat wall + a residue-sized (~2/7 of corpus) MinHash bill
+        "snapshot_moves": lambda: QUERIES[
+            "snapshot_neardup_moves"
+        ](spark, data_dir).count(),
+        # r11: waterfill → materialized manifest — ONE global
+        # ordered_cumsum (range shuffle + narrow offset kernel) is the
+        # only corpus-sized work; expect ~linear bytes, near-flat wall
+        "training_manifest": lambda: QUERIES[
+            "training_mix_manifest"
+        ](spark, data_dir).count(),
     }
 
 
