@@ -321,9 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (need re-verdicts under the new code), (2) curated priority
     re-checks, (3) generic stale rows-only, (4+) staleness tiers by
     age of last driver verdict — per the r10 verdict's rotation ask
-    (#2) the r6-era tier (47 queries, oldest) drains next. 2 new + 11
-    touched (8 of them already r6-tier) leaves 37 window slots for the
-    remaining 39 pure-tier r6 queries, so 2 r6 stragglers drain first
+    (#2) the r6-era tier (47 queries, oldest) drains next. 2 new + 12
+    touched (8 of them already r6-tier) leaves 36 window slots for the
+    remaining 39 pure-tier r6 queries, so 3 r6 stragglers drain first
     thing in r12."""
 
     never_checked: set[str] = {
@@ -343,6 +343,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acctbal_quartiles", "price_buckets_case", "token_stats_by_lang",
         "stopword_ratio_by_lang", "last_touch_attribution",
         "price_moving_avg", "math_funcs_lineitem",
+        # r11 late: the sf0.1 parity sweep caught a REAL latent
+        # mismatch here (ROUND(AVG) half-case + interp association) —
+        # fixed via the micros contract; must re-verdict first
+        "resample_user_purchases_daily",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()

@@ -58,10 +58,23 @@ def resample_fill(
     # floor, not cast-truncate: truncation rounds toward zero, which
     # would shift every pre-1970 bucket one step late
     bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
+    # avg at round_to=6 uses the integer-micros half-up contract
+    # (r11: the sf0.1 parity sweep caught a real ROUND(AVG) half-case —
+    # 27.271667 vs 27.271666 over a 12-value bucket whose float sum
+    # order differs between engines); other aggs keep round-after
+    if agg == "avg" and round_to == 6:
+        raw_agg = F.expr(
+            "case when count(_v) > 0 then "
+            "cast((2 * sum(cast(round(_v * 1000000) as bigint))"
+            " + count(_v)) div (2 * count(_v)) as double)"
+            " / 1000000.0 end"
+        )
+    else:
+        raw_agg = F.round(agg_fn("_v"), round_to)
     observed = (
         df.select(*keys, bucket.alias("bucket"), F.col(val_col).alias("_v"))
         .groupBy(*key_cols, "bucket")
-        .agg(F.round(agg_fn("_v"), round_to).alias("raw"))
+        .agg(raw_agg.alias("raw"))
         # both the grid span and the left join consume this aggregate —
         # materialize once instead of re-running the corpus scan+shuffle
         # through two lineages of one plan

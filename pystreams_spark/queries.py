@@ -9239,11 +9239,11 @@ def constraint_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "resample_user_purchases_daily",
-    oracle="""
+    oracle=f"""
     WITH obs AS (
       SELECT user_id,
              CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS bucket,
-             ROUND(AVG(value), 6) AS raw
+             {_avg6_micros_sql("value")} AS raw
       FROM events WHERE event_type = 'purchase' AND user_id < 30
       GROUP BY 1, 2
     ),
@@ -9270,10 +9270,13 @@ def constraint_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM filled
     )
     SELECT user_id, bucket, raw, prev_v AS ffill,
+           -- association matters at ROUND half-cases: Spark computes
+           -- prev + dv * (dt / span), NOT prev + (dv * dt) / span —
+           -- the sf0.1 parity sweep caught the 1-ulp divergence (r11)
            ROUND(COALESCE(
              CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t != prev_t
                   THEN prev_v + (next_v - prev_v)
-                       * (bucket - prev_t) / CAST(next_t - prev_t AS DOUBLE) END,
+                       * ((bucket - prev_t) / CAST(next_t - prev_t AS DOUBLE)) END,
              prev_v, next_v), 6) AS interp
     FROM win
     ORDER BY user_id, bucket
