@@ -1,0 +1,66 @@
+"""Engine-exact rounded averages — the integer-scaled half-up contract.
+
+``ROUND(AVG(x), d)`` over raw doubles is the one aggregate where two
+correct engines legitimately disagree: floating summation order can
+land the average exactly on a half at digit ``d`` on one engine and a
+hair off it on the other (the r9 ``novelty_budget_selection`` mismatch,
+re-confirmed at sf0.1 by the r11 parity sweep on
+``resample_user_purchases_daily``). The contract removes the class:
+values that are exact multiples of ``10^-d`` (exact integers, cents,
+pre-``ROUND(x, d)`` scores) are scaled to integers, summed exactly, and
+the average is rounded half-up in pure integer arithmetic —
+``(2·Σ + N) div (2·N)`` — so no float ever decides a digit.
+
+Overflow posture (the r11 ADVICE finding): the Spark-side sum
+accumulates in DECIMAL(38,0), not BIGINT — a BIGINT sum of micros
+wraps silently in non-ANSI mode once ``2·Σ`` passes 2^63 (reachable
+around sf≈50 for whole-table money sums), while DuckDB's SUM(BIGINT)
+already widens to HUGEINT (int128) and raises rather than wraps. With
+DECIMAL(38,0) both engines carry ≥38 digits of headroom; the final
+``div`` result is an average in scaled units, which fits BIGINT for
+any value the per-value ``CAST(... AS BIGINT)`` admitted in the first
+place.
+
+Sign convention: ``div`` (Spark) and integral ``//`` (DuckDB BIGINT /
+HUGEINT) both truncate toward zero, so for negative sums the contract
+is "half toward zero" — cross-engine identical, which is the property
+the oracle gate needs. NULL-safe: empty groups return NULL (count
+guard), never a div-by-zero.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["avg_round_half_up", "avg_round_half_up_sql"]
+
+
+def avg_round_half_up(col: str, digits: int = 6) -> Column:
+    """Spark Column: engine-exact ``ROUND(AVG(col), digits)`` for values
+    that are exact multiples of ``10^-digits``. ``col`` is a SQL
+    fragment (column name or expression)."""
+    s = 10 ** int(digits)
+    return F.expr(
+        f"case when count({col}) > 0 then "
+        f"cast((2 * sum(cast(round({col} * {s}) as decimal(38,0)))"
+        f" + count({col})) div (2 * count({col})) as double)"
+        f" / {s}.0 end"
+    )
+
+
+def avg_round_half_up_sql(col: str, digits: int = 6) -> str:
+    """DuckDB SQL fragment equivalent of :func:`avg_round_half_up`.
+
+    The per-value cast stays BIGINT (a single value's scaled form fits
+    easily); the SUM widens to HUGEINT natively, so the numerator is
+    exact to 128 bits and ``//`` on HUGEINT truncates toward zero
+    exactly like Spark's ``div``.
+    """
+    s = 10 ** int(digits)
+    return (
+        f"CASE WHEN COUNT({col}) > 0 THEN "
+        f"CAST((2 * SUM(CAST(ROUND({col} * {s}) AS BIGINT))"
+        f" + COUNT({col})) // (2 * COUNT({col})) AS DOUBLE)"
+        f" / {s}.0 END"
+    )

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import avg_round_half_up
+
 __all__ = ["resample_fill", "transition_counts"]
 
 
@@ -31,6 +33,7 @@ def resample_fill(
     step_seconds: int,
     agg: str = "avg",
     round_to: int = 6,
+    avg_contract: str | None = None,
 ) -> DataFrame:
     """Resample ``val_col`` onto a ``step_seconds`` grid per key.
 
@@ -43,6 +46,19 @@ def resample_fill(
     - ``interp``: linear interpolation between the neighboring
       observations (equals ``raw`` on observed buckets; falls back to
       ffill after the last observation and backfill before the first).
+
+    ``avg_contract``: by default the bucket aggregate is plain
+    ``ROUND(agg(x), round_to)``. Passing ``"micros_half_up"`` (valid
+    only with ``agg='avg'``) switches the average to the engine-exact
+    integer-scaled half-up contract (``functions/exact``): each value
+    is quantized to ``10^-round_to`` units BEFORE summing, so the
+    rounded average is reproducible across engines and partitionings —
+    at the cost of diverging from round-after-average for inputs with
+    more than ``round_to`` significant decimals (e.g. values
+    [3e-7, 3e-7, 9e-7] average to 0.0 under the contract vs 0.000001
+    under ``round(avg, 6)``). r11 made this implicit for
+    ``agg='avg', round_to=6``; r12 gates it on this explicit parameter
+    (ADVICE r11) so generic callers get the unsurprising default.
     """
     if not key_cols:
         raise ValueError(
@@ -51,6 +67,16 @@ def resample_fill(
             "window). Shard the series or add a constant-bucket key "
             "explicitly upstream if it is genuinely one series."
         )
+    if avg_contract not in (None, "micros_half_up"):
+        raise ValueError(
+            f"resample_fill: unknown avg_contract {avg_contract!r} "
+            "(expected None or 'micros_half_up')"
+        )
+    if avg_contract == "micros_half_up" and agg != "avg":
+        raise ValueError(
+            "resample_fill: avg_contract='micros_half_up' only applies "
+            f"to agg='avg' (got agg={agg!r})"
+        )
     keys = [F.col(k) for k in key_cols]
     step = int(step_seconds)
     agg_fn = getattr(F, agg)
@@ -58,17 +84,12 @@ def resample_fill(
     # floor, not cast-truncate: truncation rounds toward zero, which
     # would shift every pre-1970 bucket one step late
     bucket = F.floor(F.unix_timestamp(F.col(ts_col)) / step).cast("long") * step
-    # avg at round_to=6 uses the integer-micros half-up contract
-    # (r11: the sf0.1 parity sweep caught a real ROUND(AVG) half-case —
-    # 27.271667 vs 27.271666 over a 12-value bucket whose float sum
-    # order differs between engines); other aggs keep round-after
-    if agg == "avg" and round_to == 6:
-        raw_agg = F.expr(
-            "case when count(_v) > 0 then "
-            "cast((2 * sum(cast(round(_v * 1000000) as bigint))"
-            " + count(_v)) div (2 * count(_v)) as double)"
-            " / 1000000.0 end"
-        )
+    # the contract average (r11: the sf0.1 parity sweep caught a real
+    # ROUND(AVG) half-case — 27.271667 vs 27.271666 over a 12-value
+    # bucket whose float sum order differs between engines); see the
+    # avg_contract docstring for the semantics trade-off
+    if avg_contract == "micros_half_up":
+        raw_agg = avg_round_half_up("_v", round_to)
     else:
         raw_agg = F.round(agg_fn("_v"), round_to)
     observed = (

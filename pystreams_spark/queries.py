@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.exact import avg_round_half_up, avg_round_half_up_sql
 from .io import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -67,25 +68,13 @@ _QUALITY_SQL = """ROUND(
 # so no floating summation order can land the average on an exact half
 # at digit 6 where Spark's and DuckDB's ROUND legitimately disagree
 # (the r9 novelty_budget_selection mismatch class; see that query's
-# docstring). NULL-safe: groups with no non-null values return NULL,
-# never a div-by-zero (ANSI). Both forms divide the SAME integer by the
-# same 1e6 literal → bit-identical doubles by IEEE division.
-def _avg6_micros(col: str):
-    return F.expr(
-        f"case when count({col}) > 0 then "
-        f"cast((2 * sum(cast(round({col} * 1000000) as bigint))"
-        f" + count({col})) div (2 * count({col})) as double)"
-        f" / 1000000.0 end"
-    )
-
-
-def _avg6_micros_sql(col: str) -> str:
-    return (
-        f"CASE WHEN COUNT({col}) > 0 THEN "
-        f"CAST((2 * SUM(CAST(ROUND({col} * 1000000) AS BIGINT))"
-        f" + COUNT({col})) // (2 * COUNT({col})) AS DOUBLE)"
-        f" / 1000000.0 END"
-    )
+# docstring). Both forms divide the SAME integer by the same literal →
+# bit-identical doubles by IEEE division. r12: generalized to arbitrary
+# digits and hardened against BIGINT wrap at large SF (DECIMAL(38,0)
+# accumulator Spark-side) in functions/exact.py — these are thin
+# aliases so the 11 existing call sites keep their names.
+_avg6_micros = avg_round_half_up
+_avg6_micros_sql = avg_round_half_up_sql
 
 
 # ---------------------------------------------------------------------------
@@ -9294,7 +9283,15 @@ def resample_user_purchases_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("event_type") == "purchase") & (F.col("user_id") < 30)
     )
     return resample_fill(
-        ev, "ts", "value", ["user_id"], step_seconds=86400
+        ev,
+        "ts",
+        "value",
+        ["user_id"],
+        step_seconds=86400,
+        # engine-exact rounded average — opt-in since r12 (ADVICE r11:
+        # the implicit agg=='avg' && round_to==6 switch was surprising
+        # for generic callers); the oracle replays this contract
+        avg_contract="micros_half_up",
     ).orderBy("user_id", "bucket")
 
 

@@ -472,13 +472,24 @@ class Stream:
         key_cols: Sequence[str],
         step_seconds: int,
         agg: str = "avg",
+        avg_contract: str | None = None,
     ) -> "Stream":
         """Per-series fixed-grid resample with forward-fill + linear
-        interpolation (operators/timeseries.resample_fill)."""
+        interpolation (operators/timeseries.resample_fill;
+        avg_contract='micros_half_up' opts the average into the
+        engine-exact integer-scaled rounding contract)."""
         from .operators.timeseries import resample_fill
 
         return Stream(
-            resample_fill(self.df, ts_col, val_col, key_cols, step_seconds, agg)
+            resample_fill(
+                self.df,
+                ts_col,
+                val_col,
+                key_cols,
+                step_seconds,
+                agg,
+                avg_contract=avg_contract,
+            )
         )
 
     def take_token_budget(
