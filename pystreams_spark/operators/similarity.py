@@ -1528,6 +1528,14 @@ def margin_bitext_mine(
 
     Output: (x_id, y_id, cos_micros, margin_ppm), mutual-best pairs
     with margin_ppm ≥ threshold.
+
+    PRESUMES DEDUPED INPUTS: the margin denominator is each endpoint's
+    avg top-k cosine, so near-duplicate neighbors inflate it and
+    collapse ALL margins toward 1 — replicating each side ×3 on the
+    registry fixture dropped exact-path yield 524 → 28 pairs and
+    blocked-path yield to 0 (measured, SCALE.md r11). Run the miner
+    AFTER the dedup stages (`semantic_dedup_*`, `minhash_*`); do not
+    feed it replica-dense crawls.
     """
     from pyspark.sql import Window
 
@@ -1641,15 +1649,24 @@ def margin_bitext_mine_blocked(
     IN-PLAN QUALITY GATE (r11 — this repo's r6 rule: approximate
     operators ENFORCE their contracts in the plan): a deterministic
     seeded sample of ``gate_sample`` x-vectors (smallest
-    md5(x_id), id tie-break) gets its EXACT top-1 over ALL of Y (one
-    broadcast-sample scan of Y — s·|Y| dot products, narrow at any
-    scale), and the job RAISES unless at least
-    ``min_sample_top1_recall`` of those exact-best pairs appear in
-    the blocked candidate set. On unclusterable embeddings the gate
-    fires instead of silently returning ~30% of true pairs; pass
-    ``min_sample_top1_recall=None`` to opt out (e.g. when composing
-    with an external recall audit). Gate arithmetic is integer ppm —
-    no float decides it.
+    md5(x_id), id tie-break) gets its EXACT top-1 cosine over ALL of Y
+    (one broadcast-sample scan of Y — s·|Y| dot products, narrow at
+    any scale), and the job RAISES unless at least
+    ``min_sample_top1_recall`` of the sampled x's have SOME candidate
+    attaining that exact max cos_micros (any tied y counts — requiring
+    one specific tie-winner would false-alarm on quantized/duplicated
+    embeddings; ADVICE r11). The gate is a union branch of the
+    candidate set, not a filter over candidate rows, so it executes
+    even when blocking yields ZERO candidates — the fully-disjoint
+    worst case that a row-filter gate silently bypassed (ADVICE r11).
+    On unclusterable embeddings the gate fires instead of silently
+    returning ~30% of true pairs; pass ``min_sample_top1_recall=None``
+    to opt out (e.g. when composing with an external recall audit).
+    Gate arithmetic is integer ppm — no float decides it.
+
+    PRESUMES DEDUPED INPUTS (same contract as `margin_bitext_mine`,
+    measured SCALE.md r11: ×3 replicas collapse margins — exact 524 →
+    28 pairs, blocked → 0): run AFTER dedup stages.
 
     Every stage is engine-portable (md5-seeded ROUND-``round_to``
     Lloyd, rounded-L2² stable probe ranks with lowest-cell ties,
@@ -1758,41 +1775,53 @@ def margin_bitext_mine_blocked(
             as_double(vec_col).alias("_yv"),
             l2_norm(vec_col).alias("_yn"),
         )
-        # exact top-1 per sampled x: one broadcast-sample scan of Y,
-        # partial-agg'd max(struct) — ties break to the smallest y_id,
-        # mirroring the miner's id tie-break
+        # exact top-1 COSINE per sampled x: one broadcast-sample scan
+        # of Y, partial-agg'd max. A sampled x counts as a hit when ANY
+        # candidate y attains this max cos_micros — requiring the
+        # smallest-id tie-winner specifically would fire the gate
+        # spuriously on tie-heavy (quantized / duplicated) embeddings
+        # whose candidate quality is perfect (ADVICE r11)
         exact1 = (
             ally.crossJoin(F.broadcast(sx))
-            .select(
-                F.col(x_id), F.col(y_id), cos_micros.alias("cos_micros")
+            .select(F.col(x_id), cos_micros.alias("_cmax"))
+            .groupBy(x_id)
+            .agg(F.max("_cmax").alias("_cmax"))
+        )
+        cand = scored.select(
+            F.col(x_id).alias("_hx"), F.col("cos_micros").alias("_hc")
+        )
+        hit_flag = (
+            exact1.join(
+                cand,
+                (F.col(x_id) == F.col("_hx"))
+                & (F.col("_cmax") == F.col("_hc")),
+                "left",
             )
             .groupBy(x_id)
             .agg(
                 F.max(
-                    F.struct(
-                        F.col("cos_micros").alias("_c"),
-                        (-F.col(y_id)).alias("_ny"),
-                    )
-                ).alias("_m")
+                    F.when(F.col("_hx").isNotNull(), 1).otherwise(0)
+                ).alias("_hit")
             )
-            .select(F.col(x_id), (-F.col("_m._ny")).alias(y_id))
         )
+        # one row ALWAYS (global agg), even over an empty sample; eager
+        # localCheckpoint so the 4 margin consumers reuse ONE evaluation
+        # — and so a violated floor raises at construction, like the
+        # candidate set's own eager checkpoint above
         recall = (
-            exact1.join(
-                scored.select(x_id, y_id).withColumn("_hit", F.lit(1)),
-                [x_id, y_id],
-                "left",
-            )
-            .agg(
-                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("_nh"),
-                F.count(F.lit(1)).alias("_n"),
+            hit_flag.agg(
+                F.sum("_hit").alias("_nh"), F.count(F.lit(1)).alias("_n")
             )
             .select(
-                F.expr("(_nh * 1000000) div _n").alias("_recall_ppm")
+                F.col("_n"),
+                F.expr("(_nh * 1000000) div _n").alias("_recall_ppm"),
             )
+            .localCheckpoint(eager=True)
         )
         chk = F.assert_true(
-            F.col("_recall_ppm") >= floor_ppm,
+            # _n == 0 ⇔ X or Y side is empty: no true pairs exist to
+            # lose, so the empty result is exact, not a recall failure
+            (F.col("_n") == 0) | (F.col("_recall_ppm") >= floor_ppm),
             F.concat(
                 F.lit(
                     "margin_bitext_mine_blocked: seeded-sample top-1 "
@@ -1807,11 +1836,26 @@ def margin_bitext_mine_blocked(
                 ),
             ),
         )
-        scored = (
-            scored.crossJoin(F.broadcast(recall))
-            .filter(F.coalesce(chk, F.lit(True)))
-            .drop("_recall_ppm")
+        # The gate is a UNION BRANCH of the candidate set, not a filter
+        # over its rows: filtering `scored` evaluates the assert only on
+        # candidate rows, so zero candidates (home/probe cells fully
+        # disjoint — 0% recall, the worst case) bypassed the gate and
+        # returned empty silently (ADVICE r11). Here the assert runs in
+        # a projection over the always-1-row recall frame; on success it
+        # returns NULL and the IS NOT NULL filter drops the row (a
+        # data-dependent predicate the optimizer cannot fold away), so
+        # the branch contributes zero rows but always executes.
+        gate_branch = (
+            recall.select(chk.alias("_z"))
+            .filter(F.col("_z").isNotNull())
+            .select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in scored.schema.fields
+                ]
+            )
         )
+        scored = scored.unionByName(gate_branch)
 
     return _margin_mine_from_scored(
         scored, k, margin_ppm_threshold, x_id, y_id

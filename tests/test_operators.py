@@ -3250,6 +3250,88 @@ def test_margin_bitext_blocked_gate_fires_on_unclusterable_data(spark):
     assert full.count() > 0
 
 
+def test_margin_bitext_blocked_gate_fires_on_zero_candidates(spark):
+    """ADVICE r11 (medium): when X's home/probe cells are fully
+    disjoint from Y's — 0% recall, the unclusterable worst case — the
+    blocked path produces ZERO candidate rows, so a gate implemented as
+    a filter over candidates never evaluates and the miner silently
+    returns empty. The union-branch gate must RAISE here. Construction:
+    X hugs one corner, Y the opposite one; Lloyd on X ∪ Y splits the
+    corners into different cells, and n_probe=1 keeps each side home."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine_blocked,
+    )
+
+    rng = np.random.RandomState(23)
+    a, b = np.zeros(8), np.zeros(8)
+    a[0], b[1] = 4.0, 4.0
+    xs, ys = [], []
+    for i in range(24):
+        v = a + 0.05 * rng.randn(8)
+        xs.append((i, (v / np.linalg.norm(v)).tolist()))
+        w = b + 0.05 * rng.randn(8)
+        ys.append((i, (w / np.linalg.norm(w)).tolist()))
+    x = spark.createDataFrame(xs, "x_id long, embedding array<double>")
+    y = spark.createDataFrame(ys, "y_id long, embedding array<double>")
+    # the gate raises at CONSTRUCTION (the recall frame is eagerly
+    # checkpointed, like the candidate set itself)
+    with _pytest.raises(Exception, match="candidate recall"):
+        margin_bitext_mine_blocked(
+            x, y, k=3, n_cells=4, iters=3, n_probe=1,
+            min_sample_top1_recall=0.9,
+        ).collect()
+    # the same zero-candidate input with the gate opted out returns
+    # empty without raising (documented escape hatch)
+    assert (
+        margin_bitext_mine_blocked(
+            x, y, k=3, n_cells=4, iters=3, n_probe=1,
+            min_sample_top1_recall=None,
+        ).count()
+        == 0
+    )
+
+
+def test_margin_bitext_blocked_gate_tolerates_cosine_ties(spark):
+    """ADVICE r11 (low): duplicated/quantized embeddings produce many
+    y's tied at a sampled x's exact max cosine. The gate must count a
+    hit when ANY candidate attains the max cos_micros, not only the
+    smallest-id tie-winner — otherwise perfect candidate sets fire the
+    gate spuriously. Construction: every Y vector is one of 2 exact
+    prototypes (massive ties); clusters are tight so blocking is
+    lossless and the result must also equal the exact path's."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine,
+        margin_bitext_mine_blocked,
+    )
+
+    rng = np.random.RandomState(31)
+    protos = np.linalg.qr(rng.randn(8, 8))[0][:2] * 4.0
+    xs, ys = [], []
+    uid = 0
+    for p in protos:
+        for _ in range(6):
+            v = p + 0.03 * rng.randn(8)
+            xs.append((uid, (v / np.linalg.norm(v)).tolist()))
+            # Y side: EXACT prototype copies → all 6 tie at every x's max
+            ys.append((uid + 1000, (p / np.linalg.norm(p)).tolist()))
+            uid += 1
+    x = spark.createDataFrame(xs, "x_id long, embedding array<double>")
+    y = spark.createDataFrame(ys, "y_id long, embedding array<double>")
+    blocked = margin_bitext_mine_blocked(
+        x, y, k=3, n_cells=2, iters=3, n_probe=1,
+        min_sample_top1_recall=0.9, margin_ppm_threshold=0,
+    ).collect()
+    exact = margin_bitext_mine(
+        x, y, k=3, margin_ppm_threshold=0
+    ).collect()
+    assert {tuple(r) for r in blocked} == {tuple(r) for r in exact}
+
+
 def test_waterfill_allocation_randomized_sweep(spark):
     """Seeded random instances vs the brute-force reference: caps,
     weights, and budgets drawn across regimes (tight budget, overdraw,
