@@ -224,16 +224,29 @@ def frame_sample(
     return df.mapInPandas(kernel, out_schema)
 
 
-def media_stats(df: DataFrame, meta_col: str = "meta") -> DataFrame:
+def media_stats(
+    df: DataFrame, meta_col: str = "meta", avg_digits: int | None = None
+) -> DataFrame:
     """Metadata-only aggregate — touches no payload bytes, so column
     pruning keeps the (huge) binary column out of the scan entirely
-    (verify via .explain: ReadSchema excludes payload)."""
+    (verify via .explain: ReadSchema excludes payload).
+
+    ``avg_digits``: None (default) returns raw double averages; an int
+    switches both averages to the engine-exact integer-scaled half-up
+    contract at that many digits (``functions/exact`` — the metadata
+    fields are exact integers, so the scaled sums are exact)."""
+    if avg_digits is None:
+        avg_width = F.avg(F.col(f"{meta_col}.width").cast("double"))
+        avg_dur = F.avg(F.col(f"{meta_col}.duration_ms").cast("double"))
+    else:
+        from ..functions.exact import avg_round_half_up
+
+        avg_width = avg_round_half_up(f"{meta_col}.width", avg_digits)
+        avg_dur = avg_round_half_up(f"{meta_col}.duration_ms", avg_digits)
     return df.groupBy(F.col(f"{meta_col}.mime").alias("mime")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg(F.col(f"{meta_col}.width").cast("double")).alias("avg_width"),
-        F.avg(F.col(f"{meta_col}.duration_ms").cast("double")).alias(
-            "avg_duration_ms"
-        ),
+        avg_width.alias("avg_width"),
+        avg_dur.alias("avg_duration_ms"),
     )
 
 

@@ -84,15 +84,15 @@ _avg6_micros_sql = avg_round_half_up_sql
 
 @query(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           {_avg6_micros_sql("l_quantity")}                                 AS avg_qty,
+           {avg_round_half_up_sql("l_extendedprice", 4)}                    AS avg_price,
+           {_avg6_micros_sql("l_discount")}                                 AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -106,6 +106,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale notes: the filter and the 7-column projection are pushed into
     the parquet scan; the aggregate keys are tiny (6 groups) so the
     shuffle after partial aggregation moves only N_partitions × 6 rows.
+
+    The three averages use the integer-scaled half-up contract (r12
+    drain of the ROUND(AVG(raw)) class): l_quantity is exact integers,
+    l_extendedprice and l_discount exact cents, so the scaled sums are
+    exact on both engines and no float summation order can decide the
+    rounded digit.
     """
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -118,9 +124,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _avg6_micros("l_quantity").alias("avg_qty"),
+            avg_round_half_up("l_extendedprice", 4).alias("avg_price"),
+            _avg6_micros("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -2928,21 +2934,23 @@ def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "math_funcs_extended",
-    oracle="""
+    oracle=f"""
     SELECT l_linenumber,
            ROUND(SUM(SIN(l_discount) + COS(l_tax)), 6) AS trig_sum,
            ROUND(SUM(EXP(l_discount)), 6) AS exp_sum,
            ROUND(SUM(LN(l_quantity + 1)), 6) AS ln_sum,
            ROUND(SUM(LOG10(l_extendedprice)), 6) AS log10_sum,
            CAST(SUM(CASE WHEN MOD(CAST(l_quantity AS BIGINT), 2) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_qty,
-           ROUND(AVG(SIGN(l_discount - 0.05)), 6) AS avg_sign
+           {_avg6_micros_sql("SIGN(l_discount - 0.05)")} AS avg_sign
     FROM lineitem
     GROUP BY l_linenumber
     ORDER BY l_linenumber
     """,
 )
 def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-tail math family: trig, exp/ln/log10, mod, sign."""
+    """Long-tail math family: trig, exp/ln/log10, mod, sign. avg_sign
+    averages exact {-1, 0, 1} values under the integer-micros half-up
+    contract (r12 drain of the ROUND(AVG(raw)) class)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linenumber")
@@ -2954,7 +2962,7 @@ def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("l_quantity").cast("long") % 2 == 0, 1).otherwise(0)
             ).alias("n_even_qty"),
-            F.round(F.avg(F.signum(F.col("l_discount") - 0.05)), 6).alias("avg_sign"),
+            _avg6_micros("sign(l_discount - 0.05)").alias("avg_sign"),
         )
         .orderBy("l_linenumber")
     )
@@ -4207,7 +4215,7 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_quantization_report",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
       FROM embeddings
@@ -4240,9 +4248,9 @@ def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rec
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(AVG(err_steps), 4) AS avg_err_steps,
+           {avg_round_half_up_sql("ROUND(err_steps, 4)", 4)} AS avg_err_steps,
            ROUND(MAX(err_steps), 4) AS max_err_steps,
-           ROUND(AVG(cos_hat), 6) AS avg_cos_orig_hat,
+           {avg_round_half_up_sql("ROUND(cos_hat, 6)", 6)} AS avg_cos_orig_hat,
            ROUND(MIN(cos_hat), 6) AS min_cos_orig_hat,
            CAST(SUM(n_saturated) AS BIGINT) AS total_saturated_codes
     FROM per
@@ -4286,11 +4294,15 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
         cosine("x", "xhat").alias("cos_hat"),
         F.size(F.filter("q", lambda c: F.abs(c) == 127)).alias("n_saturated"),
     )
+    # the two averages pre-round each per-vector value (the identical
+    # IEEE expression both engines — the per-vector pipeline is already
+    # cross-engine exact) and average under the integer-scaled half-up
+    # contract (r12 drain of the ROUND(AVG(raw)) class)
     return per_vec.agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("err_steps"), 4).alias("avg_err_steps"),
+        avg_round_half_up("round(err_steps, 4)", 4).alias("avg_err_steps"),
         F.round(F.max("err_steps"), 4).alias("max_err_steps"),
-        F.round(F.avg("cos_hat"), 6).alias("avg_cos_orig_hat"),
+        avg_round_half_up("round(cos_hat, 6)", 6).alias("avg_cos_orig_hat"),
         F.round(F.min("cos_hat"), 6).alias("min_cos_orig_hat"),
         F.sum("n_saturated").alias("total_saturated_codes"),
     )
@@ -5001,10 +5013,10 @@ def seeded_random_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pandas_api_segment_stats",
-    oracle="""
+    oracle=f"""
     SELECT c_mktsegment, n, avg_bal FROM (
         SELECT c_mktsegment, COUNT(*) AS n,
-               ROUND(AVG(c_acctbal), 2) AS avg_bal
+               {avg_round_half_up_sql("c_acctbal", 2)} AS avg_bal
         FROM customer GROUP BY c_mktsegment
     ) ORDER BY c_mktsegment
     """,
@@ -5014,21 +5026,34 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupby/agg written in pandas idioms lowers to the identical Spark
     plan — users migrating pandas pipelines keep their API and gain
     distributed execution. The ps frame round-trips back to a DataFrame
-    for the oracle comparison."""
+    for the oracle comparison. The segment average uses the
+    integer-cents half-up contract (r12 drain of the ROUND(AVG(raw))
+    class): the per-row cents quantization is a ps-idiom `.round()`,
+    the exact half-up division happens after the round-trip."""
     import pyspark.pandas as ps  # noqa: F401  (registers .pandas_api())
 
     c = _t(spark, sf_dir, "customer")
     pdf = c.pandas_api()
+    pdf = pdf.assign(bal_c=(pdf["c_acctbal"] * 100).round())
     out = (
         pdf.groupby("c_mktsegment")
-        .agg({"c_custkey": "count", "c_acctbal": "mean"})
+        .agg({"c_custkey": "count", "bal_c": "sum"})
         .reset_index()
     )
-    out.columns = ["c_mktsegment", "n", "avg_bal"]
-    out["avg_bal"] = out["avg_bal"].round(2)
+    out.columns = ["c_mktsegment", "n", "s"]
     return (
         out.to_spark()
-        .select("c_mktsegment", F.col("n").cast("long").alias("n"), "avg_bal")
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            # s is an integral-valued double (sum of rounded cents) —
+            # the decimal cast is exact; same (2Σ+N) div (2N) half-up
+            # form as functions/exact.avg_round_half_up
+            F.expr(
+                "cast((2 * cast(s as decimal(38,0)) + n) div (2 * n)"
+                " as double) / 100.0"
+            ).alias("avg_bal"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -5436,7 +5461,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_meta_stats",
-    oracle="""
+    oracle=f"""
     WITH media AS (
         SELECT doc_id AS media_id,
                CASE WHEN lang IN ('en', 'de') THEN 'image/png'
@@ -5447,8 +5472,8 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT mime, COUNT(*) AS n,
-           ROUND(AVG(width), 4) AS avg_width,
-           ROUND(AVG(duration_ms), 4) AS avg_duration_ms
+           {avg_round_half_up_sql("width", 4)} AS avg_width,
+           {avg_round_half_up_sql("duration_ms", 4)} AS avg_duration_ms
     FROM media GROUP BY mime ORDER BY mime
     """,
 )
@@ -5460,7 +5485,9 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata struct, so Catalyst prunes the payload bytes out of the
     scan entirely — the property that makes 100 TB multimodal corpora
     queryable. The oracle states the same derivation over the scalar
-    columns."""
+    columns. Averages use the integer-scaled half-up contract at 4
+    digits (r12 drain of the ROUND(AVG(raw)) class — width and
+    duration_ms are exact integers)."""
     from .operators.multimodal import media_stats
 
     d = _t(spark, sf_dir, "documents")
@@ -5478,16 +5505,7 @@ def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duration_ms"),
         ).alias("meta"),
     )
-    return (
-        media_stats(media)
-        .select(
-            "mime",
-            "n",
-            F.round("avg_width", 4).alias("avg_width"),
-            F.round("avg_duration_ms", 4).alias("avg_duration_ms"),
-        )
-        .orderBy("mime")
-    )
+    return media_stats(media, avg_digits=4).orderBy("mime")
 
 
 _BIG_SPENDERS_SQL = """
@@ -5860,7 +5878,7 @@ def chunk_long_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_repetition_by_lang",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, lang,
                list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
@@ -5868,13 +5886,13 @@ def chunk_long_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
         SELECT lang,
-               1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
-                     / GREATEST(len(t), 1) AS rep
+               ROUND(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                     / GREATEST(len(t), 1), 6) AS rep
         FROM toks
     )
     SELECT lang, COUNT(*) AS n_docs,
-           ROUND(AVG(rep), 6) AS avg_repetition,
-           ROUND(MAX(rep), 6) AS max_repetition,
+           {_avg6_micros_sql("rep")} AS avg_repetition,
+           MAX(rep) AS max_repetition,
            CAST(SUM(CASE WHEN rep > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_repetition
     FROM r GROUP BY lang ORDER BY lang
     """,
@@ -5884,21 +5902,28 @@ def doc_repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc duplicate-token ratio 1 - |distinct|/|tokens| in pure Column
     algebra (split/array_distinct/size — one narrow pass, codegen'd),
     aggregated per language with a high-repetition count that a
-    filtering pipeline would threshold on."""
+    filtering pipeline would threshold on. The per-doc ratio is
+    pre-rounded to 6dp (one identical IEEE divide + subtract on both
+    engines) and averaged under the integer-micros half-up contract
+    (r12 drain of the ROUND(AVG(raw)) class); max and the threshold
+    read the same pre-rounded value."""
     from .functions.text import tokens
 
     d = _t(spark, sf_dir, "documents")
     t = tokens("text")
-    rep = 1.0 - F.size(F.array_distinct(t)).cast("double") / F.greatest(
-        F.size(t), F.lit(1)
+    rep = F.round(
+        1.0
+        - F.size(F.array_distinct(t)).cast("double")
+        / F.greatest(F.size(t), F.lit(1)),
+        6,
     )
     return (
         d.select("lang", rep.alias("rep"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("rep"), 6).alias("avg_repetition"),
-            F.round(F.max("rep"), 6).alias("max_repetition"),
+            _avg6_micros("rep").alias("avg_repetition"),
+            F.max("rep").alias("max_repetition"),
             F.sum(F.when(F.col("rep") > 0.5, 1).otherwise(0)).alias(
                 "n_high_repetition"
             ),
