@@ -310,43 +310,75 @@ R10_DRIVER_CHECKED = {
     "zipf_fit_by_lang",
 }
 
+R11_DRIVER_CHECKED = {
+    "acctbal_quartiles", "approx_sketches", "bigram_lm_quality",
+    "bitext_margin_mining_blocked", "bpe_learned_merges",
+    "centroid_classifier_confusion", "corpus_snapshot_diff",
+    "data_quality_report", "dedup_docs_exact", "dup_clusters_md5",
+    "embedding_neardup_lsh", "embedding_neardup_pairs",
+    "embedding_norms_top20", "enumerate_top_orders", "hll_sketch_rollup",
+    "knn_exact_cosine", "knn_ivf_approx", "knn_ivf_kmeans",
+    "knn_lsh_approx", "knn_pq_adc", "last_touch_attribution",
+    "math_funcs_lineitem", "minhash_neardup_candidates",
+    "mixture_waterfill_allocation", "model_filtered_funnel",
+    "neardup_dedup_pipeline", "order_gaps_lag", "orders_by_year_month",
+    "pack_training_sequences", "pca_embedding_spectrum",
+    "pmi_collocations_top30", "price_buckets_case", "price_moving_avg",
+    "resample_user_purchases_daily", "seeded_sample_stats",
+    "semantic_dedup_by_label", "semantic_dedup_kmeans",
+    "simhash_neardup_candidates", "snapshot_neardup_moves",
+    "stopword_ratio_by_lang", "stratified_sample_stats",
+    "string_funcs_parts", "token_stats_by_lang", "top_parts_per_brand",
+    "training_mix_manifest", "udf_centered_prices",
+    "udf_map_batches_tokens", "udf_weighted_avg_discount",
+    "unigram_surprisal_filter", "user_journey_trigrams",
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
     the driver's 50-query correctness window lands on the entries worth
-    the most fresh evidence: (0) queries never driver-checked (new in
-    round 11: the oracle-checked multi-probe blocked bitext miner and
-    the moved-AND-edited snapshot composition, plus the fall-through
-    safety net), (1) queries whose code paths changed in round 11
-    (need re-verdicts under the new code), (2) curated priority
-    re-checks, (3) generic stale rows-only, (4+) staleness tiers by
-    age of last driver verdict — per the r10 verdict's rotation ask
-    (#2) the r6-era tier (47 queries, oldest) drains next. 2 new + 12
-    touched (8 of them already r6-tier) leaves 36 window slots for the
-    remaining 39 pure-tier r6 queries, so 3 r6 stragglers drain first
-    thing in r12."""
+    the most fresh evidence: (0) queries never driver-checked, (1)
+    queries whose code paths changed in round 12 (need re-verdicts
+    under the new code), (2) curated priority re-checks, (3) generic
+    stale rows-only, (4+) staleness tiers by age of last driver
+    verdict. The tier assignment is MECHANICAL — the R{N}_DRIVER_CHECKED
+    sets are the literal key sets of the CORRECTNESS_r{N}.json files,
+    so the straggler audit is computed, not hand-counted (the r11
+    verdict caught a hand-count missing `signup_to_purchase_latency`).
+    r12 window math: 18 touched (11 exact-average-helper users whose
+    Spark accumulator widened to DECIMAL(38,0), the six r7-tier
+    ROUND(AVG(raw))→contract conversions, and the gate-fixed blocked
+    bitext miner) + ALL THREE r6 stragglers (`token_gini_by_lang`,
+    `length_ks_by_source`, `signup_to_purchase_latency`) + 29 of the
+    42 remaining r7-tier queries = 50; 13 r7 entries spill to r13."""
 
     never_checked: set[str] = {
-        # new in round 11 rank 0 via the fall-through below
+        # none new in round 12; the fall-through below still ranks any
+        # future unlisted registration first
     }
-    # code-touched in round 11 (need re-verdicts under the new code):
-    # the ADVICE-r10 robustness fixes (waterfill NULL-weight guard +
-    # oracle-matching inner-join filter; snapshot NULL-text coalesce)
-    # and the r10-verdict #5/#6 drains (bpe_learned_merges rows-only →
-    # FULL oracle via the shared merge-chain CTEs; five ROUND(AVG(raw))
-    # oracles moved to the integer-micros contract — all five of those
-    # already r6-tier, as is bpe_learned_merges, so they double as tier
-    # drains)
-    touched_r11: set[str] = {
-        "mixture_waterfill_allocation", "training_mix_manifest",
-        "corpus_snapshot_diff", "bpe_learned_merges",
-        "acctbal_quartiles", "price_buckets_case", "token_stats_by_lang",
-        "stopword_ratio_by_lang", "last_touch_attribution",
-        "price_moving_avg", "math_funcs_lineitem",
-        # r11 late: the sf0.1 parity sweep caught a REAL latent
-        # mismatch here (ROUND(AVG) half-case + interp association) —
-        # fixed via the micros contract; must re-verdict first
-        "resample_user_purchases_daily",
+    # code-touched in round 12 (need re-verdicts under the new code):
+    # the 11 queries whose shared exact-average helper widened its
+    # accumulator BIGINT → DECIMAL(38,0) (value-identical in-range,
+    # proven by the sf0.001/0.01 parity suite, but the expression tree
+    # changed), the six r7-tier ROUND(AVG(raw)) oracles converted to
+    # the integer-scaled contract (they double as r7 drains), and the
+    # blocked bitext miner whose recall gate became a union branch
+    # with tie-tolerant hits (ADVICE r11)
+    touched_r12: set[str] = {
+        # helper users (functions/exact.py accumulator widening)
+        "acctbal_quartiles", "classifier_calibration_curve",
+        "curriculum_stage_report", "doc_quality_by_lang",
+        "linear_quality_classifier", "math_funcs_lineitem",
+        "media_decode_report", "price_buckets_case",
+        "resample_user_purchases_daily", "stopword_ratio_by_lang",
+        "token_stats_by_lang",
+        # r12 contract conversions (all r7-tier)
+        "pricing_summary", "math_funcs_extended",
+        "embedding_quantization_report", "pandas_api_segment_stats",
+        "multimodal_meta_stats", "doc_repetition_by_lang",
+        # gate rework (zero-candidate union branch + tie-tolerant hits)
+        "bitext_margin_mining_blocked",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()
@@ -354,7 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def rank(name: str) -> int:
         if name in never_checked:
             return 0
-        if name in touched_r11:
+        if name in touched_r12:
             return 1
         if name in stale_priority:
             return 2
@@ -364,7 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             R1_DRIVER_CHECKED, R2_DRIVER_CHECKED,
             R3_DRIVER_CHECKED, R4_DRIVER_CHECKED, R5_DRIVER_CHECKED,
             R6_DRIVER_CHECKED, R7_DRIVER_CHECKED, R8_DRIVER_CHECKED,
-            R9_DRIVER_CHECKED, R10_DRIVER_CHECKED)]
+            R9_DRIVER_CHECKED, R10_DRIVER_CHECKED, R11_DRIVER_CHECKED)]
         if not any(checked_in):
             # registered but never driver-checked and not (yet) listed
             # in never_checked: rank WITH the never-checked tier — a
