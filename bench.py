@@ -135,7 +135,11 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     if subset:
+        # self-identifying adjudication record (r11 verdict #4): wall
+        # timestamp + a caller-supplied label naming WHY this subset ran
+        detail["ts"] = round(time.time(), 3)
         detail["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        detail["label"] = os.environ.get("BENCH_LABEL", "")
         with open(os.path.join(here, "BENCH_SUBSET_LOG.jsonl"), "a") as f:
             f.write(json.dumps(detail) + "\n")
     print(json.dumps(detail))

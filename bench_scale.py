@@ -280,6 +280,19 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "bitext_blocked": lambda: QUERIES[
             "bitext_margin_mining_blocked"
         ](spark, data_dir).count(),
+        # r12 (VERDICT r11 #3): the PRODUCTION constant, measured —
+        # same clusterable synthetic (64 hash prototypes in 16-d,
+        # cardinality tracks the scaled embeddings table), mined at
+        # IVF-style params (n_cells=64, n_probe=4) vs few-cell params
+        # (n_cells=4, n_probe=2) — candidate bytes should drop by
+        # roughly (2p/n_cells)_c4 / (2p/n_cells)_prod = 8x, with the
+        # recall gate EXECUTING and passing in both
+        "bitext_blocked_prod": lambda: _bitext_blocked_prototyped(
+            spark, data_dir, n_cells=64, n_probe=4
+        ),
+        "bitext_blocked_prod_c4": lambda: _bitext_blocked_prototyped(
+            spark, data_dir, n_cells=4, n_probe=2
+        ),
         # r10: crawl-over-crawl diff — ONE full-outer 16-byte id join
         # (text never shuffles) + removed/added-sized rank pairing;
         # expect ~linear bytes, near-flat wall
@@ -299,6 +312,46 @@ def _families(spark, data_dir: str, ckpt_dir: str):
             "training_mix_manifest"
         ](spark, data_dir).count(),
     }
+
+
+def _bitext_blocked_prototyped(
+    spark, data_dir: str, n_cells: int, n_probe: int
+) -> int:
+    """Blocked margin mining over a CLUSTERABLE synthetic whose
+    cardinality tracks the scaled embeddings table: 64 deterministic
+    hash prototypes in 16-d (coordinates ±4), each vector = its
+    (id div 2) % 64 prototype + ±0.05 hash noise, X = even ids / Y =
+    odd ids — consecutive (2m, 2m+1) pairs share a cluster, so every
+    x has same-cluster y neighbors on the other side.
+    Lloyd recovers the prototype structure, so the in-plan recall
+    gate (0.9 floor) EXECUTES AND PASSES at both parameter sets and
+    the curve isolates pure blocking economics — the measured form of
+    the n_cells ≫ n_probe production argument (VERDICT r11 #3)."""
+    from pystreams_spark.io import load_table
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine_blocked,
+    )
+
+    vec = F.expr(
+        "transform(sequence(0, 15), i -> "
+        "(cast(pmod(xxhash64(concat('p', cast(pmod(vec_id div 2, 64) as string),"
+        " ':', cast(i as string))), 2001) as double) - 1000.0) / 250.0"
+        " + (cast(pmod(xxhash64(concat('e', cast(vec_id as string),"
+        " ':', cast(i as string))), 2001) as double) - 1000.0) / 20000.0)"
+    )
+    base = load_table(spark, data_dir, "embeddings").select(
+        "vec_id", vec.alias("embedding")
+    )
+    x = base.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = base.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    return margin_bitext_mine_blocked(
+        x, y, k=4, n_cells=n_cells, iters=2, n_probe=n_probe,
+        min_sample_top1_recall=0.9,
+    ).count()
 
 
 def _novelty_hashed(docs_df):
