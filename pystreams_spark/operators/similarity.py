@@ -1818,7 +1818,18 @@ def margin_bitext_mine_blocked(
             )
             .localCheckpoint(eager=True)
         )
-        chk = F.assert_true(
+        # The gate is a UNION BRANCH of the candidate set (gates.
+        # gate_summary), not a filter over its rows: filtering `scored`
+        # evaluates the assert only on candidate rows, so zero
+        # candidates (home/probe cells fully disjoint — 0% recall, the
+        # worst case) bypassed the gate and returned empty silently
+        # (ADVICE r11). The union branch always executes — it raises at
+        # construction via the margin pipeline's eager checkpoints.
+        from ..gates import gate_summary
+
+        scored = gate_summary(
+            scored,
+            recall,
             # _n == 0 ⇔ X or Y side is empty: no true pairs exist to
             # lose, so the empty result is exact, not a recall failure
             (F.col("_n") == 0) | (F.col("_recall_ppm") >= floor_ppm),
@@ -1836,26 +1847,6 @@ def margin_bitext_mine_blocked(
                 ),
             ),
         )
-        # The gate is a UNION BRANCH of the candidate set, not a filter
-        # over its rows: filtering `scored` evaluates the assert only on
-        # candidate rows, so zero candidates (home/probe cells fully
-        # disjoint — 0% recall, the worst case) bypassed the gate and
-        # returned empty silently (ADVICE r11). Here the assert runs in
-        # a projection over the always-1-row recall frame; on success it
-        # returns NULL and the IS NOT NULL filter drops the row (a
-        # data-dependent predicate the optimizer cannot fold away), so
-        # the branch contributes zero rows but always executes.
-        gate_branch = (
-            recall.select(chk.alias("_z"))
-            .filter(F.col("_z").isNotNull())
-            .select(
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in scored.schema.fields
-                ]
-            )
-        )
-        scored = scored.unionByName(gate_branch)
 
     return _margin_mine_from_scored(
         scored, k, margin_ppm_threshold, x_id, y_id

@@ -57,6 +57,34 @@ def test_gate_global_passes_and_fires(spark):
         gate_global(df, total == 11, "expected 11").collect()
 
 
+def test_gate_summary_fires_even_on_empty_df(spark):
+    """The zero-row hole (ADVICE r11): a gate filtered over the gated
+    frame's own rows never evaluates when the frame is EMPTY. The
+    union-branch form must (a) raise on an empty frame whose summary
+    violates the condition, (b) return the empty frame unchanged when
+    the summary passes, (c) pass non-empty frames through untouched."""
+    from pystreams_spark.gates import gate_summary
+
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    empty = df.filter(F.lit(False))
+    # summary = global agg: exactly one row even over empty input
+    summary = empty.agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(Exception, match="empty frame rejected"):
+        gate_summary(
+            empty, summary, F.col("n") > 0, "empty frame rejected"
+        ).collect()
+    # same empty frame, a condition that tolerates emptiness: no raise
+    assert (
+        gate_summary(empty, summary, F.col("n") == 0, "boom").count() == 0
+    )
+    # non-empty: rows pass through unchanged, schema intact
+    full_sum = df.agg(F.count(F.lit(1)).alias("n"))
+    out = gate_summary(df, full_sum, F.col("n") == 10, "boom")
+    assert out.count() == 10 and out.columns == ["id", "v"]
+    with pytest.raises(Exception, match="wrong count"):
+        gate_summary(df, full_sum, F.col("n") == 11, "wrong count").collect()
+
+
 def test_binomial_bound_shape(spark):
     row = spark.range(1).select(
         binomial_bound(F.lit(10000), 0.1).alias("b")
