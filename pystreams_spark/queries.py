@@ -712,7 +712,10 @@ def price_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-micros half-up contract in WINDOW form (r11 drain —
     o_totalprice is exact cents, so the micros sum is exact on both
     engines; the frame is ≤3 rows but the contract removes the ROUND
-    half-case class entirely)."""
+    half-case class entirely). The BIGINT accumulator is safe HERE —
+    a ≤3-row frame of price micros peaks ~1e14, far under 2^63 — while
+    whole-table contract sums use the DECIMAL(38,0) form
+    (functions/exact, r12)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
     w = (
         Window.partitionBy("o_custkey")
