@@ -293,6 +293,15 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "bitext_blocked_prod_c4": lambda: _bitext_blocked_prototyped(
             spark, data_dir, n_cells=4, n_probe=2
         ),
+        # r12: the production ASYMPTOTE — n_cells (and the synthetic's
+        # cluster count) scale ∝ N so per-cell occupancy stays constant;
+        # candidate bytes should grow ~linearly where the fixed-cell
+        # curves above stay quadratic-with-a-smaller-constant
+        "bitext_blocked_prod_scaledcells": lambda: (
+            _bitext_blocked_prototyped(
+                spark, data_dir, n_cells=None, n_probe=4
+            )
+        ),
         # r10: crawl-over-crawl diff — ONE full-outer 16-byte id join
         # (text never shuffles) + removed/added-sized rank pairing;
         # expect ~linear bytes, near-flat wall
@@ -315,42 +324,53 @@ def _families(spark, data_dir: str, ckpt_dir: str):
 
 
 def _bitext_blocked_prototyped(
-    spark, data_dir: str, n_cells: int, n_probe: int
+    spark, data_dir: str, n_cells: int | None, n_probe: int
 ) -> int:
     """Blocked margin mining over a CLUSTERABLE synthetic whose
-    cardinality tracks the scaled embeddings table: 64 deterministic
+    cardinality tracks the scaled embeddings table: deterministic
     hash prototypes in 16-d (coordinates ±4), each vector = its
-    (id div 2) % 64 prototype + ±0.05 hash noise, X = even ids / Y =
-    odd ids — consecutive (2m, 2m+1) pairs share a cluster, so every
-    x has same-cluster y neighbors on the other side.
+    (id div 2) % n_proto prototype + ±0.05 hash noise, X = even ids /
+    Y = odd ids — consecutive (2m, 2m+1) pairs share a cluster, so
+    every x has same-cluster y neighbors on the other side.
     Lloyd recovers the prototype structure, so the in-plan recall
-    gate (0.9 floor) EXECUTES AND PASSES at both parameter sets and
-    the curve isolates pure blocking economics — the measured form of
-    the n_cells ≫ n_probe production argument (VERDICT r11 #3)."""
+    gate (0.9 floor) EXECUTES AND PASSES at every parameter set and
+    the curves isolate pure blocking economics — the measured form of
+    the n_cells ≫ n_probe production argument (VERDICT r11 #3).
+
+    ``n_cells=None`` = the production ASYMPTOTE regime: cluster count
+    AND cell count scale ∝ N (N // 32 → ~16 members per side per
+    cluster at any factor), the fixed-cells regimes keep n_proto=64."""
     from pystreams_spark.io import load_table
     from pystreams_spark.operators.similarity import (
         margin_bitext_mine_blocked,
     )
 
+    raw = load_table(spark, data_dir, "embeddings")
+    if n_cells is None:
+        n_cells = n_proto = max(16, raw.count() // 32)
+    else:
+        n_proto = 64
     vec = F.expr(
         "transform(sequence(0, 15), i -> "
-        "(cast(pmod(xxhash64(concat('p', cast(pmod(vec_id div 2, 64) as string),"
+        f"(cast(pmod(xxhash64(concat('p', cast(pmod(vec_id div 2, {n_proto})"
+        " as string),"
         " ':', cast(i as string))), 2001) as double) - 1000.0) / 250.0"
         " + (cast(pmod(xxhash64(concat('e', cast(vec_id as string),"
         " ':', cast(i as string))), 2001) as double) - 1000.0) / 20000.0)"
     )
-    base = load_table(spark, data_dir, "embeddings").select(
-        "vec_id", vec.alias("embedding")
-    )
+    base = raw.select("vec_id", vec.alias("embedding"))
     x = base.filter(F.col("vec_id") % 2 == 0).select(
         F.col("vec_id").alias("x_id"), "embedding"
     )
     y = base.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("y_id"), "embedding"
     )
+    # threshold 1.0: cluster members are near-identical, so margins sit
+    # ~1 — the mutual-best pairs clear exactly 1.0 and the full pipeline
+    # (margins, mutual-best, threshold) produces real yield to count
     return margin_bitext_mine_blocked(
         x, y, k=4, n_cells=n_cells, iters=2, n_probe=n_probe,
-        min_sample_top1_recall=0.9,
+        min_sample_top1_recall=0.9, margin_ppm_threshold=1_000_000,
     ).count()
 
 
