@@ -1622,7 +1622,7 @@ def margin_bitext_mine_blocked(
     y: DataFrame,
     k: int = 4,
     margin_ppm_threshold: int = 1_060_000,
-    n_cells: int = 8,
+    n_cells: int | str = 8,
     iters: int = 2,
     n_probe: int = 2,
     x_id: str = "x_id",
@@ -1668,6 +1668,12 @@ def margin_bitext_mine_blocked(
     measured SCALE.md r11: ×3 replicas collapse margins — exact 524 →
     28 pairs, blocked → 0): run AFTER dedup stages.
 
+    ``n_cells="auto"`` sizes the cell count to the corpus
+    (~32 vectors per cell, capped at 65,536) — the regime the r12
+    scale measurement showed keeps candidate bytes LINEAR in N
+    (exponent 1.06 vs ~2.0 at any fixed cell count; SCALE.md r12).
+    Any fixed int only divides the quadratic bill by a constant.
+
     Every stage is engine-portable (md5-seeded ROUND-``round_to``
     Lloyd, rounded-L2² stable probe ranks with lowest-cell ties,
     integer-micros margins), so the whole blocked path hash-checks
@@ -1686,6 +1692,20 @@ def margin_bitext_mine_blocked(
     uy = y.select(
         (F.col(y_id) * 2 + 1).alias("_uid"), F.col(vec_col).alias("_v")
     )
+    if n_cells == "auto":
+        # the deployment rule the r12 measurement established (SCALE.md
+        # r12: n_cells ∝ N → candidate bytes linear, exponent 1.06, vs
+        # ~2.0 at any FIXED cell count): size cells to hold ~32 vectors
+        # each. Capped so the broadcast centers matrix stays MB-sized
+        # (65,536 cells × d doubles); beyond the cap per-cell occupancy
+        # grows again — shard the corpus or mine per partition family.
+        # One cheap count() job; the Lloyd fit dwarfs it.
+        n_cells = max(16, min(65_536, (ux.count() + uy.count()) // 32))
+    elif not isinstance(n_cells, int):
+        raise ValueError(
+            f"margin_bitext_mine_blocked: n_cells must be an int or "
+            f"'auto', got {n_cells!r}"
+        )
     centers = kmeans_centers_deterministic(
         ensure_parallelism(ux.unionByName(uy)),
         id_col="_uid", vec_col="_v", n_cells=n_cells, iters=iters,

@@ -3294,6 +3294,59 @@ def test_margin_bitext_blocked_gate_fires_on_zero_candidates(spark):
     )
 
 
+def test_margin_bitext_blocked_auto_cells(spark):
+    """n_cells='auto' (r12): cells sized ∝ N — the regime the SCALE.md
+    r12 measurement showed keeps candidate bytes linear. On
+    well-separated clusters the auto sizing must mine exactly what the
+    exact path mines, with the recall gate passing; junk values must be
+    rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from pystreams_spark.operators.similarity import (
+        margin_bitext_mine,
+        margin_bitext_mine_blocked,
+    )
+
+    rng = np.random.RandomState(41)
+    centers = np.linalg.qr(rng.randn(16, 16))[0][:4] * 4.0
+    rows = []
+    uid = 0
+    for c in centers:
+        for _ in range(16):
+            v = c + 0.05 * rng.randn(16)
+            rows.append((uid, (v / np.linalg.norm(v)).tolist()))
+            uid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    x = df.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("x_id"), "embedding"
+    )
+    y = df.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("y_id"), "embedding"
+    )
+    exact = {
+        (r.x_id, r.y_id, r.cos_micros)
+        for r in margin_bitext_mine(
+            x, y, k=3, margin_ppm_threshold=1_000_000
+        ).collect()
+    }
+    # 64 vectors // 32 → auto resolves to the 16-cell floor. 16 cells
+    # over 4 clusters SPLITS clusters, which clips the top-k
+    # neighborhood sums to candidate pairs (margins shift a few ppm —
+    # inherent to blocking at any n_cells > n_clusters), so the pin is
+    # pair identity + cosine, not margin equality.
+    auto = {
+        (r.x_id, r.y_id, r.cos_micros)
+        for r in margin_bitext_mine_blocked(
+            x, y, k=3, margin_ppm_threshold=1_000_000,
+            n_cells="auto", iters=4, n_probe=4,
+        ).collect()
+    }
+    assert exact and auto == exact
+    with _pytest.raises(ValueError, match="n_cells"):
+        margin_bitext_mine_blocked(x, y, n_cells="bogus")
+
+
 def test_margin_bitext_blocked_gate_tolerates_cosine_ties(spark):
     """ADVICE r11 (low): duplicated/quantized embeddings produce many
     y's tied at a sampled x's exact max cosine. The gate must count a
