@@ -346,12 +346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sets are the literal key sets of the CORRECTNESS_r{N}.json files,
     so the straggler audit is computed, not hand-counted (the r11
     verdict caught a hand-count missing `signup_to_purchase_latency`).
-    r12 window math: 18 touched (11 exact-average-helper users whose
-    Spark accumulator widened to DECIMAL(38,0), the six r7-tier
-    ROUND(AVG(raw))→contract conversions, and the gate-fixed blocked
-    bitext miner) + ALL THREE r6 stragglers (`token_gini_by_lang`,
-    `length_ks_by_source`, `signup_to_purchase_latency`) + 29 of the
-    42 remaining r7-tier queries = 50; 13 r7 entries spill to r13."""
+    r12 window math: 23 touched (11 exact-average-helper users whose
+    Spark accumulator widened to DECIMAL(38,0); the six r7-tier
+    ROUND(AVG(raw))→contract conversions; the gate-fixed blocked
+    bitext miner; and the five other deterministic-Lloyd consumers
+    re-based onto the integer-micros centroid contract — two of them
+    r7-tier, so they double as drains) + ALL THREE r6 stragglers
+    (`token_gini_by_lang`, `length_ks_by_source`,
+    `signup_to_purchase_latency`) + 24 untouched r7-tier drains = 50;
+    16 r7 entries spill to r13."""
 
     never_checked: set[str] = {
         # none new in round 12; the fall-through below still ranks any
@@ -379,6 +382,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta_stats", "doc_repetition_by_lang",
         # gate rework (zero-candidate union branch + tie-tolerant hits)
         "bitext_margin_mining_blocked",
+        # r12 late: the deterministic-Lloyd centroid update moved from
+        # float partial sums to the integer-micros half-up contract
+        # (quantize-before-sum in the kernel, matching // trunc-div CTE
+        # in all five unrolled oracles) — the last STRUCTURAL member of
+        # the ROUND(AVG(raw)) class; every consumer re-verified at
+        # sf0.001/0.01/0.1
+        "semantic_dedup_kmeans", "semantic_split_leakage_report",
+        "knn_ivf_deterministic", "knn_pq_deterministic",
+        "cluster_balanced_sample_report",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()

@@ -33,7 +33,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["avg_round_half_up", "avg_round_half_up_sql"]
+__all__ = [
+    "avg_round_half_up",
+    "avg_round_half_up_sql",
+    "np_round_half_away_scaled",
+    "np_trunc_div",
+]
+
+
+def np_round_half_away_scaled(m, scale: int):
+    """``CAST(ROUND(m * scale) AS BIGINT)`` with the SQL engines'
+    half-AWAY-from-zero rule, vectorized for numpy — ``np.round`` is
+    half-to-EVEN, which silently disagrees with Spark's
+    BigDecimal-HALF_UP and DuckDB's std::round exactly on the half
+    cases this module exists to pin down. Exact for ``|m·scale| <
+    2^52``: the product is the identical IEEE multiply both engines
+    perform, ``x - trunc(x)`` is exact there, and the half comparison
+    is exact."""
+    import numpy as np
+
+    x = m * float(scale)
+    r = np.trunc(x)
+    frac = x - r
+    r = r + (frac >= 0.5) - (frac <= -0.5)
+    return r.astype(np.int64)
+
+
+def np_trunc_div(num, den):
+    """Integer division truncating toward zero on int64 arrays —
+    numpy's ``//`` floors, but Spark's ``div`` and DuckDB's integral
+    ``//`` truncate; for negative numerators the two differ by one."""
+    q = num // den
+    return q + ((num % den != 0) & ((num < 0) != (den < 0)))
 
 
 def avg_round_half_up(col: str, digits: int = 6) -> Column:

@@ -988,28 +988,41 @@ def kmeans_centers_deterministic(
     )
     k, d = centers.shape
 
+    from ..functions.exact import np_round_half_away_scaled, np_trunc_div
+
+    scale = 10 ** int(round_to)
+
     def partials(centers_arr):
-        """One fused scan: per-partition (cell, n, sum per dim)."""
+        """One fused scan: per-partition (cell, n, INTEGER-scaled sum
+        per dim). r12: partials accumulate in int64 units of
+        10^-round_to — float partial sums made the updated centroid
+        depend on partition/summation order, the exact cross-engine
+        ROUND(AVG) half-case class the sf0.1 sweep proved real
+        (resample, r11); with quantize-before-sum the centroid is a
+        pure integer function of the assignment, identical on any
+        partitioning and bit-equal to the DuckDB oracle's replay."""
         bc = spark.sparkContext.broadcast(centers_arr)
-        schema = "cell int, n long, s array<double>"
+        schema = "cell int, n long, s array<long>"
 
         def kernel(batches):
             c = bc.value
             counts = np.zeros(len(c), dtype=np.int64)
-            sums = np.zeros_like(c)
+            sums = np.zeros((len(c), c.shape[1]), dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 cells = _kmeans_assign_batch(m, c, round_to)
                 counts += np.bincount(cells, minlength=len(c))
-                np.add.at(sums, cells, m)
+                np.add.at(
+                    sums, cells, np_round_half_away_scaled(m, scale)
+                )
             nz = np.nonzero(counts)[0]
             if len(nz) == 0:
                 # empty partition (or every row filtered upstream):
                 # yielding here would emit an EMPTY python-list "s"
                 # column, which pandas types float64 and Arrow then
-                # cannot convert to list<double> — the r11 facade test
+                # cannot convert to the list type — the r11 facade test
                 # hit exactly this on a 12-row frame with empty
                 # partitions. Yield nothing instead.
                 return
@@ -1021,13 +1034,21 @@ def kmeans_centers_deterministic(
 
     for _ in range(iters):
         agg_n = np.zeros(k, dtype=np.int64)
-        agg_s = np.zeros((k, d))
+        agg_s = np.zeros((k, d), dtype=np.int64)
         for r in partials(centers):
             agg_n[r["cell"]] += r["n"]
-            agg_s[r["cell"]] += np.asarray(r["s"])
+            agg_s[r["cell"]] += np.asarray(r["s"], dtype=np.int64)
         new_centers = centers.copy()  # empty cells keep previous centroid
         nz = agg_n > 0
-        new_centers[nz] = np.round(agg_s[nz] / agg_n[nz, None], round_to)
+        # integer half-up average in scaled units — (2Σ + N) div (2N)
+        # with div truncating toward zero, the functions/exact contract
+        n_col = agg_n[nz][:, None]
+        new_centers[nz] = (
+            np_trunc_div(2 * agg_s[nz] + n_col, 2 * n_col).astype(
+                np.float64
+            )
+            / scale
+        )
         centers = new_centers
     return centers
 

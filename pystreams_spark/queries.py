@@ -7390,7 +7390,10 @@ def _bitext_blocked_oracle_sql(
     SELECT s.cell, COALESCE(m.v, s.v) AS v
     FROM c{i} s LEFT JOIN (
       SELECT cell, list(mv ORDER BY dim) AS v FROM (
-        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+        SELECT cell, dim,
+               CAST((2 * SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                     + COUNT(val)) // (2 * COUNT(val)) AS DOUBLE)
+               / 1000000.0 AS mv FROM (
           SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM a{i}
         ) GROUP BY cell, dim
@@ -8636,7 +8639,10 @@ def _lloyd_ctes(n_cells: int, iters: int) -> list:
     SELECT s.cell, COALESCE(m.v, s.v) AS v
     FROM c{i} s LEFT JOIN (
       SELECT cell, list(mv ORDER BY dim) AS v FROM (
-        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+        SELECT cell, dim,
+               CAST((2 * SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                     + COUNT(val)) // (2 * COUNT(val)) AS DOUBLE)
+               / 1000000.0 AS mv FROM (
           SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM a{i}
         ) GROUP BY cell, dim
@@ -8846,7 +8852,10 @@ def _ivf_oracle_sql(
     SELECT s.cell, COALESCE(m.v, s.v) AS v
     FROM c{i} s LEFT JOIN (
       SELECT cell, list(mv ORDER BY dim) AS v FROM (
-        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+        SELECT cell, dim,
+               CAST((2 * SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                     + COUNT(val)) // (2 * COUNT(val)) AS DOUBLE)
+               / 1000000.0 AS mv FROM (
           SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM a{i}
         ) GROUP BY cell, dim
@@ -8957,7 +8966,10 @@ def _pq_oracle_sql(
     SELECT s.cell, COALESCE(mm.v, s.v) AS v
     FROM s{j}c{i} s LEFT JOIN (
       SELECT cell, list(mv ORDER BY dim) AS v FROM (
-        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+        SELECT cell, dim,
+               CAST((2 * SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                     + COUNT(val)) // (2 * COUNT(val)) AS DOUBLE)
+               / 1000000.0 AS mv FROM (
           SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM s{j}a{i}
         ) GROUP BY cell, dim
@@ -13257,7 +13269,10 @@ def _cluster_sample_oracle_sql(n_cells: int = 8, iters: int = 2,
     SELECT s.cell, COALESCE(m.v, s.v) AS v
     FROM c{i} s LEFT JOIN (
       SELECT cell, list(mv ORDER BY dim) AS v FROM (
-        SELECT cell, dim, ROUND(AVG(val), 6) AS mv FROM (
+        SELECT cell, dim,
+               CAST((2 * SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                     + COUNT(val)) // (2 * COUNT(val)) AS DOUBLE)
+               / 1000000.0 AS mv FROM (
           SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM a{i}
         ) GROUP BY cell, dim

@@ -65,6 +65,77 @@ def test_scales_agree_cross_engine(spark, digits):
     assert _spark_avg(spark, vals, digits) == _duck_avg(vals, digits)
 
 
+def test_np_round_half_away_matches_duckdb_round():
+    """The numpy quantizer must be bit-identical to the engines'
+    half-away-from-zero ROUND on the SAME doubles — np.round is
+    half-to-even and silently disagrees exactly on the half cases.
+    Grid: exact binary halves, near-halves one ulp off, negatives,
+    plus a seeded random sweep."""
+    import numpy as np
+
+    from pystreams_spark.functions.exact import np_round_half_away_scaled
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate([
+        np.array([0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 3.5]) / 1e6,
+        np.array([np.nextafter(0.5, 0), np.nextafter(0.5, 1)]) / 1e6,
+        rng.randn(500) * 1e-3,
+        rng.randn(100) * 10,
+    ])
+    got = np_round_half_away_scaled(vals, 1_000_000)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(map(float, vals)))
+    )
+    want = [
+        r[0]
+        for r in con.sql(
+            "SELECT CAST(ROUND(x * 1000000) AS BIGINT) FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert got.tolist() == want
+
+
+def test_np_trunc_div_matches_duckdb_intdiv():
+    import numpy as np
+
+    from pystreams_spark.functions.exact import np_trunc_div
+
+    num = np.array([7, -7, 9, -9, 10, -10, 0, 1, -1], dtype=np.int64)
+    den = np.array([2, 2, 4, 4, 5, 5, 3, 3, 3], dtype=np.int64)
+    got = np_trunc_div(num, den).tolist()
+    con = duckdb.connect()
+    want = [
+        con.sql(f"SELECT CAST({int(a)} AS BIGINT) // {int(b)}").fetchone()[0]
+        for a, b in zip(num, den)
+    ]
+    assert got == want
+
+
+def test_kmeans_centers_partitioning_independent(spark):
+    """The r12 centroid contract removes the float-partial-sum order
+    dependence: the fitted centers must be BIT-identical under wildly
+    different partitionings (the accumulation-order class the sf0.1
+    sweep proved real for resample)."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import (
+        kmeans_centers_deterministic,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(8) * 0.7).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = kmeans_centers_deterministic(df.repartition(1), n_cells=5, iters=3)
+    b = kmeans_centers_deterministic(df.repartition(37), n_cells=5, iters=3)
+    assert np.array_equal(a, b)
+    # and every coordinate produced by an update is an exact multiple
+    # of 10^-6 (the quantized-contract invariant; seeds may not be)
+    micros = a * 1e6
+    assert np.allclose(micros, np.round(micros), atol=0)
+
+
 def test_resample_fill_contract_is_explicit(spark):
     """ADVICE r11: the micros contract must be opt-in, not keyed on the
     magic (agg='avg', round_to=6) combination. Values with more than 6
