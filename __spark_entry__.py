@@ -346,15 +346,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sets are the literal key sets of the CORRECTNESS_r{N}.json files,
     so the straggler audit is computed, not hand-counted (the r11
     verdict caught a hand-count missing `signup_to_purchase_latency`).
-    r12 window math: 23 touched (11 exact-average-helper users whose
+    r12 window math: 43 touched (11 exact-average-helper users whose
     Spark accumulator widened to DECIMAL(38,0); the six r7-tier
     ROUND(AVG(raw))→contract conversions; the gate-fixed blocked
-    bitext miner; and the five other deterministic-Lloyd consumers
-    re-based onto the integer-micros centroid contract — two of them
-    r7-tier, so they double as drains) + ALL THREE r6 stragglers
+    bitext miner; the five other deterministic-Lloyd consumers
+    re-based onto the integer-micros centroid contract; the r12-late
+    FULL drain of the remaining ROUND(AVG(raw)) oracle class — 17
+    more queries converted to the integer-scaled half-up contract,
+    leaving exactly one documented per-doc inner-average residual —
+    and the 3 extra consumers of the deterministic-ANN kernels whose
+    distance/score rounding moved from numpy half-EVEN to the engines'
+    half-AWAY scaled-integer rule) + ALL THREE r6 stragglers
     (`token_gini_by_lang`, `length_ks_by_source`,
-    `signup_to_purchase_latency`) + 24 untouched r7-tier drains = 50;
-    16 r7 entries spill to r13."""
+    `signup_to_purchase_latency`) + 4 untouched r7-tier drains = 50;
+    the rest of the r7 tier spills to r13 (the contract conversions
+    outrank freshness drains: their oracles CHANGED and need
+    re-verdicts, while drains only age)."""
 
     never_checked: set[str] = {
         # none new in round 12; the fall-through below still ranks any
@@ -391,6 +398,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans", "semantic_split_leakage_report",
         "knn_ivf_deterministic", "knn_pq_deterministic",
         "cluster_balanced_sample_report",
+        # r12 late #2: the deterministic-ANN kernels' distance/score
+        # rounding moved from numpy half-EVEN to the engines' half-AWAY
+        # scaled-integer rule (_q_scaled), oracles in lockstep — the
+        # three consumers not already listed above
+        "embedding_neardup_pairs", "semantic_dedup_by_label",
+        "embedding_lsh_deterministic",
+        # r12 late #3: the FULL ROUND(AVG(raw)) oracle drain — every
+        # remaining real site converted to the integer-scaled half-up
+        # contract (grid-valued inputs: ints / cents / {0,1} flags /
+        # 6dp-pre-rounded ratios; raw-float inputs pre-quantized per
+        # value by the helper); verified MATCH at sf0.001/0.01/0.1
+        "range_join_premium_items", "segment_stats",
+        "unigram_surprisal_filter", "join_key_skew_report",
+        "orders_profile", "dup_rate_by_source",
+        "dedup_survivor_quality_shift", "contamination_overlap_profile",
+        "bigram_lm_quality", "dsir_selection_report",
+        "embedding_truncation_fidelity", "embedding_outlier_report",
+        "winsorize_clip_report", "temporal_split_report",
+        "customer_record_linkage", "events_value_outliers",
+        "ngram_novelty_report",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()

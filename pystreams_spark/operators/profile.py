@@ -26,6 +26,8 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions.exact import avg_round_half_up
+
 __all__ = ["profile", "robust_outlier_report"]
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -74,12 +76,17 @@ def profile(
         if isinstance(t, NumericType):
             add(c, "min", F.round(F.min(col).cast("double"), round_to))
             add(c, "max", F.round(F.max(col).cast("double"), round_to))
-            add(c, "mean", F.round(F.avg(col), round_to))
+            # integer-scaled half-up contract (r12 drain of the
+            # ROUND(AVG(raw)) class): float summation order can never
+            # decide the rounded digit. stddev stays the streaming
+            # float form — its residual is algorithmic ulps, not the
+            # reachable half-case class (documented in TODO.md).
+            add(c, "mean", avg_round_half_up(f"cast(`{c}` as double)", round_to))
             add(c, "stddev", F.round(F.stddev_pop(col), round_to))
         elif isinstance(t, StringType):
             add(c, "min_len", F.min(F.length(col)).cast("double"))
             add(c, "max_len", F.max(F.length(col)).cast("double"))
-            add(c, "avg_len", F.round(F.avg(F.length(col)), round_to))
+            add(c, "avg_len", avg_round_half_up(f"length(`{c}`)", round_to))
             add(c, "n_empty", F.sum((col == "").cast("long")).cast("double"))
         elif isinstance(t, (TimestampType, TimestampNTZType, DateType)):
             add(c, "min", F.date_format(F.min(col), _TS_FMT), is_str=True)
@@ -209,12 +216,9 @@ def robust_outlier_report(
         )
         .cast("long")
         .alias("n_outliers"),
-        F.round(
-            F.avg(
-                F.when(F.col("_z") > F.lit(float(z_threshold)), 1.0).otherwise(
-                    0.0
-                )
-            ),
+        # integer-scaled half-up contract (r12): the flag is exact {0,1}
+        avg_round_half_up(
+            f"CASE WHEN _z > {float(z_threshold)!r} THEN 1.0 ELSE 0.0 END",
             round_to,
         ).alias("outlier_frac"),
         F.round(F.max("_z"), round_to).alias("max_abs_z"),

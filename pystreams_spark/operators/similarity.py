@@ -22,6 +22,22 @@ from ..io import broadcast_if_small, ensure_parallelism
 from .topk import top_k_per_group
 
 
+def _q_scaled(x, round_to: int):
+    """Quantize a float ndarray to int64 units of ``10^-round_to`` with
+    the SQL engines' half-AWAY rule — the deterministic-kernel form of
+    ``CAST(ROUND(x * 10^r) AS BIGINT)``. ``np.round`` is half-to-EVEN,
+    which silently disagrees with Spark's BigDecimal HALF_UP and
+    DuckDB's std::round exactly when ``x·10^r`` lands on a binary half
+    (reachable: squared distances / dots of dyadic-rational embeddings
+    are dyadic). Ranking and thresholding on the returned INTEGER keeps
+    every downstream compare exact on both engines (r12 close of the
+    distance-rounding sibling of the ROUND(AVG(raw)) class). Exact for
+    ``|x·10^r| < 2^52`` — distances/cosines here are ≤ O(1e3)."""
+    from ..functions.exact import np_round_half_away_scaled
+
+    return np_round_half_away_scaled(x, 10 ** int(round_to))
+
+
 def knn_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -588,17 +604,21 @@ def cosine_pairs_above(
 
     def kernel(batches):
         ids_b, mat_b, norms_b = bc.value
+        scale_f = float(10 ** round_to)
+        thr_q = int(round(threshold * scale_f))
         for batch in batches:
             bids = batch["_id"].to_numpy(dtype=np.int64)
             bm = np.stack(batch["_v"].to_numpy()).astype(np.float64)
             bn = np.sqrt((bm * bm).sum(axis=1))
-            scores = np.round((bm @ mat_b.T) / np.outer(bn, norms_b), round_to)
-            rows_a, rows_b = np.nonzero((scores >= threshold) & (bids[:, None] < ids_b[None, :]))
+            # integer-quantized cosine (half-away — `_q_scaled`): exact
+            # int threshold, quotient emission (r12 contract)
+            q = _q_scaled((bm @ mat_b.T) / np.outer(bn, norms_b), round_to)
+            rows_a, rows_b = np.nonzero((q >= thr_q) & (bids[:, None] < ids_b[None, :]))
             yield pd.DataFrame(
                 {
                     "id_a": bids[rows_a],
                     "id_b": ids_b[rows_b],
-                    "score": scores[rows_a, rows_b],
+                    "score": q[rows_a, rows_b] / scale_f,
                 }
             )
 
@@ -948,15 +968,17 @@ def assign_kmeans_cells(
 
 
 def _kmeans_assign_batch(m, c, round_to: int = 6):
-    """Oracle-exact cell assignment: argmin over ROUND(Σ(xᵢ−cᵢ)², r),
-    np.argmin's first-minimum = the lowest-cell tie-break the DuckDB
-    replay's (dist, cell) ordering states."""
+    """Oracle-exact cell assignment: argmin over the INTEGER-quantized
+    distance ``CAST(ROUND(Σ(xᵢ−cᵢ)²·10^r) AS BIGINT)`` (half-away, the
+    engines' rule — see `_q_scaled`); np.argmin's first-minimum = the
+    lowest-cell tie-break the DuckDB replay's (dist, cell) ordering
+    states."""
     import numpy as np
 
     d2 = np.empty((len(m), len(c)))
     for j in range(len(c)):
         d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
-    return np.round(d2, round_to).argmin(axis=1)
+    return _q_scaled(d2, round_to).argmin(axis=1)
 
 
 def kmeans_centers_deterministic(
@@ -1180,8 +1202,8 @@ def knn_ivf_deterministic(
             d2 = np.empty((len(m), len(c)))
             for j in range(len(c)):
                 d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
-            d2 = np.round(d2, round_to)
-            # stable sort on the rounded distance = lowest-cell
+            d2 = _q_scaled(d2, round_to)
+            # stable sort on the quantized distance = lowest-cell
             # tie-break, matching the assignment rule and the oracle's
             # ROW_NUMBER (dist, cell) ordering
             order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
@@ -1201,10 +1223,18 @@ def knn_ivf_deterministic(
             query_id,
         )
     )
+    # integer-scaled single-arg round (r12): ROUND(x·10^r) of the SAME
+    # double is engine-exact (BigDecimal HALF_UP ≡ std::round on ties),
+    # unlike two-arg ROUND(x, r) whose internal scaling may differ in
+    # ulp cases; the emitted score is the identical quotient on both
+    # engines.
+    s = float(10 ** round_to)
     cand = assigned.join(F.broadcast(probes), "_cell").select(
         query_id,
         corpus_id,
-        F.round(cosine("_qvec", vec_col), round_to).alias("score"),
+        (F.round(cosine("_qvec", vec_col) * s).cast("long") / F.lit(s)).alias(
+            "score"
+        ),
     )
     return top_k_per_group(
         cand, [query_id], [F.desc("score"), F.asc(corpus_id)], k=k
@@ -1224,9 +1254,11 @@ def lsh_buckets_deterministic(
     the first hex digit of ``md5(f"{p}:{d}")`` is even, else −1 — a
     Rademacher matrix both engines can derive from the same strings,
     the md5-portable-randomness trick this repo's seeded sampling
-    already uses. Bucket = Σ_p [ROUND(v·h_p, 6) ≥ 0]·2^p (rounding
-    before the sign absorbs float summation-order differences, the
-    round-before-compare rule every float oracle here uses).
+    already uses. Bucket = Σ_p [CAST(ROUND(v·h_p·10⁶) AS BIGINT) ≥ 0]·2^p
+    (quantizing before the sign absorbs float summation-order
+    differences, and the integer compare is exact on both engines —
+    the round-before-compare rule every float oracle here uses, in the
+    r12 scaled-integer form).
 
     One narrow kernel pass with the (n_planes × d) matrix broadcast —
     no shuffle, no fit. Production LSH wants fresh random planes per
@@ -1256,7 +1288,8 @@ def lsh_buckets_deterministic(
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            dots = np.round(m @ pl.T, round_to)
+            # sign of the INTEGER-quantized dot (half-away — `_q_scaled`)
+            dots = _q_scaled(m @ pl.T, round_to)
             out = pdf.copy()
             out[out_col] = ((dots >= 0) * weights[None, :]).sum(axis=1)
             yield out
@@ -1279,10 +1312,11 @@ def knn_pq_deterministic(
     """Product-quantization ADC search with ORACLE-GRADE determinism
     (r7, companion to `knn_ivf_deterministic`): per-subspace codebooks
     come from the deterministic Lloyd recurrence over SLICED vectors
-    (same md5-ordered seeds per subspace), corpus codes are the rounded
-    per-subspace L2 argmins (lowest-code ties), and the approximate
-    distance is ROUND(Σⱼ ROUND(‖qⱼ − c_{j,codeⱼ}‖², 6), 6) — the
-    classic ADC lookup-table sum, but every number engine-portable, so
+    (same md5-ordered seeds per subspace), corpus codes are the
+    integer-quantized per-subspace L2 argmins (lowest-code ties), and
+    the approximate distance is Σⱼ CAST(ROUND(‖qⱼ − c_{j,codeⱼ}‖²·10⁶)
+    AS BIGINT) / 10⁶ — the classic ADC lookup-table sum carried in
+    EXACT int64 micros (r12: the float re-round disappeared), so
     the ENTIRE compressed-domain search (fit, encode, tables, top-k)
     hash-checks against a DuckDB CTE unroll. Physical shape matches
     `knn_pq_adc`: m driver-reduced fits (zero shuffle), ONE narrow
@@ -1320,12 +1354,15 @@ def knn_pq_deterministic(
     )
     qids = qpdf[query_id].to_numpy(dtype=np.int64)
     qmat = np.stack(qpdf["_v"].to_numpy()).astype(np.float64)
-    # per-query ADC tables: (nq, m, n_codes) rounded subspace distances
-    tables = np.empty((len(qids), m, n_codes))
+    # per-query ADC tables: (nq, m, n_codes) INTEGER-quantized subspace
+    # distances (units of 10^-round_to, half-away — `_q_scaled`); the
+    # ADC sum is then EXACT int64 arithmetic, so no re-round is needed
+    # and the oracle's integer table sum matches bit-for-bit
+    tables = np.empty((len(qids), m, n_codes), dtype=np.int64)
     for j in range(m):
         qs = qmat[:, j * sd : (j + 1) * sd]
         diff = qs[:, None, :] - books_arr[j][None, :, :]
-        tables[:, j, :] = np.round((diff * diff).sum(axis=2), round_to)
+        tables[:, j, :] = _q_scaled((diff * diff).sum(axis=2), round_to)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((books_arr, qids, tables))
@@ -1340,27 +1377,32 @@ def knn_pq_deterministic(
             codes = np.empty((len(ids), m), np.int64)
             for j in range(m):
                 sub = mat[:, j * sd : (j + 1) * sd]
-                d2 = np.round(
+                d2 = _q_scaled(
                     ((sub[:, None, :] - books_b[j][None, :, :]) ** 2).sum(
                         axis=2
                     ),
                     round_to,
                 )
                 codes[:, j] = d2.argmin(axis=1)  # first-min = lowest code
-            # ADC: dist[q, x] = round(sum_j tables[q, j, codes[x, j]], r)
-            # left-to-right j order matches the oracle's list_sum
-            dist = np.zeros((len(qids_b), len(ids)))
+            # ADC: dist[q, x] = Σ_j tables[q, j, codes[x, j]] — EXACT
+            # int64 sum of quantized subspace distances; emitted as the
+            # quotient dist/10^r (identical float division on both
+            # engines, no re-round needed)
+            dist = np.zeros((len(qids_b), len(ids)), dtype=np.int64)
             for j in range(m):
                 dist += tables_b[:, j, :][:, codes[:, j]]
-            dist = np.round(dist, round_to)
             # per-partition top-k per query by (dist, id)
             kk = min(k, len(ids))
+            # TRUE division by the exact power of ten (NOT reciprocal
+            # multiply — 1/10^r is inexact and can differ in ulp from
+            # the oracle's CAST(i AS DOUBLE)/10^r quotient)
+            scale_f = float(10 ** round_to)
             rows_q, rows_i, rows_d = [], [], []
             for qi in range(len(qids_b)):
                 sel = np.lexsort((ids, dist[qi]))[:kk]  # (dist, id) order
                 rows_q.append(np.full(kk, qids_b[qi]))
                 rows_i.append(ids[sel])
-                rows_d.append(dist[qi][sel])
+                rows_d.append(dist[qi][sel] / scale_f)
             yield pd.DataFrame(
                 {
                     query_id: np.concatenate(rows_q),
@@ -1411,8 +1453,10 @@ def semantic_dedup_pairs(
     instead of OOM-ing an executor; raise n_cells to shrink clusters).
     Zero-norm vectors score 0 against everything (norm clamped to 1).
 
-    Returns (cluster, id_a, id_b, score) with id_a < id_b,
-    score = round(cosine, round_to) ≥ threshold.
+    Returns (cluster, id_a, id_b, score) with id_a < id_b, score =
+    CAST(ROUND(cosine·10^r) AS BIGINT)/10^r ≥ threshold (the threshold
+    itself is quantized to the same grid, so the cut is an exact
+    integer compare — r12 scaled-integer contract).
     """
     import numpy as np
     import pandas as pd
@@ -1458,19 +1502,25 @@ def semantic_dedup_pairs(
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
         out_a, out_b, out_s = [], [], []
+        scale_f = float(10 ** round_to)
+        thr_q = int(round(threshold * scale_f))
         for lo in range(0, m_rows, tile):
             hi = min(lo + tile, m_rows)
-            s = np.round(
+            # integer-quantized cosine (half-away — `_q_scaled`):
+            # threshold compares exactly in int, the emitted score is
+            # the quotient q/10^r (identical float division on both
+            # engines)
+            q = _q_scaled(
                 (m[lo:hi] @ m.T) / np.outer(norms[lo:hi], norms), round_to
             )
             # global triu: row index lo+i vs col j, keep j > lo+i
-            mask = (s >= threshold) & (
+            mask = (q >= thr_q) & (
                 np.arange(lo, hi)[:, None] < np.arange(m_rows)[None, :]
             )
             ia, ib = np.nonzero(mask)
             out_a.append(ids[lo + ia])
             out_b.append(ids[ib])
-            out_s.append(s[ia, ib])
+            out_s.append(q[ia, ib] / scale_f)
         n_out = sum(map(len, out_a))
         return pd.DataFrame(
             {
@@ -1750,7 +1800,7 @@ def margin_bitext_mine_blocked(
                 d2 = np.empty((len(m), len(c)))
                 for j in range(len(c)):
                     d2[:, j] = ((m - c[j]) ** 2).sum(axis=1)
-                d2 = np.round(d2, round_to)
+                d2 = _q_scaled(d2, round_to)
                 order = np.argsort(d2, axis=1, kind="stable")[:, :p]
                 yield pd.DataFrame(
                     {

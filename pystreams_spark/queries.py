@@ -378,9 +378,13 @@ def brand_revenue_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "range_join_premium_items",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: the premium is an exact
+    # multiple of 0.01 (both sides cents), so the 4-digit average runs
+    # the integer-scaled half-up contract on both engines
+    oracle=f"""
     SELECT l.l_returnflag, COUNT(*) AS n_items,
-           ROUND(AVG(l.l_extendedprice - p.p_retailprice), 4) AS avg_premium
+           {avg_round_half_up_sql("l.l_extendedprice - p.p_retailprice", 4)}
+             AS avg_premium
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
                AND l.l_extendedprice > p.p_retailprice * 5
@@ -402,7 +406,7 @@ def range_join_premium_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.avg(F.col("l_extendedprice") - F.col("p_retailprice")), 4).alias(
+            avg_round_half_up("l_extendedprice - p_retailprice", 4).alias(
                 "avg_premium"
             ),
         )
@@ -417,12 +421,14 @@ def range_join_premium_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "segment_stats",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: c_acctbal is exact cents,
+    # so the 4-digit average runs the integer-scaled half-up contract
+    oracle=f"""
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
            ROUND(SUM(c_acctbal), 2) AS sum_bal,
-           ROUND(AVG(c_acctbal), 4) AS avg_bal,
+           {avg_round_half_up_sql("c_acctbal", 4)} AS avg_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal
     FROM customer
@@ -439,7 +445,7 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            avg_round_half_up("c_acctbal", 4).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
         )
@@ -1323,12 +1329,12 @@ def knn_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(
+               CAST(ROUND((
                  list_sum(list_transform(list_zip(a.embedding, b.embedding),
                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                  / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                    * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-               6) AS score
+                    * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+               * 1000000) AS BIGINT) / 1000000.0 AS score
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, score FROM p WHERE score >= 0.4
@@ -7381,8 +7387,8 @@ def _bitext_blocked_oracle_sql(
     SELECT uid, v, cell FROM (
       SELECT p.uid, p.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY p.uid ORDER BY
-          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
   )"""
     update = """
@@ -7405,8 +7411,8 @@ def _bitext_blocked_oracle_sql(
     SELECT {sid}, v, cell, rn FROM (
       SELECT q.{sid}, q.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY q.{sid} ORDER BY
-          ROUND(list_sum(list_transform(list_zip(q.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(q.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM {side}side q CROSS JOIN c{iters} s) WHERE rn <= {n_probe}
   )"""
     cosm = """CAST(ROUND(1000000 *
@@ -8134,7 +8140,7 @@ def deterministic_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(surprisal), 6) AS avg_surprisal,
+           {avg_round_half_up_sql("surprisal", 6)} AS avg_surprisal,
            ROUND(MIN(surprisal), 6) AS min_surprisal,
            ROUND(MAX(surprisal), 6) AS max_surprisal,
            CAST(SUM(CASE WHEN surprisal > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -8163,7 +8169,7 @@ def unigram_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("surprisal"), 6).alias("avg_surprisal"),
+            avg_round_half_up("surprisal", 6).alias("avg_surprisal"),
             F.round(F.min("surprisal"), 6).alias("min_surprisal"),
             F.round(F.max("surprisal"), 6).alias("max_surprisal"),
             F.sum((F.col("surprisal") > 4.0).cast("long")).alias("n_flagged"),
@@ -8348,15 +8354,20 @@ def deterministic_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_key_skew_report",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: n is exact integers, so
+    # avg_rows runs the integer-scaled contract and skew_factor is one
+    # identical double division of exact integers on both engines
+    # (scaled single-arg round — no two-arg ROUND in the path)
+    oracle=f"""
     WITH per_key AS (
         SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n
         FROM orders GROUP BY o_custkey
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
            CAST(MAX(n) AS BIGINT) AS max_rows,
-           ROUND(AVG(n), 6) AS avg_rows,
-           ROUND(MAX(n) / AVG(n), 6) AS skew_factor,
+           {avg_round_half_up_sql("n", 6)} AS avg_rows,
+           CAST(ROUND(1000000.0 * MAX(n) * COUNT(*) / SUM(n)) AS BIGINT)
+             / 1000000.0 AS skew_factor,
            CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50,
            CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99,
            CAST(SUM(CASE WHEN n > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
@@ -8377,8 +8388,10 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_key.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_rows"),
-        F.round(F.avg("n"), 6).alias("avg_rows"),
-        F.round(F.max("n") / F.avg("n"), 6).alias("skew_factor"),
+        avg_round_half_up("n", 6).alias("avg_rows"),
+        (F.round(F.lit(1000000.0) * F.max("n") * F.count(F.lit(1))
+                 / F.sum("n")).cast("long") / F.lit(1000000.0))
+            .alias("skew_factor"),
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").cast("long").alias("p50"),
         F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY n)").cast("long").alias("p99"),
         F.sum((F.col("n") > 10).cast("long")).alias("n_hot_keys"),
@@ -8583,12 +8596,12 @@ def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pairs AS (
       SELECT CAST(a.label AS BIGINT) AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-             ROUND(
+             CAST(ROUND((
                list_sum(list_transform(list_zip(a.embedding, b.embedding),
                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-             6) AS score
+                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))
+             * 1000000) AS BIGINT) / 1000000.0 AS score
       FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT cluster, id_b AS dropped_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
@@ -8630,8 +8643,8 @@ def _lloyd_ctes(n_cells: int, iters: int) -> list:
     SELECT vec_id, v, cell FROM (
       SELECT p.vec_id, p.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
   )"""
     update = """
@@ -8677,13 +8690,13 @@ def _kmeans_oracle_sql(n_cells: int = 8, iters: int = 2, threshold: float = 0.35
     return f"""
 WITH {", ".join(ctes)}
 SELECT a.cell AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
-  ROUND(
+  CAST(ROUND((
     list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
     / (CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
             ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END
        * CASE WHEN SQRT(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 1
-              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END),
-  6) AS score
+              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END))
+  * 1000000) AS BIGINT) / 1000000.0 AS score
 FROM a{iters} a JOIN a{iters} b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE score >= {threshold}
 ORDER BY cluster, id_a, id_b
@@ -8731,13 +8744,13 @@ def _semantic_leakage_oracle_sql(
     hash + the leakage aggregation, all under one value hash — the
     SEMANTIC twin of `split_leakage_report`'s n-gram audit."""
     ctes = _lloyd_ctes(n_cells, iters)
-    cos = """ROUND(
+    cos = """CAST(ROUND((
     list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
     / (CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
             ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END
        * CASE WHEN SQRT(list_sum(list_transform(b.v, x -> x*x))) = 0 THEN 1
-              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END),
-  6)"""
+              ELSE SQRT(list_sum(list_transform(b.v, x -> x*x))) END))
+  * 1000000) AS BIGINT) / 1000000.0"""
     return f"""
 WITH {", ".join(ctes)}, pr AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS score
@@ -8843,8 +8856,8 @@ def _ivf_oracle_sql(
     SELECT vec_id, v, cell FROM (
       SELECT p.vec_id, p.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
   )"""
     update = """
@@ -8885,21 +8898,21 @@ def _ivf_oracle_sql(
     SELECT query_id, cell FROM (
       SELECT q.query_id, s.cell,
         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
-          ROUND(list_sum(list_transform(list_zip(q.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(q.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM qs q CROSS JOIN c{iters} s) WHERE rn <= {n_probe}
   )"""
     )
     ctes.append(
         f"""cand AS (
     SELECT pr.query_id, a.vec_id,
-      ROUND(
+      CAST(ROUND((
         list_sum(list_transform(list_zip(q.v, a.v), z -> z[1]*z[2]))
         / (CASE WHEN SQRT(list_sum(list_transform(q.v, x -> x*x))) = 0 THEN 1
                 ELSE SQRT(list_sum(list_transform(q.v, x -> x*x))) END
            * CASE WHEN SQRT(list_sum(list_transform(a.v, x -> x*x))) = 0 THEN 1
-                  ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END),
-      6) AS score
+                  ELSE SQRT(list_sum(list_transform(a.v, x -> x*x))) END))
+      * 1000000) AS BIGINT) / 1000000.0 AS score
     FROM probe pr JOIN a{iters} a USING (cell)
     JOIN qs q ON q.query_id = pr.query_id
   )"""
@@ -8957,8 +8970,8 @@ def _pq_oracle_sql(
     SELECT vec_id, v, cell FROM (
       SELECT p.vec_id, p.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM s{j}pts p CROSS JOIN s{j}c{i} s) WHERE rn = 1
   )"""
     update = """
@@ -9007,8 +9020,8 @@ def _pq_oracle_sql(
         ctes.append(
             f"""tab{j} AS (
     SELECT q.query_id, s.cell,
-      ROUND(list_sum(list_transform(list_zip(q.v, s.v),
-            z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dval
+      CAST(ROUND(list_sum(list_transform(list_zip(q.v, s.v),
+            z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT) AS dval
     FROM s{j}q q CROSS JOIN s{j}c{iters} s
   )"""
         )
@@ -9027,7 +9040,8 @@ def _pq_oracle_sql(
     dist_sum = " + ".join(f"t{j}.dval" for j in range(m))
     ctes.append(
         f"""cand AS (
-    SELECT t0.query_id, codes.vec_id, ROUND({dist_sum}, 6) AS adc_dist
+    SELECT t0.query_id, codes.vec_id,
+           CAST(({dist_sum}) AS DOUBLE) / 1000000.0 AS adc_dist
     FROM codes {tab_joins}
   )"""
     )
@@ -9078,7 +9092,8 @@ WITH pts AS (
          IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END AS s
   FROM range(6) p, range(64) d
 ), dots AS (
-  SELECT e.vec_id, pl.p, ROUND(SUM(e.val * pl.s), 6) AS dot
+  SELECT e.vec_id, pl.p,
+         CAST(ROUND(SUM(e.val * pl.s) * 1000000) AS BIGINT) AS dot
   FROM (SELECT vec_id, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim FROM pts) e
   JOIN planes pl ON pl.dim = e.dim
   GROUP BY e.vec_id, pl.p
@@ -9087,12 +9102,13 @@ WITH pts AS (
   FROM dots GROUP BY vec_id
 ), pairs AS (
   SELECT a.bucket AS cluster, pa.vec_id AS id_a, pb.vec_id AS id_b,
-    ROUND(
+    CAST(ROUND((
       list_sum(list_transform(list_zip(pa.v, pb.v), z -> z[1]*z[2]))
       / (CASE WHEN SQRT(list_sum(list_transform(pa.v, x -> x*x))) = 0 THEN 1
               ELSE SQRT(list_sum(list_transform(pa.v, x -> x*x))) END
          * CASE WHEN SQRT(list_sum(list_transform(pb.v, x -> x*x))) = 0 THEN 1
-                ELSE SQRT(list_sum(list_transform(pb.v, x -> x*x))) END), 6) AS score
+                ELSE SQRT(list_sum(list_transform(pb.v, x -> x*x))) END))
+    * 1000000) AS BIGINT) / 1000000.0 AS score
   FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   JOIN pts pa ON pa.vec_id = a.vec_id JOIN pts pb ON pb.vec_id = b.vec_id
 )
@@ -9664,12 +9680,15 @@ def _profile_oracle_sql() -> str:
         if kind == "num":
             add(col, "min", f"ROUND({num(f'MIN({col})')}, 6)")
             add(col, "max", f"ROUND({num(f'MAX({col})')}, 6)")
-            add(col, "mean", f"ROUND(AVG({num(col)}), 6)")
+            # integer-scaled half-up contract (r12, lockstep with
+            # operators/profile.py); stddev stays streaming-float —
+            # algorithmic-ulp residual, not the half-case class
+            add(col, "mean", avg_round_half_up_sql(num(col), 6))
             add(col, "stddev", f"ROUND(stddev_pop({num(col)}), 6)")
         elif kind == "str":
             add(col, "min_len", num(f"MIN(length({col}))"))
             add(col, "max_len", num(f"MAX(length({col}))"))
-            add(col, "avg_len", f"ROUND(AVG({num(f'length({col})')}), 6)")
+            add(col, "avg_len", avg_round_half_up_sql(f"length({col})", 6))
             add(col, "n_empty", num(f"SUM(CASE WHEN {col} = '' THEN 1 ELSE 0 END)"))
         else:
             add(col, "min", vstr=f"strftime(MIN({col}), '%Y-%m-%d %H:%M:%S')")
@@ -9940,7 +9959,9 @@ def tokens_per_byte_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dup_rate_by_source",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: the flag is exact {0,1},
+    # so dup_rate runs the integer-scaled half-up contract
+    oracle=f"""
     WITH keyed AS (
         SELECT source, md5(text) AS h FROM documents
     ),
@@ -9952,8 +9973,9 @@ def tokens_per_byte_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN h IN (SELECT h FROM dup_keys)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
-           ROUND(AVG(CASE WHEN h IN (SELECT h FROM dup_keys)
-                          THEN 1.0 ELSE 0.0 END), 6) AS dup_rate
+           {avg_round_half_up_sql(
+               "CASE WHEN h IN (SELECT h FROM dup_keys)"
+               " THEN 1.0 ELSE 0.0 END", 6)} AS dup_rate
     FROM keyed GROUP BY source ORDER BY source
     """,
 )
@@ -9982,9 +10004,9 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("_dup").isNotNull().cast("long")).alias("n_dup_docs"),
-            F.round(F.avg(F.col("_dup").isNotNull().cast("double")), 6).alias(
-                "dup_rate"
-            ),
+            avg_round_half_up(
+                "CASE WHEN _dup IS NOT NULL THEN 1.0 ELSE 0.0 END", 6
+            ).alias("dup_rate"),
         )
         .orderBy("source")
     )
@@ -10010,12 +10032,14 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_before,
            CAST((SELECT COUNT(*) FROM survivors s WHERE s.lang = b.lang)
                 AS BIGINT) AS n_after,
-           ROUND(AVG(CAST(b.n_tokens AS DOUBLE)), 6) AS avg_tokens_before,
-           ROUND((SELECT AVG(CAST(s.n_tokens AS DOUBLE)) FROM survivors s
-                  WHERE s.lang = b.lang), 6) AS avg_tokens_after,
-           ROUND(AVG(CAST(b.n_chars AS DOUBLE)), 6) AS avg_chars_before,
-           ROUND((SELECT AVG(CAST(s.n_chars AS DOUBLE)) FROM survivors s
-                  WHERE s.lang = b.lang), 6) AS avg_chars_after
+           {avg_round_half_up_sql("CAST(b.n_tokens AS DOUBLE)", 6)}
+             AS avg_tokens_before,
+           (SELECT {avg_round_half_up_sql("CAST(s.n_tokens AS DOUBLE)", 6)}
+            FROM survivors s WHERE s.lang = b.lang) AS avg_tokens_after,
+           {avg_round_half_up_sql("CAST(b.n_chars AS DOUBLE)", 6)}
+             AS avg_chars_before,
+           (SELECT {avg_round_half_up_sql("CAST(s.n_chars AS DOUBLE)", 6)}
+            FROM survivors s WHERE s.lang = b.lang) AS avg_chars_after
     FROM base b GROUP BY b.lang ORDER BY b.lang
     """,
 )
@@ -10048,19 +10072,19 @@ def dedup_survivor_quality_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     before = base.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_before"),
-        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias(
+        avg_round_half_up("CAST(n_tokens AS DOUBLE)", 6).alias(
             "avg_tokens_before"
         ),
-        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+        avg_round_half_up("CAST(n_chars AS DOUBLE)", 6).alias(
             "avg_chars_before"
         ),
     )
     after = surv.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_after"),
-        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias(
+        avg_round_half_up("CAST(n_tokens AS DOUBLE)", 6).alias(
             "avg_tokens_after"
         ),
-        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+        avg_round_half_up("CAST(n_chars AS DOUBLE)", 6).alias(
             "avg_chars_after"
         ),
     )
@@ -10319,7 +10343,7 @@ def doc_minhash_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN overlap <= 0.5 THEN '2_medium'
                 ELSE '3_high' END AS band,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(overlap), 6) AS avg_overlap
+           {avg_round_half_up_sql("overlap", 6)} AS avg_overlap
     FROM scored GROUP BY 1 ORDER BY band
     """,
 )
@@ -10386,7 +10410,7 @@ def contamination_overlap_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("overlap"), 6).alias("avg_overlap"),
+            avg_round_half_up("overlap", 6).alias("avg_overlap"),
         )
         .orderBy("band")
     )
@@ -10500,7 +10524,7 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_avg6_micros_sql("mean_r")} AS avg_mean_r,
            {_avg6_micros_sql("mean_g")} AS avg_mean_g,
            {_avg6_micros_sql("rms")} AS avg_rms,
-           ROUND(AVG(CASE WHEN kind = 'audio' THEN 1.0 END), 6)
+           {_avg6_micros_sql("CASE WHEN kind = 'audio' THEN 1.0 END")}
              AS avg_zero_crossing_rate,
            CAST(MAX(CASE WHEN kind = 'audio' THEN 12 END) AS BIGINT)
              AS audio_duration_ms,
@@ -10646,7 +10670,7 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             _avg6_micros("mean_r").alias("avg_mean_r"),
             _avg6_micros("mean_g").alias("avg_mean_g"),
             _avg6_micros("rms").alias("avg_rms"),
-            F.round(F.avg("zero_crossing_rate"), 6).alias(
+            _avg6_micros("zero_crossing_rate").alias(
                 "avg_zero_crossing_rate"
             ),
             F.max("duration_ms").alias("audio_duration_ms"),
@@ -10962,7 +10986,7 @@ def linear_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(bigram_surprisal), 6) AS avg_surprisal,
+           {avg_round_half_up_sql("bigram_surprisal", 6)} AS avg_surprisal,
            ROUND(MIN(bigram_surprisal), 6) AS min_surprisal,
            ROUND(MAX(bigram_surprisal), 6) AS max_surprisal,
            CAST(SUM(CASE WHEN bigram_surprisal > 3.45 THEN 1 ELSE 0 END)
@@ -10988,7 +11012,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("bigram_surprisal"), 6).alias("avg_surprisal"),
+            avg_round_half_up("bigram_surprisal", 6).alias("avg_surprisal"),
             F.round(F.min("bigram_surprisal"), 6).alias("min_surprisal"),
             F.round(F.max("bigram_surprisal"), 6).alias("max_surprisal"),
             F.sum((F.col("bigram_surprisal") > 3.45).cast("long")).alias(
@@ -11037,7 +11061,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(lw), 6) AS avg_log_weight,
+           {avg_round_half_up_sql("lw", 6)} AS avg_log_weight,
            ROUND(MIN(lw), 6) AS min_log_weight,
            ROUND(MAX(lw), 6) AS max_log_weight,
            CAST(SUM(CASE WHEN lw > -5.0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -11066,7 +11090,7 @@ def dsir_selection_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("log_weight"), 6).alias("avg_log_weight"),
+            avg_round_half_up("log_weight", 6).alias("avg_log_weight"),
             F.round(F.min("log_weight"), 6).alias("min_log_weight"),
             F.round(F.max("log_weight"), 6).alias("max_log_weight"),
             F.sum((F.col("log_weight") > -5.0).cast("long")).alias(
@@ -11294,7 +11318,10 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "embedding_truncation_fidelity",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: both cosines are the
+    # identical sequential-fold doubles on both engines, so the
+    # per-value quantization of the integer contract is lockstep
+    oracle=f"""
     WITH pairs AS (
         SELECT a.vec_id AS pair_id,
                list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS ea,
@@ -11322,9 +11349,10 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- where both cosines exist so every stat sees the same pair set
     SELECT k,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(ABS(cos_full - cos_k)), 6) AS avg_abs_delta,
+           {avg_round_half_up_sql("ABS(cos_full - cos_k)", 6)}
+             AS avg_abs_delta,
            ROUND(MAX(ABS(cos_full - cos_k)), 6) AS max_abs_delta,
-           ROUND(AVG(cos_k), 6) AS avg_cos_k
+           {avg_round_half_up_sql("cos_k", 6)} AS avg_cos_k
     FROM scored
     WHERE cos_k IS NOT NULL AND cos_full IS NOT NULL
     GROUP BY k ORDER BY k
@@ -11364,13 +11392,13 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         scored.groupBy("k")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.avg(F.abs(F.col("cos_full") - F.col("cos_k"))), 6).alias(
+            avg_round_half_up("ABS(cos_full - cos_k)", 6).alias(
                 "avg_abs_delta"
             ),
             F.round(F.max(F.abs(F.col("cos_full") - F.col("cos_k"))), 6).alias(
                 "max_abs_delta"
             ),
-            F.round(F.avg("cos_k"), 6).alias("avg_cos_k"),
+            avg_round_half_up("cos_k", 6).alias("avg_cos_k"),
         )
         .orderBy("k")
     )
@@ -11378,7 +11406,8 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "embedding_outlier_report",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class (avg_dist)
+    oracle=f"""
     WITH flat AS (
         SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
@@ -11398,7 +11427,7 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT d.label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(AVG(d.d), 6) AS avg_dist,
+           {avg_round_half_up_sql("d.d", 6)} AS avg_dist,
            ROUND(MAX(d.d), 6) AS max_dist,
            CAST(SUM(CASE WHEN s.sigma > 0 AND (d.d - s.mu) / s.sigma > 2.0
                          THEN 1 ELSE 0 END)
@@ -11443,7 +11472,7 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("d"), 6).alias("avg_dist"),
+            avg_round_half_up("d", 6).alias("avg_dist"),
             F.round(F.max("d"), 6).alias("max_dist"),
             # try_divide: a zero-variance label (every 2-vector label,
             # geometrically) or a singleton (sigma NULL) must yield 0
@@ -11587,7 +11616,10 @@ def bm25_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "winsorize_clip_report",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: raw values are exact
+    # cents and the clip cutoffs are 6dp-rounded, so both averages run
+    # the integer-micros half-up contract on both engines
+    oracle=f"""
     WITH arr AS (
         SELECT quantile_cont(l_extendedprice, [0.01, 0.99]) AS ep,
                quantile_cont(l_discount, [0.01, 0.99]) AS di
@@ -11606,8 +11638,9 @@ def bm25_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT) AS n_clipped_low,
                CAST(SUM(CASE WHEN l_extendedprice > ep_hi THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_clipped_high,
-               ROUND(AVG(l_extendedprice), 6) AS mean_before,
-               ROUND(AVG(LEAST(GREATEST(l_extendedprice, ep_lo), ep_hi)), 6)
+               {avg_round_half_up_sql("l_extendedprice", 6)} AS mean_before,
+               {avg_round_half_up_sql(
+                   "LEAST(GREATEST(l_extendedprice, ep_lo), ep_hi)", 6)}
                  AS mean_after
         FROM lineitem CROSS JOIN cuts
         GROUP BY ep_lo, ep_hi
@@ -11617,8 +11650,9 @@ def bm25_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT),
                CAST(SUM(CASE WHEN l_discount > di_hi THEN 1 ELSE 0 END)
                  AS BIGINT),
-               ROUND(AVG(l_discount), 6),
-               ROUND(AVG(LEAST(GREATEST(l_discount, di_lo), di_hi)), 6)
+               {avg_round_half_up_sql("l_discount", 6)},
+               {avg_round_half_up_sql(
+                   "LEAST(GREATEST(l_discount, di_lo), di_hi)", 6)}
         FROM lineitem CROSS JOIN cuts
         GROUP BY di_lo, di_hi
     )
@@ -11658,14 +11692,15 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an explode — a single scan end to end
     def stats_for(col, lo, hi):
         c, l, h = F.col(col), F.col(lo), F.col(hi)
-        clipped = F.least(F.greatest(c, l), h)
         return [
             F.first(l).alias(f"{col}_p01"),
             F.first(h).alias(f"{col}_p99"),
             F.sum((c < l).cast("long")).alias(f"{col}_nlo"),
             F.sum((c > h).cast("long")).alias(f"{col}_nhi"),
-            F.round(F.avg(c), 6).alias(f"{col}_mb"),
-            F.round(F.avg(clipped), 6).alias(f"{col}_ma"),
+            avg_round_half_up(col, 6).alias(f"{col}_mb"),
+            avg_round_half_up(
+                f"LEAST(GREATEST({col}, {lo}), {hi})", 6
+            ).alias(f"{col}_ma"),
         ]
 
     one_row = j.agg(
@@ -11697,7 +11732,8 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "temporal_split_report",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class (avg_value)
+    oracle=f"""
     WITH tagged AS (
         SELECT CASE WHEN ts < TIMESTAMP '2024-01-22 00:00:00'
                     THEN 'train' ELSE 'eval' END AS split,
@@ -11708,7 +11744,7 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT split,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-               ROUND(AVG(value), 6) AS avg_value
+               {avg_round_half_up_sql("value", 6)} AS avg_value
         FROM tagged GROUP BY split
     ),
     crossu AS (
@@ -11743,7 +11779,7 @@ def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = tagged.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        avg_round_half_up("value", 6).alias("avg_value"),
     )
     overlap = (
         tagged.groupBy("user_id")
@@ -11768,7 +11804,9 @@ def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_record_linkage",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class: distance is exact
+    # integers, so avg_distance runs the integer-scaled contract
+    oracle=f"""
     WITH pairs AS (
         SELECT a.c_nationkey,
                a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -11783,7 +11821,7 @@ def temporal_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN distance <= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_matches,
            CAST(MIN(distance) AS BIGINT) AS min_distance,
-           ROUND(AVG(distance), 6) AS avg_distance
+           {avg_round_half_up_sql("distance", 6)} AS avg_distance
     FROM pairs GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )
@@ -11817,7 +11855,7 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_candidate_pairs"),
             F.sum((F.col("distance") <= 2).cast("long")).alias("n_matches"),
             F.min("distance").cast("long").alias("min_distance"),
-            F.round(F.avg("distance"), 6).alias("avg_distance"),
+            avg_round_half_up("distance", 6).alias("avg_distance"),
         )
         .orderBy("c_nationkey")
     )
@@ -11872,6 +11910,11 @@ def customer_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c1),
     bsc AS (
         SELECT o.doc_id,
+               -- deliberate residual (r12 audit): a PER-DOC average of
+               -- irrational -ln values — an exact half at digit 6 is
+               -- measure-zero (unlike grid-valued outer averages), and
+               -- the Spark side mirrors the same round-after-avg via
+               -- F.round(bigram_surprisal, 6)
                ROUND(AVG(-ln((c.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS bs
         FROM bocc o JOIN c12 c USING (bg) JOIN c1 USING (w1) CROSS JOIN v
         GROUP BY o.doc_id
@@ -12156,7 +12199,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_value_outliers",
-    oracle="""
+    # r12 drain of the ROUND(AVG(raw)) class (outlier_frac over {0,1})
+    oracle=f"""
     WITH med AS (
         SELECT event_type,
                ROUND(quantile_cont(value, 0.5), 6) AS median
@@ -12183,7 +12227,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(median) AS median, MAX(mad) AS mad,
            CAST(SUM(CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_outliers,
-           ROUND(AVG(CASE WHEN zscore > 3.0 THEN 1.0 ELSE 0.0 END), 6)
+           {avg_round_half_up_sql(
+               "CASE WHEN zscore > 3.0 THEN 1.0 ELSE 0.0 END", 6)}
              AS outlier_frac,
            ROUND(MAX(zscore), 6) AS max_abs_z
     FROM z GROUP BY event_type ORDER BY event_type
@@ -13208,7 +13253,8 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(AVG(ROUND(novel * 1.0 / n_grams, 6)), 6) AS avg_novelty,
+           {avg_round_half_up_sql("ROUND(novel * 1.0 / n_grams, 6)", 6)}
+             AS avg_novelty,
            ROUND(MIN(ROUND(novel * 1.0 / n_grams, 6)), 6) AS min_novelty,
            CAST(SUM(CASE WHEN novel * 1.0 / n_grams < 0.5 THEN 1 ELSE 0 END)
              AS BIGINT) AS n_mostly_seen
@@ -13238,7 +13284,7 @@ def ngram_novelty_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            avg_round_half_up("novelty", 6).alias("avg_novelty"),
             F.round(F.min("novelty"), 6).alias("min_novelty"),
             F.sum((F.col("novelty") < 0.5).cast("long")).alias(
                 "n_mostly_seen"
@@ -13260,8 +13306,8 @@ def _cluster_sample_oracle_sql(n_cells: int = 8, iters: int = 2,
     SELECT vec_id, v, cell FROM (
       SELECT p.vec_id, p.v, s.cell,
         ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
-          ROUND(list_sum(list_transform(list_zip(p.v, s.v),
-                z -> (z[1]-z[2])*(z[1]-z[2]))), 6), s.cell) AS rn
+          CAST(ROUND(list_sum(list_transform(list_zip(p.v, s.v),
+                z -> (z[1]-z[2])*(z[1]-z[2]))) * 1000000) AS BIGINT), s.cell) AS rn
       FROM pts p CROSS JOIN c{i} s) WHERE rn = 1
   )"""
     update = """
@@ -13296,7 +13342,8 @@ def _cluster_sample_oracle_sql(n_cells: int = 8, iters: int = 2,
     ctes.append(
         f"""ranked AS (
     SELECT vec_id, cell,
-           ROUND(SQRT(list_sum(list_transform(v, x -> x*x))), 6) AS nrm,
+           CAST(ROUND(SQRT(list_sum(list_transform(v, x -> x*x)))
+                * 1000000) AS BIGINT) / 1000000.0 AS nrm,
            ROW_NUMBER() OVER (PARTITION BY cell
                               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
              AS rk
@@ -13309,8 +13356,8 @@ SELECT cell,
        CAST(COUNT(*) AS BIGINT) AS n_members,
        CAST(SUM(CASE WHEN rk <= {per_cell} THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sampled,
-       ROUND(AVG(nrm), 6) AS avg_norm,
-       ROUND(AVG(CASE WHEN rk <= {per_cell} THEN nrm END), 6)
+       {avg_round_half_up_sql("nrm", 6)} AS avg_norm,
+       {avg_round_half_up_sql(f"CASE WHEN rk <= {per_cell} THEN nrm END", 6)}
          AS avg_sampled_norm,
        CAST(MIN(CASE WHEN rk = 1 THEN vec_id END) AS BIGINT)
          AS first_sampled_id
@@ -13340,10 +13387,15 @@ def cluster_balanced_sample_report(spark: SparkSession, sf_dir: str) -> DataFram
     cells = kmeans_cells_deterministic(e, n_cells=8, iters=2)
     from pyspark.sql import Window
 
+    # r12: integer-scaled norm (single-arg ROUND(x·10⁶) — engine-exact,
+    # unlike two-arg rounding) and the integer-micros half-up contract
+    # for both averages; nrm values are exact micros multiples so no
+    # float ever decides a digit of avg_norm / avg_sampled_norm
     ranked = cells.select(
         "vec_id",
         "cell",
-        F.round(l2_norm("embedding"), 6).alias("nrm"),
+        (F.round(l2_norm("embedding") * 1000000.0).cast("long")
+         / F.lit(1000000.0)).alias("nrm"),
         F.row_number()
         .over(
             Window.partitionBy("cell").orderBy(
@@ -13358,9 +13410,9 @@ def cluster_balanced_sample_report(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum((F.col("rk") <= per_cell).cast("long")).alias("n_sampled"),
-            F.round(F.avg("nrm"), 6).alias("avg_norm"),
-            F.round(
-                F.avg(F.when(F.col("rk") <= per_cell, F.col("nrm"))), 6
+            avg_round_half_up("nrm", 6).alias("avg_norm"),
+            avg_round_half_up(
+                f"CASE WHEN rk <= {per_cell} THEN nrm END", 6
             ).alias("avg_sampled_norm"),
             F.min(F.when(F.col("rk") == 1, F.col("vec_id"))).alias(
                 "first_sampled_id"
