@@ -409,6 +409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contract (grid-valued inputs: ints / cents / {0,1} flags /
         # 6dp-pre-rounded ratios; raw-float inputs pre-quantized per
         # value by the helper); verified MATCH at sf0.001/0.01/0.1
+        # r12 late #4: money/math ROUND(SUM(raw)) sites inside
+        # already-touched queries (plus top_customers, which was
+        # already in the window as a drain) moved to the exact
+        # integer-scaled sum contract — naive float cents sums cross
+        # the half-cent grid around sf≈100, the engine's target scale
+        "top_customers",
         "range_join_premium_items", "segment_stats",
         "unigram_surprisal_filter", "join_key_skew_report",
         "orders_profile", "dup_rate_by_source",

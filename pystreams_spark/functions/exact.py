@@ -38,6 +38,8 @@ __all__ = [
     "avg_round_half_up_sql",
     "np_round_half_away_scaled",
     "np_trunc_div",
+    "sum_exact_scaled",
+    "sum_exact_scaled_sql",
 ]
 
 
@@ -77,6 +79,77 @@ def avg_round_half_up(col: str, digits: int = 6) -> Column:
         f"cast((2 * sum(cast(round({col} * {s}) as decimal(38,0)))"
         f" + count({col})) div (2 * count({col})) as double)"
         f" / {s}.0 end"
+    )
+
+
+def sum_exact_scaled(col: str, digits: int = 2) -> Column:
+    """Spark Column: engine-exact ``ROUND(SUM(col), digits)`` for values
+    on the ``10^-digits`` grid (cents, pre-rounded scores) — the SUM
+    sibling of the average contract (r12). ``ROUND(SUM(raw double))``
+    is order-dependent: a naive per-partition float sum of N cents
+    values carries error that grows with N (random-walk ~√N·ulp(Σ)),
+    crossing the half-cent grid around N·mean ≈ 1e13 — i.e. whole-table
+    money sums at roughly sf ≥ 100, exactly the scale this engine
+    targets. Quantize-before-sum makes the reported digit a pure
+    integer function of the data: identical on any partitioning, any
+    engine, any scale the DECIMAL(38,0) accumulator admits. For values
+    OFF the grid (irrational math sums) this is a deliberate contract
+    change — the sum of per-value-quantized terms — which is the
+    deterministic form an oracle can certify (same reasoning as the
+    Lloyd centroid contract). Per-value exactness bound: |col·10^d| <
+    2^52. NULL semantics match ROUND(SUM(...)): empty/all-NULL → NULL.
+    """
+    s = 10 ** int(digits)
+    return F.expr(
+        f"cast(sum(cast(round(({col}) * {s}) as decimal(38,0))) as double)"
+        f" / {s}.0"
+    )
+
+
+def sum_exact_scaled_sql(col: str, digits: int = 2) -> str:
+    """DuckDB SQL fragment equivalent of :func:`sum_exact_scaled`
+    (per-value BIGINT cast; DuckDB's SUM widens to HUGEINT natively;
+    HUGEINT→DOUBLE and Spark Decimal→Double are both correctly rounded,
+    so the final quotient is the identical double)."""
+    s = 10 ** int(digits)
+    return (
+        f"CAST(SUM(CAST(ROUND(({col}) * {s}) AS BIGINT)) AS DOUBLE)"
+        f" / {s}.0"
+    )
+
+
+def sum_round_half_up(col: str, value_digits: int, digits: int) -> Column:
+    """Spark Column: engine-exact ``ROUND(SUM(col), digits)`` where the
+    values sit on a FINER grid than the output (e.g. 4dp-exact
+    discounted prices reported at cents): quantize per value at
+    ``value_digits`` (exact), sum in DECIMAL(38,0), then round the
+    integer quotient with the single-arg scaled rule — ``ROUND(x)`` of
+    the identical double is engine-exact (ties are dyadic ``k.5``
+    doubles, rounded away on both engines), unlike two-arg ROUND whose
+    internal scaling paths differ. Requires ``value_digits >= digits``.
+    """
+    v, d = int(value_digits), int(digits)
+    if v < d:
+        raise ValueError(f"sum_round_half_up: value_digits {v} < digits {d}")
+    sv, down, sd = 10 ** v, 10 ** (v - d), 10 ** d
+    # the final cast keeps the quotient DOUBLE — a bare bigint/100.0
+    # would promote to DECIMAL under Spark's decimal-literal rule
+    return F.expr(
+        f"cast(cast(round(cast(sum(cast(round(({col}) * {sv})"
+        f" as decimal(38,0))) as double) / {down}) as bigint) as double)"
+        f" / {sd}.0"
+    )
+
+
+def sum_round_half_up_sql(col: str, value_digits: int, digits: int) -> str:
+    """DuckDB SQL fragment equivalent of :func:`sum_round_half_up`."""
+    v, d = int(value_digits), int(digits)
+    if v < d:
+        raise ValueError(f"sum_round_half_up: value_digits {v} < digits {d}")
+    sv, down, sd = 10 ** v, 10 ** (v - d), 10 ** d
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(ROUND(({col}) * {sv}) AS BIGINT))"
+        f" AS DOUBLE) / {down}) AS BIGINT) / {sd}.0"
     )
 
 

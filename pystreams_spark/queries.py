@@ -22,7 +22,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.exact import avg_round_half_up, avg_round_half_up_sql
+from .functions.exact import (
+    avg_round_half_up,
+    avg_round_half_up_sql,
+    sum_exact_scaled,
+    sum_exact_scaled_sql,
+    sum_round_half_up,
+    sum_round_half_up_sql,
+)
 from .io import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -86,10 +93,13 @@ _avg6_micros_sql = avg_round_half_up_sql
     "pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           {sum_exact_scaled_sql("l_quantity", 2)}                          AS sum_qty,
+           {sum_exact_scaled_sql("l_extendedprice", 2)}                      AS sum_base_price,
+           {sum_round_half_up_sql("l_extendedprice * (1 - l_discount)", 4, 2)}
+                                                                            AS sum_disc_price,
+           {sum_round_half_up_sql(
+               "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2)}
+                                                                            AS sum_charge,
            {_avg6_micros_sql("l_quantity")}                                 AS avg_qty,
            {avg_round_half_up_sql("l_extendedprice", 4)}                    AS avg_price,
            {_avg6_micros_sql("l_discount")}                                 AS avg_disc,
@@ -120,10 +130,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            sum_exact_scaled("l_quantity", 2).alias("sum_qty"),
+            sum_exact_scaled("l_extendedprice", 2).alias("sum_base_price"),
+            sum_round_half_up(
+                "l_extendedprice * (1 - l_discount)", 4, 2
+            ).alias("sum_disc_price"),
+            sum_round_half_up(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6, 2
+            ).alias("sum_charge"),
             _avg6_micros("l_quantity").alias("avg_qty"),
             avg_round_half_up("l_extendedprice", 4).alias("avg_price"),
             _avg6_micros("l_discount").alias("avg_disc"),
@@ -140,9 +154,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "top_customers",
-    oracle="""
+    # r12: per-customer money sums run the exact integer-cents contract
+    # (the ROUND(SUM(raw)) sibling of the drained average class)
+    oracle=f"""
     SELECT c.c_custkey, ANY_VALUE(c.c_name) AS c_name, ANY_VALUE(n.n_name) AS n_name,
-           ROUND(SUM(o.o_totalprice), 2) AS total_spent,
+           {sum_exact_scaled_sql("o.o_totalprice", 2)} AS total_spent,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -170,7 +186,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("c_name").alias("c_name"),
             F.any_value("n_name").alias("n_name"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            sum_exact_scaled("o_totalprice", 2).alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("total_spent"), "c_custkey")
@@ -427,7 +443,7 @@ def range_join_premium_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            COUNT(*) AS n_customers,
            CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
-           ROUND(SUM(c_acctbal), 2) AS sum_bal,
+           {sum_exact_scaled_sql("c_acctbal", 2)} AS sum_bal,
            {avg_round_half_up_sql("c_acctbal", 4)} AS avg_bal,
            ROUND(MIN(c_acctbal), 2) AS min_bal,
            ROUND(MAX(c_acctbal), 2) AS max_bal
@@ -444,7 +460,7 @@ def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.countDistinct("c_nationkey").alias("n_nations"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            sum_exact_scaled("c_acctbal", 2).alias("sum_bal"),
             avg_round_half_up("c_acctbal", 4).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
@@ -875,10 +891,10 @@ def orders_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_linestatus,
            {_avg6_micros_sql("ROUND(SQRT(l_quantity), 6)")} AS avg_sqrt_qty,
-           ROUND(SUM(FLOOR(l_extendedprice)), 2) AS sum_floor_price,
-           ROUND(SUM(CEIL(l_discount * 100)), 2) AS sum_ceil_disc,
-           ROUND(SUM(ABS(l_tax - 0.04)), 6) AS sum_abs_tax_dev,
-           ROUND(SUM(POW(l_discount, 2)), 6) AS sum_disc_sq
+           {sum_exact_scaled_sql("FLOOR(l_extendedprice)", 2)} AS sum_floor_price,
+           {sum_exact_scaled_sql("CEIL(l_discount * 100)", 2)} AS sum_ceil_disc,
+           {sum_exact_scaled_sql("ABS(l_tax - 0.04)", 6)} AS sum_abs_tax_dev,
+           {sum_exact_scaled_sql("POW(l_discount, 2)", 6)} AS sum_disc_sq
     FROM lineitem
     GROUP BY l_linestatus
     ORDER BY l_linestatus
@@ -897,16 +913,18 @@ def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_linestatus")
         .agg(
             _avg6_micros("_sq").alias("avg_sqrt_qty"),
-            # floor/ceil return LONG in Spark but DOUBLE in DuckDB — cast
-            # before summing so the output schemas agree
-            F.round(F.sum(F.floor("l_extendedprice").cast("double")), 2).alias(
-                "sum_floor_price"
-            ),
-            F.round(F.sum(F.ceil(F.col("l_discount") * 100).cast("double")), 2).alias(
-                "sum_ceil_disc"
-            ),
-            F.round(F.sum(F.abs(F.col("l_tax") - 0.04)), 6).alias("sum_abs_tax_dev"),
-            F.round(F.sum(F.pow("l_discount", F.lit(2))), 6).alias("sum_disc_sq"),
+            # exact integer-scaled sums (r12, the ROUND(SUM(raw)) sibling
+            # of the drained average class); floor/ceil are cast to double
+            # inside the fragment so the quantizer sees the same type on
+            # both engines
+            sum_exact_scaled(
+                "CAST(FLOOR(l_extendedprice) AS DOUBLE)", 2
+            ).alias("sum_floor_price"),
+            sum_exact_scaled(
+                "CAST(CEIL(l_discount * 100) AS DOUBLE)", 2
+            ).alias("sum_ceil_disc"),
+            sum_exact_scaled("ABS(l_tax - 0.04)", 6).alias("sum_abs_tax_dev"),
+            sum_exact_scaled("POWER(l_discount, 2)", 6).alias("sum_disc_sq"),
         )
         .orderBy("l_linestatus")
     )
@@ -2945,10 +2963,10 @@ def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_funcs_extended",
     oracle=f"""
     SELECT l_linenumber,
-           ROUND(SUM(SIN(l_discount) + COS(l_tax)), 6) AS trig_sum,
-           ROUND(SUM(EXP(l_discount)), 6) AS exp_sum,
-           ROUND(SUM(LN(l_quantity + 1)), 6) AS ln_sum,
-           ROUND(SUM(LOG10(l_extendedprice)), 6) AS log10_sum,
+           {sum_exact_scaled_sql("SIN(l_discount) + COS(l_tax)", 6)} AS trig_sum,
+           {sum_exact_scaled_sql("EXP(l_discount)", 6)} AS exp_sum,
+           {sum_exact_scaled_sql("LN(l_quantity + 1)", 6)} AS ln_sum,
+           {sum_exact_scaled_sql("LOG10(l_extendedprice)", 6)} AS log10_sum,
            CAST(SUM(CASE WHEN MOD(CAST(l_quantity AS BIGINT), 2) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_qty,
            {_avg6_micros_sql("SIGN(l_discount - 0.05)")} AS avg_sign
     FROM lineitem
@@ -2964,10 +2982,14 @@ def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linenumber")
         .agg(
-            F.round(F.sum(F.sin("l_discount") + F.cos("l_tax")), 6).alias("trig_sum"),
-            F.round(F.sum(F.exp("l_discount")), 6).alias("exp_sum"),
-            F.round(F.sum(F.log(F.col("l_quantity") + 1)), 6).alias("ln_sum"),
-            F.round(F.sum(F.log10("l_extendedprice")), 6).alias("log10_sum"),
+            # quantize-before-sum (r12): the irrational per-value terms are
+            # pre-quantized to micros, so the reported digit is a pure
+            # integer function of the data — the same deliberate contract
+            # as the Lloyd centroid update (see functions/exact.py)
+            sum_exact_scaled("SIN(l_discount) + COS(l_tax)", 6).alias("trig_sum"),
+            sum_exact_scaled("EXP(l_discount)", 6).alias("exp_sum"),
+            sum_exact_scaled("LN(l_quantity + 1)", 6).alias("ln_sum"),
+            sum_exact_scaled("LOG10(l_extendedprice)", 6).alias("log10_sum"),
             F.sum(
                 F.when(F.col("l_quantity").cast("long") % 2 == 0, 1).otherwise(0)
             ).alias("n_even_qty"),

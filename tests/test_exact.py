@@ -65,6 +65,80 @@ def test_scales_agree_cross_engine(spark, digits):
     assert _spark_avg(spark, vals, digits) == _duck_avg(vals, digits)
 
 
+def _duck_sum(vals, sql_frag):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    return con.sql(f"SELECT {sql_frag} AS a FROM t").fetchone()[0]
+
+
+def test_sum_exact_scaled_matches_oracle_and_is_double(spark):
+    from pystreams_spark.functions.exact import (
+        sum_exact_scaled,
+        sum_exact_scaled_sql,
+    )
+
+    vals = [1234.56, 0.01, -7.89, 99999.99]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(sum_exact_scaled("x", 2).alias("a"))
+    assert dict(row.dtypes)["a"] == "double"  # not silently DECIMAL
+    got_s = row.first()[0]
+    got_d = _duck_sum(vals, sum_exact_scaled_sql("x", 2))
+    assert got_s == got_d == 101226.67
+
+
+def test_sum_round_half_up_cents_from_finer_grid(spark):
+    """4dp-exact values reported at cents: the integer quotient lands
+    exactly on a half-cent, which two-arg float rounding can split
+    across engines; the scaled single-arg rule rounds it away on both."""
+    from pystreams_spark.functions.exact import (
+        sum_round_half_up,
+        sum_round_half_up_sql,
+    )
+
+    vals = [0.0025, 0.0025, 0.01]  # Σ = 0.0150 → half-cent tie → 0.02
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    row = df.agg(sum_round_half_up("x", 4, 2).alias("a"))
+    assert dict(row.dtypes)["a"] == "double"
+    got_s = row.first()[0]
+    got_d = _duck_sum(vals, sum_round_half_up_sql("x", 4, 2))
+    assert got_s == got_d == 0.02
+
+
+def test_sum_helpers_null_semantics(spark):
+    from pystreams_spark.functions.exact import (
+        sum_exact_scaled,
+        sum_round_half_up,
+    )
+
+    df = spark.createDataFrame([(None,)], "x double")
+    assert df.agg(sum_exact_scaled("x", 2).alias("a")).first()[0] is None
+    assert df.agg(sum_round_half_up("x", 4, 2).alias("a")).first()[0] is None
+    with pytest.raises(ValueError, match="value_digits"):
+        sum_round_half_up("x", 2, 4)
+
+
+def test_sum_exact_scaled_large_magnitude_cents(spark):
+    """Large-magnitude cents stay exact through the DECIMAL(38,0)
+    accumulator and the engines agree to the last representable digit
+    (the at-scale property the contract buys: the integer sum is a
+    pure function of the data, not of float summation order)."""
+    from pystreams_spark.functions.exact import (
+        sum_exact_scaled,
+        sum_exact_scaled_sql,
+    )
+
+    # each value is cents-exact and |x·100| < 2^52, so the per-value
+    # quantization is exact; the scaled-int sum is 4e14 + 7 cents
+    vals = [1.0e12 + 0.01, 1.0e12 + 0.02, 1.0e12 + 0.03, 1.0e12 + 0.01]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_s = df.agg(sum_exact_scaled("x", 2).alias("a")).first()[0]
+    got_d = _duck_sum(vals, sum_exact_scaled_sql("x", 2))
+    assert got_s == got_d
+    # both engines report the identical double nearest 4e12 + 0.07
+    assert got_s == 400000000000007 / 100.0
+
+
 def test_np_round_half_away_matches_duckdb_round():
     """The numpy quantizer must be bit-identical to the engines'
     half-away-from-zero ROUND on the SAME doubles — np.round is
