@@ -1156,7 +1156,8 @@ def knn_ivf_deterministic(
     """IVF ANN with ORACLE-GRADE determinism (r7): the coarse quantizer
     is `kmeans_cells_deterministic`'s engine-portable recurrence
     (md5-ordered seeds, ROUND-6 Lloyd), the probe ranks query→centroid
-    ROUND(L2², 6) with lowest-cell ties, and the refine is exact
+    CAST(ROUND(L2²·10⁶) AS BIGINT) with lowest-cell ties (half-away on
+    both engines — r12), and the refine is exact
     ROUND(cosine, 6) with id ties — every stage is SQL-replayable, so
     the whole ANN search hash-checks against a DuckDB unroll instead of
     settling for a rows-only recall gate. Same physical shape as
@@ -1786,7 +1787,8 @@ def margin_bitext_mine_blocked(
 
     def _probed(side: DataFrame, id_col: str) -> DataFrame:
         """(id, vec, _cell, _rank 1..n_probe): each vector's n_probe
-        nearest centroids by ROUND(L2², round_to), stable order =
+        nearest centroids by CAST(ROUND(L2²·10^r) AS BIGINT) (r12
+        half-away quantize), stable order =
         lowest-cell tie-break (the knn_ivf_deterministic probe)."""
         vec_ddl = side.schema[vec_col].dataType.simpleString()
 
