@@ -38,9 +38,30 @@ __all__ = [
     "avg_round_half_up_sql",
     "np_round_half_away_scaled",
     "np_trunc_div",
+    "quantized_threshold",
     "sum_exact_scaled",
     "sum_exact_scaled_sql",
+    "sum_round_half_up",
+    "sum_round_half_up_sql",
 ]
+
+
+def quantized_threshold(threshold: float, scale: int) -> int:
+    """Smallest integer ``q`` with ``q/scale >= threshold`` under IEEE
+    double division — the EXACT integer form of the float predicate
+    ``score >= threshold`` over scores quantized to ``q/scale``. A
+    naive ``round(threshold*scale)`` is wrong twice over: Python's
+    round is half-to-EVEN, and for off-grid thresholds the correct cut
+    is ceil-like, not nearest (``threshold=0.125, scale=100`` must cut
+    at 13, not 12). The float-product seed can be off by an ulp either
+    way (0.2·1e6 = 200000.00000000003), so the seed is corrected by
+    direct comparison against the actual quotient doubles."""
+    q = int(round(threshold * scale))
+    while q / scale < threshold:
+        q += 1
+    while (q - 1) / scale >= threshold:
+        q -= 1
+    return q
 
 
 def np_round_half_away_scaled(m, scale: int):
@@ -145,7 +166,9 @@ def sum_round_half_up_sql(col: str, value_digits: int, digits: int) -> str:
     """DuckDB SQL fragment equivalent of :func:`sum_round_half_up`."""
     v, d = int(value_digits), int(digits)
     if v < d:
-        raise ValueError(f"sum_round_half_up: value_digits {v} < digits {d}")
+        raise ValueError(
+            f"sum_round_half_up_sql: value_digits {v} < digits {d}"
+        )
     sv, down, sd = 10 ** v, 10 ** (v - d), 10 ** d
     return (
         f"CAST(ROUND(CAST(SUM(CAST(ROUND(({col}) * {sv}) AS BIGINT))"

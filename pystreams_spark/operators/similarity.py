@@ -600,16 +600,23 @@ def cosine_pairs_above(
     ids_all = pdf["_id"].to_numpy(dtype=np.int64)
     mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
+    # zero-norm vectors score 0 against everything (clamp like
+    # semantic_dedup_pairs) — without it the NaN cosine would hit the
+    # int64 quantizer as an invalid cast (review r12-ext)
+    norms[norms == 0.0] = 1.0
     bc = spark.sparkContext.broadcast((ids_all, mat, norms))
+
+    from ..functions.exact import quantized_threshold
 
     def kernel(batches):
         ids_b, mat_b, norms_b = bc.value
         scale_f = float(10 ** round_to)
-        thr_q = int(round(threshold * scale_f))
+        thr_q = quantized_threshold(threshold, 10 ** round_to)
         for batch in batches:
             bids = batch["_id"].to_numpy(dtype=np.int64)
             bm = np.stack(batch["_v"].to_numpy()).astype(np.float64)
             bn = np.sqrt((bm * bm).sum(axis=1))
+            bn[bn == 0.0] = 1.0
             # integer-quantized cosine (half-away — `_q_scaled`): exact
             # int threshold, quotient emission (r12 contract)
             q = _q_scaled((bm @ mat_b.T) / np.outer(bn, norms_b), round_to)
@@ -1455,9 +1462,10 @@ def semantic_dedup_pairs(
     Zero-norm vectors score 0 against everything (norm clamped to 1).
 
     Returns (cluster, id_a, id_b, score) with id_a < id_b, score =
-    CAST(ROUND(cosine·10^r) AS BIGINT)/10^r ≥ threshold (the threshold
-    itself is quantized to the same grid, so the cut is an exact
-    integer compare — r12 scaled-integer contract).
+    CAST(ROUND(cosine·10^r) AS BIGINT)/10^r ≥ threshold — the cut is
+    the exact integer form of that float predicate
+    (`functions/exact.quantized_threshold`, r12 scaled-integer
+    contract; correct for off-grid thresholds too).
     """
     import numpy as np
     import pandas as pd
@@ -1503,8 +1511,10 @@ def semantic_dedup_pairs(
         norms = np.sqrt((m * m).sum(axis=1))
         norms[norms == 0.0] = 1.0
         out_a, out_b, out_s = [], [], []
+        from ..functions.exact import quantized_threshold
+
         scale_f = float(10 ** round_to)
-        thr_q = int(round(threshold * scale_f))
+        thr_q = quantized_threshold(threshold, 10 ** round_to)
         for lo in range(0, m_rows, tile):
             hi = min(lo + tile, m_rows)
             # integer-quantized cosine (half-away — `_q_scaled`):

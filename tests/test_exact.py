@@ -105,6 +105,24 @@ def test_sum_round_half_up_cents_from_finer_grid(spark):
     assert got_s == got_d == 0.02
 
 
+def test_sum_round_half_up_negative_tie(spark):
+    """Negative totals: the single-arg scaled rule is half-AWAY on both
+    engines (Spark BigDecimal HALF_UP and DuckDB std::round both round
+    -k.5 to -(k+1)) — unlike the avg contract's div, which truncates
+    toward zero. Pinned so a refactor to div doesn't silently change
+    the negative-tie digit."""
+    from pystreams_spark.functions.exact import (
+        sum_round_half_up,
+        sum_round_half_up_sql,
+    )
+
+    vals = [-0.0025, -0.0025, -0.01]  # Σ = -0.0150 → -0.02 away
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_s = df.agg(sum_round_half_up("x", 4, 2).alias("a")).first()[0]
+    got_d = _duck_sum(vals, sum_round_half_up_sql("x", 4, 2))
+    assert got_s == got_d == -0.02
+
+
 def test_sum_helpers_null_semantics(spark):
     from pystreams_spark.functions.exact import (
         sum_exact_scaled,
@@ -137,6 +155,47 @@ def test_sum_exact_scaled_large_magnitude_cents(spark):
     assert got_s == got_d
     # both engines report the identical double nearest 4e12 + 0.07
     assert got_s == 400000000000007 / 100.0
+
+
+def test_quantized_threshold_exact_predicate():
+    """quantized_threshold(t, s) must be the smallest q with
+    q/s >= t under IEEE division — including off-grid thresholds
+    (ceil-like, NOT nearest: the r12-ext review case 0.125@100) and
+    ulp-perturbed float products (0.2·1e6 lands above 200000)."""
+    from pystreams_spark.functions.exact import quantized_threshold
+
+    cases = [
+        (0.125, 100, 13),       # off-grid: round() would give 12
+        (0.2, 1_000_000, 200_000),
+        (0.35, 1_000_000, 350_000),
+        (0.4, 1_000_000, 400_000),
+        (0.9, 1_000_000, 900_000),
+        (-0.125, 100, -12),     # smallest q with q/100 >= -0.125
+        (0.0, 1_000_000, 0),
+    ]
+    for t, s, want in cases:
+        q = quantized_threshold(t, s)
+        assert q == want, (t, s, q, want)
+        assert q / s >= t and (q - 1) / s < t
+
+
+def test_cosine_pairs_above_zero_norm_vector(spark):
+    """A zero embedding must score 0 against everything (clamped norm),
+    not feed NaN into the int64 quantizer — r12-ext review fix."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import cosine_pairs_above
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.score
+           for r in cosine_pairs_above(df, 0.5).collect()}
+    assert got == {(0, 1): 1.0}  # the zero vector pairs with nothing
+    assert all(np.isfinite(v) for v in got.values())
 
 
 def test_np_round_half_away_matches_duckdb_round():
