@@ -198,6 +198,32 @@ def test_cosine_pairs_above_zero_norm_vector(spark):
     assert all(np.isfinite(v) for v in got.values())
 
 
+def test_no_new_round_avg_raw_oracle_sites():
+    """The ROUND(AVG(raw)) oracle class was drained to zero in r12-ext
+    (a proven cross-engine mismatch class — the sf0.1 sweep caught a
+    real one). This lint keeps it at zero: any new oracle using
+    ROUND(AVG(...)) must either use the integer-scaled contract
+    (functions/exact) or extend the documented allowlist with a reason
+    comment at the site."""
+    import re
+
+    from pystreams_spark.queries import ORACLE
+
+    allow = {
+        # per-doc inner average of irrational -ln values: an exact half
+        # at digit 6 is measure-zero; commented at the site
+        "model_filtered_funnel",
+    }
+    offenders = {
+        name for name, sql in ORACLE.items()
+        if re.search(r"ROUND\s*\(\s*AVG\s*\(", sql) and name not in allow
+    }
+    assert not offenders, (
+        f"new ROUND(AVG(raw)) oracle sites (use avg_round_half_up_sql "
+        f"or allowlist with a reason): {sorted(offenders)}"
+    )
+
+
 def test_np_round_half_away_matches_duckdb_round():
     """The numpy quantizer must be bit-identical to the engines'
     half-away-from-zero ROUND on the SAME doubles — np.round is
