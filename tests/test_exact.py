@@ -179,6 +179,29 @@ def test_quantized_threshold_exact_predicate():
         assert q / s >= t and (q - 1) / s < t
 
 
+def test_quantized_threshold_minimality_property():
+    """Property: for ANY float threshold in [-2, 2] and the scales the
+    kernels use, quantized_threshold returns the UNIQUE minimal integer
+    cut equivalent to the float predicate — q/s >= t and (q-1)/s < t."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pystreams_spark.functions.exact import quantized_threshold
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        t=st.floats(min_value=-2.0, max_value=2.0,
+                    allow_nan=False, allow_infinity=False),
+        s=st.sampled_from([100, 10_000, 1_000_000]),
+    )
+    def check(t, s):
+        q = quantized_threshold(t, s)
+        assert q / s >= t
+        assert (q - 1) / s < t
+
+    check()
+
+
 def test_cosine_pairs_above_zero_norm_vector(spark):
     """A zero embedding must score 0 against everything (clamped norm),
     not feed NaN into the int64 quantizer — r12-ext review fix."""
