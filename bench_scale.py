@@ -62,15 +62,28 @@ def _build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
     doc_parts = []
     emb_parts = []
     ev_parts = []
+    li_parts = []
     for k in range(factor):
         if k == 0:
             doc_parts.append(docs)
             emb_parts.append(emb)
             ev_parts.append(ev)
+            li_parts.append(li)
             continue
+        # lineitem (r12-ext, for the exact-aggregate contract family):
+        # replica k shifts the order key — rows ×K with the measure
+        # columns repeated exactly, so per-group sums/averages scale
+        # linearly by construction and any super-linear wall is the
+        # operator's, not the fixture's
+        li_parts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000)
+            )
+        )
         # events: replica k shifts ids AND users — row count ×K with
         # key cardinality ×K (the honest regime for sketch/agg curves:
         # per-key frequency distribution preserved)
@@ -115,6 +128,9 @@ def _build_scaled(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     reduce(lambda a, b: a.unionByName(b), ev_parts).repartition(32).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/events.parquet")
+    reduce(lambda a, b: a.unionByName(b), li_parts).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/lineitem.parquet")
 
 
 def _families(spark, data_dir: str, ckpt_dir: str):
@@ -192,6 +208,13 @@ def _families(spark, data_dir: str, ckpt_dir: str):
         "knn_ivf_deterministic": ivf_det,
         "knn_pq_deterministic": pq_det,
         "effective_dataset_size": lambda: QUERIES["effective_dataset_size"](
+            spark, data_dir
+        ).count(),
+        # r12-ext: the exact-aggregate contract flagship — per-value
+        # ROUND(x·10^d) quantization into DECIMAL(38,0) partial sums;
+        # wall must stay linear-flat (the contract is pure per-row
+        # expression work; the shuffle stays partitions × 6 groups)
+        "pricing_summary_contract": lambda: QUERIES["pricing_summary"](
             spark, data_dir
         ).count(),
         # r8: first-seen novelty — should be exactly linear (no pairwise
