@@ -66,6 +66,19 @@ def get_spark(
     )
     for k, v in DEFAULT_CONFS.items():
         builder = builder.config(k, v)
+    # independence sweeps (r12-ext): SPARK_GRAFT_EXTRA_CONFS="k=v;k2=v2"
+    # overrides any default — e.g. spark.sql.adaptive.enabled=false to
+    # re-run the whole oracle-parity suite without AQE replanning, the
+    # same evidence pattern as PYSTREAMS_TEST_SHUFFLE's
+    # partitioning-independence sweep
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "")
+    for pair in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = pair.partition("=")
+        if not _:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONFS: expected k=v, got {pair!r}"
+            )
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
