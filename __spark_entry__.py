@@ -356,12 +356,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     leaving exactly one documented per-doc inner-average residual —
     and the 3 extra consumers of the deterministic-ANN kernels whose
     distance/score rounding moved from numpy half-EVEN to the engines'
-    half-AWAY scaled-integer rule) + ALL THREE r6 stragglers
-    (`token_gini_by_lang`, `length_ks_by_source`,
-    `signup_to_purchase_latency`) + 4 untouched r7-tier drains = 50;
-    the rest of the r7 tier spills to r13 (the contract conversions
-    outrank freshness drains: their oracles CHANGED and need
-    re-verdicts, while drains only age)."""
+    half-AWAY scaled-integer rule; and — extended session 2 — the
+    exact second-moment contract in dispersion_stats +
+    orders_profile and the dialect-portable sum fragment in the
+    grouping_sets/sql_interface shared-text pair) + ALL THREE r6
+    stragglers (`token_gini_by_lang`, `length_ks_by_source`,
+    `signup_to_purchase_latency`) = exactly 50; every r7-tier drain
+    spills to r13 (the contract conversions outrank freshness drains:
+    their oracles CHANGED and need re-verdicts, while drains only
+    age)."""
 
     never_checked: set[str] = {
         # none new in round 12; the fall-through below still ranks any
@@ -424,6 +427,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_clip_report", "temporal_split_report",
         "customer_record_linkage", "events_value_outliers",
         "ngram_novelty_report",
+        # r12 late #5 (extended session 2): the exact second-moment
+        # contract (functions/exact.py stddev/var/corr/covar — removes
+        # BOTH the summation-order class and the engines' differing
+        # streaming-moment algorithms) lands in dispersion_stats and
+        # profile()'s stddev (orders_profile above); the shared-text
+        # pair moves its revenue to the dialect-portable integer-
+        # scaled sum fragment (revenue is sql_interface_revenue's SORT
+        # key, so an order-dependent digit there reorders rows)
+        "dispersion_stats", "grouping_sets_revenue",
+        "sql_interface_revenue",
     }
     stale_priority: set[str] = set()
     stale_rows_only: set[str] = set()

@@ -36,13 +36,24 @@ from pyspark.sql import functions as F
 __all__ = [
     "avg_round_half_up",
     "avg_round_half_up_sql",
+    "corr_exact",
+    "corr_exact_sql",
+    "covar_samp_exact",
+    "covar_samp_exact_sql",
     "np_round_half_away_scaled",
     "np_trunc_div",
     "quantized_threshold",
+    "stddev_pop_exact",
+    "stddev_pop_exact_sql",
+    "stddev_samp_exact",
+    "stddev_samp_exact_sql",
     "sum_exact_scaled",
     "sum_exact_scaled_sql",
     "sum_round_half_up",
+    "sum_round_half_up_portable",
     "sum_round_half_up_sql",
+    "var_samp_exact",
+    "var_samp_exact_sql",
 ]
 
 
@@ -174,6 +185,207 @@ def sum_round_half_up_sql(col: str, value_digits: int, digits: int) -> str:
         f"CAST(ROUND(CAST(SUM(CAST(ROUND(({col}) * {sv}) AS BIGINT))"
         f" AS DOUBLE) / {down}) AS BIGINT) / {sd}.0"
     )
+
+
+def sum_round_half_up_portable(col: str, value_digits: int, digits: int) -> str:
+    """Dialect-PORTABLE text of :func:`sum_round_half_up` — one string
+    that parses and computes identically under Spark SQL and DuckDB,
+    for queries that run the SAME SQL text on both engines
+    (``spark.sql(TEXT)`` vs the oracle). Uses the Spark-safe
+    DECIMAL(38,0) accumulator (a BIGINT sum would wrap silently on
+    Spark past 2^63; DuckDB sums DECIMAL(38,0) exactly too) and the
+    cast-to-double-before-divide form so Spark's decimal-literal rule
+    can't promote the final quotient."""
+    v, d = int(value_digits), int(digits)
+    if v < d:
+        raise ValueError(
+            f"sum_round_half_up_portable: value_digits {v} < digits {d}"
+        )
+    sv, down, sd = 10 ** v, 10 ** (v - d), 10 ** d
+    return (
+        f"cast(cast(round(cast(sum(cast(round(({col}) * {sv})"
+        f" as decimal(38,0))) as double) / {down}) as bigint) as double)"
+        f" / {sd}.0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact second moments — the stddev/var/corr/covar contract (r12).
+#
+# ``ROUND(stddev_samp(x), d)`` over raw doubles has TWO cross-engine
+# divergence sources: partial-sum ORDER (the same class as the drained
+# ROUND(AVG/SUM(raw)) sites) and ALGORITHM (Spark aggregates Welford-
+# style running moments; DuckDB keeps different running state — their
+# results differ by ulps even on one partition). The exact contract
+# removes both at once: quantize each value to an integer on its
+# ``10^-value_digits`` grid (the identical IEEE multiply+round both
+# engines perform), accumulate Σx, Σx², Σxy EXACTLY in wide integers
+# (DECIMAL(38,0) Spark-side — BIGINT wraps silently in non-ANSI mode;
+# HUGEINT via SUM(BIGINT) DuckDB-side, which raises on overflow), form
+# the moment numerators n·Σx² − (Σx)² / n·Σxy − Σx·Σy in the SAME wide
+# integer arithmetic, and only then cast the handful of exact group
+# scalars to DOUBLE. From identical integers, both engines evaluate the
+# identical float expression tree (casts, ×, ÷, sqrt are all IEEE
+# correctly-rounded) → bit-identical doubles; the final digit is
+# emitted with the scaled single-arg ROUND (half-away on both).
+#
+# Exactness bounds (documented, not silently truncated): per value
+# |x·10^vd| < 2^52 (the quantizing round's own exactness window);
+# per-value squares/cross-products are formed AFTER the cast to the
+# wide integer type, so they are exact to the 38-digit/int128 ceiling,
+# as are the sums and the n·Σx² − (Σx)² numerators — lineitem-money
+# scale reaches ~1e31 at sf100, 7 digits of headroom. Past the
+# ceiling DuckDB raises and Spark nulls (a visible mismatch), never a
+# silently-wrong digit.
+# ---------------------------------------------------------------------------
+
+
+def _acc(dialect: str) -> str:
+    # Spark: DECIMAL(38,0) (SUM(BIGINT) wraps silently; decimal
+    # multiply is exact BigDecimal while the value fits 38 digits).
+    # DuckDB: HUGEINT (int128, exact, raises on overflow). DuckDB can
+    # NOT mirror the decimal form — its DECIMAL multiply requires
+    # p1+p2 ≤ 38, so (38,0)×(38,0) is a bind error there; both
+    # accumulators are exact integers, cast to DOUBLE only at the end.
+    return "decimal(38,0)" if dialect == "spark" else "HUGEINT"
+
+
+def _emit_round(vexpr: str, out_digits: int) -> str:
+    """ROUND(v, d) of a cross-engine-identical double, engine-exact:
+    scaled single-arg round (half-cases are dyadic ``k.5`` doubles,
+    rounded away on both engines), cast back to DOUBLE before the
+    unscaling division so Spark's decimal-literal rule can't promote
+    the quotient to DECIMAL."""
+    so = 10 ** int(out_digits)
+    return (
+        f"cast(cast(round(({vexpr}) * {so}) as bigint) as double) / {so}.0"
+    )
+
+
+def _var_sql(
+    col: str, value_digits: int, out_digits: int, pop: bool, sqrt_: bool,
+    dialect: str,
+) -> str:
+    s = 10 ** int(value_digits)
+    acc = _acc(dialect)
+    xi = f"cast(round(({col}) * {s}) as {acc})"
+    n = f"count({col})"
+    s1 = f"sum({xi})"
+    # per-value square in the wide integer type — exact to the
+    # 38-digit/int128 ceiling, no 2^53 double-product bound
+    s2 = f"sum({xi} * {xi})"
+    num = f"({n} * {s2} - {s1} * {s1})"
+    den = (
+        f"(cast({n} as double) * cast({n} as double))"
+        if pop
+        else f"(cast({n} as double) * (cast({n} as double) - 1))"
+    )
+    v = f"cast({num} as double) / {den} / {s * s}.0"
+    if sqrt_:
+        v = f"sqrt({v})"
+    guard = f"{n} >= {1 if pop else 2}"
+    return f"case when {guard} then {_emit_round(v, out_digits)} end"
+
+
+def _pair_sql(
+    x: str, y: str, x_digits: int, y_digits: int, out_digits: int,
+    corr: bool, dialect: str,
+) -> str:
+    sx, sy = 10 ** int(x_digits), 10 ** int(y_digits)
+    acc = _acc(dialect)
+    both = f"(({x}) is not null and ({y}) is not null)"
+    xi = f"cast(round(({x}) * {sx}) as {acc})"
+    yi = f"cast(round(({y}) * {sy}) as {acc})"
+    n = f"count(case when {both} then 1 end)"
+
+    def ssum(prod: str) -> str:
+        return f"sum(case when {both} then {prod} end)"
+
+    s1x, s1y = ssum(xi), ssum(yi)
+    s2x, s2y = ssum(f"{xi} * {xi}"), ssum(f"{yi} * {yi}")
+    sxy = ssum(f"{xi} * {yi}")
+    vx = f"({n} * {s2x} - {s1x} * {s1x})"
+    vy = f"({n} * {s2y} - {s1y} * {s1y})"
+    cv = f"({n} * {sxy} - {s1x} * {s1y})"
+    if corr:
+        # the sx·sy scale cancels between numerator and denominator
+        # (up to the shared correctly-rounded float ops)
+        v = (
+            f"cast({cv} as double)"
+            f" / sqrt(cast({vx} as double) * cast({vy} as double))"
+        )
+        guard = f"{n} >= 2 and {vx} > 0 and {vy} > 0"
+    else:
+        v = (
+            f"cast({cv} as double)"
+            f" / (cast({n} as double) * (cast({n} as double) - 1))"
+            f" / {sx * sy}.0"
+        )
+        guard = f"{n} >= 2"
+    return f"case when {guard} then {_emit_round(v, out_digits)} end"
+
+
+def var_samp_exact(col: str, value_digits: int = 0, out_digits: int = 6) -> Column:
+    """Spark Column: engine-exact ``ROUND(var_samp(col), out_digits)``
+    for values on the ``10^-value_digits`` grid. See the module-level
+    second-moment contract note for the divergence classes this
+    removes and the exactness bounds."""
+    return F.expr(_var_sql(col, value_digits, out_digits, False, False, "spark"))
+
+
+def var_samp_exact_sql(col: str, value_digits: int = 0, out_digits: int = 6) -> str:
+    """DuckDB SQL fragment equivalent of :func:`var_samp_exact`."""
+    return _var_sql(col, value_digits, out_digits, False, False, "duck")
+
+
+def stddev_samp_exact(col: str, value_digits: int = 0, out_digits: int = 6) -> Column:
+    """Spark Column: engine-exact ``ROUND(stddev_samp(col), out_digits)``."""
+    return F.expr(_var_sql(col, value_digits, out_digits, False, True, "spark"))
+
+
+def stddev_samp_exact_sql(col: str, value_digits: int = 0, out_digits: int = 6) -> str:
+    """DuckDB SQL fragment equivalent of :func:`stddev_samp_exact`."""
+    return _var_sql(col, value_digits, out_digits, False, True, "duck")
+
+
+def stddev_pop_exact(col: str, value_digits: int = 0, out_digits: int = 6) -> Column:
+    """Spark Column: engine-exact ``ROUND(stddev_pop(col), out_digits)``."""
+    return F.expr(_var_sql(col, value_digits, out_digits, True, True, "spark"))
+
+
+def stddev_pop_exact_sql(col: str, value_digits: int = 0, out_digits: int = 6) -> str:
+    """DuckDB SQL fragment equivalent of :func:`stddev_pop_exact`."""
+    return _var_sql(col, value_digits, out_digits, True, True, "duck")
+
+
+def corr_exact(
+    x: str, y: str, x_digits: int = 0, y_digits: int = 0, out_digits: int = 6
+) -> Column:
+    """Spark Column: engine-exact ``ROUND(corr(x, y), out_digits)`` —
+    pairwise-non-null like the built-in; NULL when either variance is
+    zero (where the engines' built-ins disagree on NaN vs NULL)."""
+    return F.expr(_pair_sql(x, y, x_digits, y_digits, out_digits, True, "spark"))
+
+
+def corr_exact_sql(
+    x: str, y: str, x_digits: int = 0, y_digits: int = 0, out_digits: int = 6
+) -> str:
+    """DuckDB SQL fragment equivalent of :func:`corr_exact`."""
+    return _pair_sql(x, y, x_digits, y_digits, out_digits, True, "duck")
+
+
+def covar_samp_exact(
+    x: str, y: str, x_digits: int = 0, y_digits: int = 0, out_digits: int = 2
+) -> Column:
+    """Spark Column: engine-exact ``ROUND(covar_samp(x, y), out_digits)``."""
+    return F.expr(_pair_sql(x, y, x_digits, y_digits, out_digits, False, "spark"))
+
+
+def covar_samp_exact_sql(
+    x: str, y: str, x_digits: int = 0, y_digits: int = 0, out_digits: int = 2
+) -> str:
+    """DuckDB SQL fragment equivalent of :func:`covar_samp_exact`."""
+    return _pair_sql(x, y, x_digits, y_digits, out_digits, False, "duck")
 
 
 def avg_round_half_up_sql(col: str, digits: int = 6) -> str:

@@ -14,7 +14,7 @@ struct-array explode — no second pass, no driver loop.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -26,7 +26,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..functions.exact import avg_round_half_up
+from ..functions.exact import avg_round_half_up, stddev_pop_exact
 
 __all__ = ["profile", "robust_outlier_report"]
 
@@ -38,6 +38,7 @@ def profile(
     columns: Sequence[str] | None = None,
     exact_distinct: bool = False,
     round_to: int = 6,
+    exact_stddev_digits: Mapping[str, int] | None = None,
 ) -> DataFrame:
     """(column, metric, value_num, value_str) — one row per metric.
 
@@ -46,6 +47,14 @@ def profile(
     (value_num, rounded). String: ``min_len``/``max_len``/``avg_len``/
     ``n_empty``. Timestamp/date: ``min``/``max`` formatted to
     ``yyyy-MM-dd HH:mm:ss`` in value_str (engine-portable).
+
+    ``exact_stddev_digits`` (opt-in, per the r12 ADVICE rule — no
+    magic defaults): columns named in the map compute ``stddev`` under
+    the exact second-moment contract (functions/exact.py) with the
+    value quantized at that many decimal digits — reproducible across
+    engines, partitionings, and scale. Unmapped numeric columns keep
+    the built-in streaming-float ``stddev_pop`` (generic doubles have
+    no grid to quantize to; their residual is algorithmic ulps).
     """
     cols = list(columns) if columns is not None else df.columns
     schema = {f.name: f.dataType for f in df.schema.fields}
@@ -78,11 +87,20 @@ def profile(
             add(c, "max", F.round(F.max(col).cast("double"), round_to))
             # integer-scaled half-up contract (r12 drain of the
             # ROUND(AVG(raw)) class): float summation order can never
-            # decide the rounded digit. stddev stays the streaming
-            # float form — its residual is algorithmic ulps, not the
-            # reachable half-case class (documented in TODO.md).
+            # decide the rounded digit.
             add(c, "mean", avg_round_half_up(f"cast(`{c}` as double)", round_to))
-            add(c, "stddev", F.round(F.stddev_pop(col), round_to))
+            if exact_stddev_digits is not None and c in exact_stddev_digits:
+                add(
+                    c,
+                    "stddev",
+                    stddev_pop_exact(
+                        f"cast(`{c}` as double)",
+                        exact_stddev_digits[c],
+                        round_to,
+                    ),
+                )
+            else:
+                add(c, "stddev", F.round(F.stddev_pop(col), round_to))
         elif isinstance(t, StringType):
             add(c, "min_len", F.min(F.length(col)).cast("double"))
             add(c, "max_len", F.max(F.length(col)).cast("double"))

@@ -25,10 +25,19 @@ from pyspark.sql import functions as F
 from .functions.exact import (
     avg_round_half_up,
     avg_round_half_up_sql,
+    corr_exact,
+    corr_exact_sql,
+    covar_samp_exact,
+    covar_samp_exact_sql,
+    stddev_samp_exact,
+    stddev_samp_exact_sql,
     sum_exact_scaled,
     sum_exact_scaled_sql,
     sum_round_half_up,
+    sum_round_half_up_portable,
     sum_round_half_up_sql,
+    var_samp_exact,
+    var_samp_exact_sql,
 )
 from .io import load_table
 
@@ -2319,27 +2328,42 @@ def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dispersion_stats",
-    oracle="""
+    oracle=f"""
     SELECT l_linestatus,
-           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
-           ROUND(var_samp(l_quantity), 6) AS var_qty,
-           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price
+           {stddev_samp_exact_sql("l_quantity", 0, 6)} AS sd_qty,
+           {var_samp_exact_sql("l_quantity", 0, 6)} AS var_qty,
+           {corr_exact_sql("l_quantity", "l_extendedprice", 0, 2, 6)}
+             AS corr_qty_price,
+           {covar_samp_exact_sql("l_quantity", "l_extendedprice", 0, 2, 2)}
+             AS covar_qty_price
     FROM lineitem
     GROUP BY l_linestatus
     ORDER BY l_linestatus
     """,
 )
 def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate family (sample stddev/variance/corr/covar)."""
+    """Statistical aggregate family (sample stddev/variance/corr/covar).
+
+    r12: moved to the exact second-moment contract
+    (functions/exact.py) — raw ``ROUND(stddev_samp/corr/covar)``
+    diverges cross-engine by BOTH summation order and running-moment
+    algorithm (Spark and DuckDB keep different streaming state, ulp
+    apart even on one partition); the contract accumulates Σx, Σx²,
+    Σxy exactly in DECIMAL(38,0)/HUGEINT from grid-quantized values
+    (quantity integer grid, price cents) and derives the moments from
+    identical exact integers on both engines. Still one single-pass
+    hash aggregate — the six integer sums ride the same partial-agg
+    shuffle the raw moments did."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_linestatus")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            stddev_samp_exact("l_quantity", 0, 6).alias("sd_qty"),
+            var_samp_exact("l_quantity", 0, 6).alias("var_qty"),
+            corr_exact("l_quantity", "l_extendedprice", 0, 2, 6).alias(
+                "corr_qty_price"
+            ),
+            covar_samp_exact("l_quantity", "l_extendedprice", 0, 2, 2).alias(
                 "covar_qty_price"
             ),
         )
@@ -2662,10 +2686,10 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "sql_interface_revenue",
-    oracle="""
-    SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+_SQL_INTERFACE_REVENUE_SQL = f"""
+    SELECT n.n_name,
+           {sum_round_half_up_portable(
+               "l.l_extendedprice * (1 - l.l_discount)", 4, 2)} AS revenue
     FROM customer c
     JOIN orders o    ON c.c_custkey = o.o_custkey
     JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
@@ -2673,26 +2697,21 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o.o_orderstatus = 'F'
     GROUP BY n.n_name
     ORDER BY revenue DESC, n_name
-    """,
-)
+"""
+
+
+@query("sql_interface_revenue", oracle=_SQL_INTERFACE_REVENUE_SQL)
 def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spark.sql() entry point: identical SQL text as the oracle runs
     on temp views — demonstrating the engine's second (declarative SQL)
-    API surface with the same Catalyst plan underneath."""
+    API surface with the same Catalyst plan underneath. r12: revenue —
+    which is also the SORT key here, so an order-dependent float digit
+    could reorder rows, not just nudge one — moved to the
+    dialect-portable integer-scaled sum contract, ONE module-level
+    string feeding both engines so the texts can never drift."""
     for t in ("customer", "orders", "lineitem", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(
-        """
-        SELECT n.n_name, ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
-        FROM customer c
-        JOIN orders o    ON c.c_custkey = o.o_custkey
-        JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
-        JOIN nation n    ON c.c_nationkey = n.n_nationkey
-        WHERE o.o_orderstatus = 'F'
-        GROUP BY n.n_name
-        ORDER BY revenue DESC, n_name
-        """
-    )
+    return spark.sql(_SQL_INTERFACE_REVENUE_SQL)
 
 
 @query(
@@ -5089,12 +5108,13 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUPING_SETS_SQL = """
+_GROUPING_SETS_SQL = f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(GROUPING(l_returnflag) AS INT) * 2
              + CAST(GROUPING(l_linestatus) AS INT) AS gid,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {sum_round_half_up_portable("l_extendedprice * (1 - l_discount)", 4, 2)}
+             AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY gid, rf, ls
@@ -5106,7 +5126,10 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (§2.D multi-level aggregates beyond
     rollup/cube): three chosen levels in one pass — Spark expands the
     sets into a single Expand+HashAggregate, no triple scan. The same
-    SQL text runs on Spark and the oracle."""
+    SQL text runs on Spark and the oracle — revenue under the
+    dialect-portable integer-scaled sum contract (r12: a raw
+    ROUND(SUM(4dp doubles), 2) is summation-order-dependent, the
+    drained class)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
 
@@ -9680,6 +9703,16 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# per-column value grids for the exact-stddev contract: surrogate keys
+# are integers (digits 0), totalprice is cents (digits 2) — shared by
+# the Spark call and the oracle generator so they can never drift
+_ORDERS_PROFILE_STDDEV_DIGITS = {
+    "o_orderkey": 0,
+    "o_custkey": 0,
+    "o_totalprice": 2,
+}
+
+
 def _profile_oracle_sql() -> str:
     """DuckDB replication of profile(orders, exact_distinct=True),
     generated from the same per-type metric recipe."""
@@ -9693,6 +9726,8 @@ def _profile_oracle_sql() -> str:
             f"{vstr if vstr else 'CAST(NULL AS VARCHAR)'} AS value_str FROM orders"
         )
 
+    from .functions.exact import stddev_pop_exact_sql
+
     for col, kind in [
         ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
         ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
@@ -9703,10 +9738,18 @@ def _profile_oracle_sql() -> str:
             add(col, "min", f"ROUND({num(f'MIN({col})')}, 6)")
             add(col, "max", f"ROUND({num(f'MAX({col})')}, 6)")
             # integer-scaled half-up contract (r12, lockstep with
-            # operators/profile.py); stddev stays streaming-float —
-            # algorithmic-ulp residual, not the half-case class
+            # operators/profile.py); stddev under the exact
+            # second-moment contract at each column's value grid
+            # (keys integer, totalprice cents) — lockstep with the
+            # exact_stddev_digits map orders_profile passes
             add(col, "mean", avg_round_half_up_sql(num(col), 6))
-            add(col, "stddev", f"ROUND(stddev_pop({num(col)}), 6)")
+            add(
+                col,
+                "stddev",
+                stddev_pop_exact_sql(
+                    num(col), _ORDERS_PROFILE_STDDEV_DIGITS[col], 6
+                ),
+            )
         elif kind == "str":
             add(col, "min_len", num(f"MIN(length({col}))"))
             add(col, "max_len", num(f"MAX(length({col}))"))
@@ -9725,11 +9768,18 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     string lengths, timestamp span) compiles into ONE aggregate —
     Catalyst plans the distinct-aggregates through one Expand, so the
     table is read once regardless of column count. exact_distinct here
-    for the oracle; the approx (HLL) form is the 100 TB default."""
+    for the oracle; the approx (HLL) form is the 100 TB default.
+    stddev runs under the exact second-moment contract on each
+    column's value grid (r12 — the last streaming-float moment in a
+    full-oracle query)."""
     from .operators.profile import profile
 
     o = _t(spark, sf_dir, "orders")
-    return profile(o, exact_distinct=True).orderBy("column", "metric")
+    return profile(
+        o,
+        exact_distinct=True,
+        exact_stddev_digits=_ORDERS_PROFILE_STDDEV_DIGITS,
+    ).orderBy("column", "metric")
 
 
 # ---------------------------------------------------------------------------

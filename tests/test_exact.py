@@ -345,3 +345,167 @@ def test_resample_fill_contract_is_explicit(spark):
         resample_fill(
             df, "ts", "v", ["u"], 3600, agg="max", avg_contract="micros_half_up"
         )
+
+
+# ---------------------------------------------------------------------------
+# Exact second moments (r12): stddev/var/corr/covar contract
+# ---------------------------------------------------------------------------
+
+
+def _duck2(pairs, frag):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE, y DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    return con.sql(f"SELECT {frag} AS a FROM t").fetchone()[0]
+
+
+def test_var_samp_exact_half_case_at_digit6(spark):
+    """Planted variance half: [0, 0.001] on the micros grid gives
+    var_samp = 5e-7 exactly — the raw float path can land either side
+    of the digit-6 half depending on engine/order; the contract pins
+    1e-6 (half-away) on both."""
+    from pystreams_spark.functions.exact import (
+        var_samp_exact,
+        var_samp_exact_sql,
+    )
+
+    pairs = [(0.0, None), (0.001, None)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    got_s = df.agg(var_samp_exact("x", 6, 6).alias("a")).first()[0]
+    got_d = _duck2(pairs, var_samp_exact_sql("x", 6, 6))
+    assert got_s == got_d == 1e-06
+
+
+def test_stddev_pop_exact_dyadic_half(spark):
+    """stddev_pop([0.0, 0.5]) = 0.25 exactly (a dyadic double): at
+    out_digits=1 the scaled value 2.5 is a TRUE representable half —
+    numpy-style half-to-even would report 0.2; both engines' half-away
+    rule must report 0.3."""
+    from pystreams_spark.functions.exact import (
+        stddev_pop_exact,
+        stddev_pop_exact_sql,
+    )
+
+    pairs = [(0.0, None), (0.5, None)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    got_s = df.agg(stddev_pop_exact("x", 1, 1).alias("a")).first()[0]
+    got_d = _duck2(pairs, stddev_pop_exact_sql("x", 1, 1))
+    assert got_s == got_d == 0.3
+
+
+def test_corr_exact_zero_variance_is_null_both_engines(spark):
+    """Zero variance: the built-ins disagree here (Spark NaN, DuckDB
+    NULL-ish); the contract defines NULL on both."""
+    from pystreams_spark.functions.exact import corr_exact, corr_exact_sql
+
+    pairs = [(3.0, 7.5)] * 5
+    df = spark.createDataFrame(pairs, "x double, y double")
+    got_s = df.agg(corr_exact("x", "y", 0, 1, 6).alias("a")).first()[0]
+    got_d = _duck2(pairs, corr_exact_sql("x", "y", 0, 1, 6))
+    assert got_s is None and got_d is None
+
+
+def test_pair_stats_ignore_null_pairs_like_builtins(spark):
+    """corr/covar are pairwise-non-null: rows with either side NULL
+    drop out of n AND every sum, matching the built-in semantics."""
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.exact import (
+        corr_exact,
+        corr_exact_sql,
+        covar_samp_exact,
+        covar_samp_exact_sql,
+    )
+
+    pairs = [(1.0, 2.0), (None, 3.0), (2.0, None), (4.0, 8.0)]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = df.agg(
+        corr_exact("x", "y", 0, 0, 6).alias("c"),
+        covar_samp_exact("x", "y", 0, 0, 2).alias("v"),
+        F.round(F.corr("x", "y"), 6).alias("cb"),
+        F.round(F.covar_samp("x", "y"), 2).alias("vb"),
+    ).first()
+    assert row.c == _duck2(pairs, corr_exact_sql("x", "y", 0, 0, 6)) == row.cb == 1.0
+    assert row.v == _duck2(pairs, covar_samp_exact_sql("x", "y", 0, 0, 2)) == row.vb == 9.0
+
+
+def test_second_moments_beyond_double_product_bound(spark):
+    """Per-value squares are formed in DECIMAL(38,0)/HUGEINT, so
+    xi² > 2^53 (and > int64) stays exact: 4dp values around 1.2e7
+    square to ~1.5e22 per value. Engines must agree bit-for-bit."""
+    import random
+
+    from pystreams_spark.functions.exact import (
+        corr_exact,
+        corr_exact_sql,
+        stddev_samp_exact,
+        stddev_samp_exact_sql,
+    )
+
+    rng = random.Random(7)
+    pairs = [
+        (round(rng.uniform(1e7, 1.3e7), 4), round(rng.uniform(1e7, 1.3e7), 4))
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = df.agg(
+        stddev_samp_exact("x", 4, 6).alias("s"),
+        corr_exact("x", "y", 4, 4, 6).alias("c"),
+    ).first()
+    assert row.s == _duck2(pairs, stddev_samp_exact_sql("x", 4, 6))
+    assert row.c == _duck2(pairs, corr_exact_sql("x", "y", 4, 4, 6))
+
+
+def test_second_moments_track_builtins_on_random_data(spark):
+    """On well-conditioned data the exact contract reproduces the
+    streaming built-ins to the rounded digit — it removes divergence,
+    not accuracy."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pystreams_spark.functions.exact import (
+        corr_exact,
+        covar_samp_exact,
+        stddev_samp_exact,
+        var_samp_exact,
+    )
+
+    rng = random.Random(11)
+    pairs = [
+        (float(round(rng.uniform(1, 50))), round(rng.uniform(900, 110000), 2))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(pairs, "x double, y double")
+    row = df.agg(
+        stddev_samp_exact("y", 2, 6).alias("se"),
+        F.round(F.stddev_samp("y"), 6).alias("sb"),
+        var_samp_exact("x", 0, 6).alias("ve"),
+        F.round(F.var_samp("x"), 6).alias("vb"),
+        corr_exact("x", "y", 0, 2, 6).alias("ce"),
+        F.round(F.corr("x", "y"), 6).alias("cb"),
+        covar_samp_exact("x", "y", 0, 2, 2).alias("oe"),
+        F.round(F.covar_samp("x", "y"), 2).alias("ob"),
+    ).first()
+    assert row.se == row.sb
+    assert row.ve == row.vb
+    assert row.ce == row.cb
+    assert row.oe == row.ob
+
+
+def test_sum_round_half_up_portable_same_text_both_engines(spark):
+    """The dialect-portable fragment runs ONE string through spark.sql
+    AND DuckDB: planted half-cent tie, identical rounded cents, DOUBLE
+    (not DECIMAL) output type on the Spark side."""
+    from pystreams_spark.functions.exact import sum_round_half_up_portable
+
+    frag = sum_round_half_up_portable("x", 4, 2)
+    vals = [0.0025, 0.0025, 0.01]  # Σ = 0.0150 → half-cent tie → 0.02
+    spark.createDataFrame([(v,) for v in vals], "x double").createOrReplaceTempView(
+        "_portable_t"
+    )
+    sdf = spark.sql(f"SELECT {frag} AS a FROM _portable_t")
+    assert dict(sdf.dtypes)["a"] == "double"
+    got_s = sdf.first()[0]
+    got_d = _duck_sum(vals, frag)
+    assert got_s == got_d == 0.02
