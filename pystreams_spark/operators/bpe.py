@@ -115,12 +115,91 @@ def apply_merges(
     return out
 
 
+def _bpe_train_word_table(
+    words: DataFrame, num_merges: int, min_freq: int
+) -> DataFrame:
+    """Run the whole merge loop over the (already vocabulary-sized)
+    word table inside ONE executor task — the adaptive small-side of
+    ``bpe_train``, mirroring ``dedup._cc_union_find_one_task``: after
+    the single corpus pass collapses 100 TB of text into a word-
+    frequency table, a table that fits one task needs no further
+    cluster coordination, and the distributed loop's ~3 jobs ×
+    num_merges barrier latency (pair-count shuffle + argmax collect +
+    eager checkpoint per merge) is pure scheduler overhead. Emits one
+    combined frame: merge rows (rank .. weight, word NULL) plus final
+    word rows (word/freq/syms, rank NULL). Same deterministic
+    tie-break (weight DESC, left ASC, right ASC — Python tuple
+    compare on str is the same codepoint order as Spark/DuckDB string
+    ORDER BY) and the same left-to-right non-overlapping fold as
+    ``_merge_fold`` (equality pinned by the pure-Python differential
+    test, tests/test_operators.py::_py_bpe)."""
+    import pandas as pd
+
+    def kernel(batches):
+        wf: list[tuple[str, int, list[str]]] = []
+        for pdf in batches:
+            for w, f, s in zip(pdf["word"], pdf["freq"], pdf["syms"]):
+                wf.append((w, int(f), list(s)))
+        merges = []
+        for rank in range(1, num_merges + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for _, f, s in wf:
+                for i in range(len(s) - 1):
+                    key = (s[i], s[i + 1])
+                    pc[key] = pc.get(key, 0) + f
+            if not pc:
+                break
+            (left, right), weight = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if weight < min_freq:
+                break
+            merges.append((rank, left, right, left + right, weight))
+            for idx, (w, f, s) in enumerate(wf):
+                out, i = [], 0
+                n = len(s)
+                while i < n:
+                    if i + 1 < n and s[i] == left and s[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                wf[idx] = (w, f, out)
+        yield pd.DataFrame(
+            {
+                "rank": pd.array(
+                    [m[0] for m in merges] + [None] * len(wf), dtype="Int32"
+                ),
+                "left": [m[1] for m in merges] + [None] * len(wf),
+                "right": [m[2] for m in merges] + [None] * len(wf),
+                "merged": [m[3] for m in merges] + [None] * len(wf),
+                "weight": pd.array(
+                    [m[4] for m in merges] + [None] * len(wf), dtype="Int64"
+                ),
+                "word": [None] * len(merges) + [w for w, _, _ in wf],
+                "freq": pd.array(
+                    [None] * len(merges) + [f for _, f, _ in wf],
+                    dtype="Int64",
+                ),
+                "syms": [None] * len(merges) + [s for _, _, s in wf],
+            }
+        )
+
+    return words.coalesce(1).mapInPandas(
+        kernel,
+        "rank int, left string, right string, merged string, "
+        "weight long, word string, freq long, syms array<string>",
+    )
+
+
 def bpe_train(
     docs: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_freq: int = 1,
     checkpoint_dir: str | None = None,
+    single_task_vocab: int = 2_000_000,
 ) -> tuple[list[dict], DataFrame]:
     """Learn ``num_merges`` BPE merges from the corpus.
 
@@ -128,14 +207,23 @@ def bpe_train(
     {rank, left, right, merged, weight}. Stops early if no pair reaches
     ``min_freq``.
 
-    Driver traffic: exactly ONE row per iteration (the argmax). The
-    word table is checkpointed per iteration so the lineage stays
-    O(1) instead of stacking ``num_merges`` fold layers onto every
-    subsequent job (each checkpoint is a vocabulary-sized
-    materialization — cheap at any corpus scale). Checkpoints are EAGER
-    on purpose: the argmax is a limit(1) job that may touch only a
-    subset of partitions, which would leave a lazy checkpoint
-    unmaterialized and silently re-stack the fold lineage.
+    Adaptive physical strategy (same shape as ``dedup.cc_keep_min``):
+    the single corpus pass always runs distributed; the merge loop then
+    iterates over a VOCABULARY-sized table. One count of that
+    (already-materialized) table decides between (a) vocabulary fits a
+    task (≤ ``single_task_vocab`` rows) → the whole loop runs in one
+    executor task (``_bpe_train_word_table``, 2 jobs total instead of
+    ~3 × num_merges), or (b) web-scale vocabulary → the distributed
+    per-merge loop below. Both paths produce bit-identical merges and
+    segmentations (same tie-breaks, same fold semantics).
+
+    Distributed-loop driver traffic: exactly ONE row per iteration
+    (the argmax). The word table is checkpointed per iteration so the
+    lineage stays O(1) instead of stacking ``num_merges`` fold layers
+    onto every subsequent job. Checkpoints are EAGER on purpose: the
+    argmax is a limit(1) job that may touch only a subset of
+    partitions, which would leave a lazy checkpoint unmaterialized and
+    silently re-stack the fold lineage.
 
     ``checkpoint_dir``: by default the per-iteration cut is
     ``localCheckpoint`` — executor-pinned, not fault-tolerant; on a
@@ -145,6 +233,26 @@ def bpe_train(
     from ..io import materialize
 
     words = materialize(to_symbols(word_freqs(docs, text_col)), checkpoint_dir)
+    if words.count() <= single_task_vocab:
+        combined = materialize(
+            _bpe_train_word_table(words, num_merges, min_freq),
+            checkpoint_dir,
+        )
+        learned = [
+            {
+                "rank": int(r["rank"]),
+                "left": r["left"],
+                "right": r["right"],
+                "merged": r["merged"],
+                "weight": int(r["weight"]),
+            }
+            for r in combined.filter(F.col("rank").isNotNull())
+            .orderBy("rank")
+            .collect()
+        ]
+        return learned, combined.filter(F.col("rank").isNull()).select(
+            "word", "freq", "syms"
+        )
     learned: list[dict] = []
     for rank in range(1, num_merges + 1):
         best = (

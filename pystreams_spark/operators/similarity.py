@@ -1082,6 +1082,110 @@ def kmeans_centers_deterministic(
     return centers
 
 
+def kmeans_centers_deterministic_sliced(
+    df: DataFrame,
+    slices: list[tuple[int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    iters: int = 2,
+    round_to: int = 6,
+):
+    """Fit INDEPENDENT deterministic-Lloyd codebooks over ``slices``
+    (0-based (start, length) views of ``vec_col``) in ONE set of
+    passes — bit-identical to calling ``kmeans_centers_deterministic``
+    once per ``F.slice`` projection, because (a) the md5-ordered seed
+    rule depends only on ``id_col``, so every subspace seeds from the
+    SAME rows, and (b) each subspace's assignment and integer-scaled
+    partial sums never read another subspace's columns. Collapses the
+    m × (1 seed TakeOrdered + iters partial-collect) jobs of a
+    product-quantizer fit to 1 + iters jobs total — the per-merge
+    barrier latency was scheduler overhead, not compute (guide §2.4).
+    Returns a list of (n_cells × length) ndarrays, one per slice."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    seed_rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    full = np.stack([np.asarray(r[1], dtype=np.float64) for r in seed_rows])
+    books = [
+        np.ascontiguousarray(full[:, s : s + ln]) for s, ln in slices
+    ]
+
+    from ..functions.exact import np_round_half_away_scaled, np_trunc_div
+
+    scale = 10 ** int(round_to)
+    m = len(slices)
+
+    def partials(books_arr):
+        bc = spark.sparkContext.broadcast(books_arr)
+        schema = "sub int, cell int, n long, s array<long>"
+
+        def kernel(batches):
+            bks = bc.value
+            counts = [np.zeros(len(b), dtype=np.int64) for b in bks]
+            sums = [
+                np.zeros((len(b), b.shape[1]), dtype=np.int64) for b in bks
+            ]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                for j, (s0, ln) in enumerate(slices):
+                    sub = mat[:, s0 : s0 + ln]
+                    cells = _kmeans_assign_batch(sub, bks[j], round_to)
+                    counts[j] += np.bincount(cells, minlength=len(bks[j]))
+                    np.add.at(
+                        sums[j], cells, np_round_half_away_scaled(sub, scale)
+                    )
+            frames = []
+            for j in range(m):
+                nz = np.nonzero(counts[j])[0]
+                if len(nz) == 0:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "sub": np.full(len(nz), j, dtype=np.int32),
+                            "cell": nz.astype(np.int32),
+                            "n": counts[j][nz],
+                            "s": list(sums[j][nz]),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        return df.mapInPandas(kernel, schema).collect()
+
+    for _ in range(iters):
+        agg_n = [np.zeros(len(b), dtype=np.int64) for b in books]
+        agg_s = [
+            np.zeros((len(b), b.shape[1]), dtype=np.int64) for b in books
+        ]
+        for r in partials(books):
+            j = r["sub"]
+            agg_n[j][r["cell"]] += r["n"]
+            agg_s[j][r["cell"]] += np.asarray(r["s"], dtype=np.int64)
+        for j in range(m):
+            nz = agg_n[j] > 0
+            new_b = books[j].copy()  # empty cells keep previous centroid
+            n_col = agg_n[j][nz][:, None]
+            new_b[nz] = (
+                np_trunc_div(2 * agg_s[j][nz] + n_col, 2 * n_col).astype(
+                    np.float64
+                )
+                / scale
+            )
+            books[j] = new_b
+    return books
+
+
 def kmeans_cells_deterministic(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1342,17 +1446,15 @@ def knn_pq_deterministic(
         raise ValueError(f"knn_pq_deterministic: dim {d} not divisible by m={m}")
     sd = d // m
     base = ensure_parallelism(corpus)
-    books = []
-    for j in range(m):
-        sub = base.select(
-            F.col(corpus_id), F.slice(vec_col, j * sd + 1, sd).alias("_sub")
-        )
-        books.append(
-            kmeans_centers_deterministic(
-                sub, id_col=corpus_id, vec_col="_sub", n_cells=n_codes,
-                iters=iters, round_to=round_to,
-            )
-        )
+    # one fused fit for all m subspaces (1 seed collect + iters passes
+    # instead of m × (1 + iters) — bit-identical books, see
+    # kmeans_centers_deterministic_sliced)
+    books = kmeans_centers_deterministic_sliced(
+        base,
+        [(j * sd, sd) for j in range(m)],
+        id_col=corpus_id, vec_col=vec_col, n_cells=n_codes,
+        iters=iters, round_to=round_to,
+    )
     books_arr = np.stack(books)  # (m, n_codes, sd)
 
     qpdf = (

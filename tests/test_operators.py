@@ -3414,3 +3414,50 @@ def test_waterfill_allocation_randomized_sweep(spark):
         }
         want = _waterfill_ref(caps, weights, budget)
         assert got == want, (trial, budget, caps, weights, got, want)
+
+
+def test_bpe_single_task_path_equals_distributed_loop(spark, sf_dir):
+    """r12 optimization: the adaptive single-task merge loop (vocabulary
+    fits one task -> whole training in 2 jobs) must be bit-identical to
+    the distributed per-merge loop — same merges, same weights, same
+    final segmentation."""
+    from pystreams_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast_m, fast_w = bpe_train(docs, num_merges=8)
+    slow_m, slow_w = bpe_train(docs, num_merges=8, single_task_vocab=0)
+    assert fast_m == slow_m
+    fast = {r.word: (r.freq, r.syms) for r in fast_w.collect()}
+    slow = {r.word: (r.freq, r.syms) for r in slow_w.collect()}
+    assert fast == slow
+
+
+def test_kmeans_sliced_fit_equals_per_slice_fits(spark, sf_dir):
+    """r12 optimization: the fused multi-subspace Lloyd fit (one seed
+    collect + iters passes for ALL subspaces) must produce codebooks
+    bit-identical to fitting each F.slice projection separately."""
+    import numpy as np
+
+    from pystreams_spark.io import ensure_parallelism
+    from pystreams_spark.operators.similarity import (
+        kmeans_centers_deterministic,
+        kmeans_centers_deterministic_sliced,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = ensure_parallelism(e)
+    d = len(e.select("embedding").head()[0])
+    m = 4
+    sd = d // m
+    fused = kmeans_centers_deterministic_sliced(
+        base, [(j * sd, sd) for j in range(m)],
+        id_col="vec_id", vec_col="embedding", n_cells=8, iters=2,
+    )
+    for j in range(m):
+        sub = base.select(
+            F.col("vec_id"), F.slice("embedding", j * sd + 1, sd).alias("_s")
+        )
+        solo = kmeans_centers_deterministic(
+            sub, id_col="vec_id", vec_col="_s", n_cells=8, iters=2
+        )
+        assert np.array_equal(fused[j], solo), f"subspace {j} differs"
