@@ -258,6 +258,44 @@ def materialize(
     return df.checkpoint(eager=eager)
 
 
+def materialize_many(
+    dfs: list[DataFrame], checkpoint_dir: str | None = None
+) -> list[DataFrame]:
+    """Materialize several INDEPENDENT frames CONCURRENTLY (guide §2.6:
+    Spark happily runs several jobs at once inside one application —
+    actions are only sequential because driver code calls them
+    sequentially). Composition queries that eagerly pin two unrelated
+    kernels (e.g. the text MinHash pair list and the image dHash pair
+    list in the cross-modal dedup) otherwise serialize two full
+    barriers; submitting both lets the second job's tasks back-fill
+    executors freed by the first job's tail. FIFO scheduling keeps the
+    earlier frame's tasks prioritized. Exceptions propagate (first one
+    re-raised). Frames MUST be independent — do not pass a frame and
+    its own derivative."""
+    from pyspark import InheritableThread
+
+    out: list = [None] * len(dfs)
+    errs: list = [None] * len(dfs)
+
+    def work(i: int) -> None:
+        try:
+            out[i] = materialize(dfs[i], checkpoint_dir)
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errs[i] = e
+
+    threads = [
+        InheritableThread(target=work, args=(i,)) for i in range(len(dfs))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for e in errs:
+        if e is not None:
+            raise e
+    return out
+
+
 def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     """Adaptive broadcast: hint only when the frame is verifiably small.
 

@@ -1224,7 +1224,11 @@ def kmeans_cells_deterministic(
     df + ``out_col`` int."""
     from ..io import ensure_parallelism
 
-    base = ensure_parallelism(df)
+    # pinned once: the fit reads base 1 + iters times (seed + fused
+    # Lloyd passes) and the assignment pass below reads it again — one
+    # scan+shuffle shared by all 4 passes instead of 4 re-runs
+    # (guide §2.4); blocks are embeddings-sized, executor-local
+    base = ensure_parallelism(df).localCheckpoint(eager=True)
     centers = kmeans_centers_deterministic(
         base, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters,
         round_to=round_to,
@@ -1282,7 +1286,9 @@ def knn_ivf_deterministic(
     from ..io import ensure_parallelism
     from .topk import top_k_per_group
 
-    base = ensure_parallelism(corpus)
+    # pinned once for the fit's 1 + iters passes plus the assignment
+    # pass (guide §2.4; see kmeans_cells_deterministic)
+    base = ensure_parallelism(corpus).localCheckpoint(eager=True)
     centers = kmeans_centers_deterministic(
         base, id_col=corpus_id, vec_col=vec_col, n_cells=n_cells,
         iters=iters, round_to=round_to,
@@ -1445,7 +1451,9 @@ def knn_pq_deterministic(
     if d % m != 0:
         raise ValueError(f"knn_pq_deterministic: dim {d} not divisible by m={m}")
     sd = d // m
-    base = ensure_parallelism(corpus)
+    # pinned once for the fused fit's 1 + iters passes plus the
+    # encode+ADC pass (guide §2.4; see kmeans_cells_deterministic)
+    base = ensure_parallelism(corpus).localCheckpoint(eager=True)
     # one fused fit for all m subspaces (1 seed collect + iters passes
     # instead of m × (1 + iters) — bit-identical books, see
     # kmeans_centers_deterministic_sliced)
@@ -1876,6 +1884,14 @@ def margin_bitext_mine_blocked(
     uy = y.select(
         (F.col(y_id) * 2 + 1).alias("_uid"), F.col(vec_col).alias("_v")
     )
+    # the fit scans its input 1 + iters times (seed TakeOrdered + one
+    # fused pass per Lloyd round); pin the repartitioned union ONCE so
+    # those passes (and auto's count) share a single scan+shuffle
+    # instead of re-running both parquet scans and the repartition per
+    # pass (guide §2.4 — the shuffle already exists, the checkpoint
+    # just keeps its output). Blocks are embeddings-sized (d doubles
+    # per row), executor-local, spill-safe.
+    u = ensure_parallelism(ux.unionByName(uy)).localCheckpoint(eager=True)
     if n_cells == "auto":
         # the deployment rule the r12 measurement established (SCALE.md
         # r12: n_cells ∝ N → candidate bytes linear, exponent 1.06, vs
@@ -1883,15 +1899,16 @@ def margin_bitext_mine_blocked(
         # each. Capped so the broadcast centers matrix stays MB-sized
         # (65,536 cells × d doubles); beyond the cap per-cell occupancy
         # grows again — shard the corpus or mine per partition family.
-        # One cheap count() job; the Lloyd fit dwarfs it.
-        n_cells = max(16, min(65_536, (ux.count() + uy.count()) // 32))
+        # One cheap count() over the pinned union; the Lloyd fit
+        # dwarfs it.
+        n_cells = max(16, min(65_536, u.count() // 32))
     elif not isinstance(n_cells, int):
         raise ValueError(
             f"margin_bitext_mine_blocked: n_cells must be an int or "
             f"'auto', got {n_cells!r}"
         )
     centers = kmeans_centers_deterministic(
-        ensure_parallelism(ux.unionByName(uy)),
+        u,
         id_col="_uid", vec_col="_v", n_cells=n_cells, iters=iters,
         round_to=round_to,
     )
@@ -1932,13 +1949,28 @@ def margin_bitext_mine_blocked(
             f"`{id_col}` long, `{vec_col}` {vec_ddl}, _cell int, _rank int",
         )
 
-    xs = ensure_parallelism(_probed(x, x_id)).select(
-        x_id, "_cell", "_rank",
-        as_double(vec_col).alias("_xv"), l2_norm(vec_col).alias("_xn"),
-    )
-    ys = _probed(y, y_id).select(
-        y_id, "_cell", "_rank",
-        as_double(vec_col).alias("_yv"), l2_norm(vec_col).alias("_yn"),
+    # parallelize BEFORE the probe kernel (it computes an n_cells × d
+    # distance matrix per row — on a 1-file parquet side the kernel
+    # otherwise runs in ONE task), and pin each probed side once: xs
+    # feeds BOTH candidate branches (all-ranks join + home-only join)
+    # and ys feeds both broadcast sides — unpinned, each probe kernel
+    # ran twice (guide §2.4 / §4). Concurrent materialization: the two
+    # sides are independent (guide §2.6).
+    from ..io import materialize_many
+
+    xs, ys = materialize_many(
+        [
+            _probed(ensure_parallelism(x), x_id).select(
+                x_id, "_cell", "_rank",
+                as_double(vec_col).alias("_xv"),
+                l2_norm(vec_col).alias("_xn"),
+            ),
+            _probed(ensure_parallelism(y), y_id).select(
+                y_id, "_cell", "_rank",
+                as_double(vec_col).alias("_yv"),
+                l2_norm(vec_col).alias("_yn"),
+            ),
+        ]
     )
     cos = dot(F.col("_xv"), F.col("_yv")) / (F.col("_xn") * F.col("_yn"))
     cos_micros = F.round(F.lit(1_000_000) * cos).cast("long")

@@ -4024,7 +4024,7 @@ def crossmodal_neardup_components(
     At 100 TB this is exactly the LAION-style curation topology —
     modality-specific candidate generation feeding one shared
     component/survivor stage."""
-    from .io import broadcast_if_small, materialize
+    from .io import broadcast_if_small, materialize, materialize_many
     from .operators.dedup import (
         cc_keep_min,
         minhash_deterministic_candidates,
@@ -4032,16 +4032,26 @@ def crossmodal_neardup_components(
     from .operators.imagehash import image_dhash, image_dhash_candidates
 
     d = _t(spark, sf_dir, "documents")
-    tpairs = materialize(
-        minhash_deterministic_candidates(d, n=3, bands=8, rows_per_band=2)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-    )
+    # the two modality kernels are fully independent until the edge
+    # union — materialize them CONCURRENTLY (guide §2.6) instead of
+    # serializing two multi-job barriers
     sig = image_dhash(_synth_images(d), on_undecodable="error")
-    ipairs = materialize(
-        image_dhash_candidates(sig, max_hamming=8).select("id_a", "id_b")
+    tpairs, ipairs = materialize_many(
+        [
+            minhash_deterministic_candidates(
+                d, n=3, bands=8, rows_per_band=2
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b"),
+            image_dhash_candidates(sig, max_hamming=8).select(
+                "id_a", "id_b"
+            ),
+        ]
     )
-    edges = materialize(tpairs.unionByName(ipairs).distinct())
+    # no materialize/distinct here: cc_keep_min dedups and pins its own
+    # bidirectional edge union, and both pair frames are already cached
+    # — the extra pass was a redundant shuffle + barrier (guide §2.4)
+    edges = tpairs.unionByName(ipairs)
     labels = materialize(cc_keep_min(edges, d.select("doc_id")))
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("component_size")
