@@ -3448,7 +3448,10 @@ def image_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         labels.join(
-            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            # no wrapper: sizes is an aggregate of the pinned labels
+            # frame — AQE's runtime stats make the broadcast decision
+            # from the exchange, with no checkpoint+count barrier
+            sizes.filter(F.col("component_size") > 1),
             "cluster_id",
         )
         .select(
@@ -3819,7 +3822,10 @@ def video_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         labels.join(
-            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            # no wrapper: sizes is an aggregate of the pinned labels
+            # frame — AQE's runtime stats make the broadcast decision
+            # from the exchange, with no checkpoint+count barrier
+            sizes.filter(F.col("component_size") > 1),
             "cluster_id",
         )
         .select(
@@ -4078,13 +4084,13 @@ def crossmodal_neardup_components(
     )
     return (
         labels.join(
-            broadcast_if_small(
-                sizes.filter(F.col("component_size") > 1)
-            ),
+            # no wrappers: sizes/icnt/tcnt aggregate pinned frames —
+            # AQE's runtime stats decide the broadcast, no barriers
+            sizes.filter(F.col("component_size") > 1),
             "cluster_id",
         )
-        .join(broadcast_if_small(icnt), "cluster_id", "left")
-        .join(broadcast_if_small(tcnt), "cluster_id", "left")
+        .join(icnt, "cluster_id", "left")
+        .join(tcnt, "cluster_id", "left")
         .select(
             "doc_id",
             F.col("cluster_id").alias("component_id"),
@@ -7263,7 +7269,10 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # inner-join semantics, matching the oracle's weight JOIN
         # (ADVICE r10) — see mixture_waterfill_allocation
         .filter(F.col("weight").isNotNull())
-        .localCheckpoint(eager=True)
+        # lazy: all consumers (budget agg, waterfill, offsets) sit in
+        # one final action — the RDD materializes once on first touch
+        # and is shared; an eager cut here was a pure barrier job
+        .localCheckpoint(eager=False)
     )
     budget = caps.agg(
         F.expr("(8 * sum(available_tokens)) div 10").alias("budget")
@@ -7295,9 +7304,14 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_off"),
     )
+    # offsets/alloc/sel are SOURCE-COUNT-sized BY CONSTRUCTION (per-lang
+    # aggregates of the caps frame / the waterfill output) — a direct
+    # broadcast hint is scale-safe and skips the adaptive wrapper's
+    # checkpoint+count barrier jobs (guide §3.1; the wrapper stays for
+    # data-dependent frames like candidate lists)
     sel = (
-        g.join(broadcast_if_small(offsets), "lang")
-        .join(broadcast_if_small(alloc), "lang")
+        g.join(F.broadcast(offsets), "lang")
+        .join(F.broadcast(alloc), "lang")
         .withColumn("_cum_in_lang", F.col("_cum") - F.col("_off"))
         .filter(F.col("_cum_in_lang") <= F.col("_alloc"))
         .groupBy("lang")
@@ -7307,7 +7321,7 @@ def training_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        alloc.join(broadcast_if_small(sel), "lang", "left")
+        alloc.join(F.broadcast(sel), "lang", "left")
         .select(
             "lang",
             F.col("_alloc").cast("long").alias("allocated_tokens"),
@@ -9630,7 +9644,10 @@ def nn_descent_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, "_z")
         .filter(F.col("_a") < F.col("_b"))
         .join(
-            broadcast_if_small(
+            # bounded by construction: the kNN graph of the vec_id<1000
+            # anchor slice has ≤ 2·k·1000 edges — direct hint, no
+            # adaptive count barrier (and edges is already pinned)
+            F.broadcast(
                 edges.select(
                     F.col("src").alias("_a"),
                     F.col("dst").alias("_b"),
@@ -9659,8 +9676,10 @@ def nn_descent_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
-        cand.join(broadcast_if_small(va), "_a")
-        .join(broadcast_if_small(vb), "_b")
+        # va/vb are the ≤1000-row anchor slice — bounded by the query's
+        # own vec_id<1000 literal, direct hint
+        cand.join(F.broadcast(va), "_a")
+        .join(F.broadcast(vb), "_b")
         .select(
             F.col("_a").alias("id_a"),
             F.col("_b").alias("id_b"),
@@ -12731,7 +12750,10 @@ def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         labels.join(
-            broadcast_if_small(sizes.filter(F.col("component_size") > 1)),
+            # no wrapper: sizes is an aggregate of the pinned labels
+            # frame — AQE's runtime stats make the broadcast decision
+            # from the exchange, with no checkpoint+count barrier
+            sizes.filter(F.col("component_size") > 1),
             "cluster_id",
         )
         .select(
@@ -12816,7 +12838,8 @@ def effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
     sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     weighted = d.join(labels, "doc_id").join(
-        broadcast_if_small(sizes), "cluster_id"
+        # AQE decides the broadcast from the agg exchange's runtime size
+        sizes, "cluster_id"
     )
     eff = F.sum(F.col("n_tokens").cast("double") / F.col("csize"))
     raw = F.sum(F.col("n_tokens").cast("double"))
@@ -13195,16 +13218,23 @@ def length_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import broadcast_if_small
 
     d = _t(spark, sf_dir, "documents")
-    lens = d.select("source", token_count("text").alias("L"))
+    # (source, L) is 2 small ints per doc; five consumers (grid, srcs,
+    # the global count, sc, gc) otherwise re-run the token_count scan
+    # five times — pin it once (guide §2.4)
+    lens = d.select(
+        "source", token_count("text").alias("L")
+    ).localCheckpoint(eager=True)
     grid = lens.select("L").distinct()
     srcs = lens.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     n_g = lens.count()
     sc = lens.groupBy("source", "L").agg(F.count(F.lit(1)).alias("c_s"))
     gc = lens.groupBy("L").agg(F.count(F.lit(1)).alias("c_g"))
+    # grid/sc/gc are LATTICE-sized (|sources| × |distinct lengths| —
+    # bounded, see docstring) — direct hints, no adaptive count barriers
     cells = (
-        srcs.crossJoin(broadcast_if_small(grid))
-        .join(broadcast_if_small(sc), ["source", "L"], "left")
-        .join(broadcast_if_small(gc), "L")
+        srcs.crossJoin(F.broadcast(grid))
+        .join(F.broadcast(sc), ["source", "L"], "left")
+        .join(F.broadcast(gc), "L")
         .select(
             "source", "L", "n_s",
             F.coalesce(F.col("c_s"), F.lit(0)).alias("c_s"),
