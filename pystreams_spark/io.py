@@ -312,7 +312,9 @@ def broadcast_if_small(df: DataFrame, max_rows: int = 1_000_000) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    mat = df.localCheckpoint(eager=True)
+    # lazy pin: the count() below materializes the checkpoint inside its
+    # own job, so the size probe costs ONE driver barrier, not two
+    mat = df.localCheckpoint(eager=False)
     if mat.count() <= max_rows:
         return F.broadcast(mat)
     return mat

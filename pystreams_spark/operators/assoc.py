@@ -57,7 +57,8 @@ def pair_cooccurrence(
     b = (
         df.select(F.col(basket_col).alias("_bk"), F.col(item_col).alias("_it"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the n_baskets count below materializes the pin
+        .localCheckpoint(eager=False)
     )
     # n_baskets: the denominator of lift's expected co-occurrence
     n_baskets = b.select("_bk").distinct().count()

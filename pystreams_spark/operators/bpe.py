@@ -232,7 +232,10 @@ def bpe_train(
     """
     from ..io import materialize
 
-    words = materialize(to_symbols(word_freqs(docs, text_col)), checkpoint_dir)
+    # lazy: the cutover-deciding count() materializes the pin itself
+    words = materialize(
+        to_symbols(word_freqs(docs, text_col)), checkpoint_dir, eager=False
+    )
     if words.count() <= single_task_vocab:
         combined = materialize(
             _bpe_train_word_table(words, num_merges, min_freq),

@@ -1001,7 +1001,9 @@ def cc_keep_min(
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    edges = materialize(edges, checkpoint_dir)
+    # lazy: the branch-deciding count() below materializes the pin in
+    # its own job — one driver barrier instead of two
+    edges = materialize(edges, checkpoint_dir, eager=False)
     # propagate labels only over nodes that occur in edges — isolated
     # nodes are their own cluster and rejoin at the end. The per-round
     # frames then scale with |dup graph|, not |corpus| (dup graphs are

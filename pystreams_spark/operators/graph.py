@@ -102,7 +102,8 @@ def pagerank(
         )
         .distinct()
     )
-    e = materialize(e, checkpoint_dir)
+    # lazy: n_edges' count materializes the pin — one barrier, not two
+    e = materialize(e, checkpoint_dir, eager=False)
     n_edges = e.count()
     if n_edges == 0:
         raise ValueError("pagerank: empty graph")
@@ -114,7 +115,7 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = materialize(nodes, checkpoint_dir)
+    nodes = materialize(nodes, checkpoint_dir, eager=False)
     n_nodes = nodes.count()
     if n_nodes == 0:
         raise ValueError("pagerank: empty graph")
@@ -185,7 +186,8 @@ def triangle_census(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: tri.count() below materializes the pin in its own job
+        .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))

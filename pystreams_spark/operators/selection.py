@@ -481,8 +481,9 @@ def bigram_surprisal_scores(
     # corpus pass). The broadcast hint goes only on the JOIN inputs —
     # hinting the frame the regroup reads would be a no-op that logs a
     # HintErrorLogger warning per run.
+    # lazy: the vocab_broadcast_max count below materializes the pin
     mat12 = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint(
-        eager=True
+        eager=False
     )
     # w1 is the text before the separator space — exact, since
     # whitespace tokens cannot contain whitespace

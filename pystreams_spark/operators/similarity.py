@@ -586,7 +586,8 @@ def cosine_pairs_above(
 
     spark = df.sparkSession
     base = ensure_parallelism(df).select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    base = base.localCheckpoint(eager=True)  # count + collect share one computation
+    # lazy pin: count materializes it, collect reads the pin — one job
+    base = base.localCheckpoint(eager=False)
     n = base.count()
     if n > max_rows:
         raise ValueError(
@@ -1891,7 +1892,9 @@ def margin_bitext_mine_blocked(
     # pass (guide §2.4 — the shuffle already exists, the checkpoint
     # just keeps its output). Blocks are embeddings-sized (d doubles
     # per row), executor-local, spill-safe.
-    u = ensure_parallelism(ux.unionByName(uy)).localCheckpoint(eager=True)
+    # lazy pin: the auto-cells count (or the Lloyd seed scan) is the
+    # first action and materializes it — no standalone checkpoint job
+    u = ensure_parallelism(ux.unionByName(uy)).localCheckpoint(eager=False)
     if n_cells == "auto":
         # the deployment rule the r12 measurement established (SCALE.md
         # r12: n_cells ∝ N → candidate bytes linear, exponent 1.06, vs
