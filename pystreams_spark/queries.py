@@ -132,11 +132,22 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact on both engines and no float summation order can decide the
     rounded digit.
     """
+    from .io import ensure_parallelism
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # the shipdate filter still pushes into the scan; the round-robin
+    # repartition AFTER it spreads the exact-decimal aggregate work
+    # (7 decimal sums per row) that a 1-row-group fixture file would
+    # otherwise pin to one task (r12; no-op on multi-file inputs)
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        ensure_parallelism(
+            li.filter(
+                F.col("l_shipdate")
+                <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             sum_exact_scaled("l_quantity", 2).alias("sum_qty"),
@@ -915,7 +926,13 @@ def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-value doubles are identical on both engines) and
     averages under the integer-micros half-up contract (r11 drain of
     the ROUND(AVG(raw)) class)."""
-    li = _t(spark, sf_dir, "lineitem").withColumn(
+    from .io import ensure_parallelism
+
+    # parallelize the per-row sqrt/floor/ceil/pow + decimal-quantize
+    # work a 1-row-group input would pin to one task (r12; no-op on
+    # multi-file inputs); every aggregate is the exact integer-scaled
+    # contract, so partition order cannot change the result
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem")).withColumn(
         "_sq", F.round(F.sqrt("l_quantity"), 6)
     )
     return (
@@ -2354,7 +2371,12 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical exact integers on both engines. Still one single-pass
     hash aggregate — the six integer sums ride the same partial-agg
     shuffle the raw moments did."""
-    li = _t(spark, sf_dir, "lineitem")
+    from .io import ensure_parallelism
+
+    # parallelize the six exact DECIMAL(38) moment sums a 1-row-group
+    # input pins to one task (r12; no-op on wide inputs) — the exact
+    # second-moment contract is partition-order independent
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_linestatus")
         .agg(
@@ -2997,7 +3019,11 @@ def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-tail math family: trig, exp/ln/log10, mod, sign. avg_sign
     averages exact {-1, 0, 1} values under the integer-micros half-up
     contract (r12 drain of the ROUND(AVG(raw)) class)."""
-    li = _t(spark, sf_dir, "lineitem")
+    from .io import ensure_parallelism
+
+    # parallelize the transcendental + decimal-quantize per-row work a
+    # 1-row-group input pins to one task (r12; no-op on wide inputs)
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     return (
         li.groupBy("l_linenumber")
         .agg(
@@ -5146,7 +5172,14 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect-portable integer-scaled sum contract (r12: a raw
     ROUND(SUM(4dp doubles), 2) is summation-order-dependent, the
     drained class)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    from .io import ensure_parallelism
+
+    # the GROUPING SETS Expand triples every scanned row; parallelize
+    # the partial aggregate a 1-row-group input pins to one task
+    # (r12; no-op on wide inputs — integer-scaled sums are order-free)
+    ensure_parallelism(_t(spark, sf_dir, "lineitem")).createOrReplaceTempView(
+        "lineitem"
+    )
     return spark.sql(_GROUPING_SETS_SQL)
 
 
@@ -11772,7 +11805,13 @@ def winsorize_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-sum scan shared by both columns (both columns' stats
     compile into ONE global aggregate; the report rows unpack from the
     1-row result with an explode)."""
-    li = _t(spark, sf_dir, "lineitem")
+    from .io import ensure_parallelism
+
+    # parallelize both full-table passes (exact-percentile buffers and
+    # the clip-stats aggregate) a 1-row-group input pins to one task
+    # (r12; no-op on wide inputs — percentile sorts internally and the
+    # micros-contract averages are partition-order independent)
+    li = ensure_parallelism(_t(spark, sf_dir, "lineitem"))
     # ONE percentile buffer per column (array form), not one per
     # cutoff — measured 3.8 s -> 2.4 s at sf0.1 for the stats agg
     arr = li.agg(
