@@ -60,7 +60,9 @@ def ordered_cumsum(
         df.repartitionByRange(n, *order)
         .sortWithinPartitions(*order)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        # lazy: the offsets collect below materializes the pin in its
+        # own job — one driver barrier instead of two (r12)
+        .localCheckpoint(eager=False)
     )
     totals = {
         r["_pid"]: r["_s"]
@@ -233,10 +235,14 @@ def mixture_weights(
     # the grouped frame is KB-sized but its lineage is the full corpus
     # scan; it feeds 2-3 consumers (totals, the α-power total, the
     # output join) — cut the lineage so the corpus is scanned ONCE
+    # lazy pin (r12): every consumer (totals agg, α-power total, the
+    # output join, or the target_shares collect) sits behind the same
+    # final action or an earlier collect, and whichever runs first
+    # materializes the pin — no standalone checkpoint job
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_col).alias("group_tokens"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     tot = per.agg(
         F.sum("group_tokens").alias("_total_tokens"),
         F.count(F.lit(1)).alias("_n_groups"),
@@ -491,12 +497,15 @@ def bigram_surprisal_scores(
         F.sum("c12").alias("c1")
     )
     v = c1.agg(F.count(F.lit(1)).alias("v"))
-    c12 = (
-        F.broadcast(mat12)
-        if mat12.count() <= vocab_broadcast_max
-        else mat12
+    small = mat12.count() <= vocab_broadcast_max
+    c12 = F.broadcast(mat12) if small else mat12
+    # |c1| ≤ |mat12| always (c1 is a regroup of mat12), so when mat12
+    # fits the broadcast budget c1 does too — hint it directly instead
+    # of paying broadcast_if_small's own pin+count barrier (r12). The
+    # size-probing wrapper is only needed when mat12 overflowed.
+    c1 = F.broadcast(c1) if small else broadcast_if_small(
+        c1, max_rows=vocab_broadcast_max
     )
-    c1 = broadcast_if_small(c1, max_rows=vocab_broadcast_max)
     a = F.lit(float(alpha))
     p = (F.col("c12") + a) / (F.col("c1") + a * F.col("v"))
     return (

@@ -212,24 +212,28 @@ def knn_lsh(
     return top_k_per_group(out, [query_id], [F.asc("dist"), F.asc(corpus_id)], k=k)
 
 
-def _ivf_assign_probe_topk(
+def _ivf_scored_candidates(
     queries: DataFrame,
     corpus: DataFrame,
     centers_mat,
-    k: int,
     n_probe: int,
     query_id: str,
     corpus_id: str,
     vec_col: str,
     metric: str = "dot",
 ) -> DataFrame:
-    """Shared IVF machinery: given a driver-side (n_cells × dim) centroid
-    matrix, assign corpus vectors to cells and probe per-query cells with
-    vectorized numpy kernels (one narrow pass each, broadcast centroids),
-    then equi-join on the cell id and refine with exact cosine + top-k.
+    """Exact-cosine-scored IVF candidates with each candidate's PROBE
+    RANK: (query_id, corpus_id, score, _probe_rank) where _probe_rank
+    is the position of the candidate's cell in the query's
+    affinity-ordered cell list (0 = home cell). Because a corpus vector
+    lives in exactly one cell, candidate sets NEST in n_probe —
+    ``filter(_probe_rank < p)`` reproduces the n_probe=p candidate set
+    exactly — so ONE scored pass at the largest probe setting serves a
+    whole recall curve (r12: ann_ivf_recall_curve ran 4 independent
+    assignment+probe+score passes for nested candidate sets).
 
     ``metric`` picks the cell-affinity rule: ``dot`` (argmax x·c, ties →
-    lowest cell id) or ``l2`` (argmin ||x-c||, same tie rule). The final
+    lowest cell id) or ``l2`` (argmin ||x-c||, same tie rule). The
     refine is always exact cosine over the probed candidates.
     """
     import numpy as np
@@ -268,19 +272,45 @@ def _ivf_assign_probe_topk(
                 {
                     query_id: np.repeat(qids, top.shape[1]),
                     "_cell": top.reshape(-1).astype(np.int32),
+                    "_probe_rank": np.tile(
+                        np.arange(top.shape[1], dtype=np.int32), len(qids)
+                    ),
                 }
             )
 
     probes = (
         queries.select(query_id, vec_col)
-        .mapInPandas(probe_cells, f"{query_id} long, _cell int")
+        .mapInPandas(probe_cells, f"{query_id} long, _cell int, _probe_rank int")
         .join(queries.select(F.col(query_id), F.col(vec_col).alias("_qvec")), query_id)
     )
-    cand = assigned.join(F.broadcast(probes), "_cell").select(
+    return assigned.join(F.broadcast(probes), "_cell").select(
         query_id,
         corpus_id,
         F.round(cosine("_qvec", vec_col), 6).alias("score"),
+        "_probe_rank",
     )
+
+
+def _ivf_assign_probe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centers_mat,
+    k: int,
+    n_probe: int,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    metric: str = "dot",
+) -> DataFrame:
+    """Shared IVF machinery: given a driver-side (n_cells × dim) centroid
+    matrix, assign corpus vectors to cells and probe per-query cells with
+    vectorized numpy kernels (one narrow pass each, broadcast centroids),
+    then equi-join on the cell id and refine with exact cosine + top-k.
+    """
+    cand = _ivf_scored_candidates(
+        queries, corpus, centers_mat, n_probe, query_id, corpus_id, vec_col,
+        metric=metric,
+    ).drop("_probe_rank")
     return top_k_per_group(cand, [query_id], [F.desc("score"), F.asc(corpus_id)], k=k)
 
 
@@ -406,6 +436,20 @@ def knn_ivf(
     rows through a row_number window for the same result (measured 3.4 s
     → ~1 s at sf0.1). Approximate → rows-only checked.
     """
+    centers_mat = _ivf_sample_centers(corpus, n_cells, corpus_id, vec_col, seed)
+    return _ivf_assign_probe_topk(
+        queries, corpus, centers_mat, k, n_probe, query_id, corpus_id, vec_col,
+        metric="dot",
+    )
+
+
+def _ivf_sample_centers(
+    corpus: DataFrame, n_cells: int, corpus_id: str, vec_col: str, seed: int
+):
+    """Deterministic hash-ordered centroid sample as a driver-side
+    (n_cells × dim) float64 matrix — ONE TakeOrdered job. Factored out
+    (r12) so a caller building several IVF passes over the same corpus
+    (e.g. a recall curve) samples once instead of per pass."""
     import numpy as np
 
     cents = (
@@ -415,11 +459,7 @@ def knn_ivf(
         .select("_cvec")
         .toPandas()
     )
-    centers_mat = np.stack(cents["_cvec"].to_numpy()).astype(np.float64)
-    return _ivf_assign_probe_topk(
-        queries, corpus, centers_mat, k, n_probe, query_id, corpus_id, vec_col,
-        metric="dot",
-    )
+    return np.stack(cents["_cvec"].to_numpy()).astype(np.float64)
 
 
 def cosine_lsh_pairs(

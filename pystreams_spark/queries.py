@@ -10587,12 +10587,23 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall/cost calibration curve an ANN deployment is tuned
     from: recall@10 of IVF search at n_probe ∈ {1,2,4,8} of 16 cells
     against exact L2 top-k. Exact ground truth is computed ONCE and
-    re-probed per setting; each IVF pass touches ~n_probe/16 of the
-    corpus. The monotonicity gate (nested candidate sets ⇒
-    non-decreasing recall) runs over the 4-row curve."""
+    re-probed per setting. Since r12 the four probe settings also share
+    ONE centroid sample, ONE corpus cell-assignment pass, and ONE
+    scored candidate superset at n_probe=8: because a corpus vector
+    lives in exactly one cell, candidate sets nest in n_probe, so
+    filtering the superset on probe rank < p reproduces each setting's
+    candidate set (and therefore its top-k and recall) bit-for-bit —
+    the curve ran 4 independent sample+assign+probe+score passes for
+    identical results before. The monotonicity gate (nested candidate
+    sets ⇒ non-decreasing recall) runs over the 4-row curve."""
     from functools import reduce
 
-    from .operators.similarity import knn_exact, knn_ivf
+    from .operators.similarity import (
+        _ivf_sample_centers,
+        _ivf_scored_candidates,
+        knn_exact,
+    )
+    from .operators.topk import top_k_per_group
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
@@ -10605,9 +10616,21 @@ def ann_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_h", F.lit(1))
         .localCheckpoint(eager=True)
     )
+    centers = _ivf_sample_centers(c, 16, "vec_id", "embedding", 42)
+    # eager pin: the 4 per-setting top-k branches below all read this
+    # frame inside ONE final action — lazy would let each branch race
+    # to recompute the assignment+probe pass before the pin lands
+    scored = _ivf_scored_candidates(
+        q, c, centers, 8, "query_id", "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
     parts = []
     for n_probe in (1, 2, 4, 8):
-        approx = knn_ivf(q, c, k=10, n_cells=16, n_probe=n_probe)
+        approx = top_k_per_group(
+            scored.filter(F.col("_probe_rank") < n_probe).drop("_probe_rank"),
+            ["query_id"],
+            [F.desc("score"), F.asc("vec_id")],
+            k=10,
+        )
         hit = approx.join(F.broadcast(exact), ["query_id", "vec_id"], "left")
         parts.append(
             hit.agg(
@@ -12101,11 +12124,14 @@ def model_filtered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
+    # lazy pin (r12): the surprisal fit's vocab count is the first
+    # action and materializes the whole base→dedup→clf chain in one
+    # job; the stage aggregates then read the pins
     base = d.select(
         "doc_id", "text",
         token_count("text").alias("n_tokens"),
         F.md5("text").alias("h"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     keep = (
         base.groupBy("h")
         .agg(F.min("doc_id").alias("keep_id"))
@@ -12771,17 +12797,21 @@ def neardup_components_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    # Eagerly pin the VERIFIED pair frame (r8, VERDICT r7 #3): the CC
-    # loop and the downstream size join must never be able to recompute
-    # the prefix-join under memory pressure — the pair set is dup-graph-
+    # Pin the VERIFIED pair frame (r8, VERDICT r7 #3): the CC loop and
+    # the downstream size join must never be able to recompute the
+    # prefix-join under memory pressure — the pair set is dup-graph-
     # sized (tiny vs corpus), so the checkpoint is cheap and the 2×+
     # run-to-run variance this query showed in r7 driver passes goes
-    # away with the recompute path.
-    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
+    # away with the recompute path. Lazy since r12: cc_keep_min's
+    # internal edge count materializes the pin immediately, with one
+    # driver barrier instead of two.
+    pairs = materialize(
+        ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3), eager=False
+    )
     # labels feeds BOTH the size agg and the final join — pin it so the
     # union-find + isolated-node anti-join run once (2-col, corpus-id-
     # sized: KBs/doc-count, not corpus bytes)
-    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")), eager=False)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("component_size")
     )
@@ -13657,8 +13687,14 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
-    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    # lazy pins (r12): cc_keep_min's internal edge count is the first
+    # action and materializes the pair pin en route (still pinned —
+    # never recomputed under memory pressure, the r8 requirement); the
+    # label pin materializes at its first consumer
+    pairs = materialize(
+        ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3), eager=False
+    )
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")), eager=False)
     frac = (
         F.conv(
             F.substring(
@@ -13786,8 +13822,14 @@ def component_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     d = _t(spark, sf_dir, "documents")
-    pairs = materialize(ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3))
-    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
+    # lazy pins (r12): cc_keep_min's internal edge count is the first
+    # action and materializes the pair pin en route (still pinned —
+    # never recomputed under memory pressure, the r8 requirement); the
+    # label pin materializes at its first consumer
+    pairs = materialize(
+        ngram_jaccard_pairs_prefix(d, threshold=0.35, n=3), eager=False
+    )
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")), eager=False)
     units = labels.select(
         "doc_id", F.col("cluster_id").alias("unit")
     )

@@ -3461,3 +3461,42 @@ def test_kmeans_sliced_fit_equals_per_slice_fits(spark, sf_dir):
             sub, id_col="vec_id", vec_col="_s", n_cells=8, iters=2
         )
         assert np.array_equal(fused[j], solo), f"subspace {j} differs"
+
+
+def test_ivf_scored_superset_rank_filter_equals_per_probe(spark, sf_dir):
+    """r12 optimization: one scored candidate pass at the LARGEST probe
+    setting, filtered on probe rank < p, must reproduce knn_ivf's
+    per-setting top-k bit-identically for every smaller p (candidate
+    sets nest because each corpus vector lives in exactly one cell) —
+    the equivalence ann_ivf_recall_curve's shared plan rests on."""
+    from pystreams_spark.operators.similarity import (
+        _ivf_sample_centers,
+        _ivf_scored_candidates,
+        knn_ivf,
+    )
+    from pystreams_spark.operators.topk import top_k_per_group
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c = e.filter(F.col("vec_id") >= 5)
+    centers = _ivf_sample_centers(c, 16, "vec_id", "embedding", 42)
+    scored = _ivf_scored_candidates(
+        q, c, centers, 8, "query_id", "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    for p in (1, 2, 4, 8):
+        shared = sorted(
+            tuple(r)
+            for r in top_k_per_group(
+                scored.filter(F.col("_probe_rank") < p).drop("_probe_rank"),
+                ["query_id"],
+                [F.desc("score"), F.asc("vec_id")],
+                k=10,
+            ).collect()
+        )
+        solo = sorted(
+            tuple(r)
+            for r in knn_ivf(q, c, k=10, n_cells=16, n_probe=p).collect()
+        )
+        assert shared == solo, f"n_probe={p} differs"
