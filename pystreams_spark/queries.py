@@ -1615,10 +1615,17 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``fingerprint_md5``: 60-bit int from the digest of the sorted
     distinct tokens) — bit-identical in DuckDB, so the fingerprint
     VALUES are oracle-checked, not just row counts. The xxhash64
-    ``fingerprint`` stays as the library fast path (pytest-covered)."""
+    ``fingerprint`` stays as the library fast path (pytest-covered).
+    r12: per-row tokenize+sort+md5 spread via ensure_parallelism (the
+    1-row-group fixture scan otherwise runs it in ONE task; no-op on
+    wide inputs) — per-row values are partitioning-independent and the
+    final orderBy fixes the output order."""
     from .functions.text import fingerprint_md5, token_count
+    from .io import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return d.select(
         "doc_id",
         fingerprint_md5("text").alias("fp"),
@@ -1644,7 +1651,11 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract: completeness, uniqueness, consistency, ranges): empty/null
     counts, key uniqueness (n_distinct_ids vs n_rows), the n_chars ==
     length(text) consistency invariant, and value ranges. All partial-
-    aggregable — one scan, one reduce, no matter the corpus size."""
+    aggregable — one scan, one reduce, no matter the corpus size. r12:
+    measured ensure_parallelism here and REJECTED it (idle A/B min-of-5
+    0.335 s direct vs 0.598 s spread): the aggregate is cheap columnar
+    work, so round-robining the full text column costs more than the
+    single-task reduce saves."""
     d = _t(spark, sf_dir, "documents")
     return d.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -4355,10 +4366,17 @@ def embedding_quantization_report(spark: SparkSession, sf_dir: str) -> DataFrame
     the self-check the driver's value-hash pins), and cosine between
     original and reconstructed vectors. r4: oracle-checked — both
     engines round half-away-from-zero and the dot/norm folds are
-    order-identical, so DuckDB replicates the whole pipeline."""
+    order-identical, so DuckDB replicates the whole pipeline. r12: the
+    per-vector zip_with/array pipeline is spread via ensure_parallelism
+    (1-row-group fixture scan → ONE task otherwise; no-op on wide
+    inputs) — the final aggregate is count/max/min plus the integer-
+    scaled half-up averages, all partition-order independent."""
     from .functions.vector import as_double, cosine, dequantize_int8, quantize_int8
+    from .io import ensure_parallelism
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = ensure_parallelism(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     qd = e.select(
         "vec_id",
         as_double("embedding").alias("x"),
@@ -10712,7 +10730,11 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. A header-parse, Huffman, IDCT, or sample-math bug
     anywhere in the decoders breaks the value hash. Payload bytes live
     only inside the two kernels — the aggregate runs on narrow decoded
-    columns."""
+    columns. r12: the synth→decode kernel chain is spread via
+    ensure_parallelism (the 1-row-group fixture scan otherwise ran
+    5000 pure-Python encode/decode round-trips in ONE task; no-op on
+    wide inputs) — the aggregates are count/max/sum plus the integer-
+    micros average contract, all partition-order independent."""
     import pandas as pd
 
     from .operators.jpeg_hier import (
@@ -10817,7 +10839,11 @@ def media_decode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "payload": payloads}
             )
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    from .io import ensure_parallelism
+
+    d = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
     media = d.mapInPandas(synth, "doc_id long, lang string, payload binary")
     decoded = decode_media_features(media)
     return (
@@ -11678,10 +11704,16 @@ def token_frequency_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow trigram explode -> type-count table (vocabulary-sized) ->
     ~log2(max count)-row regroup; the global type total is a 1-row
     broadcast. The bucket key uses integer bit-length arithmetic (never
-    float log2 -- exact at powers of two) on BOTH engines."""
+    float log2 -- exact at powers of two) on BOTH engines. r12: the
+    explode+hash pipeline is spread via ensure_parallelism (the 1-row-
+    group fixture file otherwise pins it to ONE task; no-op on wide
+    inputs) — every aggregate here is an exact integer count/sum, so
+    partitioning cannot change any value."""
+    from .io import ensure_parallelism
+
     d = _t(spark, sf_dir, "documents")
     g = (
-        d.filter(F.length("text") >= 3)
+        ensure_parallelism(d.filter(F.length("text") >= 3).select("text"))
         .select(
             F.explode(
                 F.transform(
