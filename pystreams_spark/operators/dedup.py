@@ -556,9 +556,16 @@ def ngram_novelty_scores(
             F.transform("_grams", lambda g: F.xxhash64(g)).alias("_grams"),
         )
     posts = grams.select(id_col, F.explode("_grams").alias("_g"))
-    first = posts.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    # first-seen via a partition-only window min (r12): ONE shuffle of
+    # the exploded gram table instead of groupBy(min) + a gram-keyed
+    # join back over the same rows — the min over an unordered gram
+    # partition is exactly the old join's _first, so results are
+    # bit-identical while the plan drops the aggregate + sort-merge.
+    from pyspark.sql import Window
+
+    first_w = F.min(id_col).over(Window.partitionBy("_g")).alias("_first")
     return (
-        posts.join(first, "_g")
+        posts.select(id_col, first_w)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
