@@ -1419,7 +1419,10 @@ def minhash_deterministic_candidates(
         ).alias("_grams"),
     )
     # one md5 per gram, inside the per-doc array; consumed twice
-    # (signatures + verify) → eager pin, per the repo-wide rule
+    # (signatures + verify) → pinned. Lazy (r12): the candidate list's
+    # broadcast_if_small count below always runs at construction and
+    # its lineage passes through gv, so that count materializes the
+    # pin en route — same single evaluation, one fewer barrier job.
     gv = grams.select(
         id_col,
         F.array_distinct(
@@ -1430,7 +1433,7 @@ def minhash_deterministic_candidates(
                 ),
             )
         ).alias("_vs"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     posts = gv.select(id_col, F.explode("_vs").alias("_v"))
     x = F.col("_v") % p

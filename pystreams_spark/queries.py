@@ -4099,35 +4099,28 @@ def crossmodal_neardup_components(
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("component_size")
     )
-    icnt = (
-        ipairs.join(
-            labels.select(
-                F.col("doc_id").alias("id_a"), "cluster_id"
-            ),
-            "id_a",
-        )
+    # r12: ONE tagged union + ONE labels join + ONE conditional agg for
+    # both modality counts (was: two labels joins + two groupBys over
+    # the same dup-sized frames — guide §2.4). Counts are exact
+    # integers; identical to the per-modality joins by construction.
+    mcnt = (
+        tpairs.select("id_a", F.lit(1).alias("_is_text"))
+        .unionByName(ipairs.select("id_a", F.lit(0).alias("_is_text")))
+        .join(labels.select(F.col("doc_id").alias("id_a"), "cluster_id"), "id_a")
         .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_image_edges"))
-    )
-    tcnt = (
-        tpairs.join(
-            labels.select(
-                F.col("doc_id").alias("id_a"), "cluster_id"
-            ),
-            "id_a",
+        .agg(
+            F.sum(1 - F.col("_is_text")).alias("n_image_edges"),
+            F.sum("_is_text").alias("n_text_edges"),
         )
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_text_edges"))
     )
     return (
         labels.join(
-            # no wrappers: sizes/icnt/tcnt aggregate pinned frames —
+            # no wrappers: sizes/mcnt aggregate pinned frames —
             # AQE's runtime stats decide the broadcast, no barriers
             sizes.filter(F.col("component_size") > 1),
             "cluster_id",
         )
-        .join(icnt, "cluster_id", "left")
-        .join(tcnt, "cluster_id", "left")
+        .join(mcnt, "cluster_id", "left")
         .select(
             "doc_id",
             F.col("cluster_id").alias("component_id"),
@@ -7942,8 +7935,12 @@ def snapshot_neardup_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # two slice consumers (removed + added) of one classification pass
-    diff = snapshot_diff(d, b).localCheckpoint(eager=True)
+    # two slice consumers (removed + added) of one classification pass.
+    # Lazy pin (r12): the MinHash stage's own construction-time count
+    # (broadcast_if_small over its candidates) forces this frame before
+    # the final action, so the standalone materialization job is pure
+    # barrier — dropping it keeps one evaluation, one fewer job.
+    diff = snapshot_diff(d, b).localCheckpoint(eager=False)
     rem = (
         diff.filter(F.col("status") == "removed")
         .select("doc_id")
