@@ -1029,6 +1029,159 @@ def _kmeans_assign_batch(m, c, round_to: int = 6):
     return _q_scaled(d2, round_to).argmin(axis=1)
 
 
+def _lloyd_seed_order(idv, n_cells: int):
+    """Indices of the ``n_cells`` rows with the smallest
+    ``(md5(CAST(id AS STRING)), id)`` sort key — the in-memory replica
+    of the distributed seed TakeOrdered. ``hashlib.md5`` of the decimal
+    id string equals Spark's ``F.md5(CAST(id AS STRING))`` (same UTF-8
+    bytes, same lowercase hex), and Python's str comparison on ASCII
+    hex is the same binary order Spark uses, so the selected rows and
+    their rank (= cell index) are identical."""
+    import hashlib
+
+    return sorted(
+        range(len(idv)),
+        key=lambda i: (
+            hashlib.md5(str(int(idv[i])).encode()).hexdigest(),
+            int(idv[i]),
+        ),
+    )[: int(n_cells)]
+
+
+def _lloyd_iterate(mat, centers, iters: int, round_to: int):
+    """Run ``iters`` deterministic-Lloyd rounds over an in-memory
+    matrix — the single-task body of the fit. Bit-identical to the
+    distributed per-partition partials + driver reduce: the assignment
+    is the same ``_kmeans_assign_batch`` and the centroid update is the
+    same order-free int64 quantize-before-sum + (2Σ+N) div 2N half-up
+    average, so partitioning cannot appear in the result by
+    construction."""
+    import numpy as np
+
+    from ..functions.exact import np_round_half_away_scaled, np_trunc_div
+
+    scale = 10 ** int(round_to)
+    k = len(centers)
+    q = np_round_half_away_scaled(mat, scale)
+    for _ in range(iters):
+        cells = _kmeans_assign_batch(mat, centers, round_to)
+        counts = np.bincount(cells, minlength=k)
+        sums = np.zeros((k, mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, cells, q)
+        nz = counts > 0
+        new_c = centers.copy()  # empty cells keep previous centroid
+        n_col = counts[nz][:, None]
+        new_c[nz] = (
+            np_trunc_div(2 * sums[nz] + n_col, 2 * n_col).astype(np.float64)
+            / scale
+        )
+        centers = new_c
+    return centers
+
+
+# Cutover bounds for the fused single-task fit: below these the whole
+# seed + ``iters``-round Lloyd recurrence runs executor-side in ONE
+# 1-task mapInPandas job instead of (1 seed TakeOrdered + iters
+# partial-collect) driver barriers — the same adaptive pattern as BPE
+# training's single-task merge loop. Each barrier is a full cluster
+# round-trip at any scale; on a wide input the row count blows the
+# bound and the distributed loop below is used unchanged.
+_LLOYD_SINGLE_TASK_ROWS = 65_536
+_LLOYD_SINGLE_TASK_CELLS = 2_000_000  # n_rows × n_cells assignment budget
+
+
+def _lloyd_fit_single_task(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    slices,
+    n_cells: int,
+    iters: int,
+    round_to: int,
+):
+    """One 1-task job running the full fit in-memory: seeds + all
+    Lloyd rounds, for the plain fit (``slices=None`` → one (k × d)
+    matrix) or the PQ fit (``slices`` → one book per slice, all seeded
+    from the SAME md5-ordered rows). Returns the same ndarray(s) the
+    distributed path returns, bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        ids = []
+        vecs = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids.append(pdf[id_col].to_numpy())
+            vecs.append(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+        if not ids:
+            return
+        idv = np.concatenate(ids)
+        mat = np.vstack(vecs)
+        order = _lloyd_seed_order(idv, n_cells)
+        if slices is None:
+            books = [_lloyd_iterate(mat, mat[order].copy(), iters, round_to)]
+        else:
+            books = []
+            for s0, ln in slices:
+                sub = np.ascontiguousarray(mat[:, s0 : s0 + ln])
+                books.append(
+                    _lloyd_iterate(sub, sub[order].copy(), iters, round_to)
+                )
+        frames = []
+        for j, b in enumerate(books):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "sub": np.full(len(b), j, dtype=np.int32),
+                        "cell": np.arange(len(b), dtype=np.int32),
+                        "c": list(b),
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True)
+
+    rows = (
+        df.select(id_col, vec_col)
+        .coalesce(1)
+        .mapInPandas(kernel, "sub int, cell int, c array<double>")
+        .collect()
+    )
+    m = 1 if slices is None else len(slices)
+    books = [
+        np.stack(
+            [
+                np.asarray(r["c"], dtype=np.float64)
+                for r in sorted(
+                    (r for r in rows if r["sub"] == j), key=lambda r: r["cell"]
+                )
+            ]
+        )
+        for j in range(m)
+    ]
+    return books[0] if slices is None else books
+
+
+def _lloyd_single_task_ok(df: DataFrame, id_col: str, n: int, n_cells) -> bool:
+    """Cutover predicate: integral id (so the md5-of-decimal-string
+    seed key is replicable in Python) and both the row count and the
+    n × k assignment work fit the single-task budget."""
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    ):
+        return False
+    if not isinstance(n_cells, int):
+        return False
+    return (
+        n <= _LLOYD_SINGLE_TASK_ROWS
+        and n * max(n_cells, 1) <= _LLOYD_SINGLE_TASK_CELLS
+    )
+
+
 def kmeans_centers_deterministic(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1036,15 +1189,29 @@ def kmeans_centers_deterministic(
     n_cells: int = 8,
     iters: int = 2,
     round_to: int = 6,
+    precounted: int | None = None,
 ):
     """The FIT half of ``kmeans_cells_deterministic`` (r7 split so IVF
     can probe the same centroids the cells came from): md5-ordered
     seeds, ``iters`` fused Lloyd rounds, returns the final (k × d)
     centroid ndarray — exactly the c_iters matrix the unrolled DuckDB
     recurrence produces. Zero shuffles; k·|partitions| partial rows to
-    the driver per round."""
+    the driver per round.
+
+    r12: when the table fits the single-task budget (counted once —
+    ``precounted`` lets callers reuse a count they already paid; on a
+    lazily-pinned input the count doubles as the pin job), the whole
+    recurrence runs executor-side in ONE job (`_lloyd_fit_single_task`,
+    bit-identical by the integer contract) instead of 1 + ``iters``
+    driver barriers."""
     import numpy as np
     import pandas as pd
+
+    n = df.count() if precounted is None else int(precounted)
+    if _lloyd_single_task_ok(df, id_col, n, n_cells):
+        return _lloyd_fit_single_task(
+            df, id_col, vec_col, None, n_cells, iters, round_to
+        )
 
     spark = df.sparkSession
     seed_rows = (
@@ -1131,6 +1298,7 @@ def kmeans_centers_deterministic_sliced(
     n_cells: int = 8,
     iters: int = 2,
     round_to: int = 6,
+    precounted: int | None = None,
 ):
     """Fit INDEPENDENT deterministic-Lloyd codebooks over ``slices``
     (0-based (start, length) views of ``vec_col``) in ONE set of
@@ -1142,9 +1310,18 @@ def kmeans_centers_deterministic_sliced(
     m × (1 seed TakeOrdered + iters partial-collect) jobs of a
     product-quantizer fit to 1 + iters jobs total — the per-merge
     barrier latency was scheduler overhead, not compute (guide §2.4).
-    Returns a list of (n_cells × length) ndarrays, one per slice."""
+    Returns a list of (n_cells × length) ndarrays, one per slice.
+
+    r12: below the single-task budget the whole multi-book fit is ONE
+    1-task job (see ``kmeans_centers_deterministic``)."""
     import numpy as np
     import pandas as pd
+
+    n = df.count() if precounted is None else int(precounted)
+    if _lloyd_single_task_ok(df, id_col, n, n_cells * len(slices)):
+        return _lloyd_fit_single_task(
+            df, id_col, vec_col, slices, n_cells, iters, round_to
+        )
 
     spark = df.sparkSession
     seed_rows = (
@@ -1268,8 +1445,10 @@ def kmeans_cells_deterministic(
     # pinned once: the fit reads base 1 + iters times (seed + fused
     # Lloyd passes) and the assignment pass below reads it again — one
     # scan+shuffle shared by all 4 passes instead of 4 re-runs
-    # (guide §2.4); blocks are embeddings-sized, executor-local
-    base = ensure_parallelism(df).localCheckpoint(eager=True)
+    # (guide §2.4); blocks are embeddings-sized, executor-local.
+    # Lazy pin (r12): the fit's cutover count is the first action and
+    # materializes it — no standalone checkpoint job.
+    base = ensure_parallelism(df).localCheckpoint(eager=False)
     centers = kmeans_centers_deterministic(
         base, id_col=id_col, vec_col=vec_col, n_cells=n_cells, iters=iters,
         round_to=round_to,
@@ -1328,8 +1507,9 @@ def knn_ivf_deterministic(
     from .topk import top_k_per_group
 
     # pinned once for the fit's 1 + iters passes plus the assignment
-    # pass (guide §2.4; see kmeans_cells_deterministic)
-    base = ensure_parallelism(corpus).localCheckpoint(eager=True)
+    # pass (guide §2.4; see kmeans_cells_deterministic). Lazy: the
+    # fit's cutover count materializes it (r12).
+    base = ensure_parallelism(corpus).localCheckpoint(eager=False)
     centers = kmeans_centers_deterministic(
         base, id_col=corpus_id, vec_col=vec_col, n_cells=n_cells,
         iters=iters, round_to=round_to,
@@ -1493,8 +1673,9 @@ def knn_pq_deterministic(
         raise ValueError(f"knn_pq_deterministic: dim {d} not divisible by m={m}")
     sd = d // m
     # pinned once for the fused fit's 1 + iters passes plus the
-    # encode+ADC pass (guide §2.4; see kmeans_cells_deterministic)
-    base = ensure_parallelism(corpus).localCheckpoint(eager=True)
+    # encode+ADC pass (guide §2.4; see kmeans_cells_deterministic).
+    # Lazy: the fit's cutover count materializes it (r12).
+    base = ensure_parallelism(corpus).localCheckpoint(eager=False)
     # one fused fit for all m subspaces (1 seed collect + iters passes
     # instead of m × (1 + iters) — bit-identical books, see
     # kmeans_centers_deterministic_sliced)
@@ -1935,6 +2116,7 @@ def margin_bitext_mine_blocked(
     # lazy pin: the auto-cells count (or the Lloyd seed scan) is the
     # first action and materializes it — no standalone checkpoint job
     u = ensure_parallelism(ux.unionByName(uy)).localCheckpoint(eager=False)
+    u_count = None
     if n_cells == "auto":
         # the deployment rule the r12 measurement established (SCALE.md
         # r12: n_cells ∝ N → candidate bytes linear, exponent 1.06, vs
@@ -1944,7 +2126,8 @@ def margin_bitext_mine_blocked(
         # grows again — shard the corpus or mine per partition family.
         # One cheap count() over the pinned union; the Lloyd fit
         # dwarfs it.
-        n_cells = max(16, min(65_536, u.count() // 32))
+        u_count = u.count()
+        n_cells = max(16, min(65_536, u_count // 32))
     elif not isinstance(n_cells, int):
         raise ValueError(
             f"margin_bitext_mine_blocked: n_cells must be an int or "
@@ -1953,7 +2136,7 @@ def margin_bitext_mine_blocked(
     centers = kmeans_centers_deterministic(
         u,
         id_col="_uid", vec_col="_v", n_cells=n_cells, iters=iters,
-        round_to=round_to,
+        round_to=round_to, precounted=u_count,
     )
     bc = x.sparkSession.sparkContext.broadcast(centers)
 

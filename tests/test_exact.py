@@ -318,6 +318,45 @@ def test_kmeans_centers_partitioning_independent(spark):
     assert np.allclose(micros, np.round(micros), atol=0)
 
 
+def test_kmeans_single_task_fit_matches_distributed(spark):
+    """The r12 single-task Lloyd cutover must be BIT-identical to the
+    distributed seed-TakeOrdered + per-iteration partial-collect loop:
+    force the distributed branch with an over-threshold ``precounted``
+    and compare against the default (single-task at this size) path —
+    plain fit and the sliced multi-book PQ fit."""
+    import numpy as np
+
+    from pystreams_spark.operators.similarity import (
+        _LLOYD_SINGLE_TASK_ROWS,
+        kmeans_centers_deterministic,
+        kmeans_centers_deterministic_sliced,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, (rng.randn(8) * 0.9).tolist()) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(13)
+    forced_distributed = _LLOYD_SINGLE_TASK_ROWS + 1
+
+    single = kmeans_centers_deterministic(df, n_cells=6, iters=3)
+    dist = kmeans_centers_deterministic(
+        df, n_cells=6, iters=3, precounted=forced_distributed
+    )
+    assert np.array_equal(single, dist)
+
+    slices = [(0, 4), (4, 4)]
+    single_s = kmeans_centers_deterministic_sliced(
+        df, slices, n_cells=4, iters=2
+    )
+    dist_s = kmeans_centers_deterministic_sliced(
+        df, slices, n_cells=4, iters=2, precounted=forced_distributed
+    )
+    assert len(single_s) == len(dist_s) == 2
+    for a, b in zip(single_s, dist_s):
+        assert np.array_equal(a, b)
+
+
 def test_resample_fill_contract_is_explicit(spark):
     """ADVICE r11: the micros contract must be opt-in, not keyed on the
     magic (agg='avg', round_to=6) combination. Values with more than 6
