@@ -2,14 +2,18 @@
 `ANALYZE` / Deequ-profile / TFDV-statistics step a training pipeline
 runs before trusting a new data drop.
 
-Scale shape: every metric for every column compiles into a single
-``agg`` over one pass (Catalyst plans multiple distinct-aggregates via
-one Expand — still one scan of the input). With the default
-``exact_distinct=False`` the cardinalities are HLL sketches
-(`approx_count_distinct`), keeping the profile cheap at any width; the
-exact form exists for oracle-grade comparisons on bounded tables. The
-wide 1-row result is unpivoted to long (column, metric, ...) via a
-struct-array explode — no second pass, no driver loop.
+Scale shape: with the default ``exact_distinct=False`` every metric
+for every column compiles into a single ``agg`` over one pass — the
+cardinalities are HLL sketches (`approx_count_distinct`), keeping the
+profile cheap at any width. The exact form exists for oracle-grade
+comparisons on bounded tables and runs as TWO aggregates (r12): the
+exact COUNT(DISTINCT)s in their own pass (Catalyst's
+RewriteDistinctAggregates Expand multiplies rows by cols+1, and in a
+mixed aggregate every other metric's input expression rides along on
+each copy — measured 2× the two passes' sum), everything else in one
+no-Expand pass, crossJoined back to one row. The wide 1-row result is
+unpivoted to long (column, metric, ...) via a struct-array explode —
+no second pass, no driver loop.
 """
 
 from __future__ import annotations
@@ -77,15 +81,16 @@ def profile(
     df = ensure_parallelism(df.select(*[F.col(c) for c in cols]))
 
     aggs: list = []
+    dist_aggs: list = []
     entries: list[tuple[str, str, str | None, str | None]] = []
     # (column, metric, num_alias, str_alias)
     i = 0
 
-    def add(col: str, metric: str, expr, is_str: bool = False):
+    def add(col: str, metric: str, expr, is_str: bool = False, dist: bool = False):
         nonlocal i
         alias = f"_p{i}"
         i += 1
-        aggs.append(expr.alias(alias))
+        (dist_aggs if dist else aggs).append(expr.alias(alias))
         entries.append((col, metric, None if is_str else alias, alias if is_str else None))
 
     for c in cols:
@@ -95,7 +100,10 @@ def profile(
         distinct = (
             F.countDistinct(col) if exact_distinct else F.approx_count_distinct(col)
         )
-        add(c, "n_distinct", distinct.cast("double"))
+        # exact COUNT(DISTINCT) goes into its OWN aggregate (see the
+        # split below); the HLL sketch is an ordinary buffer and stays
+        # in the shared single-pass aggregate
+        add(c, "n_distinct", distinct.cast("double"), dist=exact_distinct)
         if isinstance(t, NumericType):
             add(c, "min", F.round(F.min(col).cast("double"), round_to))
             add(c, "max", F.round(F.max(col).cast("double"), round_to))
@@ -124,7 +132,24 @@ def profile(
             add(c, "min", F.date_format(F.min(col), _TS_FMT), is_str=True)
             add(c, "max", F.date_format(F.max(col), _TS_FMT), is_str=True)
 
-    wide = df.agg(*aggs)
+    # r12 opt (guide §2.3/§2.4): MIXING exact COUNT(DISTINCT) columns
+    # with the other metrics in one aggregate makes Catalyst's
+    # RewriteDistinctAggregates plan an Expand that multiplies every
+    # scanned row by (n_distinct_columns + 1) — and every heavy
+    # non-distinct input expression (the DECIMAL(38,0) moment
+    # contract's quantize+widen per value) rides along on each copy.
+    # Measured on orders at sf0.1 (rebuilt-plan min-of-4): combined
+    # 5.9 s vs 1.3 s (distinct-only) + 1.7 s (everything else) run as
+    # TWO aggregates. So: exact distincts get their own aggregate
+    # (Expand over just the profiled columns, no other buffers), the
+    # rest stays a single no-Expand pass, and the two 1-row frames
+    # crossJoin back together before the unpivot — same 36 metrics,
+    # same values, the scan is read twice but the (cols+1)× expansion
+    # of the metric expressions is gone. HLL mode keeps one aggregate.
+    if dist_aggs:
+        wide = df.agg(*aggs).crossJoin(df.agg(*dist_aggs))
+    else:
+        wide = df.agg(*aggs)
     pairs = F.array(
         *[
             F.struct(

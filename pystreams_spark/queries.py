@@ -5161,14 +5161,23 @@ def pandas_api_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GROUPING_SETS_SQL = f"""
+# r12 opt: the per-value quantization is hoisted into a subquery so the
+# float multiply+round runs ONCE per source row instead of once per
+# Expand copy (GROUPING SETS triples every row; guide §2.3 — compute
+# before the multiplying operator). The summed integers are identical,
+# so the revenue digit cannot move; the outer expression is
+# sum_round_half_up_portable's own tail over the pre-quantized column.
+_GROUPING_SETS_SQL = """
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(GROUPING(l_returnflag) AS INT) * 2
              + CAST(GROUPING(l_linestatus) AS INT) AS gid,
-           {sum_round_half_up_portable("l_extendedprice * (1 - l_discount)", 4, 2)}
-             AS revenue
-    FROM lineitem
+           cast(cast(round(cast(sum(q) as double) / 100) as bigint) as double)
+             / 100.0 AS revenue
+    FROM (SELECT l_returnflag, l_linestatus,
+                 cast(round((l_extendedprice * (1 - l_discount)) * 10000)
+                      as decimal(38,0)) AS q
+          FROM lineitem)
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY gid, rf, ls
 """
@@ -9840,12 +9849,14 @@ def _profile_oracle_sql() -> str:
 
 @query("orders_profile", oracle=_profile_oracle_sql())
 def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan table profile of `orders` (`operators/profile.py`):
-    every per-column metric (nulls, cardinality, numeric moments,
-    string lengths, timestamp span) compiles into ONE aggregate —
-    Catalyst plans the distinct-aggregates through one Expand, so the
-    table is read once regardless of column count. exact_distinct here
-    for the oracle; the approx (HLL) form is the 100 TB default.
+    """Table profile of `orders` (`operators/profile.py`): every
+    per-column metric (nulls, cardinality, numeric moments, string
+    lengths, timestamp span) in two shared-scan aggregates — the exact
+    COUNT(DISTINCT)s in their own Expand pass and every other metric
+    in one no-Expand pass (r12: a mixed aggregate made the Expand
+    multiply the DECIMAL moment expressions by cols+1, measured 2× the
+    split's cost). exact_distinct here for the oracle; the approx
+    (HLL) form is the 100 TB default and stays one aggregate.
     stddev runs under the exact second-moment contract on each
     column's value grid (r12 — the last streaming-float moment in a
     full-oracle query)."""

@@ -1999,7 +1999,12 @@ def test_profile_single_scan_and_values(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     prof = profile(o, exact_distinct=True)
     plan = executed_plan(prof)
-    assert plan.count("FileScan") == 1, "profile must be ONE scan"
+    # r12 split: exact COUNT(DISTINCT)s run in their OWN aggregate so
+    # the RewriteDistinctAggregates Expand can't multiply the other
+    # metrics' expressions — two scans, ONE Expand, and the Expand's
+    # aggregate carries no non-distinct buffers
+    assert plan.count("FileScan") == 2, "exact profile = two shared-scan aggs"
+    assert plan.count("Expand") == 1, "only the distinct agg may Expand"
 
     got = {(r.column, r.metric): (r.value_num, r.value_str) for r in prof.collect()}
     n = o.count()
@@ -2009,10 +2014,14 @@ def test_profile_single_scan_and_values(spark, sf_dir):
     assert got[("o_orderstatus", "n_empty")][0] == 0.0
     assert got[("o_orderdate", "min")][1].startswith("199")
 
-    # approx path runs and is within HLL tolerance
+    # approx path runs in ONE scan (no distinct rewrite, no Expand)
+    # and is within HLL tolerance
+    approx_df = profile(o, exact_distinct=False)
+    approx_plan = executed_plan(approx_df)
+    assert approx_plan.count("FileScan") == 1, "HLL profile stays ONE scan"
+    assert "Expand" not in approx_plan
     approx = {
-        (r.column, r.metric): r.value_num
-        for r in profile(o, exact_distinct=False).collect()
+        (r.column, r.metric): r.value_num for r in approx_df.collect()
     }
     assert abs(approx[("o_orderkey", "n_distinct")] - n) / n < 0.1
 
