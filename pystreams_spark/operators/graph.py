@@ -186,14 +186,19 @@ def triangle_census(
         )
         .filter(F.col("u") < F.col("v"))
         .distinct()
-        # lazy: tri.count() below materializes the pin in its own job
+        # lazy: the final action's first edge consumer materializes it
         .localCheckpoint(eager=False)
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"], "left_semi")
-    n_tri = tri.count()
+    # triangle count stays IN the plan as a 1-row frame (r12): a
+    # driver-side tri.count() was a serial barrier between the triangle
+    # join and the degree aggregate — crossJoining the two 1-row aggs
+    # lets one action compute both subtrees (and materialize the edge
+    # pin exactly once, at whichever subtree reads it first)
+    tri_n = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -203,9 +208,8 @@ def triangle_census(
     out = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
         (F.sum(F.col("d")) / 2).cast("long").alias("n_edges"),
-        F.lit(int(n_tri)).cast("long").alias("n_triangles"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
-    )
+    ).crossJoin(F.broadcast(tri_n))
     return out.select(
         "n_nodes",
         "n_edges",

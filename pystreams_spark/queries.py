@@ -11035,7 +11035,10 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             / F.lit(4294967296.0)
         ).alias("frac"),
-    ).localCheckpoint(eager=True)
+        # lazy pin (r12): select_token_budget's construction-time
+        # offsets collect is the first action through this chain and
+        # materializes it — no standalone checkpoint job
+    ).localCheckpoint(eager=False)
 
     train = base.filter(F.col("frac") < 0.9)
     eval_set = base.filter(F.col("frac") >= 0.9).select("doc_id", "text")
@@ -12172,15 +12175,18 @@ def model_filtered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count("text").alias("n_tokens"),
         F.md5("text").alias("h"),
     ).localCheckpoint(eager=False)
-    keep = (
-        base.groupBy("h")
-        .agg(F.min("doc_id").alias("keep_id"))
-        .select(F.col("h").alias("_kh"), "keep_id")
+    # min-id-per-hash via a partition-only window (r12, guide §2.4):
+    # the groupBy(h).min + self-join form paid the group shuffle AND a
+    # join shuffle; one window over h is a single exchange with the
+    # identical survivor set
+    dedup = (
+        base.withColumn(
+            "_keep", F.min("doc_id").over(Window.partitionBy("h"))
+        )
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_keep")
+        .localCheckpoint(eager=False)
     )
-    dedup = base.join(
-        keep,
-        (F.col("h") == F.col("_kh")) & (F.col("doc_id") == F.col("keep_id")),
-    ).select(base["*"]).localCheckpoint(eager=False)
 
     sc = score_linear_model(dedup, demo_weights(spark, 64), n_buckets=64)
     sc = sc.select("doc_id", F.round("score", 6).alias("score"))
@@ -12934,21 +12940,29 @@ def effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the pair set, the component labels, AND the weighting
     arithmetic in one report."""
     from .functions.text import token_count
-    from .io import broadcast_if_small, materialize
+    from .io import materialize
     from .operators.dedup import cc_keep_min, ngram_jaccard_pairs_prefix
 
     docs = _t(spark, sf_dir, "documents")
     d = docs.select("doc_id", "lang", token_count("text").alias("n_tokens"))
-    # eager pin of the verified pair frame — same rationale as
-    # neardup_components_report (r8, VERDICT r7 #3): kill the
-    # recompute-under-pressure variance, pairs are dup-graph-sized
-    pairs = materialize(ngram_jaccard_pairs_prefix(docs, threshold=0.35, n=3))
-    # labels feeds both the size agg and the weighting join — pin once
-    labels = materialize(cc_keep_min(pairs, d.select("doc_id")))
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
-    weighted = d.join(labels, "doc_id").join(
-        # AQE decides the broadcast from the agg exchange's runtime size
-        sizes, "cluster_id"
+    # lazy pins (r12, the batch-4 pattern): cc_keep_min's internal edge
+    # count is the first action and materializes the pair pin en route;
+    # the label pin materializes at its first consumer — still pinned,
+    # never recomputed under memory pressure (the r8 requirement)
+    pairs = materialize(
+        ngram_jaccard_pairs_prefix(docs, threshold=0.35, n=3), eager=False
+    )
+    labels = materialize(cc_keep_min(pairs, d.select("doc_id")), eager=False)
+    # component size via a partition-only window (r12, guide §2.4): the
+    # groupBy+join form paid the agg exchange AND a second join shuffle
+    # of the weighted stream; one window over cluster_id attaches the
+    # identical integer count in a single exchange
+    weighted = d.join(
+        labels.withColumn(
+            "csize",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        ),
+        "doc_id",
     )
     eff = F.sum(F.col("n_tokens").cast("double") / F.col("csize"))
     raw = F.sum(F.col("n_tokens").cast("double"))
@@ -13752,8 +13766,13 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+    # ONE adaptive pin of the (doc_id, split) frame shared by all three
+    # consumers (r12, guide §2.4) — the two per-side wrapper calls each
+    # paid their own checkpoint+count barrier over an identical frame;
+    # the rename projections sit on top of the shared hinted pin
+    asn = broadcast_if_small(assigned)
     comp_stats = (
-        labels.join(assigned, "doc_id")
+        labels.join(asn, "doc_id")
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
@@ -13763,13 +13782,13 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cross = (
         pairs.join(
-            broadcast_if_small(assigned.withColumnRenamed("doc_id", "id_a")
-                               .withColumnRenamed("split", "_sa")),
+            asn.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("split", "_sa"),
             "id_a",
         )
         .join(
-            broadcast_if_small(assigned.withColumnRenamed("doc_id", "id_b")
-                               .withColumnRenamed("split", "_sb")),
+            asn.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("split", "_sb"),
             "id_b",
         )
         .filter(F.col("_sa") != F.col("_sb"))
