@@ -98,6 +98,10 @@ class ImagedupIngest:
         from .epoch_store import assert_markers_enabled
 
         assert_markers_enabled(spark, "ImagedupIngest")
+        # r12: memoized after first success (file immutable, written
+        # only here) — was one read job + collect EVERY micro-batch
+        if getattr(self, "_params_checked", False):
+            return
 
         from pyspark.errors import AnalysisException
 
@@ -113,6 +117,7 @@ class ImagedupIngest:
                 [(json.dumps(self._params(), sort_keys=True),)],
                 "value string",
             ).coalesce(1).write.mode("overwrite").text(path)
+            self._params_checked = True
             return
         if stored != self._params():
             raise ValueError(
@@ -121,6 +126,7 @@ class ImagedupIngest:
                 "— signatures would silently never match. Use the "
                 "original parameters or a fresh state_dir."
             )
+        self._params_checked = True
 
     def _store(
         self, spark: SparkSession, before_epoch: int

@@ -100,7 +100,13 @@ class NeardupIngest:
         stored ones — duplicates would leak through with no error.
         Also refuses a session configured not to write ``_SUCCESS``
         markers (the commit filter would read every epoch as
-        uncommitted — ADVICE r10)."""
+        uncommitted — ADVICE r10).
+
+        r12: the stored-params read is memoized per instance — the
+        file is immutable after first write and only this class writes
+        it, so re-reading it EVERY micro-batch was one wasted read job
+        + driver collect per batch. The (free, conf-only) marker check
+        still runs each batch."""
         import json
 
         from pyspark.errors import AnalysisException
@@ -108,6 +114,8 @@ class NeardupIngest:
         from .epoch_store import assert_markers_enabled
 
         assert_markers_enabled(spark, "NeardupIngest")
+        if getattr(self, "_params_checked", False):
+            return
 
         path = f"{self.state_dir}/_params"
         try:
@@ -120,6 +128,7 @@ class NeardupIngest:
             spark.createDataFrame(
                 [(json.dumps(self._params(), sort_keys=True),)], "value string"
             ).coalesce(1).write.mode("overwrite").text(path)
+            self._params_checked = True
             return
         if stored != self._params():
             raise ValueError(
@@ -128,6 +137,7 @@ class NeardupIngest:
                 "signatures would silently never match. Use the original "
                 "parameters or a fresh state_dir."
             )
+        self._params_checked = True
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Signature store as of (strictly before) ``before_epoch`` —

@@ -77,6 +77,10 @@ class NoveltyIngest:
         from .epoch_store import assert_markers_enabled
 
         assert_markers_enabled(spark, "NoveltyIngest")
+        # r12: memoized after first success (file immutable, written
+        # only here) — was one read job + collect EVERY micro-batch
+        if getattr(self, "_params_checked", False):
+            return
 
         from pyspark.errors import AnalysisException
 
@@ -91,6 +95,7 @@ class NoveltyIngest:
             spark.createDataFrame(
                 [(json.dumps(self._params(), sort_keys=True),)], "value string"
             ).coalesce(1).write.mode("overwrite").text(path)
+            self._params_checked = True
             return
         if stored != self._params():
             raise ValueError(
@@ -99,6 +104,7 @@ class NoveltyIngest:
                 "classes would not match. Use the original parameters or a "
                 "fresh state_dir."
             )
+        self._params_checked = True
 
     def _store(self, spark: SparkSession, before_epoch: int) -> DataFrame | None:
         """Gram store strictly before ``before_epoch``; None when empty.

@@ -754,7 +754,16 @@ def test_neardup_ingest_rejects_changed_params(spark, tmp_path):
     with pytest.raises(ValueError, match="never match"):
         NeardupIngest(state, threshold=0.6, seed=7).process_batch(bdf(batches[1]), 1)
     # same params resume fine
-    NeardupIngest(state, threshold=0.6).process_batch(bdf(batches[1]), 1)
+    resumed = NeardupIngest(state, threshold=0.6)
+    resumed.process_batch(bdf(batches[1]), 1)
+    # r12: the stored-params read is memoized per instance after one
+    # success (it cost a read job + driver collect EVERY micro-batch);
+    # a FRESH instance against the same store must still re-check
+    assert resumed._params_checked is True
+    fresh = NeardupIngest(state, threshold=0.6, seed=7)
+    assert not getattr(fresh, "_params_checked", False)
+    with pytest.raises(ValueError, match="never match"):
+        fresh.process_batch(bdf(batches[2]), 2)
 
 
 # ---------------------------------------------------------------------------
