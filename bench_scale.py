@@ -400,7 +400,14 @@ def _bitext_blocked_prototyped(
 def _novelty_hashed(docs_df):
     from pystreams_spark.operators.dedup import ngram_novelty_scores
 
-    return ngram_novelty_scores(docs_df, n=3, hash_grams=True).count()
+    # noop sink, not count(): since the r12 window-min rewrite the
+    # novelty columns are prunable under count() (the old gram JOIN
+    # affected row multiplicity so Catalyst had to keep it; a window
+    # feeding an unused column is simply dropped) — count() would
+    # measure an empty plan, not the kernel (guide §1.4)
+    df = ngram_novelty_scores(docs_df, n=3, hash_grams=True)
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
 
 
 def main() -> None:
