@@ -134,6 +134,19 @@ def main() -> None:
     detail_path = os.path.join(here, detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
+    if not subset:
+        # ALSO persist the full-suite detail to a config-stamped file
+        # (r12 verdict #2): the driver benches at two core counts and
+        # the unstamped file is overwritten per run, so the lower-core
+        # pass used to clobber the main one and the round-over-round
+        # PERF diff could only compare the slowest-5 overlap (2 rows).
+        # One file per (cpus, sf) config — a later same-config run
+        # replaces it (freshest run wins), a different-config run never
+        # does, so both of the driver's passes stay on disk.
+        detail["cpus"] = int(cpus)
+        stamped = f"BENCH_DETAIL_c{int(cpus)}_sf{sf}.json"
+        with open(os.path.join(here, stamped), "w") as f:
+            json.dump(detail, f, indent=1)
     if subset:
         # self-identifying adjudication record (r11 verdict #4): wall
         # timestamp + a caller-supplied label naming WHY this subset ran

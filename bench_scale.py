@@ -400,14 +400,17 @@ def _bitext_blocked_prototyped(
 def _novelty_hashed(docs_df):
     from pystreams_spark.operators.dedup import ngram_novelty_scores
 
-    # noop sink, not count(): since the r12 window-min rewrite the
-    # novelty columns are prunable under count() (the old gram JOIN
-    # affected row multiplicity so Catalyst had to keep it; a window
-    # feeding an unused column is simply dropped) — count() would
-    # measure an empty plan, not the kernel (guide §1.4)
+    # noop sink, not count(): since the r12 window-min rewrite count()
+    # prunes the window-min shuffle (the dominant stage) — the explode
+    # and the per-doc aggregate still execute, but the measurement
+    # would cover a partial plan (guide §1.4).
+    # Return a CONSTANT, not df.count() (r12 ADVICE): a count after
+    # the write re-executes tokenize→explode→per-doc agg INSIDE the
+    # timed region — a second pass the string-mode family never paid,
+    # which contaminated the hashed-vs-string wall comparison.
     df = ngram_novelty_scores(docs_df, n=3, hash_grams=True)
     df.write.format("noop").mode("overwrite").save()
-    return df.count()
+    return -1
 
 
 def main() -> None:
