@@ -1,7 +1,8 @@
-"""Capture .explain("formatted") for named queries into plans/r12/.
+"""Capture .explain("formatted") for named queries into
+plans/$PLANS_ROUND/ (default r13).
 
 Usage: python capture_plans.py before|after q1,q2,...
-Writes plans/r12/<query>_<tag>.txt (judge-checkable plan evidence).
+Writes plans/<round>/<query>_<tag>.txt (judge-checkable plan evidence).
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-capture", cpus="32")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"

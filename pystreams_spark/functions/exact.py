@@ -93,6 +93,31 @@ def np_round_half_away_scaled(m, scale: int):
     return r.astype(np.int64)
 
 
+def _quantize(arg: str, acc: str = "decimal(38,0)") -> str:
+    """Per-value quantization ``cast(round(<arg>) as <acc>)`` routed
+    THROUGH BIGINT (r13, guide §2.3 per-task work): Spark's
+    double→DECIMAL(38,0) cast allocates a BigDecimal per row, while
+    double→bigint→decimal stays on the compact long representation —
+    measured 0.370→0.283 s min / 0.549→0.331 s med for 4 sums over
+    600k rows, i.e. the decimal accumulator now costs ≈ a raw float
+    sum. Bit-identical within the contract's documented per-value
+    bound (|round(arg)| < 2^52): round() output is an integral double,
+    so the bigint cast is exact and yields the same integer the direct
+    decimal cast did. Outside the bound the forms differ (bigint
+    saturates at 2^63−1, NaN→0 instead of NULL) — but off-grid /
+    non-finite values were already outside the contract, and the
+    DuckDB fragments have always cast per value to BIGINT (which
+    raises there), so the cross-engine posture is unchanged:
+    a visible mismatch, never a silently-wrong digit.
+
+    ``arg`` is the FULL round() argument text, verbatim from the call
+    site — the callers' historical parenthesizations differ
+    (``avg_round_half_up`` has always emitted ``{col} * {s}`` without
+    wrapping the column expression, and both engines' fragments agree
+    on that text), and the oracle hashes pin those exact semantics."""
+    return f"cast(cast(round({arg}) as bigint) as {acc})"
+
+
 def np_trunc_div(num, den):
     """Integer division truncating toward zero on int64 arrays —
     numpy's ``//`` floors, but Spark's ``div`` and DuckDB's integral
@@ -108,7 +133,7 @@ def avg_round_half_up(col: str, digits: int = 6) -> Column:
     s = 10 ** int(digits)
     return F.expr(
         f"case when count({col}) > 0 then "
-        f"cast((2 * sum(cast(round({col} * {s}) as decimal(38,0)))"
+        f"cast((2 * sum({_quantize(f'{col} * {s}')})"
         f" + count({col})) div (2 * count({col})) as double)"
         f" / {s}.0 end"
     )
@@ -133,7 +158,7 @@ def sum_exact_scaled(col: str, digits: int = 2) -> Column:
     """
     s = 10 ** int(digits)
     return F.expr(
-        f"cast(sum(cast(round(({col}) * {s}) as decimal(38,0))) as double)"
+        f"cast(sum({_quantize(f'({col}) * {s}')}) as double)"
         f" / {s}.0"
     )
 
@@ -167,8 +192,8 @@ def sum_round_half_up(col: str, value_digits: int, digits: int) -> Column:
     # the final cast keeps the quotient DOUBLE — a bare bigint/100.0
     # would promote to DECIMAL under Spark's decimal-literal rule
     return F.expr(
-        f"cast(cast(round(cast(sum(cast(round(({col}) * {sv})"
-        f" as decimal(38,0))) as double) / {down}) as bigint) as double)"
+        f"cast(cast(round(cast(sum({_quantize(f'({col}) * {sv}')})"
+        f" as double) / {down}) as bigint) as double)"
         f" / {sd}.0"
     )
 
@@ -202,9 +227,13 @@ def sum_round_half_up_portable(col: str, value_digits: int, digits: int) -> str:
             f"sum_round_half_up_portable: value_digits {v} < digits {d}"
         )
     sv, down, sd = 10 ** v, 10 ** (v - d), 10 ** d
+    # the same bigint-routed per-value quantization as the Spark-only
+    # fragments (r13): DuckDB casts the integral round() double to
+    # BIGINT exactly too, so the shared text stays dialect-portable
+    # and the summed integers are unchanged on both engines
     return (
-        f"cast(cast(round(cast(sum(cast(round(({col}) * {sv})"
-        f" as decimal(38,0))) as double) / {down}) as bigint) as double)"
+        f"cast(cast(round(cast(sum({_quantize(f'({col}) * {sv}')})"
+        f" as double) / {down}) as bigint) as double)"
         f" / {sd}.0"
     )
 
@@ -268,7 +297,15 @@ def _var_sql(
 ) -> str:
     s = 10 ** int(value_digits)
     acc = _acc(dialect)
-    xi = f"cast(round(({col}) * {s}) as {acc})"
+    # Spark: per-value cast routed through bigint (see _quantize —
+    # keeps the decimal compact, ≈2× cheaper per row, same integer).
+    # DuckDB keeps the direct HUGEINT cast — the oracle text is
+    # unchanged, so every consumer's oracle hash is untouched.
+    xi = (
+        _quantize(f"({col}) * {s}", acc)
+        if dialect == "spark"
+        else f"cast(round(({col}) * {s}) as {acc})"
+    )
     n = f"count({col})"
     s1 = f"sum({xi})"
     # per-value square in the wide integer type — exact to the
@@ -294,8 +331,12 @@ def _pair_sql(
     sx, sy = 10 ** int(x_digits), 10 ** int(y_digits)
     acc = _acc(dialect)
     both = f"(({x}) is not null and ({y}) is not null)"
-    xi = f"cast(round(({x}) * {sx}) as {acc})"
-    yi = f"cast(round(({y}) * {sy}) as {acc})"
+    if dialect == "spark":  # bigint-routed per-value cast, see _quantize
+        xi = _quantize(f"({x}) * {sx}", acc)
+        yi = _quantize(f"({y}) * {sy}", acc)
+    else:
+        xi = f"cast(round(({x}) * {sx}) as {acc})"
+        yi = f"cast(round(({y}) * {sy}) as {acc})"
     n = f"count(case when {both} then 1 end)"
 
     def ssum(prod: str) -> str:

@@ -5175,8 +5175,8 @@ _GROUPING_SETS_SQL = """
            cast(cast(round(cast(sum(q) as double) / 100) as bigint) as double)
              / 100.0 AS revenue
     FROM (SELECT l_returnflag, l_linestatus,
-                 cast(round((l_extendedprice * (1 - l_discount)) * 10000)
-                      as decimal(38,0)) AS q
+                 cast(cast(round((l_extendedprice * (1 - l_discount)) * 10000)
+                      as bigint) as decimal(38,0)) AS q
           FROM lineitem)
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     ORDER BY gid, rf, ls
