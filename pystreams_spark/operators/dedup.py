@@ -435,14 +435,20 @@ def ngram_jaccard_pairs_prefix(
     sh = _shingle_table(df, n, text_col, id_col, blocks)
     posts = sh.select(id_col, *blocks, F.explode("_sh").alias("_h"))
     if order_by == "df":
-        dfreq = posts.groupBy(*blocks, "_h").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
-        # per-doc regroup under the exact (df, hash) total order —
-        # (df, h) is a global function of the shingle, so the order is
-        # consistent corpus-wide and the prefix theorem applies
+        # per-posting df via a partition-only window (r13, guide §2.4
+        # — the same rewrite as r12's first-seen novelty): the
+        # groupBy(_h).count + join-back form paid TWO exchanges of the
+        # posting table (one for the aggregate, one for the join's
+        # probe side) plus the join itself; one window over (_h)
+        # attaches the identical integer count in a single exchange.
+        # (_df, h) stays a global function of the shingle, so the
+        # order is consistent corpus-wide and the prefix theorem
+        # applies unchanged.
         ordered_tbl = (
-            posts.join(dfreq, [*blocks, "_h"])
+            posts.withColumn(
+                "_df",
+                F.count(F.lit(1)).over(Window.partitionBy(*blocks, "_h")),
+            )
             .groupBy(id_col, *blocks)
             .agg(
                 F.array_sort(
